@@ -1,0 +1,30 @@
+"""softbodyunity_tpu — a TPU-native soft-body simulation engine.
+
+A brand-new rebuild of SoftbodyUnity (/root/reference/README.md:1) as a
+JAX/XLA/Pallas framework: mass-spring + XPBD cloth and volumetric soft
+bodies, plane/sphere/self collision, batched and sharded across TPU chips.
+See SURVEY.md for the component map and BASELINE.json for the capability
+contract.
+"""
+
+from .api import init, normals, rollout, step
+from .core.config import (
+    CollisionParams,
+    SelfCollisionParams,
+    SimConfig,
+    Solver,
+    SpringParams,
+    XPBDParams,
+)
+from .core.state import State, make_state
+from .core.topology import HostTopology, Topology, cloth_grid, tet_cube
+from .models import presets
+
+__version__ = "0.1.0"
+__all__ = [
+    "init", "step", "rollout", "normals",
+    "SimConfig", "Solver", "SpringParams", "XPBDParams",
+    "CollisionParams", "SelfCollisionParams",
+    "State", "make_state", "Topology", "HostTopology",
+    "cloth_grid", "tet_cube", "presets",
+]

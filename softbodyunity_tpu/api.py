@@ -1,0 +1,124 @@
+"""Public API: ``init`` / ``step`` / ``rollout`` / ``normals``.
+
+Mirrors the reference's scene/state model (BASELINE.json:5): ``init``
+replaces ``MonoBehaviour.Start()`` (topology built host-side once, then
+moved to HBM), ``step(state, dt, n_substeps)`` replaces
+``FixedUpdate()`` + the inner substep loop, jit-compiled with ``lax.scan``
+over substeps and ``vmap``-able over batched scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import SimConfig, Solver
+from .core.state import State, make_state
+from .core.topology import HostTopology, Topology
+from .solver import step as _step_mod
+from .solver.normals import vertex_normals as _vertex_normals
+
+
+def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
+    """Cast the float64 host topology to device arrays (f32 for the perf
+    path; tests pass f64 to prove exact semantic parity with the oracle)."""
+    f32 = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+    i32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
+    return Topology(
+        edges=i32(host.edges),
+        rest_length=f32(host.rest_length),
+        edge_class=i32(host.edge_class),
+        edge_stiffness=f32(host.edge_stiffness),
+        edge_compliance=f32(host.edge_compliance),
+        inv_mass=f32(host.inv_mass),
+        incident=i32(host.incident),
+        incident_sign=f32(host.incident_sign),
+        tets=i32(host.tets),
+        rest_volume=f32(host.rest_volume),
+        triangles=i32(host.triangles),
+        plane_height=f32(host.plane_height),
+        sphere_centers=f32(host.sphere_centers),
+        sphere_radii=f32(host.sphere_radii),
+        n_vertices=host.positions0.shape[0],
+        grid_shape=host.grid_shape,
+    )
+
+
+def init(host: HostTopology, dtype=jnp.float32) -> Tuple[Topology, State]:
+    """Build device topology + rest state; the one host->device boundary
+    (BASELINE.json:5 "loaded once to HBM")."""
+    top = device_topology(host, dtype=dtype)
+    state = make_state(host.positions0, dtype=dtype)
+    return jax.device_put(top), jax.device_put(state)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_step(cfg: SimConfig, dt: float, n_substeps: int):
+    """One jitted executable per (cfg, dt, n_substeps) triple."""
+
+    def impl(top: Topology, state: State) -> State:
+        return _dispatch_step(top, cfg, state, dt, n_substeps)
+
+    return jax.jit(impl)
+
+
+def _dispatch_step(top, cfg, state, dt, n_substeps):
+    """Backend dispatch: structured-grid Euler scenes can use the stencil /
+    Pallas fast paths; everything else takes the general jnp path."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "jnp"
+    if backend in ("stencil", "pallas"):
+        from .kernels import dispatch as _kdispatch
+
+        fast = _kdispatch.maybe_fast_step(top, cfg, backend)
+        if fast is not None:
+            return fast(state, dt, n_substeps)
+        backend = "jnp"
+    return _step_mod.step_scan(top, cfg, state, dt, n_substeps)
+
+
+def step(
+    top: Topology,
+    cfg: SimConfig,
+    state: State,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+) -> State:
+    """Advance one frame: ``n_substeps`` substeps of size ``dt``."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_step(cfg, dt, n)(top, state)
+
+
+def rollout(
+    top: Topology,
+    cfg: SimConfig,
+    state: State,
+    n_steps: int,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+):
+    """Scan ``n_steps`` frames on-device; returns (final_state, xs[n_steps,N,3])."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def impl(top, state):
+        def body(s, _):
+            s2 = _dispatch_step(top, cfg, s, dt, n)
+            return s2, s2.x
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return impl(top, state)
+
+
+def normals(top: Topology, state: State) -> jax.Array:
+    """Vertex normals for rendering (Unity RecalculateNormals analogue)."""
+    return jax.jit(_vertex_normals)(top.triangles, state.x)

@@ -1,0 +1,130 @@
+"""Scene / solver configuration.
+
+The reference project (SoftbodyUnity, /root/reference/README.md:1) exposes its
+tunables as Unity-Inspector-serialized public fields on a MonoBehaviour
+(stiffness, damping, dt, substeps, pinned vertices, collider refs).  The
+TPU-native rebuild replaces that with a frozen, hashable dataclass that can be
+passed as a *static* argument to ``jax.jit`` — the whole config is burned into
+the compiled executable, so there is zero per-step host traffic for parameters
+(BASELINE.json:5 "loaded once to HBM ... no host round-trips").
+
+Everything here is plain Python data (ints / floats / tuples / enums), never
+arrays: arrays live in :mod:`softbodyunity_tpu.core.topology` and
+:mod:`softbodyunity_tpu.core.state`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class Solver(enum.Enum):
+    """Which time-integration scheme drives the substep.
+
+    The reference supports "semi-implicit Euler / Verlet integration (or XPBD
+    constraint projection with compliance)" (BASELINE.json:5).
+    """
+
+    SEMI_IMPLICIT_EULER = "euler"
+    VERLET = "verlet"
+    XPBD = "xpbd"
+
+
+@dataclasses.dataclass(frozen=True)
+class SpringParams:
+    """Hookean spring + damper coefficients per edge class.
+
+    The reference accumulates "spring-force accumulation over edge lists"
+    (BASELINE.json:5); a cloth grid has three edge classes
+    (structural / shear / bend, BASELINE.json:8).
+    """
+
+    k_structural: float = 800.0
+    k_shear: float = 400.0
+    k_bend: float = 200.0
+    damping: float = 1.0  # spring-axis damper coefficient (shared)
+
+
+@dataclasses.dataclass(frozen=True)
+class XPBDParams:
+    """XPBD compliance / iteration parameters (BASELINE.json:9).
+
+    ``compliance_*`` are the alpha values (inverse stiffness, m/N); the solver
+    uses alpha_tilde = alpha / dt^2 inside each substep.  ``n_iterations`` is
+    the Jacobi-projection iteration count per substep and ``relaxation`` the
+    under-relaxation factor omega applied to accumulated Jacobi corrections
+    (Jacobi needs omega < 1 to converge on meshes; see SURVEY.md §7).
+    """
+
+    compliance_distance: float = 1e-6
+    compliance_bend: float = 1e-4
+    compliance_volume: float = 0.0
+    n_iterations: int = 8
+    relaxation: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionParams:
+    """Environment collision behaviour ("plane/sphere collision resolve",
+    BASELINE.json:5).  The collider *geometry* (plane height, sphere
+    centers/radii) is array data on :class:`~softbodyunity_tpu.core.topology.Topology`
+    so it can differ per batched scene; these are the scalar response knobs.
+    """
+
+    restitution: float = 0.0    # normal velocity bounce factor in [0, 1]
+    friction: float = 0.2       # tangential velocity damping in [0, 1] on contact
+    enable_plane: bool = True
+    enable_spheres: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfCollisionParams:
+    """Vertex-vertex self-collision via an on-device spatial hash
+    (BASELINE.json:5 "on-device spatial hashing so no host round-trips",
+    config BASELINE.json:11).
+
+    ``grid_dim`` fixes the (static-shape) hash grid resolution per axis;
+    ``max_per_cell`` caps the candidates examined per neighbour cell, keeping
+    every shape static under ``jit``.
+    """
+
+    enabled: bool = False
+    method: str = "hash"        # "hash" (spatial hash) | "dense" (O(N^2) twin)
+    radius: float = 0.05        # repulsion distance between non-neighbour vertices
+    stiffness: float = 0.5      # positional correction factor per contact
+    cell_size: float = 0.05     # hash cell edge (should be >= radius)
+    grid_dim: int = 64          # cells per axis (grid_dim**3 virtual cells)
+    max_per_cell: int = 4       # candidate cap per neighbour cell (static shapes)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Full, hashable solver configuration — static under ``jit``.
+
+    Mirrors the reference's MonoBehaviour fields; defaults follow the first
+    workload config (BASELINE.json:7).
+    """
+
+    solver: Solver = Solver.SEMI_IMPLICIT_EULER
+    dt: float = 1.0 / 60.0 / 16.0          # substep dt
+    n_substeps: int = 16                   # substeps per `step` call
+    gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+    global_damping: float = 0.1            # per-second velocity damping rate
+    springs: SpringParams = SpringParams()
+    xpbd: XPBDParams = XPBDParams()
+    collision: CollisionParams = CollisionParams()
+    self_collision: SelfCollisionParams = SelfCollisionParams()
+    # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
+    # projection strength in [0,1] applied after integration when tets exist.
+    volume_stiffness: float = 1.0
+    backend: str = "auto"                  # "auto" | "jnp" | "stencil" | "pallas"
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _tuple3(x) -> Tuple[float, float, float]:
+    a, b, c = x
+    return (float(a), float(b), float(c))

@@ -1,0 +1,396 @@
+"""Mesh topology: vertices, edges, rest lengths, pinned mask, colliders.
+
+The reference builds its mesh once in ``MonoBehaviour.Start()`` — grid/cube
+vertex construction, edge enumeration (structural/shear/bend), rest lengths,
+pinned vertices (BASELINE.json:5, :7-:10).  Here topology construction is
+host-side NumPy that runs exactly once; the resulting arrays are moved to HBM
+by :func:`softbodyunity_tpu.api.init` and never touched by the host again
+("mesh topology ... is loaded once to HBM", BASELINE.json:5).
+
+TPU-first details baked in at build time:
+
+* A CSR-style *incidence table* ``incident[N, D]`` / ``incident_sign[N, D]``
+  so force accumulation can be a race-free per-vertex **gather** instead of a
+  per-edge scatter-add (SURVEY.md §7 "hard parts"; same trick as the GPU
+  elastodynamics literature, PAPERS.md:7-8).
+* Edge endpoints are also emitted sorted by first endpoint so a
+  ``segment_sum`` fallback touches memory contiguously.
+* Optional ``grid_shape`` metadata: structured cloth grids additionally
+  support a stencil (roll/shift) force path with zero gathers — the fastest
+  formulation on TPU lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+
+EDGE_STRUCTURAL = 0
+EDGE_SHEAR = 1
+EDGE_BEND = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Topology:
+    """Static scene description (pytree; all array leaves, static metadata aux).
+
+    Shapes: N vertices, E edges, D max vertex degree, T tets, F triangles,
+    S spheres.  All float arrays are float32 on device (BASELINE.json:5
+    "SoA float32 particle arrays"); builders produce float64 NumPy for the
+    oracle, downcast in :func:`softbodyunity_tpu.api.init`.
+    """
+
+    # --- spring / constraint structure -----------------------------------
+    edges: jax.Array            # i32[E, 2]  endpoint vertex ids (a, b)
+    rest_length: jax.Array      # f32[E]
+    edge_class: jax.Array       # i32[E]     EDGE_STRUCTURAL / SHEAR / BEND
+    edge_stiffness: jax.Array   # f32[E]     per-edge spring k (class-resolved)
+    edge_compliance: jax.Array  # f32[E]     per-edge XPBD alpha (class-resolved)
+    # --- vertex data ------------------------------------------------------
+    inv_mass: jax.Array         # f32[N]     0.0 for pinned vertices
+    # --- incidence (gather-based accumulation) ----------------------------
+    incident: jax.Array         # i32[N, D]  edge ids incident to vertex (pad=E)
+    incident_sign: jax.Array    # f32[N, D]  +1 if vertex is edge.a, -1 if edge.b, 0 pad
+    # --- volumetric (empty for cloth) -------------------------------------
+    tets: jax.Array             # i32[T, 4]
+    rest_volume: jax.Array      # f32[T]
+    # --- rendering --------------------------------------------------------
+    triangles: jax.Array        # i32[F, 3]  for vertex-normal recompute
+    # --- collider geometry (array data => can vary per batched scene) -----
+    plane_height: jax.Array     # f32[]      ground plane y
+    sphere_centers: jax.Array   # f32[S, 3]
+    sphere_radii: jax.Array     # f32[S]
+    # --- static metadata (aux / hashable) ---------------------------------
+    n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
+    grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )  # (ny, nx) when the mesh is a structured cloth grid
+
+    @property
+    def n_edges(self) -> int:
+        return self.edges.shape[0]
+
+    @property
+    def n_tets(self) -> int:
+        return self.tets.shape[0]
+
+    @property
+    def n_spheres(self) -> int:
+        return self.sphere_radii.shape[0]
+
+
+def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertex -> incident-edge table, padded to the max degree.
+
+    Padding entries point at edge id E (one past the end); callers append a
+    zero "ghost" force row so padded gathers contribute nothing.
+    """
+    e = edges.shape[0]
+    lists: list[list[Tuple[int, float]]] = [[] for _ in range(n)]
+    for ei, (a, b) in enumerate(edges):
+        lists[int(a)].append((ei, +1.0))
+        lists[int(b)].append((ei, -1.0))
+    d = max((len(l) for l in lists), default=1)
+    d = max(d, 1)
+    incident = np.full((n, d), e, dtype=np.int32)
+    sign = np.zeros((n, d), dtype=np.float64)
+    for vi, l in enumerate(lists):
+        for j, (ei, s) in enumerate(l):
+            incident[vi, j] = ei
+            sign[vi, j] = s
+    return incident, sign
+
+
+def _edge_arrays(
+    edge_list: list[Tuple[int, int, int]],
+    positions: np.ndarray,
+    springs,
+    xpbd,
+) -> Tuple[np.ndarray, ...]:
+    """Pack (a, b, class) triples into sorted topology arrays."""
+    edges = np.array([(a, b) for a, b, _ in edge_list], dtype=np.int64)
+    cls = np.array([c for _, _, c in edge_list], dtype=np.int64)
+    # sort by first endpoint for contiguous segment_sum fallback
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges, cls = edges[order], cls[order]
+    rest = np.linalg.norm(positions[edges[:, 1]] - positions[edges[:, 0]], axis=1)
+    k_by_class = np.array(
+        [springs.k_structural, springs.k_shear, springs.k_bend], dtype=np.float64
+    )
+    a_by_class = np.array(
+        [xpbd.compliance_distance, xpbd.compliance_distance, xpbd.compliance_bend],
+        dtype=np.float64,
+    )
+    return (
+        edges.astype(np.int32),
+        rest,
+        cls.astype(np.int32),
+        k_by_class[cls],
+        a_by_class[cls],
+    )
+
+
+@dataclasses.dataclass
+class HostTopology:
+    """float64 NumPy twin of :class:`Topology`, consumed by the oracle and by
+    :func:`softbodyunity_tpu.api.init` (which downcasts to f32 and device_puts).
+    """
+
+    positions0: np.ndarray      # f64[N, 3] rest positions (initial state)
+    edges: np.ndarray
+    rest_length: np.ndarray
+    edge_class: np.ndarray
+    edge_stiffness: np.ndarray
+    edge_compliance: np.ndarray
+    inv_mass: np.ndarray
+    incident: np.ndarray
+    incident_sign: np.ndarray
+    tets: np.ndarray
+    rest_volume: np.ndarray
+    triangles: np.ndarray
+    plane_height: float
+    sphere_centers: np.ndarray
+    sphere_radii: np.ndarray
+    grid_shape: Optional[Tuple[int, int]]
+
+
+def cloth_grid(
+    nx: int,
+    ny: int,
+    *,
+    spacing: float = 0.05,
+    mass: float = 1.0,
+    pinned: Tuple[str, ...] = (),
+    shear: bool = True,
+    bend: bool = True,
+    springs=None,
+    xpbd=None,
+    plane_height: float = -1.0,
+    sphere_centers: Optional[np.ndarray] = None,
+    sphere_radii: Optional[np.ndarray] = None,
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    orientation: str = "xz",
+) -> HostTopology:
+    """Build an ``nx × ny`` cloth grid (BASELINE.json:7-8).
+
+    Vertex (i, j) — row i in [0, ny), column j in [0, nx) — lies in the
+    ``xz`` plane (horizontal cloth falling under gravity) or ``xy`` plane
+    (hanging cloth) at ``origin``.
+
+    Edge classes (BASELINE.json:8 "structural/shear/bend springs"):
+      * structural: 4-neighbour (i,j)-(i,j+1) and (i,j)-(i+1,j)
+      * shear: diagonals (i,j)-(i+1,j+1) and (i,j+1)-(i+1,j)
+      * bend: 2-apart (i,j)-(i,j+2) and (i,j)-(i+2,j)
+
+    ``pinned`` is a subset of {"tl","tr","bl","br","top","corners"} marking
+    vertices with inv_mass = 0 ("pinned mask", BASELINE.json:5) — the
+    branch-free pinning mechanism (SURVEY.md C10).
+    """
+    from .config import SpringParams, XPBDParams
+
+    springs = springs or SpringParams()
+    xpbd = xpbd or XPBDParams()
+
+    def vid(i: int, j: int) -> int:
+        return i * nx + j
+
+    n = nx * ny
+    ii, jj = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    pos = np.zeros((n, 3), dtype=np.float64)
+    if orientation == "xz":
+        pos[:, 0] = (jj * spacing).ravel()
+        pos[:, 1] = 0.0
+        pos[:, 2] = (ii * spacing).ravel()
+    elif orientation == "xy":
+        pos[:, 0] = (jj * spacing).ravel()
+        pos[:, 1] = (-ii * spacing).ravel()  # rows hang downward
+        pos[:, 2] = 0.0
+    else:
+        raise ValueError(f"unknown orientation {orientation!r}")
+    pos += np.asarray(origin, dtype=np.float64)
+
+    edge_list: list[Tuple[int, int, int]] = []
+    for i in range(ny):
+        for j in range(nx):
+            if j + 1 < nx:
+                edge_list.append((vid(i, j), vid(i, j + 1), EDGE_STRUCTURAL))
+            if i + 1 < ny:
+                edge_list.append((vid(i, j), vid(i + 1, j), EDGE_STRUCTURAL))
+            if shear and i + 1 < ny and j + 1 < nx:
+                edge_list.append((vid(i, j), vid(i + 1, j + 1), EDGE_SHEAR))
+                edge_list.append((vid(i, j + 1), vid(i + 1, j), EDGE_SHEAR))
+            if bend and j + 2 < nx:
+                edge_list.append((vid(i, j), vid(i, j + 2), EDGE_BEND))
+            if bend and i + 2 < ny:
+                edge_list.append((vid(i, j), vid(i + 2, j), EDGE_BEND))
+
+    edges, rest, cls, k, alpha = _edge_arrays(edge_list, pos, springs, xpbd)
+    incident, sign = _build_incidence(n, edges)
+
+    inv_mass = np.full(n, 1.0 / mass, dtype=np.float64)  # mass is per-vertex
+    pin_ids: set[int] = set()
+    for p in pinned:
+        if p == "tl" or p == "corners":
+            pin_ids.add(vid(0, 0))
+        if p == "tr" or p == "corners":
+            pin_ids.add(vid(0, nx - 1))
+        if p == "bl":
+            pin_ids.add(vid(ny - 1, 0))
+        if p == "br":
+            pin_ids.add(vid(ny - 1, nx - 1))
+        if p == "top":
+            pin_ids.update(vid(0, j) for j in range(nx))
+    for v in pin_ids:
+        inv_mass[v] = 0.0
+
+    tris = []
+    for i in range(ny - 1):
+        for j in range(nx - 1):
+            tris.append((vid(i, j), vid(i + 1, j), vid(i, j + 1)))
+            tris.append((vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)))
+    triangles = np.array(tris, dtype=np.int32) if tris else np.zeros((0, 3), np.int32)
+
+    sc = (
+        np.asarray(sphere_centers, dtype=np.float64).reshape(-1, 3)
+        if sphere_centers is not None
+        else np.zeros((0, 3), np.float64)
+    )
+    sr = (
+        np.asarray(sphere_radii, dtype=np.float64).reshape(-1)
+        if sphere_radii is not None
+        else np.zeros((0,), np.float64)
+    )
+
+    return HostTopology(
+        positions0=pos,
+        edges=edges,
+        rest_length=rest,
+        edge_class=cls,
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=inv_mass,
+        incident=incident,
+        incident_sign=sign,
+        tets=np.zeros((0, 4), np.int32),
+        rest_volume=np.zeros((0,), np.float64),
+        triangles=triangles,
+        plane_height=float(plane_height),
+        sphere_centers=sc,
+        sphere_radii=sr,
+        grid_shape=(ny, nx),
+    )
+
+
+def tet_cube(
+    n: int,
+    *,
+    spacing: float = 0.1,
+    mass: float = 1.0,
+    springs=None,
+    xpbd=None,
+    plane_height: float = 0.0,
+    origin: Tuple[float, float, float] = (0.0, 0.5, 0.0),
+) -> HostTopology:
+    """Volumetric soft-body cube: ``n³`` vertex lattice, each lattice cell
+    split into 5 tetrahedra; tet edges become structural springs and tets
+    carry rest volumes for the volume-preservation constraint
+    (BASELINE.json:10 "tet-mesh edge springs + volume-preservation
+    constraint").
+    """
+    from .config import SpringParams, XPBDParams
+
+    springs = springs or SpringParams()
+    xpbd = xpbd or XPBDParams()
+
+    def vid(i: int, j: int, k: int) -> int:
+        return (i * n + j) * n + k
+
+    nv = n * n * n
+    pos = np.zeros((nv, 3), dtype=np.float64)
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                pos[vid(i, j, k)] = (i * spacing, j * spacing, k * spacing)
+    pos += np.asarray(origin, dtype=np.float64)
+
+    # 5-tet decomposition of each cell, parity-alternated so faces match.
+    FIVE = [
+        [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
+        [(1, 1, 0), (1, 0, 0), (0, 1, 0), (1, 1, 1)],
+        [(1, 0, 1), (1, 0, 0), (1, 1, 1), (0, 0, 1)],
+        [(0, 1, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
+    ]
+    FIVE_ALT = [
+        [(1, 0, 0), (1, 1, 0), (0, 0, 0), (1, 0, 1)],
+        [(0, 1, 0), (1, 1, 0), (0, 0, 0), (0, 1, 1)],
+        [(0, 0, 1), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
+        [(1, 1, 1), (1, 1, 0), (1, 0, 1), (0, 1, 1)],
+        [(1, 1, 0), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
+    ]
+    tets = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            for k in range(n - 1):
+                pat = FIVE if (i + j + k) % 2 == 0 else FIVE_ALT
+                for t in pat:
+                    tets.append(
+                        tuple(vid(i + di, j + dj, k + dk) for di, dj, dk in t)
+                    )
+    def tet_vol(t):
+        p = pos[np.asarray(t)]
+        return float(np.dot(np.cross(p[1] - p[0], p[2] - p[0]), p[3] - p[0]) / 6.0)
+
+    # canonicalize orientation: swap two vertices when the signed volume is
+    # negative so every tet has positive rest volume
+    tets = [t if tet_vol(t) > 0 else (t[0], t[1], t[3], t[2]) for t in tets]
+    tets_arr = np.array(tets, dtype=np.int32) if tets else np.zeros((0, 4), np.int32)
+    rest_vol = np.array([tet_vol(t) for t in tets], dtype=np.float64)
+
+    # unique tet edges -> structural springs
+    eset = set()
+    for t in tets:
+        for a in range(4):
+            for b in range(a + 1, 4):
+                u, v = sorted((t[a], t[b]))
+                eset.add((u, v))
+    edge_list = [(a, b, EDGE_STRUCTURAL) for a, b in sorted(eset)]
+    edges, rest, cls, k, alpha = _edge_arrays(edge_list, pos, springs, xpbd)
+    incident, sign = _build_incidence(nv, edges)
+    inv_mass = np.full(nv, 1.0 / mass, dtype=np.float64)  # mass is per-vertex
+
+    # surface triangles: boundary faces of the lattice (for normals)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            # bottom (k=0) and top (k=n-1) faces in each axis-aligned plane
+            tris.append((vid(i, j, 0), vid(i + 1, j, 0), vid(i, j + 1, 0)))
+            tris.append((vid(i + 1, j, 0), vid(i + 1, j + 1, 0), vid(i, j + 1, 0)))
+            kk = n - 1
+            tris.append((vid(i, j, kk), vid(i, j + 1, kk), vid(i + 1, j, kk)))
+            tris.append((vid(i + 1, j, kk), vid(i, j + 1, kk), vid(i + 1, j + 1, kk)))
+    triangles = np.array(tris, dtype=np.int32) if tris else np.zeros((0, 3), np.int32)
+
+    return HostTopology(
+        positions0=pos,
+        edges=edges,
+        rest_length=rest,
+        edge_class=cls,
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=inv_mass,
+        incident=incident,
+        incident_sign=sign,
+        tets=tets_arr,
+        rest_volume=rest_vol,
+        triangles=triangles,
+        plane_height=float(plane_height),
+        sphere_centers=np.zeros((0, 3), np.float64),
+        sphere_radii=np.zeros((0,), np.float64),
+        grid_shape=None,
+    )

@@ -1,0 +1,27 @@
+"""Backend dispatch: route structured-grid scenes to fast kernels.
+
+Returns None when no fast path applies (caller falls back to the general
+jnp path).  The stencil / Pallas fast paths land in
+kernels/stencil.py and kernels/pallas_substep.py.
+"""
+
+from __future__ import annotations
+
+
+def maybe_fast_step(top, cfg, backend):
+    from ..core.config import Solver
+
+    if top.grid_shape is None or cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+        return None
+    if cfg.self_collision.enabled or top.n_tets > 0:
+        return None
+    try:
+        if backend == "stencil":
+            from .stencil import make_stencil_step
+            return make_stencil_step(top, cfg)
+        if backend == "pallas":
+            from .pallas_substep import make_pallas_step
+            return make_pallas_step(top, cfg)
+    except ImportError:
+        return None
+    return None

@@ -1,0 +1,335 @@
+"""Float64 NumPy oracle — the binding definition of the physics.
+
+The reference snapshot contains no runnable code (only the project title,
+/root/reference/README.md:1), so "physics fidelity is validated against
+reference trajectories at fixed dt" (BASELINE.json:5) is anchored here: this
+module is a literal, slow, float64 implementation of the canonical Unity
+soft-body frame loop — spring-force accumulation over edge lists,
+semi-implicit Euler / Verlet integration, XPBD constraint projection with
+compliance, plane/sphere collision resolve, vertex-normal recompute
+(BASELINE.json:5).  Golden trajectories generated from this module are the
+"reference trajectories"; the TPU path (f32, fused) must track them to <=1e-3
+positional drift over 1k steps (SURVEY.md C17, §4).
+
+Semantics defined here, mirrored exactly by :mod:`softbodyunity_tpu.solver`:
+
+Euler substep (Solver.SEMI_IMPLICIT_EULER):
+  1. F  = spring forces (Hooke + axial damper) + self-collision penalty
+  2. v  = (v + dt * (g + F * w)) * (1 - global_damping * dt); v[pinned] = 0
+  3. x += dt * v
+  4. volume-preservation projection (if tets): dx applied to x, v += dx/dt
+  5. plane/sphere resolve: position projection + velocity response
+     (restitution on the inward normal component, friction on tangent);
+     pinned vertices are never displaced
+
+Verlet substep (Solver.VERLET):
+  1. v_est = (x - x_prev)/dt;  F as above using v_est
+  2. x_new = x + (x - x_prev) * (1 - global_damping*dt) + (g + F*w) * dt^2
+  3. volume projection, then position-only collision projection
+  4. x_prev, x = x, x_new;  v = (x - x_prev)/dt
+
+XPBD substep (Solver.XPBD; BASELINE.json:9):
+  1. v = (v + dt*g) * (1 - global_damping*dt); v[pinned] = 0
+  2. x_prev = x;  x += dt*v   (predict)
+  3. n_iterations of Jacobi projection over distance (incl. bend-class) and
+     tet-volume constraints with compliance alpha_tilde = alpha/dt^2 and
+     per-constraint lambda accumulated across iterations; per-vertex Jacobi
+     corrections are averaged by constraint count and scaled by `relaxation`
+  4. position-only collision projection
+  5. v = (x - x_prev)/dt
+
+Self-collision penalty (BASELINE.json:11): every unordered vertex pair with
+distance < radius receives F = stiffness_sc * (radius - dist) * dir (no mesh
+exclusions; configs choose radius < rest spacing).  The oracle computes this
+brute-force O(N^2); the device path reproduces the same pair set exactly via
+the spatial hash when cell capacity is not exceeded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.config import SimConfig, Solver
+from ..core.topology import HostTopology
+
+
+def spring_forces(
+    top: HostTopology, x: np.ndarray, v: np.ndarray, k_scale: float = 1.0,
+    damping: float = None, cfg: SimConfig = None,
+) -> np.ndarray:
+    """Per-edge Hooke + axial damper, scatter-added to both endpoints."""
+    c = cfg.springs.damping if damping is None else damping
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    d = x[b] - x[a]                                   # [E,3]
+    length = np.linalg.norm(d, axis=1)
+    length = np.maximum(length, 1e-12)
+    n = d / length[:, None]
+    rel_v = np.einsum("ej,ej->e", v[b] - v[a], n)     # axial relative velocity
+    fmag = top.edge_stiffness * (length - top.rest_length) + c * rel_v
+    f_edge = fmag[:, None] * n                        # force on endpoint a (toward b)
+    forces = np.zeros_like(x)
+    np.add.at(forces, a, f_edge)
+    np.add.at(forces, b, -f_edge)
+    return forces
+
+
+def self_collision_forces(x: np.ndarray, radius: float, stiffness: float) -> np.ndarray:
+    """Brute-force O(N^2) pairwise repulsion penalty (oracle ground truth)."""
+    n = x.shape[0]
+    diff = x[None, :, :] - x[:, None, :]              # [i, j] = x_j - x_i
+    dist = np.linalg.norm(diff, axis=-1)
+    np.fill_diagonal(dist, np.inf)
+    overlap = radius - dist
+    active = overlap > 0.0
+    dirs = diff / np.maximum(dist, 1e-12)[:, :, None]
+    # force on i is away from j: -dir * overlap * k
+    f = -(stiffness * np.where(active, overlap, 0.0))[:, :, None] * dirs
+    return f.sum(axis=1)
+
+
+def volume_projection(
+    top: HostTopology, x: np.ndarray, stiffness: float
+) -> np.ndarray:
+    """PBD-style tet volume-preservation projection; returns dx (Jacobi,
+    count-averaged).  C = V - V0 with V = det/6."""
+    if top.tets.shape[0] == 0 or stiffness == 0.0:
+        return np.zeros_like(x)
+    t = top.tets
+    p0, p1, p2, p3 = x[t[:, 0]], x[t[:, 1]], x[t[:, 2]], x[t[:, 3]]
+    vol = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+    c_val = vol - top.rest_volume
+    g1 = np.cross(p2 - p0, p3 - p0) / 6.0
+    g2 = np.cross(p3 - p0, p1 - p0) / 6.0
+    g3 = np.cross(p1 - p0, p2 - p0) / 6.0
+    g0 = -(g1 + g2 + g3)
+    w = top.inv_mass
+    w0, w1, w2, w3 = w[t[:, 0]], w[t[:, 1]], w[t[:, 2]], w[t[:, 3]]
+    denom = (
+        w0 * np.einsum("ij,ij->i", g0, g0)
+        + w1 * np.einsum("ij,ij->i", g1, g1)
+        + w2 * np.einsum("ij,ij->i", g2, g2)
+        + w3 * np.einsum("ij,ij->i", g3, g3)
+    )
+    s = -c_val / np.maximum(denom, 1e-12)
+    dx = np.zeros_like(x)
+    cnt = np.zeros(x.shape[0])
+    for col, g in zip(range(4), (g0, g1, g2, g3)):
+        ids = t[:, col]
+        np.add.at(dx, ids, (w[ids] * s)[:, None] * g)
+        np.add.at(cnt, ids, 1.0)
+    dx = stiffness * dx / np.maximum(cnt, 1.0)[:, None]
+    return np.where((top.inv_mass > 0.0)[:, None], dx, 0.0)
+
+
+def resolve_plane(x, v, plane_y, restitution, friction, movable):
+    """Ground-plane resolve: project up to the plane, reflect inward normal
+    velocity by -restitution, damp tangential velocity by (1-friction)."""
+    contact = (x[:, 1] < plane_y) & movable
+    x = x.copy()
+    v = v.copy()
+    x[:, 1] = np.where(contact, plane_y, x[:, 1])
+    vy = v[:, 1]
+    v[:, 1] = np.where(contact, np.where(vy < 0.0, -restitution * vy, vy), vy)
+    for ax in (0, 2):
+        v[:, ax] = np.where(contact, v[:, ax] * (1.0 - friction), v[:, ax])
+    return x, v
+
+
+def resolve_spheres(x, v, centers, radii, restitution, friction, movable):
+    """Push vertices out of each sphere along the radial normal; remove the
+    inward normal velocity component (scaled by 1+restitution) and damp the
+    tangential component by (1-friction) on contact."""
+    x = x.copy()
+    v = v.copy()
+    for s in range(centers.shape[0]):
+        d = x - centers[s]
+        dist = np.linalg.norm(d, axis=1)
+        pen = radii[s] - dist
+        contact = (pen > 0.0) & movable
+        n = d / np.maximum(dist, 1e-12)[:, None]
+        x = x + np.where(contact, pen, 0.0)[:, None] * n
+        vn = np.einsum("ij,ij->i", v, n)
+        inward = contact & (vn < 0.0)
+        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
+        # friction on the tangential component while in contact
+        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
+        vt = v - vn2
+        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+    return x, v
+
+
+def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
+    """Position-only collision projection (Verlet / XPBD paths)."""
+    if cfg.collision.enable_plane:
+        contact = (x[:, 1] < top.plane_height) & movable
+        x = x.copy()
+        x[:, 1] = np.where(contact, top.plane_height, x[:, 1])
+    if cfg.collision.enable_spheres:
+        for s in range(top.sphere_centers.shape[0]):
+            d = x - top.sphere_centers[s]
+            dist = np.linalg.norm(d, axis=1)
+            pen = top.sphere_radii[s] - dist
+            contact = (pen > 0.0) & movable
+            n = d / np.maximum(dist, 1e-12)[:, None]
+            x = x + np.where(contact, pen, 0.0)[:, None] * n
+    return x
+
+
+def _total_forces(top, cfg, x, v):
+    f = spring_forces(top, x, v, cfg=cfg)
+    if cfg.self_collision.enabled:
+        f = f + self_collision_forces(
+            x, cfg.self_collision.radius, cfg.self_collision.stiffness
+        )
+    return f
+
+
+def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    g = np.asarray(cfg.gravity)
+    f = _total_forces(top, cfg, x, v)
+    v = (v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
+    v = np.where(movable[:, None], v, 0.0)
+    x_prev = x
+    x = x + dt * v
+    dx = volume_projection(top, x, cfg.volume_stiffness)
+    x = x + dx
+    v = v + dx / dt
+    if cfg.collision.enable_plane:
+        x, v = resolve_plane(
+            x, v, top.plane_height, cfg.collision.restitution,
+            cfg.collision.friction, movable,
+        )
+    if cfg.collision.enable_spheres:
+        x, v = resolve_spheres(
+            x, v, top.sphere_centers, top.sphere_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+        )
+    return x, v, x_prev
+
+
+def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    g = np.asarray(cfg.gravity)
+    v_est = (x - x_prev) / dt
+    f = _total_forces(top, cfg, x, v_est)
+    accel = g[None, :] + f * w
+    x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = np.where(movable[:, None], x_new, x)
+    dx = volume_projection(top, x_new, cfg.volume_stiffness)
+    x_new = x_new + dx
+    x_new = project_positions_only(top, cfg, x_new, movable)
+    v_new = (x_new - x) / dt
+    return x_new, v_new, x
+
+
+def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt):
+    """One Jacobi projection sweep over distance + volume constraints."""
+    w = top.inv_mass
+    a_idx = top.edges[:, 0]
+    b_idx = top.edges[:, 1]
+    d = x[b_idx] - x[a_idx]
+    length = np.linalg.norm(d, axis=1)
+    n = d / np.maximum(length, 1e-12)[:, None]
+    c_val = length - top.rest_length
+    alpha_t = top.edge_compliance / (dt * dt)
+    denom = w[a_idx] + w[b_idx] + alpha_t
+    dlam = -(c_val + alpha_t * lam) / np.maximum(denom, 1e-12)
+    lam = lam + dlam
+    dx = np.zeros_like(x)
+    cnt = np.zeros(x.shape[0])
+    np.add.at(dx, a_idx, -(w[a_idx] * dlam)[:, None] * n)
+    np.add.at(dx, b_idx, (w[b_idx] * dlam)[:, None] * n)
+    np.add.at(cnt, a_idx, 1.0)
+    np.add.at(cnt, b_idx, 1.0)
+    # tet volume constraints with compliance
+    if top.tets.shape[0] > 0:
+        t = top.tets
+        p0, p1, p2, p3 = x[t[:, 0]], x[t[:, 1]], x[t[:, 2]], x[t[:, 3]]
+        vol = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+        c_v = vol - top.rest_volume
+        g1 = np.cross(p2 - p0, p3 - p0) / 6.0
+        g2 = np.cross(p3 - p0, p1 - p0) / 6.0
+        g3 = np.cross(p1 - p0, p2 - p0) / 6.0
+        g0 = -(g1 + g2 + g3)
+        alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
+        denom_v = (
+            w[t[:, 0]] * np.einsum("ij,ij->i", g0, g0)
+            + w[t[:, 1]] * np.einsum("ij,ij->i", g1, g1)
+            + w[t[:, 2]] * np.einsum("ij,ij->i", g2, g2)
+            + w[t[:, 3]] * np.einsum("ij,ij->i", g3, g3)
+            + alpha_v
+        )
+        dlam_v = -(c_v + alpha_v * lam_vol) / np.maximum(denom_v, 1e-12)
+        lam_vol = lam_vol + dlam_v
+        for col, g in zip(range(4), (g0, g1, g2, g3)):
+            ids = t[:, col]
+            np.add.at(dx, ids, (w[ids] * dlam_v)[:, None] * g)
+            np.add.at(cnt, ids, 1.0)
+    x = x + cfg.xpbd.relaxation * dx / np.maximum(cnt, 1.0)[:, None]
+    return x, lam, lam_vol
+
+
+def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+    movable = top.inv_mass > 0.0
+    g = np.asarray(cfg.gravity)
+    v = (v + dt * g[None, :]) * (1.0 - cfg.global_damping * dt)
+    v = np.where(movable[:, None], v, 0.0)
+    x_prev = x
+    x = x + dt * v
+    lam = np.zeros(top.edges.shape[0])
+    lam_vol = np.zeros(top.tets.shape[0])
+    for _ in range(cfg.xpbd.n_iterations):
+        x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+    x = np.where(movable[:, None], x, x_prev)
+    x = project_positions_only(top, cfg, x, movable)
+    v = (x - x_prev) / dt
+    return x, v, x_prev
+
+
+_SUBSTEP = {
+    Solver.SEMI_IMPLICIT_EULER: substep_euler,
+    Solver.VERLET: substep_verlet,
+    Solver.XPBD: substep_xpbd,
+}
+
+
+def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None, n_substeps=None):
+    """One frame = n_substeps substeps (mirrors FixedUpdate + inner loop)."""
+    dt = cfg.dt if dt is None else dt
+    n = cfg.n_substeps if n_substeps is None else n_substeps
+    fn = _SUBSTEP[cfg.solver]
+    for _ in range(n):
+        x, v, x_prev = fn(top, cfg, x, v, x_prev, dt)
+    return x, v, x_prev
+
+
+def run_trajectory(top: HostTopology, cfg: SimConfig, n_steps: int, record_every: int = 1):
+    """Roll out n_steps frames from rest; returns stacked positions
+    f64[n_records, N, 3] — the golden "reference trajectory"."""
+    x = top.positions0.copy()
+    v = np.zeros_like(x)
+    x_prev = x.copy()
+    rec = []
+    for i in range(n_steps):
+        x, v, x_prev = step(top, cfg, x, v, x_prev)
+        if (i + 1) % record_every == 0:
+            rec.append(x.copy())
+    return np.stack(rec, axis=0)
+
+
+def vertex_normals(triangles: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (mesh.RecalculateNormals analogue,
+    BASELINE.json:5 "vertex-normal recompute for rendering")."""
+    p0 = x[triangles[:, 0]]
+    p1 = x[triangles[:, 1]]
+    p2 = x[triangles[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)  # area-weighted face normal
+    out = np.zeros_like(x)
+    for c in range(3):
+        np.add.at(out, triangles[:, c], fn)
+    norm = np.linalg.norm(out, axis=1)
+    return out / np.maximum(norm, 1e-12)[:, None]

@@ -1,0 +1,84 @@
+"""Scene batching: ``vmap`` over independent scenes (SURVEY.md C14).
+
+The reference steps exactly one scene per frame on the CPU main thread; the
+rebuild's RL-rollout config (BASELINE.json:11 "1024-scene vmapped cloth
+batch") adds a leading batch axis over ``State`` (and optionally over
+collider geometry, so each scene can have its own sphere/plane placement)
+while sharing one ``Topology``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import State
+from ..core.topology import Topology
+from ..solver import step as _step_mod
+
+
+def batch_state(state: State, batch: int, jitter: Optional[jax.Array] = None) -> State:
+    """Broadcast a single-scene state to ``[B, N, 3]``; optional per-scene
+    position jitter (f32[B,3] or f32[B,N,3]) decorrelates the scenes."""
+    bx = jnp.broadcast_to(state.x[None], (batch,) + state.x.shape)
+    if jitter is not None:
+        jitter = jnp.asarray(jitter, dtype=bx.dtype)
+        if jitter.ndim == 2:
+            jitter = jitter[:, None, :]
+        bx = bx + jitter
+    return State(
+        x=bx,
+        v=jnp.zeros_like(bx),
+        x_prev=bx,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batched_step(cfg: SimConfig, dt: float, n_substeps: int):
+    def impl(top: Topology, states: State) -> State:
+        fn = lambda s: _step_mod.step_scan(top, cfg, s, dt, n_substeps)
+        return jax.vmap(fn)(states)
+
+    return jax.jit(impl)
+
+
+def step_batched(
+    top: Topology,
+    cfg: SimConfig,
+    states: State,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+) -> State:
+    """Advance every scene one frame in lockstep: State[B,N,3] -> State[B,N,3]."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_batched_step(cfg, dt, n)(top, states)
+
+
+def rollout_batched(
+    top: Topology,
+    cfg: SimConfig,
+    states: State,
+    n_steps: int,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+) -> State:
+    """``n_steps`` frames over the whole batch inside one jit (final state
+    only — RL observation extraction hooks in here)."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+
+    @jax.jit
+    def impl(top, states):
+        def body(ss, _):
+            fn = lambda s: _step_mod.step_scan(top, cfg, s, dt, n)
+            return jax.vmap(fn)(ss), None
+
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return out
+
+    return impl(top, states)

@@ -1,0 +1,71 @@
+"""Spring-force accumulation over edge lists — pure-JAX ops.
+
+Replaces the reference's per-edge C# ``for`` loop ("spring-force accumulation
+over edge lists", BASELINE.json:5) with two TPU-friendly formulations:
+
+* :func:`spring_forces_gather` — per-edge force vectors, then a race-free
+  per-vertex **gather** over the precomputed incidence table
+  (``Topology.incident``).  Each output row is written by exactly one
+  logical program, so the same formulation drops straight into a Pallas
+  kernel (SURVEY.md §7 "hard parts": scatter-add -> CSR gather).
+* :func:`spring_forces_segment` — ``segment_sum`` fallback over the
+  endpoint-sorted edge list (XLA scatter path; used as a cross-check twin).
+
+Both mirror :func:`softbodyunity_tpu.oracle.reference.spring_forces` bit-for-
+semantics (f32 vs f64 rounding aside).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.topology import Topology
+
+
+def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConfig):
+    """Per-edge Hooke + axial-damper force on endpoint *a* (toward *b*): f32[E,3]."""
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    d = x[b] - x[a]
+    length = jnp.linalg.norm(d, axis=1)
+    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    n = d * inv_len[:, None]
+    rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n)
+    fmag = top.edge_stiffness * (length - top.rest_length) + cfg.springs.damping * rel_v
+    return fmag[:, None] * n
+
+
+def spring_forces_gather(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConfig):
+    """Race-free incidence-gather accumulation: f32[N,3]."""
+    f_edge = edge_force_vectors(top, x, v, cfg)
+    # ghost row: padded incidence entries (id == E) gather zero force
+    f_pad = jnp.concatenate([f_edge, jnp.zeros((1, 3), f_edge.dtype)], axis=0)
+    gathered = f_pad[top.incident]                      # [N, D, 3]
+    return jnp.einsum("nd,ndj->nj", top.incident_sign, gathered)
+
+
+def spring_forces_segment(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConfig):
+    """segment_sum twin (sorted-edge scatter path)."""
+    f_edge = edge_force_vectors(top, x, v, cfg)
+    n = x.shape[0]
+    fa = jax.ops.segment_sum(f_edge, top.edges[:, 0], num_segments=n)
+    fb = jax.ops.segment_sum(-f_edge, top.edges[:, 1], num_segments=n)
+    return fa + fb
+
+
+def self_collision_forces_dense(x: jax.Array, radius: float, stiffness: float):
+    """Brute-force O(N^2) pairwise repulsion — jnp twin of the oracle rule,
+    used for small scenes and as the hash-grid test oracle."""
+    diff = x[None, :, :] - x[:, None, :]
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.sqrt(dist2)
+    n_v = x.shape[0]
+    eye = jnp.eye(n_v, dtype=bool)
+    dist = jnp.where(eye, jnp.inf, dist)
+    overlap = radius - dist
+    active = overlap > 0.0
+    dirs = diff / jnp.maximum(dist, 1e-12)[:, :, None]
+    f = -(stiffness * jnp.where(active, overlap, 0.0))[:, :, None] * dirs
+    return jnp.sum(f, axis=1)

@@ -1,0 +1,113 @@
+"""Substep composition + the jitted stepping loop.
+
+The reference's frame loop is ``FixedUpdate() -> for substep: {forces;
+integrate; collide}`` on the CPU main thread (BASELINE.json:5 "Unity
+MonoBehaviour Update calls").  Here each substep is a pure function
+``(Topology, SimConfig, State) -> State`` and the frame is
+``lax.scan`` over substeps under ``jit`` (BASELINE.json:5
+"`step(state, dt, n_substeps)` is jit-compiled with `lax.scan` over
+substeps"); semantics mirror :mod:`softbodyunity_tpu.oracle.reference`
+substep-for-substep.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig, Solver
+from ..core.state import State
+from ..core.topology import Topology
+from . import collide, forces, hashgrid, xpbd
+
+
+def total_forces(top: Topology, cfg: SimConfig, x, v):
+    f = forces.spring_forces_gather(top, x, v, cfg)
+    if cfg.self_collision.enabled:
+        if cfg.self_collision.method == "dense":
+            f = f + forces.self_collision_forces_dense(
+                x, cfg.self_collision.radius, cfg.self_collision.stiffness
+            )
+        else:
+            f = f + hashgrid.self_collision_forces_hash(x, cfg.self_collision)
+    return f
+
+
+def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+    f = total_forces(top, cfg, s.x, s.v)
+    v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
+    v = jnp.where(movable[:, None], v, 0.0)
+    x_prev = s.x
+    x = s.x + dt * v
+    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
+        dx = xpbd.volume_projection(top, x, cfg.volume_stiffness)
+        x = x + dx
+        v = v + dx / dt
+    x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
+    return State(x=x, v=v, x_prev=x_prev)
+
+
+def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+    v_est = (s.x - s.x_prev) / dt
+    f = total_forces(top, cfg, s.x, v_est)
+    accel = g[None, :] + f * w
+    x_new = s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = jnp.where(movable[:, None], x_new, s.x)
+    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
+        x_new = x_new + xpbd.volume_projection(top, x_new, cfg.volume_stiffness)
+    x_new = collide.project_positions_only(top, cfg, x_new, movable)
+    v_new = (x_new - s.x) / dt
+    return State(x=x_new, v=v_new, x_prev=s.x)
+
+
+def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    movable = top.inv_mass > 0.0
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+    v = (s.v + dt * g[None, :]) * (1.0 - cfg.global_damping * dt)
+    v = jnp.where(movable[:, None], v, 0.0)
+    x_prev = s.x
+    x = s.x + dt * v
+
+    lam0 = jnp.zeros((top.n_edges,), x.dtype)
+    lam_vol0 = jnp.zeros((top.n_tets,), x.dtype)
+
+    def body(carry, _):
+        x, lam, lam_vol = carry
+        x, lam, lam_vol = xpbd.xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        return (x, lam, lam_vol), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
+    )
+    x = jnp.where(movable[:, None], x, x_prev)
+    x = collide.project_positions_only(top, cfg, x, movable)
+    v = (x - x_prev) / dt
+    return State(x=x, v=v, x_prev=x_prev)
+
+
+_SUBSTEP = {
+    Solver.SEMI_IMPLICIT_EULER: substep_euler,
+    Solver.VERLET: substep_verlet,
+    Solver.XPBD: substep_xpbd,
+}
+
+
+def substep(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    return _SUBSTEP[cfg.solver](top, cfg, s, dt)
+
+
+def step_scan(top: Topology, cfg: SimConfig, s: State, dt: float, n_substeps: int) -> State:
+    """``lax.scan`` over substeps — the body of the public jitted ``step``."""
+    fn = _SUBSTEP[cfg.solver]
+
+    def body(state, _):
+        return fn(top, cfg, state, dt), None
+
+    s, _ = jax.lax.scan(body, s, None, length=n_substeps)
+    return s

@@ -1,0 +1,20 @@
+"""Test harness config: run everything on CPU with 8 virtual devices so
+batching/sharding tests need no TPU (SURVEY.md §4 "Multi-device without a
+cluster").  Must run before jax initializes its backend."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,98 @@
+"""Per-op twin tests (SURVEY.md §4 "Unit (per-op)"): the gather-based
+accumulation equals the segment_sum twin equals the float64 oracle; the
+spatial hash reproduces the dense O(N^2) rule exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import SelfCollisionParams, SimConfig
+from softbodyunity_tpu.core.topology import cloth_grid, tet_cube
+from softbodyunity_tpu.oracle import reference as oracle
+from softbodyunity_tpu.solver import forces, hashgrid, normals
+
+
+@pytest.fixture(scope="module")
+def scene(rng):
+    host = cloth_grid(7, 6, shear=True, bend=True, pinned=("tl",))
+    cfg = SimConfig()
+    top = api.device_topology(host)
+    n = host.positions0.shape[0]
+    x = host.positions0 + 0.02 * rng.standard_normal((n, 3))
+    v = 0.5 * rng.standard_normal((n, 3))
+    return host, cfg, top, x, v
+
+
+def test_gather_equals_segment(scene):
+    host, cfg, top, x, v = scene
+    xj = jnp.asarray(x, jnp.float32)
+    vj = jnp.asarray(v, jnp.float32)
+    f_gather = forces.spring_forces_gather(top, xj, vj, cfg)
+    f_segment = forces.spring_forces_segment(top, xj, vj, cfg)
+    np.testing.assert_allclose(f_gather, f_segment, rtol=1e-5, atol=1e-5)
+
+
+def test_gather_matches_oracle(scene):
+    host, cfg, top, x, v = scene
+    f_ref = oracle.spring_forces(host, x, v, cfg=cfg)
+    xj = jnp.asarray(x, jnp.float32)
+    vj = jnp.asarray(v, jnp.float32)
+    f = forces.spring_forces_gather(top, xj, vj, cfg)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-4 * max(scale, 1.0))
+
+
+def test_dense_self_collision_matches_oracle(rng):
+    x = rng.uniform(-0.1, 0.1, size=(40, 3))
+    f_ref = oracle.self_collision_forces(x, radius=0.06, stiffness=3.0)
+    f = forces.self_collision_forces_dense(jnp.asarray(x, jnp.float32), 0.06, 3.0)
+    np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_pts", [32, 200])
+def test_hash_equals_dense(rng, n_pts):
+    """With cell_size >= radius and generous capacity the hash pair set is
+    exactly the dense pair set (SURVEY.md §7)."""
+    x = rng.uniform(0.0, 0.4, size=(n_pts, 3))
+    p = SelfCollisionParams(
+        enabled=True, radius=0.05, stiffness=2.0, cell_size=0.05,
+        grid_dim=16, max_per_cell=max(8, n_pts // 4),
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    f_hash = hashgrid.self_collision_forces_hash(xj, p)
+    f_dense = forces.self_collision_forces_dense(xj, p.radius, p.stiffness)
+    np.testing.assert_allclose(np.asarray(f_hash), np.asarray(f_dense), atol=1e-5)
+
+
+def test_hash_under_vmap(rng):
+    """hash path must be vmappable for the 1024-scene batch (BASELINE.json:11)."""
+    x = rng.uniform(0.0, 0.3, size=(4, 50, 3)).astype(np.float32)
+    p = SelfCollisionParams(radius=0.05, cell_size=0.05, grid_dim=8, max_per_cell=16)
+    f = jax.vmap(lambda xi: hashgrid.self_collision_forces_hash(xi, p))(jnp.asarray(x))
+    for b in range(4):
+        f_dense = forces.self_collision_forces_dense(jnp.asarray(x[b]), p.radius, p.stiffness)
+        np.testing.assert_allclose(np.asarray(f[b]), np.asarray(f_dense), atol=1e-5)
+
+
+def test_normals_match_oracle(scene):
+    host, cfg, top, x, v = scene
+    n_ref = oracle.vertex_normals(host.triangles, x)
+    n_jax = normals.vertex_normals(top.triangles, jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(n_jax), n_ref, atol=1e-4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(n_jax), axis=1), 1.0, atol=1e-5
+    )
+
+
+def test_volume_projection_matches_oracle(rng):
+    host = tet_cube(3, spacing=0.1)
+    top = api.device_topology(host)
+    x = host.positions0 + 0.01 * rng.standard_normal(host.positions0.shape)
+    from softbodyunity_tpu.solver import xpbd as jxpbd
+
+    dx_ref = oracle.volume_projection(host, x, stiffness=0.7)
+    dx = jxpbd.volume_projection(top, jnp.asarray(x, jnp.float32), 0.7)
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, atol=1e-5)

@@ -1,0 +1,129 @@
+"""Physical invariant tests (SURVEY.md §4): pinning, rest equilibrium,
+plane non-penetration, energy decay, XPBD residual decrease, volume
+preservation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import (
+    CollisionParams,
+    SimConfig,
+    Solver,
+    XPBDParams,
+)
+from softbodyunity_tpu.core.topology import cloth_grid, tet_cube
+from softbodyunity_tpu.models import presets
+
+
+def _run(top, cfg, state, n):
+    for _ in range(n):
+        state = api.step(top, cfg, state)
+    return state
+
+
+def test_pinned_vertices_never_move():
+    host, cfg = presets.build("cloth_hanging_sphere")
+    top, state = api.init(host)
+    x0 = np.asarray(state.x)
+    state = _run(top, cfg, state, 50)
+    pinned = host.inv_mass == 0.0
+    np.testing.assert_array_equal(np.asarray(state.x)[pinned], x0[pinned])
+    assert np.abs(np.asarray(state.v)[pinned]).max() == 0.0
+
+
+def test_rest_pose_no_gravity_stays_at_rest():
+    host = cloth_grid(8, 8, shear=True, bend=True)
+    cfg = SimConfig(gravity=(0.0, 0.0, 0.0))
+    top, state = api.init(host)
+    state = _run(top, cfg, state, 20)
+    np.testing.assert_allclose(
+        np.asarray(state.x), host.positions0, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("solver", [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD])
+def test_no_vertex_below_plane(solver):
+    host = cloth_grid(10, 10, plane_height=-0.2, orientation="xz")
+    cfg = SimConfig(solver=solver, collision=CollisionParams(enable_plane=True))
+    top, state = api.init(host)
+    state = _run(top, cfg, state, 60)
+    assert np.asarray(state.x)[:, 1].min() >= -0.2 - 1e-6
+
+
+def test_damped_energy_decays():
+    """Free oscillation with damping: total mechanical energy trends down."""
+    host = cloth_grid(8, 8, shear=True)
+    cfg = SimConfig(gravity=(0.0, 0.0, 0.0), global_damping=1.0,
+                    collision=CollisionParams(enable_plane=False))
+    top, state = api.init(host)
+    # perturb
+    rng = np.random.default_rng(1)
+    x = np.asarray(state.x) + 0.01 * rng.standard_normal(state.x.shape)
+    state = state.replace(x=jnp.asarray(x, jnp.float32),
+                          x_prev=jnp.asarray(x, jnp.float32))
+
+    def energy(s):
+        v = np.asarray(s.v)
+        ke = 0.5 * (v**2).sum() / host.inv_mass[0]
+        x = np.asarray(s.x)
+        d = x[host.edges[:, 1]] - x[host.edges[:, 0]]
+        ext = np.linalg.norm(d, axis=1) - host.rest_length
+        pe = 0.5 * (host.edge_stiffness * ext**2).sum()
+        return ke + pe
+
+    state = api.step(top, cfg, state)  # one step to get v consistent
+    e0 = energy(state)
+    state = _run(top, cfg, state, 30)
+    e1 = energy(state)
+    state = _run(top, cfg, state, 30)
+    e2 = energy(state)
+    assert e1 < e0 and e2 < e1
+
+
+def test_xpbd_residual_decreases_with_iterations():
+    """Constraint residual after a step shrinks as n_iterations grows
+    (SURVEY.md §7 XPBD Jacobi convergence guard)."""
+    host = cloth_grid(12, 12, pinned=("tl", "tr"), orientation="xy", plane_height=-10.0)
+
+    def residual(n_iter):
+        cfg = SimConfig(
+            solver=Solver.XPBD,
+            xpbd=XPBDParams(compliance_distance=0.0, n_iterations=n_iter),
+        )
+        top, state = api.init(host)
+        state = _run(top, cfg, state, 10)
+        x = np.asarray(state.x)
+        d = x[host.edges[:, 1]] - x[host.edges[:, 0]]
+        return np.abs(np.linalg.norm(d, axis=1) - host.rest_length).max()
+
+    r1, r4, r16 = residual(1), residual(4), residual(16)
+    assert r4 < r1
+    assert r16 < r4
+
+
+def test_tet_volume_preserved():
+    host, cfg = presets.build("softbody_cube")
+    top, state = api.init(host)
+    state = _run(top, cfg, state, 100)
+    x = np.asarray(state.x, dtype=np.float64)
+    t = host.tets
+    p0, p1, p2, p3 = x[t[:, 0]], x[t[:, 1]], x[t[:, 2]], x[t[:, 3]]
+    vol = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+    total0 = host.rest_volume.sum()
+    assert abs(vol.sum() - total0) / total0 < 0.05, "total volume within 5%"
+
+
+def test_verlet_tracks_euler_roughly():
+    """Both integrators solve the same physics: trajectories agree to the
+    integration-order tolerance over a short horizon."""
+    host = cloth_grid(8, 8, pinned=("tl", "tr"), orientation="xy", plane_height=-10.0)
+    out = {}
+    for solver in (Solver.SEMI_IMPLICIT_EULER, Solver.VERLET):
+        cfg = SimConfig(solver=solver, global_damping=0.5)
+        top, state = api.init(host)
+        out[solver] = np.asarray(_run(top, cfg, state, 20).x)
+    diff = np.abs(out[Solver.SEMI_IMPLICIT_EULER] - out[Solver.VERLET]).max()
+    assert diff < 5e-2, f"integrators diverge: {diff}"
