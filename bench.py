@@ -1,0 +1,178 @@
+"""Benchmark harness (SURVEY.md C18): prints ONE JSON line with the headline
+metric — substeps/sec on the 64k-vertex cloth (BASELINE.json:2,5; target
+>=10,000 per TPU core) — plus the secondary 1024-scene vmapped
+env-steps/sec/chip (BASELINE.json:11) as extra keys.
+
+Run on the real TPU: ``python bench.py``.
+
+Measurement methodology (this image's axon TPU tunnel makes naive timing
+lie twice over):
+* ``block_until_ready`` does NOT actually block on the tunnel — every timed
+  program therefore returns a device-reduced SCALAR whose host fetch is the
+  synchronization barrier.
+* there is a large, variable fixed dispatch/fetch latency (~20-30 ms), so
+  throughput is the MARGINAL cost between a small and a large on-device
+  ``lax.scan`` workload: (t_big - t_small) / (substeps_big - substeps_small),
+  best-of-5 each.
+Each part runs in its own subprocess with retries (the compile helper
+occasionally wedges; a fresh client recovers it).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def _best_time(run, args, repeats: int = 5) -> float:
+    """Min wall time of ``float(run(*args))`` — the float() fetch is the
+    only reliable device barrier in this image."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = float(run(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert v == v, "NaN in benchmark output"
+    return best
+
+
+def _marginal_throughput(make_run, args, small: int, big: int, unit_per_frame: int):
+    """Units/sec from the marginal time between two scan lengths."""
+    run_s, run_b = make_run(small), make_run(big)
+    float(run_s(*args))  # compile + warm
+    float(run_b(*args))
+    t_s = _best_time(run_s, args)
+    t_b = _best_time(run_b, args)
+    d = (t_b - t_s) / ((big - small) * unit_per_frame)
+    return 1.0 / d
+
+
+def bench_64k_cloth():
+    """Headline: substeps/sec, 64k-vertex cloth, stencil fast path."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.models import presets
+
+    host, cfg = presets.build("cloth_bench_64k")
+    top, state = api.init(host)
+    n_sub = cfg.n_substeps
+
+    def make_run(n_frames):
+        @jax.jit
+        def run(top, state):
+            def body(s, _):
+                return make_stencil_step(top, cfg)(s, cfg.dt, n_sub), None
+
+            s, _ = jax.lax.scan(body, state, None, length=n_frames)
+            return jnp.mean(s.x)
+
+        return run
+
+    return _marginal_throughput(make_run, (top, state), 25, 400, n_sub)
+
+
+def bench_batch_1024():
+    """Secondary: env-steps/sec/chip, 1024 vmapped self-colliding scenes."""
+    jax = _setup_jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.models import presets
+    from softbodyunity_tpu.parallel import batch
+    from softbodyunity_tpu.solver import step as step_mod
+
+    host, cfg = presets.build("cloth_batch_rl")
+    top, state = api.init(host)
+    b = 1024
+    rng = np.random.default_rng(0)
+    jitter = (0.01 * rng.standard_normal((b, 3))).astype(np.float32)
+    states = batch.batch_state(state, b, jitter=jitter)
+
+    # differencing over the INNER substep-scan length (an outer frame scan
+    # at B=1024 makes the remote compiler explode); env-step = n_substeps
+    # inner substeps, so env-steps/s = b / (n_substeps * t_per_substep).
+    def make_run(n_substeps):
+        @jax.jit
+        def run(top, states):
+            fn = lambda s: step_mod.step_scan(top, cfg, s, cfg.dt, n_substeps)
+            ss = jax.vmap(fn)(states)
+            return jnp.mean(ss.x)
+
+        return run
+
+    per_substep_batch = 1.0 / _marginal_throughput(
+        make_run, (top, states), cfg.n_substeps, 5 * cfg.n_substeps, 1
+    )
+    return b / (cfg.n_substeps * per_substep_batch)
+
+
+_PARTS = {"64k": bench_64k_cloth, "batch": bench_batch_1024}
+
+
+def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
+    last_err = ""
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--part", part],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout}s"
+            _log(f"bench part {part} attempt {i+1}: {last_err}; retrying")
+            time.sleep(10.0)
+            continue
+        if out.returncode == 0:
+            return float(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-2000:]
+        _log(f"bench part {part} attempt {i+1} failed; retrying")
+        time.sleep(10.0)
+    raise RuntimeError(f"bench part {part} failed: {last_err}")
+
+
+def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--part":
+        print(_PARTS[sys.argv[2]]())
+        return
+    target = 10_000.0  # BASELINE.json:5 floor, substeps/sec per TPU core
+    _log("bench: 64k cloth ...")
+    substeps_per_sec = _run_part_subprocess("64k")
+    _log(f"bench: 64k done ({substeps_per_sec:,.0f} substeps/s); 1024-scene batch ...")
+    env_steps = _run_part_subprocess("batch")
+    _log(f"bench: batch done ({env_steps:,.0f} env-steps/s)")
+    print(
+        json.dumps(
+            {
+                "metric": "substeps/sec (64k-vertex cloth, 1 TPU core)",
+                "value": round(substeps_per_sec, 1),
+                "unit": "substeps/s",
+                "vs_baseline": round(substeps_per_sec / target, 2),
+                "secondary": {
+                    "env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1)
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,8 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
         sphere_radii=f32(host.sphere_radii),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
+        grid_spacing=host.grid_spacing,
+        edge_classes_present=host.edge_classes_present,
     )
 
 

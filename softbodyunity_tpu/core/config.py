@@ -91,7 +91,9 @@ class SelfCollisionParams:
     """
 
     enabled: bool = False
-    method: str = "hash"        # "hash" (spatial hash) | "dense" (O(N^2) twin)
+    # "hash": sort-based spatial hash (large N); "dense_mxu": MXU pairwise
+    # (fastest below ~2-4k vertices/scene); "dense": O(N^2) oracle twin
+    method: str = "hash"
     radius: float = 0.05        # repulsion distance between non-neighbour vertices
     stiffness: float = 0.5      # positional correction factor per contact
     cell_size: float = 0.05     # hash cell edge (should be >= radius)

@@ -70,6 +70,12 @@ class Topology:
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
         metadata=dict(static=True), default=None
     )  # (ny, nx) when the mesh is a structured cloth grid
+    grid_spacing: Optional[float] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )  # uniform rest spacing of the grid (enables the stencil fast path)
+    edge_classes_present: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True), default=(0,)
+    )  # which spring classes the edge list contains (static, for dispatch)
 
     @property
     def n_edges(self) -> int:
@@ -157,6 +163,8 @@ class HostTopology:
     sphere_centers: np.ndarray
     sphere_radii: np.ndarray
     grid_shape: Optional[Tuple[int, int]]
+    grid_spacing: Optional[float] = None
+    edge_classes_present: Tuple[int, ...] = (0,)
 
 
 def cloth_grid(
@@ -283,6 +291,8 @@ def cloth_grid(
         sphere_centers=sc,
         sphere_radii=sr,
         grid_shape=(ny, nx),
+        grid_spacing=float(spacing),
+        edge_classes_present=tuple(sorted(set(int(c) for c in cls))),
     )
 
 

@@ -11,7 +11,9 @@ from __future__ import annotations
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
-    if top.grid_shape is None or cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+    if top.grid_shape is None or top.grid_spacing is None:
+        return None
+    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
         return None
     if cfg.self_collision.enabled or top.n_tets > 0:
         return None

@@ -1,0 +1,190 @@
+"""Stencil (shift-based) fast path for structured grid cloth.
+
+The general solver gathers over an explicit edge list (the reference's data
+model).  But a cloth *grid* (BASELINE.json:7-8) has fully regular topology:
+every spring class is a constant offset ``(di, dj)`` on the grid —
+
+  structural: (0,1), (1,0)        shear: (1,1), (1,-1)      bend: (0,2), (2,0)
+
+— so spring-force accumulation becomes six shifted-window subtractions on
+dense ``[3, ny, nx]`` component planes: zero gathers, zero scatters, perfect
+(sublane x lane) tiling on the TPU VPU.  This is the TPU-idiomatic
+re-design of the reference's per-edge loop (SURVEY.md §1b), and the layout
+the Pallas fused kernel and the halo-decomposed multi-chip path both build
+on.
+
+Semantics are *identical* to the edge-list path (same springs enumerated
+once each, same Euler substep as the oracle); tests assert equality.
+
+Requires: uniform grid spacing (``Topology.grid_spacing``), Euler solver,
+no tets/self-collision.  Dispatcher falls back to the general path
+otherwise (kernels/dispatch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import State
+from ..core.topology import EDGE_BEND, EDGE_SHEAR, EDGE_STRUCTURAL, Topology
+
+
+def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:
+    """out[..., i, j] = a[..., i+di, j+dj], zero outside.
+
+    Implemented as pad+slice (pure data movement, no dynamic-update-slice):
+    XLA folds it into the consuming elementwise fusion.
+    """
+    ny, nx = a.shape[-2], a.shape[-1]
+    pad = [(0, 0)] * (a.ndim - 2) + [
+        (max(0, -di), max(0, di)),
+        (max(0, -dj), max(0, dj)),
+    ]
+    ap = jnp.pad(a, pad)
+    r0 = max(0, -di) + di
+    c0 = max(0, -dj) + dj
+    return ap[..., r0 : r0 + ny, c0 : c0 + nx]
+
+
+def _valid_mask(ny: int, nx: int, di: int, dj: int) -> np.ndarray:
+    """Constant mask of vertices whose (i+di, j+dj) neighbour exists."""
+    m = np.zeros((ny, nx), np.float32)
+    r0, r1 = max(0, -di), ny - max(0, di)
+    c0, c1 = max(0, -dj), nx - max(0, dj)
+    m[r0:r1, c0:c1] = 1.0
+    return m
+
+
+def _offsets(cfg: SimConfig, spacing: float, has_shear: bool, has_bend: bool):
+    """(di, dj, stiffness, rest_length) per spring class present."""
+    s = cfg.springs
+    offs = [
+        (0, 1, s.k_structural, spacing),
+        (1, 0, s.k_structural, spacing),
+    ]
+    if has_shear:
+        r2 = spacing * float(np.sqrt(2.0))
+        offs += [(1, 1, s.k_shear, r2), (1, -1, s.k_shear, r2)]
+    if has_bend:
+        offs += [(0, 2, s.k_bend, 2 * spacing), (2, 0, s.k_bend, 2 * spacing)]
+    return offs
+
+
+def stencil_spring_forces(
+    x3: jax.Array,       # f32[3, ny, nx]
+    v3: jax.Array,       # f32[3, ny, nx]
+    offsets,             # from _offsets
+    damping: float,
+) -> jax.Array:
+    """Hooke + axial damper over all spring classes, stencil-accumulated.
+
+    For each offset o: every vertex (i,j) owns the edge to (i,j)+o; the
+    equal-and-opposite reaction is applied by shifting the force plane back
+    by -o.  Equivalent to the oracle's per-edge scatter, with no scatter.
+    """
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    f_total = jnp.zeros_like(x3)
+    for di, dj, k, rest in offsets:
+        xn = _shift(x3, di, dj)
+        vn = _shift(v3, di, dj)
+        d = xn - x3
+        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        inv_len = 1.0 / jnp.maximum(length, 1e-12)
+        n = d * inv_len
+        rel_v = jnp.sum((vn - v3) * n, axis=0)
+        mask = jnp.asarray(_valid_mask(ny, nx, di, dj))
+        fmag = (k * (length - rest) + damping * rel_v) * mask
+        f = fmag * n                       # force on (i,j), toward neighbour
+        f_total = f_total + f - _shift(f, -di, -dj)
+    return f_total
+
+
+def euler_substep_grid(
+    x3, v3, inv_mass2, offsets, cfg: SimConfig, dt: float,
+    plane_height, sphere_centers, sphere_radii,
+):
+    """One semi-implicit Euler substep on grid planes — oracle semantics
+    (oracle/reference.py substep_euler) in stencil form."""
+    g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
+    movable = inv_mass2 > 0.0
+    f = stencil_spring_forces(x3, v3, offsets, cfg.springs.damping)
+    v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
+    v3 = jnp.where(movable, v3, 0.0)
+    x3 = x3 + dt * v3
+
+    if cfg.collision.enable_plane:
+        contact = (x3[1] < plane_height) & movable[0]
+        x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
+        vy = v3[1]
+        vy = jnp.where(
+            contact,
+            jnp.where(vy < 0.0, -cfg.collision.restitution * vy, vy),
+            vy,
+        )
+        fr = 1.0 - cfg.collision.friction
+        v3 = jnp.stack(
+            [jnp.where(contact, v3[0] * fr, v3[0]), vy,
+             jnp.where(contact, v3[2] * fr, v3[2])]
+        )
+    if cfg.collision.enable_spheres and sphere_radii.shape[0] > 0:
+        for s in range(sphere_radii.shape[0]):
+            c = sphere_centers[s].reshape(3, 1, 1)
+            d = x3 - c
+            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+            pen = sphere_radii[s] - dist
+            contact = (pen > 0.0) & movable[0]
+            n = d / jnp.maximum(dist, 1e-12)
+            x3 = x3 + jnp.where(contact, pen, 0.0) * n
+            vn = jnp.sum(v3 * n, axis=0)
+            inward = contact & (vn < 0.0)
+            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * vn, 0.0) * n
+            vn2 = jnp.sum(v3 * n, axis=0) * n
+            vt = v3 - vn2
+            v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
+    return x3, v3
+
+
+def make_stencil_step(top: Topology, cfg: SimConfig):
+    """Build ``fn(state, dt, n_substeps) -> state`` for a grid-cloth scene."""
+    ny, nx = top.grid_shape
+    spacing = top.grid_spacing
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    offsets = _offsets(cfg, spacing, has_shear, has_bend)
+    inv_mass2 = top.inv_mass.reshape(1, ny, nx)
+
+    def to_planes(a):      # [N,3] -> [3,ny,nx]
+        return a.T.reshape(3, ny, nx)
+
+    def from_planes(a):    # [3,ny,nx] -> [N,3]
+        return a.reshape(3, ny * nx).T
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = to_planes(state.x)
+        v3 = to_planes(state.v)
+
+        def body(carry, _):
+            x3, v3 = carry
+            xp = x3
+            x3, v3 = euler_substep_grid(
+                x3, v3, inv_mass2, offsets, cfg, dt,
+                top.plane_height, top.sphere_centers, top.sphere_radii,
+            )
+            return (x3, v3), None
+
+        (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+        # x_prev of the *last* substep = position before the final integrate;
+        # recompute cheaply: x_prev = x - dt*v (exact for the Euler update
+        # when no collision fired on the last substep; matches the general
+        # path's use of x_prev, which the Euler solver never reads).
+        return State(x=from_planes(x3f), v=from_planes(v3f),
+                     x_prev=from_planes(x3f - dt * v3f))
+
+    return fn

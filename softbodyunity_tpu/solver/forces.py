@@ -55,6 +55,33 @@ def spring_forces_segment(top: Topology, x: jax.Array, v: jax.Array, cfg: SimCon
     return fa + fb
 
 
+def self_collision_forces_dense_mxu(x: jax.Array, radius: float, stiffness: float):
+    """MXU-native pairwise repulsion — the TPU-first self-collision for
+    small-per-scene-N batched workloads (BASELINE.json:11).
+
+    Identity with the oracle rule: with w_ij = k*(r-d_ij)/d_ij over active
+    pairs,  f_i = (sum_j w_ij) x_i - (W @ x)_i.  Both the Gram matrix
+    (d^2 = |xi|^2+|xj|^2-2 xi.xj) and W@x are batched matmuls that run on
+    the 128x128 systolic array; no sort, no gather — TPU gathers cost ~10ms
+    per [1024x1k] lookup while these matmuls are microseconds.  Positions
+    are centered first so the Gram cancellation stays well-conditioned in
+    f32.  Crossover vs the sort-based hash is ~2-4k vertices/scene; above
+    that use method="hash".
+    """
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    sq = jnp.sum(xc * xc, axis=-1)                            # [N]
+    gram = jnp.dot(xc, xc.T, preferred_element_type=jnp.float32)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * gram
+    n_v = x.shape[0]
+    eye = jnp.eye(n_v, dtype=bool)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    active = (d < radius) & (~eye)
+    w = jnp.where(active, stiffness * (radius - d) / d, 0.0)  # [N,N] >= 0
+    row = jnp.sum(w, axis=1)                                  # [N]
+    wx = jnp.dot(w, xc, preferred_element_type=jnp.float32)   # MXU
+    return row[:, None] * xc - wx
+
+
 def self_collision_forces_dense(x: jax.Array, radius: float, stiffness: float):
     """Brute-force O(N^2) pairwise repulsion — jnp twin of the oracle rule,
     used for small scenes and as the hash-grid test oracle."""

@@ -28,6 +28,10 @@ def total_forces(top: Topology, cfg: SimConfig, x, v):
             f = f + forces.self_collision_forces_dense(
                 x, cfg.self_collision.radius, cfg.self_collision.stiffness
             )
+        elif cfg.self_collision.method == "dense_mxu":
+            f = f + forces.self_collision_forces_dense_mxu(
+                x, cfg.self_collision.radius, cfg.self_collision.stiffness
+            )
         else:
             f = f + hashgrid.self_collision_forces_hash(x, cfg.self_collision)
     return f

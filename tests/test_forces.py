@@ -52,6 +52,28 @@ def test_dense_self_collision_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-5)
 
 
+def test_dense_mxu_matches_dense(rng):
+    """The MXU (Gram-matrix) formulation equals the direct dense rule."""
+    x = rng.uniform(0.0, 0.5, size=(100, 3)).astype(np.float32) + 3.0  # offset origin
+    xj = jnp.asarray(x)
+    f_mxu = forces.self_collision_forces_dense_mxu(xj, 0.06, 5.0)
+    f_dense = forces.self_collision_forces_dense(xj, 0.06, 5.0)
+    scale = float(jnp.abs(f_dense).max()) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(f_mxu), np.asarray(f_dense), atol=2e-3 * scale
+    )
+
+
+def test_dense_mxu_under_vmap(rng):
+    x = rng.uniform(0.0, 0.3, size=(4, 50, 3)).astype(np.float32)
+    f = jax.vmap(lambda xi: forces.self_collision_forces_dense_mxu(xi, 0.05, 2.0))(
+        jnp.asarray(x)
+    )
+    for b in range(4):
+        f_dense = forces.self_collision_forces_dense(jnp.asarray(x[b]), 0.05, 2.0)
+        np.testing.assert_allclose(np.asarray(f[b]), np.asarray(f_dense), atol=1e-4)
+
+
 @pytest.mark.parametrize("n_pts", [32, 200])
 def test_hash_equals_dense(rng, n_pts):
     """With cell_size >= radius and generous capacity the hash pair set is

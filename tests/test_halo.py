@@ -1,0 +1,62 @@
+"""Halo-exchange domain decomposition (SURVEY.md C16, §4 "Multi-device
+without a cluster"): a row-sharded cloth on the 8-virtual-device CPU mesh
+must match the single-device stencil path exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, SpringParams
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.kernels.stencil import make_stencil_step
+from softbodyunity_tpu.parallel import halo
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_halo_matches_single_device(n_dev):
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 32, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.5, orientation="xy",
+    )
+    top, state = api.init(host)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(
+        halo.make_halo_step(top, cfg, mesh), static_argnums=(5,)
+    )
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf = sharded(x3, v3, im3, ph, cfg.dt, 64)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+
+    ref_fn = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    want = ref_fn(top, state)
+
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=1e-3)
+
+
+def test_halo_pinned_and_plane_hold():
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True))
+    host = cloth_grid(
+        16, 16, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.3, orientation="xy",
+    )
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(halo.make_halo_step(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf = sharded(x3, v3, im3, ph, cfg.dt, 200)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    x = np.asarray(got.x)
+    assert np.isfinite(x).all()
+    np.testing.assert_array_equal(x[0], host.positions0[0])  # pinned corner
+    assert x[:, 1].min() >= -0.3 - 1e-6  # plane respected
