@@ -63,11 +63,14 @@ def _marginal_throughput(make_run, args, small: int, big: int, unit_per_frame: i
 
 
 def bench_64k_cloth():
-    """Headline: substeps/sec, 64k-vertex cloth, stencil fast path."""
+    """Headline: substeps/sec, 64k-vertex cloth, fused Pallas kernel (all
+    substeps VMEM-resident); falls back to the XLA stencil path if the
+    kernel fails to build."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from softbodyunity_tpu import api
+    from softbodyunity_tpu.kernels.pallas_substep import make_pallas_step
     from softbodyunity_tpu.kernels.stencil import make_stencil_step
     from softbodyunity_tpu.models import presets
 
@@ -75,7 +78,11 @@ def bench_64k_cloth():
     top, state = api.init(host)
     n_sub = cfg.n_substeps
 
-    def make_run(n_frames):
+    def make_run_pallas(n_substeps):
+        fn = make_pallas_step(top, cfg)
+        return jax.jit(lambda top_, st: jnp.mean(fn(st, cfg.dt, n_substeps).x))
+
+    def make_run_stencil(n_frames):
         @jax.jit
         def run(top, state):
             def body(s, _):
@@ -86,7 +93,11 @@ def bench_64k_cloth():
 
         return run
 
-    return _marginal_throughput(make_run, (top, state), 25, 400, n_sub)
+    try:
+        return _marginal_throughput(make_run_pallas, (top, state), n_sub, 100 * n_sub, 1)
+    except Exception as e:  # pragma: no cover - fallback path
+        _log(f"pallas bench failed ({e!r}); falling back to stencil")
+        return _marginal_throughput(make_run_stencil, (top, state), 25, 400, n_sub)
 
 
 def bench_batch_1024():

@@ -24,6 +24,7 @@ def maybe_fast_step(top, cfg, backend):
         if backend == "pallas":
             from .pallas_substep import make_pallas_step
             return make_pallas_step(top, cfg)
-    except ImportError:
+    except (ImportError, ValueError):
+        # kernel preconditions unmet (size/collider gates) -> general path
         return None
     return None

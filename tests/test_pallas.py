@@ -1,0 +1,69 @@
+"""Fused Pallas substep kernel vs its jnp twin (SURVEY.md §4: every Pallas
+kernel has a jnp twin; interpret=True makes these runnable on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, SpringParams
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.kernels.pallas_substep import make_pallas_step
+from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+
+def _scene(shear=True, bend=True, pinned=("tl", "tr")):
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 8, spacing=0.05, shear=shear, bend=bend, pinned=pinned,
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.25, orientation="xy",
+    )
+    return host, cfg
+
+
+# structural-only cloth pinned at two corners is floppier => contact chaos
+# amplifies rsqrt-vs-sqrt rounding faster; tolerances reflect that
+@pytest.mark.parametrize(
+    "shear,bend,atol_x,atol_v",
+    [(False, False, 5e-4, 5e-2), (True, True, 5e-6, 5e-4)],
+)
+def test_pallas_matches_stencil_interpret(shear, bend, atol_x, atol_v):
+    host, cfg = _scene(shear=shear, bend=bend)
+    top, state = api.init(host)
+    pal = make_pallas_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=atol_x)
+    np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=atol_v)
+
+
+def test_pallas_gates():
+    host, cfg = _scene()
+    import dataclasses
+    # sphere colliders are not supported by the fused kernel
+    host.sphere_centers = np.array([[0.0, -0.5, 0.0]])
+    host.sphere_radii = np.array([0.1])
+    cfg2 = cfg.replace(
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True)
+    )
+    top, _ = api.init(host)
+    with pytest.raises(ValueError):
+        make_pallas_step(top, cfg2)
+
+
+def test_pallas_pinned_hold_interpret():
+    host, cfg = _scene()
+    top, state = api.init(host)
+    pal = make_pallas_step(top, cfg, interpret=True)
+    s = pal(state, cfg.dt, 128)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    pinned = host.inv_mass == 0.0
+    assert pinned.sum() == 2
+    np.testing.assert_array_equal(x[pinned], host.positions0[pinned])
