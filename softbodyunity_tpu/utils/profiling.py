@@ -1,0 +1,100 @@
+"""Tracing / profiling / observability (SURVEY.md §5).
+
+The reference's only instrumentation is the Unity Profiler.  The rebuild
+exposes:
+
+* :func:`trace` — context manager wrapping ``jax.profiler.trace`` for
+  xprof/TensorBoard traces of benchmark runs.
+* :func:`cost_analysis` — XLA's per-executable FLOP/byte estimates for a
+  jitted step (compile-time, no execution).
+* :func:`diagnostics` — per-step physics observables (energies, constraint
+  residual, contact count) computed OUTSIDE the jitted hot loop — never
+  inside the substep scan (SURVEY.md §5 "no logging inside the hot scan").
+* :func:`checked_step` — a ``checkify``-wrapped step that turns NaN/Inf
+  into hard errors (SURVEY.md §5 race detection / sanitizers: the
+  functional model is race-free by construction; NaN guards are the
+  remaining runtime check).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import State
+from ..core.topology import Topology
+from ..solver import step as _step_mod
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/softbodyunity_tpu_trace"):
+    """Profile a region: ``with trace(dir): run(...)`` then load the dir in
+    TensorBoard / xprof."""
+    with jax.profiler.trace(log_dir):
+        yield log_dir
+
+
+def cost_analysis(top: Topology, cfg: SimConfig, state: State,
+                  dt=None, n_substeps=None) -> Dict[str, float]:
+    """XLA cost model for one compiled frame: flops, bytes accessed."""
+    dt = cfg.dt if dt is None else dt
+    n = cfg.n_substeps if n_substeps is None else n_substeps
+    fn = jax.jit(lambda t, s: _step_mod.step_scan(t, cfg, s, dt, n))
+    compiled = fn.lower(top, state).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns a list per device
+        costs = costs[0]
+    return {k: v for k, v in costs.items() if isinstance(v, (int, float))}
+
+
+@jax.jit
+def _energies(edges, rest_length, edge_stiffness, inv_mass, x, v):
+    mass = jnp.where(inv_mass > 0, 1.0 / jnp.maximum(inv_mass, 1e-12), 0.0)
+    ke = 0.5 * jnp.sum(mass[:, None] * v * v)
+    d = x[edges[:, 1]] - x[edges[:, 0]]
+    ext = jnp.linalg.norm(d, axis=1) - rest_length
+    pe = 0.5 * jnp.sum(edge_stiffness * ext * ext)
+    residual = jnp.max(jnp.abs(ext))
+    return ke, pe, residual
+
+
+def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]:
+    """Physics observables for logging/monitoring (host-side, between
+    frames): kinetic/spring energy, max constraint residual, ground
+    contacts.  Cheap: one fused kernel + scalar fetches."""
+    ke, pe, residual = _energies(
+        top.edges, top.rest_length, top.edge_stiffness, top.inv_mass,
+        state.x, state.v,
+    )
+    contacts = jnp.sum(state.x[:, 1] <= top.plane_height + 1e-6)
+    return {
+        "kinetic_energy": float(ke),
+        "spring_energy": float(pe),
+        "max_edge_residual": float(residual),
+        "ground_contacts": int(contacts),
+    }
+
+
+def checked_step(top: Topology, cfg: SimConfig, state: State,
+                 dt=None, n_substeps=None) -> State:
+    """Step with checkify NaN/Inf guards: raises on the first non-finite
+    value instead of silently propagating it."""
+    from jax.experimental import checkify
+
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+
+    def impl(t, s):
+        out = _step_mod.step_scan(t, cfg, s, dt, n)
+        checkify.check(jnp.all(jnp.isfinite(out.x)), "non-finite positions")
+        checkify.check(jnp.all(jnp.isfinite(out.v)), "non-finite velocities")
+        return out
+
+    checked = checkify.checkify(impl, errors=checkify.float_checks | checkify.user_checks)
+    err, out = jax.jit(checked)(top, state)
+    err.throw()
+    return out
