@@ -13,10 +13,11 @@ def maybe_fast_step(top, cfg, backend):
 
     if top.grid_shape is None or top.grid_spacing is None:
         return None
-    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
-        return None
     if cfg.self_collision.enabled or top.n_tets > 0:
         return None
+    # the fused Pallas kernel covers Euler only (so far); stencil covers all
+    if backend == "pallas" and cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+        backend = "stencil"
     try:
         if backend == "stencil":
             from .stencil import make_stencil_step

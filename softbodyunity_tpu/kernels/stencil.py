@@ -151,14 +151,133 @@ def euler_substep_grid(
     return x3, v3
 
 
+def verlet_substep_grid(
+    x3, xp3, inv_mass2, offsets, cfg: SimConfig, dt: float,
+    plane_height, sphere_centers, sphere_radii,
+):
+    """Position-Verlet substep in stencil form (oracle substep_verlet)."""
+    g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
+    movable = inv_mass2 > 0.0
+    v_est = (x3 - xp3) / dt
+    f = stencil_spring_forces(x3, v_est, offsets, cfg.springs.damping)
+    accel = g + f * inv_mass2
+    x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = jnp.where(movable, x_new, x3)
+    x_new = _project_positions_grid(
+        x_new, movable, cfg, plane_height, sphere_centers, sphere_radii
+    )
+    return x_new, x3
+
+
+def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers, sphere_radii):
+    if cfg.collision.enable_plane:
+        contact = (x3[1] < plane_height) & movable[0]
+        x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
+    if cfg.collision.enable_spheres and sphere_radii.shape[0] > 0:
+        for s in range(sphere_radii.shape[0]):
+            c = sphere_centers[s].reshape(3, 1, 1)
+            d = x3 - c
+            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+            pen = sphere_radii[s] - dist
+            contact = (pen > 0.0) & movable[0]
+            n = d / jnp.maximum(dist, 1e-12)
+            x3 = x3 + jnp.where(contact, pen, 0.0) * n
+    return x3
+
+
+def _xpbd_offsets(cfg: SimConfig, spacing: float, has_shear: bool, has_bend: bool):
+    """(di, dj, compliance, rest_length) per spring class, mirroring the
+    per-edge compliance assignment in core/topology._edge_arrays."""
+    xp = cfg.xpbd
+    offs = [
+        (0, 1, xp.compliance_distance, spacing),
+        (1, 0, xp.compliance_distance, spacing),
+    ]
+    if has_shear:
+        r2 = spacing * float(np.sqrt(2.0))
+        offs += [(1, 1, xp.compliance_distance, r2), (1, -1, xp.compliance_distance, r2)]
+    if has_bend:
+        offs += [(0, 2, xp.compliance_bend, 2 * spacing), (2, 0, xp.compliance_bend, 2 * spacing)]
+    return offs
+
+
+def xpbd_substep_grid(
+    x3, v3, inv_mass2, xoffsets, cfg: SimConfig, dt: float,
+    plane_height, sphere_centers, sphere_radii,
+):
+    """XPBD substep in stencil form (oracle substep_xpbd): predict, then
+    ``n_iterations`` of Jacobi distance-constraint projection with
+    compliance, count-averaged and under-relaxed, then position-only
+    collide and velocity recovery.  Per-edge lambdas live as one
+    ``[ny, nx]`` plane per offset class, carried across iterations."""
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
+    movable = inv_mass2 > 0.0
+    w = inv_mass2[0]                                    # [ny, nx]
+
+    v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
+    v3 = jnp.where(movable, v3, 0.0)
+    x_prev = x3
+    x3 = x3 + dt * v3
+
+    masks = [jnp.asarray(_valid_mask(ny, nx, di, dj)) for di, dj, _, _ in xoffsets]
+    # per-vertex constraint count: owned edges + edges owning this vertex
+    cnt = jnp.zeros((ny, nx), x3.dtype)
+    for (di, dj, _, _), m in zip(xoffsets, masks):
+        cnt = cnt + m + _shift(m, -di, -dj)
+    cnt = jnp.maximum(cnt, 1.0)
+
+    def iteration(carry, _):
+        x3, lams = carry
+        dx = jnp.zeros_like(x3)
+        new_lams = []
+        for (di, dj, alpha, rest), m, lam in zip(xoffsets, masks, lams):
+            xn = _shift(x3, di, dj)
+            d = xn - x3
+            length = jnp.sqrt(jnp.sum(d * d, axis=0))
+            n = d / jnp.maximum(length, 1e-12)
+            c_val = length - rest
+            alpha_t = alpha / (dt * dt)
+            wn = _shift(w[None], di, dj)[0]
+            denom = jnp.maximum(w + wn + alpha_t, 1e-12)
+            dlam = -(c_val + alpha_t * lam) / denom * m
+            new_lams.append(lam + dlam)
+            # dx_a = -w * dlam * n at the owner; dx_b = +wn * dlam * n at
+            # the neighbour (scattered by the reverse shift)
+            contrib_a = -(w * dlam) * n
+            contrib_b = (wn * dlam) * n
+            dx = dx + contrib_a + _shift(contrib_b, -di, -dj)
+        x3 = x3 + cfg.xpbd.relaxation * dx / cnt
+        return (x3, tuple(new_lams)), None
+
+    lams0 = tuple(jnp.zeros((ny, nx), x3.dtype) for _ in xoffsets)
+    (x3, _), _ = jax.lax.scan(
+        iteration, (x3, lams0), None, length=cfg.xpbd.n_iterations
+    )
+    x3 = jnp.where(movable, x3, x_prev)
+    x3 = _project_positions_grid(
+        x3, movable, cfg, plane_height, sphere_centers, sphere_radii
+    )
+    v3 = (x3 - x_prev) / dt
+    return x3, v3
+
+
 def make_stencil_step(top: Topology, cfg: SimConfig):
-    """Build ``fn(state, dt, n_substeps) -> state`` for a grid-cloth scene."""
+    """Build ``fn(state, dt, n_substeps) -> state`` for a grid-cloth scene.
+
+    Supports all three solvers (BASELINE.json:5 Euler / Verlet / XPBD) in
+    stencil form; semantics identical to the general edge-list path.
+    """
+    from ..core.config import Solver
+
     ny, nx = top.grid_shape
     spacing = top.grid_spacing
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = _offsets(cfg, spacing, has_shear, has_bend)
+    xoffsets = _xpbd_offsets(cfg, spacing, has_shear, has_bend)
     inv_mass2 = top.inv_mass.reshape(1, ny, nx)
+    colliders = (top.plane_height, top.sphere_centers, top.sphere_radii)
 
     def to_planes(a):      # [N,3] -> [3,ny,nx]
         return a.T.reshape(3, ny, nx)
@@ -169,22 +288,47 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = to_planes(state.x)
         v3 = to_planes(state.v)
+        xp3 = to_planes(state.x_prev)
 
-        def body(carry, _):
-            x3, v3 = carry
-            xp = x3
-            x3, v3 = euler_substep_grid(
-                x3, v3, inv_mass2, offsets, cfg, dt,
-                top.plane_height, top.sphere_centers, top.sphere_radii,
-            )
-            return (x3, v3), None
+        if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
 
-        (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
-        # x_prev of the *last* substep = position before the final integrate;
-        # recompute cheaply: x_prev = x - dt*v (exact for the Euler update
-        # when no collision fired on the last substep; matches the general
-        # path's use of x_prev, which the Euler solver never reads).
+            def body(carry, _):
+                x3, v3 = carry
+                x3, v3 = euler_substep_grid(
+                    x3, v3, inv_mass2, offsets, cfg, dt, *colliders
+                )
+                return (x3, v3), None
+
+            (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+            # the Euler solver never reads x_prev; reconstruct the natural
+            # value (position before the final integrate) cheaply
+            xp3f = x3f - dt * v3f
+        elif cfg.solver == Solver.VERLET:
+
+            def body(carry, _):
+                x3, xp3 = carry
+                x3, xp3 = verlet_substep_grid(
+                    x3, xp3, inv_mass2, offsets, cfg, dt, *colliders
+                )
+                return (x3, xp3), None
+
+            (x3f, xp3f), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
+            v3f = (x3f - xp3f) / dt
+        elif cfg.solver == Solver.XPBD:
+
+            def body(carry, _):
+                x3, v3 = carry
+                x3n, v3n = xpbd_substep_grid(
+                    x3, v3, inv_mass2, xoffsets, cfg, dt, *colliders
+                )
+                return (x3n, v3n), x3
+
+            (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+            xp3f = x3f - dt * v3f  # = pre-collision predicted origin
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported solver {cfg.solver}")
+
         return State(x=from_planes(x3f), v=from_planes(v3f),
-                     x_prev=from_planes(x3f - dt * v3f))
+                     x_prev=from_planes(xp3f))
 
     return fn

@@ -58,6 +58,31 @@ def test_stencil_with_sphere_collider():
     np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_gen.x), atol=5e-5)
 
 
+@pytest.mark.parametrize("solver", ["verlet", "xpbd"])
+def test_stencil_verlet_xpbd_match_general(solver):
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+
+    cfg = SimConfig(
+        solver=Solver.VERLET if solver == "verlet" else Solver.XPBD,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=6, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        9, 7, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.25, orientation="xy",
+    )
+    top, state = api.init(host)
+    fast = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 120))
+    gen = jax.jit(lambda t, s: step_mod.step_scan(t, cfg, s, cfg.dt, 120))
+    s_gen = gen(top, state)
+    s_fast = fast(top, state)
+    np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_gen.x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s_fast.v), np.asarray(s_gen.v), atol=5e-3)
+
+
 def test_backend_auto_dispatches_stencil():
     """cfg.backend='stencil' routes through api.step transparently."""
     host, cfg = _bench_like(16)
