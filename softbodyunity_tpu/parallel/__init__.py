@@ -1,0 +1,1 @@
+from . import batch, halo, rl, sharding

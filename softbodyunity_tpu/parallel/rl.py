@@ -1,0 +1,126 @@
+"""Batched RL-rollout surface (BASELINE.json:11 "1024-scene vmapped cloth
+batch ... for RL rollouts").
+
+A thin, fully-jitted env wrapper over the batched stepping path:
+
+* ``reset(key)`` — B jittered copies of the scene (decorrelated rollouts),
+* ``step(state, actions)`` — actions are velocity impulses on a static set
+  of *handle* vertices (grab points), applied before the frame's substeps;
+  observations are positions+velocities of a static *observation* subset.
+
+Everything is static-shaped and vmapped; shard the batch axis with
+:mod:`softbodyunity_tpu.parallel.sharding` for multi-chip rollouts.  Reward
+shaping is task-specific and left to the caller (obs carry what's needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import State
+from ..core.topology import Topology
+from ..solver import step as _step_mod
+from . import batch as _batch
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvSpec:
+    handle_ids: Tuple[int, ...]   # vertices that receive action impulses
+    obs_ids: Tuple[int, ...]      # vertices whose x/v form the observation
+    batch: int = 1024
+    jitter_scale: float = 0.01    # initial per-scene position jitter
+
+
+class BatchedClothEnv:
+    """vmapped multi-scene soft-body environment (one shared Topology)."""
+
+    def __init__(self, top: Topology, cfg: SimConfig, rest: State, spec: EnvSpec):
+        self.top = top
+        self.cfg = cfg
+        self.rest = rest
+        self.spec = spec
+        handle = jnp.asarray(spec.handle_ids, jnp.int32)
+        obs = jnp.asarray(spec.obs_ids, jnp.int32)
+        b = spec.batch
+        dt_frame = cfg.dt * cfg.n_substeps
+
+        def _obs(states: State):
+            return jnp.concatenate(
+                [states.x[:, obs, :], states.v[:, obs, :]], axis=-1
+            )  # [B, O, 6]
+
+        @jax.jit
+        def _reset(key):
+            jitter = spec.jitter_scale * jax.random.normal(key, (b, 3))
+            states = _batch.batch_state(rest, b, jitter=jitter)
+            return states, _obs(states)
+
+        @jax.jit
+        def _step(top, states: State, actions):
+            # actions f32[B, H, 3]: velocity impulses on the handle vertices
+            dv = jnp.zeros_like(states.v)
+            dv = dv.at[:, handle, :].set(actions * dt_frame)
+            movable = (top.inv_mass > 0.0)[None, :, None]
+            states = states.replace(v=jnp.where(movable, states.v + dv, 0.0))
+            fn = lambda s: _step_mod.step_scan(top, cfg, s, cfg.dt, cfg.n_substeps)
+            states = jax.vmap(fn)(states)
+            return states, _obs(states)
+
+        self._reset = _reset
+        self._step = _step
+
+    @property
+    def action_shape(self):
+        return (self.spec.batch, len(self.spec.handle_ids), 3)
+
+    @property
+    def obs_shape(self):
+        return (self.spec.batch, len(self.spec.obs_ids), 6)
+
+    def reset(self, key) -> Tuple[State, jax.Array]:
+        return self._reset(key)
+
+    def step(self, states: State, actions) -> Tuple[State, jax.Array]:
+        return self._step(self.top, states, actions)
+
+    def rollout(self, key, policy_fn, n_frames: int) -> Tuple[State, jax.Array]:
+        """On-device rollout: ``policy_fn(obs) -> actions`` traced into one
+        jitted scan (zero host round-trips inside the rollout,
+        BASELINE.json:5)."""
+
+        @jax.jit
+        def run(top, states, obs0):
+            def body(carry, _):
+                states, obs = carry
+                states, obs = self._step(top, states, policy_fn(obs))
+                return (states, obs), None
+
+            (states, obs), _ = jax.lax.scan(
+                body, (states, obs0), None, length=n_frames
+            )
+            return states, obs
+
+        states, obs = self._reset(key)
+        return run(self.top, states, obs)
+
+
+def make_env(host, cfg: SimConfig, spec: Optional[EnvSpec] = None) -> BatchedClothEnv:
+    from .. import api
+
+    top, rest = api.init(host)
+    if spec is None:
+        n = top.n_vertices
+        spec = EnvSpec(
+            handle_ids=(0, int(np.sqrt(n)) - 1),   # the two top corners
+            obs_ids=tuple(range(0, n, max(1, n // 16))),
+            batch=1024,
+        )
+    return BatchedClothEnv(top, cfg, rest, spec)

@@ -1,1 +1,1 @@
-from . import checkpoint, profiling
+from . import checkpoint, meshio, profiling
