@@ -15,14 +15,17 @@ def maybe_fast_step(top, cfg, backend):
         return None
     if cfg.self_collision.enabled or top.n_tets > 0:
         return None
-    # the fused Pallas kernel covers Euler only (so far); stencil covers all
-    if backend == "pallas" and cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+    # fused Pallas kernels cover Euler and XPBD; Verlet takes the stencil path
+    if backend == "pallas" and cfg.solver == Solver.VERLET:
         backend = "stencil"
     try:
         if backend == "stencil":
             from .stencil import make_stencil_step
             return make_stencil_step(top, cfg)
         if backend == "pallas":
+            if cfg.solver == Solver.XPBD:
+                from .pallas_xpbd import make_pallas_xpbd_step
+                return make_pallas_xpbd_step(top, cfg)
             from .pallas_substep import make_pallas_step
             return make_pallas_step(top, cfg)
     except (ImportError, ValueError):

@@ -136,7 +136,9 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
             x_ref[0], x_ref[1], x_ref[2],
             v_ref[0], v_ref[1], v_ref[2],
         )
-        out = jax.lax.fori_loop(0, n_substeps, substep, init)
+        # unroll=1: Mosaic otherwise unrolls static trip counts and the
+        # per-iteration stack allocations exceed the 16M VMEM scope
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
 

@@ -1,0 +1,180 @@
+"""Fused Pallas XPBD kernel for grid cloth (BASELINE.json:9).
+
+Same VMEM-resident design as the Euler kernel (pallas_substep.py): one
+kernel call runs all substeps; each substep predicts, then runs
+``n_iterations`` Jacobi constraint-projection sweeps with per-offset lambda
+planes carried in registers/VMEM, then projects collisions and recovers
+velocities.  HBM is touched twice per frame.
+
+Loop-invariant hoisting beyond the stencil path: the Jacobi denominator
+``w_a + w_b + alpha~`` and the edge-ownership mask fuse into one
+precomputed ``inv_denom`` plane per spring class, so the inner sweep is
+shift, distance, one fused multiply-add chain, and the reaction shift.
+Semantics match kernels/stencil.py::xpbd_substep_grid (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import SimConfig
+from ..core.state import State
+from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
+from .pallas_substep import MAX_VMEM_VERTICES, _edge_mask, _kroll
+from .stencil import _xpbd_offsets
+
+
+def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
+                 dt: float, n_substeps: int):
+    g = cfg.gravity
+    gdamp = cfg.global_damping
+    omega = cfg.xpbd.relaxation
+    n_iter = cfg.xpbd.n_iterations
+    plane_on = cfg.collision.enable_plane
+    n_off = len(xoffsets)
+
+    def kernel(plane_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
+        w = im_ref[:]
+        movable = w > 0.0
+        plane_y = plane_ref[0, 0]
+
+        # per-offset count for Jacobi averaging (one persistent plane);
+        # inv_denom / wn are recomputed per offset inside the sweep instead
+        # of hoisted — keeping ~12 planes live across both loops pushes the
+        # Mosaic VMEM stack past 16M at large n_substeps
+        alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
+        cnt = jnp.zeros((ny, nx), jnp.float32)
+        for di, dj, alpha, rest in xoffsets:
+            m = _edge_mask(ny, nx, di, dj)
+            cnt = cnt + m + _kroll(m, -di, -dj)
+        inv_cnt = omega / jnp.maximum(cnt, 1.0)
+
+        def substep(_, carry):
+            x = list(carry[0:3])
+            v = list(carry[3:6])
+            # predict
+            for c, gc in enumerate(g):
+                vc = (v[c] + dt * gc) * (1.0 - gdamp * dt)
+                v[c] = jnp.where(movable, vc, 0.0)
+            xp = [x[c] for c in range(3)]
+            x = [x[c] + dt * v[c] for c in range(3)]
+
+            def iteration(_, it_carry):
+                x0, x1, x2 = it_carry[0:3]
+                lams = list(it_carry[3:])
+                xs = (x0, x1, x2)
+                dx = [jnp.zeros((ny, nx), jnp.float32) for _ in range(3)]
+                new_lams = []
+                for o, (di, dj, alpha, rest) in enumerate(xoffsets):
+                    xn = [_kroll(xs[c], di, dj) for c in range(3)]
+                    d = [xn[c] - xs[c] for c in range(3)]
+                    d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+                    length = d2 * inv_len
+                    c_val = length - rest
+                    wn = _kroll(w, di, dj)
+                    inv_denom = _edge_mask(ny, nx, di, dj) / jnp.maximum(
+                        w + wn + alpha_ts[o], 1e-12
+                    )
+                    dlam = -(c_val + alpha_ts[o] * lams[o]) * inv_denom
+                    new_lams.append(lams[o] + dlam)
+                    wdl_a = w * dlam * inv_len
+                    wdl_b = wn * dlam * inv_len
+                    for c in range(3):
+                        # grad is n = d * inv_len; fold inv_len into wdl
+                        ca = -(wdl_a * d[c])
+                        cb = wdl_b * d[c]
+                        dx[c] = dx[c] + ca + _kroll(cb, -di, -dj)
+                x0 = x0 + dx[0] * inv_cnt
+                x1 = x1 + dx[1] * inv_cnt
+                x2 = x2 + dx[2] * inv_cnt
+                if plane_on:
+                    # contacts projected inside the loop (oracle substep_xpbd)
+                    contact = (x1 < plane_y) & movable
+                    x1 = jnp.where(contact, plane_y, x1)
+                return (x0, x1, x2, *new_lams)
+
+            zeros = tuple(jnp.zeros((ny, nx), jnp.float32) for _ in range(n_off))
+            out = jax.lax.fori_loop(
+                0, n_iter, iteration, (x[0], x[1], x[2], *zeros), unroll=1
+            )
+            x = [jnp.where(movable, out[c], xp[c]) for c in range(3)]
+            v = [(x[c] - xp[c]) / dt for c in range(3)]
+            return (x[0], x[1], x[2], v[0], v[1], v[2])
+
+        init = (x_ref[0], x_ref[1], x_ref[2], v_ref[0], v_ref[1], v_ref[2])
+        # unroll=1: Mosaic otherwise unrolls static trip counts and the
+        # per-iteration stack allocations exceed the 16M VMEM scope
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
+        xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
+        vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "xoffsets", "dt", "n_substeps", "interpret")
+)
+def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, cfg, xoffsets, dt,
+                          n_substeps, interpret=False):
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps)
+    xo, vo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_substeps * cfg.xpbd.n_iterations * 3 * ny * nx * len(xoffsets) * 25,
+            bytes_accessed=4 * 3 * ny * nx * 4,
+            transcendentals=n_substeps * cfg.xpbd.n_iterations * ny * nx * len(xoffsets),
+        ),
+        interpret=interpret,
+    )(plane_h.reshape(1, 1), x3, v3, inv_mass2d)
+    return xo, vo
+
+
+def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` (XPBD, fused kernel).
+
+    Gates: structured grid, plane-only collision, VMEM-sized."""
+    ny, nx = top.grid_shape
+    if ny * nx > MAX_VMEM_VERTICES:
+        raise ValueError("grid too large for the VMEM-resident kernel")
+    if cfg.collision.enable_spheres and top.n_spheres > 0:
+        raise ValueError("sphere colliders not supported by the fused kernel yet")
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = state.x.T.reshape(3, ny, nx)
+        v3 = state.v.T.reshape(3, ny, nx)
+        im = top.inv_mass.reshape(ny, nx)
+        xo, vo = _pallas_xpbd_substeps(
+            x3, v3, im, top.plane_height, cfg, xoffsets, float(dt),
+            int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T
+        v = vo.reshape(3, -1).T
+        return State(x=x, v=v, x_prev=x - dt * v)
+
+    return fn

@@ -248,6 +248,10 @@ def xpbd_substep_grid(
             contrib_b = (wn * dlam) * n
             dx = dx + contrib_a + _shift(contrib_b, -di, -dj)
         x3 = x3 + cfg.xpbd.relaxation * dx / cnt
+        # contacts projected inside the loop (see oracle substep_xpbd)
+        x3 = _project_positions_grid(
+            x3, movable, cfg, plane_height, sphere_centers, sphere_radii
+        )
         return (x3, tuple(new_lams)), None
 
     lams0 = tuple(jnp.zeros((ny, nx), x3.dtype) for _ in xoffsets)
@@ -255,9 +259,6 @@ def xpbd_substep_grid(
         iteration, (x3, lams0), None, length=cfg.xpbd.n_iterations
     )
     x3 = jnp.where(movable, x3, x_prev)
-    x3 = _project_positions_grid(
-        x3, movable, cfg, plane_height, sphere_centers, sphere_radii
-    )
     v3 = (x3 - x_prev) / dt
     return x3, v3
 

@@ -284,8 +284,13 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
     lam_vol = np.zeros(top.tets.shape[0])
     for _ in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        # contacts are projected INSIDE the Jacobi loop: projecting only
+        # after the loop lets constraint corrections and the contact fight,
+        # and the velocity recovery below turns the unresolved conflict into
+        # injected energy (measured: draped-cloth blowup) — the standard
+        # PBD/XPBD ordering interleaves them.
+        x = project_positions_only(top, cfg, x, movable)
     x = np.where(movable[:, None], x, x_prev)
-    x = project_positions_only(top, cfg, x, movable)
     v = (x - x_prev) / dt
     return x, v, x_prev
 

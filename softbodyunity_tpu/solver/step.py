@@ -84,13 +84,14 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     def body(carry, _):
         x, lam, lam_vol = carry
         x, lam, lam_vol = xpbd.xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        # contacts projected inside the loop (see oracle substep_xpbd)
+        x = collide.project_positions_only(top, cfg, x, movable)
         return (x, lam, lam_vol), None
 
     (x, _, _), _ = jax.lax.scan(
         body, (x, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
     )
     x = jnp.where(movable[:, None], x, x_prev)
-    x = collide.project_positions_only(top, cfg, x, movable)
     v = (x - x_prev) / dt
     return State(x=x, v=v, x_prev=x_prev)
 

@@ -127,3 +127,29 @@ def test_verlet_tracks_euler_roughly():
         out[solver] = np.asarray(_run(top, cfg, state, 20).x)
     diff = np.abs(out[Solver.SEMI_IMPLICIT_EULER] - out[Solver.VERLET]).max()
     assert diff < 5e-2, f"integrators diverge: {diff}"
+
+
+def test_xpbd_draped_contact_stays_bounded():
+    """Regression: XPBD contact projected only AFTER the Jacobi loop lets
+    constraints and contact fight, injecting energy (draped curtain blew up
+    to |v|>200).  With contacts interleaved into the iterations the drape
+    is calm."""
+    from softbodyunity_tpu.core.config import XPBDParams
+
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=8, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 16, spacing=0.02, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.15, orientation="xy",
+    )
+    top, state = api.init(host)
+    state = _run(top, cfg, state, 120)  # long enough to drape and settle
+    x = np.asarray(state.x)
+    v = np.asarray(state.v)
+    assert x[:, 1].min() >= -0.15 - 1e-6
+    assert np.abs(v).max() < 5.0, f"drape blew up: |v|max={np.abs(v).max()}"

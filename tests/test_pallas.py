@@ -67,3 +67,23 @@ def test_pallas_pinned_hold_interpret():
     pinned = host.inv_mass == 0.0
     assert pinned.sum() == 2
     np.testing.assert_array_equal(x[pinned], host.positions0[pinned])
+
+
+def test_pallas_xpbd_matches_stencil_interpret():
+    import dataclasses
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
+
+    host, cfg = _scene()
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=6, relaxation=1.0),
+    )
+    top, state = api.init(host)
+    pal = make_pallas_xpbd_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=1e-3)
