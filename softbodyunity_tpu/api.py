@@ -27,9 +27,22 @@ from .solver.normals import vertex_normals as _vertex_normals
 def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
     """Cast the float64 host topology to device arrays (f32 for the perf
     path; tests pass f64 to prove exact semantic parity with the oracle)."""
+    from .solver.banded import build_offset_groups, build_tet_groups
+
     f32 = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
     i32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
+    n = host.positions0.shape[0]
+    groups = build_offset_groups(
+        n, np.asarray(host.edges),
+        np.asarray(host.rest_length), np.asarray(host.edge_stiffness),
+        np.asarray(host.edge_compliance),
+    )
+    tgroups = build_tet_groups(
+        n, np.asarray(host.tets), np.asarray(host.rest_volume)
+    )
     return Topology(
+        offset_groups=groups,
+        tet_groups=tgroups,
         edges=i32(host.edges),
         rest_length=f32(host.rest_length),
         edge_class=i32(host.edge_class),

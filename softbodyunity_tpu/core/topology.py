@@ -65,6 +65,9 @@ class Topology:
     plane_height: jax.Array     # f32[]      ground plane y
     sphere_centers: jax.Array   # f32[S, 3]
     sphere_radii: jax.Array     # f32[S]
+    # --- offset-grouped (banded) spring/tet planes; None disables --------
+    offset_groups: object = None  # Optional[solver.banded.OffsetGroups]
+    tet_groups: object = None     # Optional[solver.banded.TetGroups]
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(

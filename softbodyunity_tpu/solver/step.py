@@ -22,7 +22,18 @@ from . import collide, forces, hashgrid, xpbd
 
 
 def total_forces(top: Topology, cfg: SimConfig, x, v):
-    f = forces.spring_forces_gather(top, x, v, cfg)
+    groups = top.offset_groups
+    use_banded = (
+        groups is not None
+        and top.n_edges > 0
+        and groups.n_residual <= top.n_edges // 2  # static shape decision
+    )
+    if use_banded:
+        from . import banded
+
+        f = banded.spring_forces_banded(groups, x, v, cfg)
+    else:
+        f = forces.spring_forces_gather(top, x, v, cfg)
     if cfg.self_collision.enabled:
         if cfg.self_collision.method == "dense":
             f = f + forces.self_collision_forces_dense(
@@ -37,6 +48,20 @@ def total_forces(top: Topology, cfg: SimConfig, x, v):
     return f
 
 
+def _volume_projection(top: Topology, x, stiffness: float):
+    """Route to the banded (roll-based) projection when the tets are
+    lattice-regular; gather path otherwise.  NB when a vertex is shared by
+    banded AND residual tets the two count-averages are computed separately
+    (only bit-identical to the oracle when residual is empty, which holds
+    for every lattice builder)."""
+    tg = top.tet_groups
+    if tg is not None and len(tg.deltas) > 0 and tg.n_residual <= top.n_tets // 2:
+        from . import banded
+
+        return banded.volume_projection_banded(top, x, stiffness)
+    return xpbd.volume_projection(top, x, stiffness)
+
+
 def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
@@ -47,7 +72,7 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     x_prev = s.x
     x = s.x + dt * v
     if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
-        dx = xpbd.volume_projection(top, x, cfg.volume_stiffness)
+        dx = _volume_projection(top, x, cfg.volume_stiffness)
         x = x + dx
         v = v + dx / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
@@ -64,7 +89,7 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     x_new = s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable[:, None], x_new, s.x)
     if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
-        x_new = x_new + xpbd.volume_projection(top, x_new, cfg.volume_stiffness)
+        x_new = x_new + _volume_projection(top, x_new, cfg.volume_stiffness)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - s.x) / dt
     return State(x=x_new, v=v_new, x_prev=s.x)
