@@ -136,7 +136,30 @@ def bench_batch_1024():
     return b / (cfg.n_substeps * per_substep_batch)
 
 
-_PARTS = {"64k": bench_64k_cloth, "batch": bench_batch_1024}
+def bench_cube_64k():
+    """Tertiary: substeps/sec, 64k-vertex volumetric tet cube (296k tets,
+    370k springs, banded gather-free path)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.models import presets
+    from softbodyunity_tpu.solver import step as step_mod
+
+    host, cfg = presets.build("softbody_cube_64k")
+    top, state = api.init(host)
+
+    def make_run(n_substeps):
+        @jax.jit
+        def run(top, state):
+            return jnp.mean(step_mod.step_scan(top, cfg, state, cfg.dt, n_substeps).x)
+
+        return run
+
+    return _marginal_throughput(make_run, (top, state), 4, 32, 1)
+
+
+_PARTS = {"64k": bench_64k_cloth, "batch": bench_batch_1024, "cube": bench_cube_64k}
 
 
 def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
@@ -169,7 +192,9 @@ def main():
     substeps_per_sec = _run_part_subprocess("64k")
     _log(f"bench: 64k done ({substeps_per_sec:,.0f} substeps/s); 1024-scene batch ...")
     env_steps = _run_part_subprocess("batch")
-    _log(f"bench: batch done ({env_steps:,.0f} env-steps/s)")
+    _log(f"bench: batch done ({env_steps:,.0f} env-steps/s); 64k tet cube ...")
+    cube = _run_part_subprocess("cube")
+    _log(f"bench: cube done ({cube:,.0f} substeps/s)")
     print(
         json.dumps(
             {
@@ -178,7 +203,8 @@ def main():
                 "unit": "substeps/s",
                 "vs_baseline": round(substeps_per_sec / target, 2),
                 "secondary": {
-                    "env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1)
+                    "env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1),
+                    "substeps_per_sec_64k_tet_cube": round(cube, 1),
                 },
             }
         )

@@ -199,3 +199,24 @@ def cloth_bench_64k():
         plane_height=-8.0, origin=(0.0, 0.0, 0.0), orientation="xy",
     )
     return top, cfg
+
+
+@register("softbody_cube_64k")
+def softbody_cube_64k():
+    """Scale variant of BASELINE.json:10: 40^3 = 64,000-vertex tet cube
+    (296k tets, 370k edge springs) dropping onto the ground plane — the
+    volumetric counterpart of the 64k cloth benchmark.  Runs entirely on
+    the banded (gather-free) path: 10 tet delta patterns, 9 edge delta
+    groups, zero residual elements (solver/banded.py)."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=500.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    top = tet_cube(
+        40, spacing=0.02, mass=0.01, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 1.0, 0.0),
+    )
+    return top, cfg

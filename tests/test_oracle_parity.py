@@ -88,3 +88,25 @@ def test_f32_drift_1k_steps(name, bound):
     got, want = _run_pair(host, cfg, n_steps=1000, dtype=jnp.float32)
     drift = np.max(np.abs(got - want))
     assert drift < bound, f"{name}: f32 drift {drift:.3e} over 1k steps"
+
+
+@pytest.mark.slow
+def test_64k_bench_scene_drift_bound():
+    """The BASELINE.json:5 headline bound on the actual benchmark scene:
+    <=1e-3 positional drift over 1000 steps at fixed dt, f32 vs f64 (the
+    f64 path is oracle-exact per test_f64_exact_parity).  Measured 2.5e-5."""
+    jax.config.update("jax_enable_x64", True)
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    host, cfg = presets.build("cloth_bench_64k")
+    run = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 16))
+    top32, s32 = api.init(host, dtype=jnp.float32)
+    top64, s64 = api.init(host, dtype=jnp.float64)
+    worst = 0.0
+    for i in range(1000):
+        s32 = run(top32, s32)
+        s64 = run(top64, s64)
+        if (i + 1) % 250 == 0:
+            worst = max(worst, float(np.max(np.abs(
+                np.asarray(s32.x, np.float64) - np.asarray(s64.x)))))
+    assert worst < 1e-3, f"64k bench drift {worst:.3e} over 1k steps"
