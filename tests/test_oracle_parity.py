@@ -26,7 +26,13 @@ from softbodyunity_tpu.core.state import State
 from softbodyunity_tpu.models import presets
 from softbodyunity_tpu.oracle import reference as oracle
 
-PRESETS = [n for n in presets.names() if n != "cloth_bench_64k"]
+# 64k-scale presets are excluded from the fast oracle-in-the-loop tier (the
+# NumPy oracle takes minutes at that size); their fidelity is covered by
+# test_64k_bench_scene_drift_bound and the invariants suite
+PRESETS = [
+    n for n in presets.names()
+    if n not in ("cloth_bench_64k", "softbody_cube_64k")
+]
 
 
 def _run_pair(host, cfg, n_steps, dtype):
