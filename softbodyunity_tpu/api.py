@@ -137,3 +137,26 @@ def rollout(
 def normals(top: Topology, state: State) -> jax.Array:
     """Vertex normals for rendering (Unity RecalculateNormals analogue)."""
     return jax.jit(_vertex_normals)(top.triangles, state.x)
+
+
+def move_colliders(
+    top: Topology,
+    sphere_centers=None,
+    sphere_radii=None,
+    plane_height=None,
+) -> Topology:
+    """Animated colliders (the Unity moving-Collider analogue): collider
+    geometry is *array data* on Topology, so replacing it between frames
+    changes the scene without recompiling ``step`` (shapes unchanged =>
+    same executable).  Works under vmap/sharding too: batched scenes may
+    each carry their own sphere positions."""
+    import dataclasses
+
+    kw = {}
+    if sphere_centers is not None:
+        kw["sphere_centers"] = jnp.asarray(sphere_centers, top.sphere_centers.dtype)
+    if sphere_radii is not None:
+        kw["sphere_radii"] = jnp.asarray(sphere_radii, top.sphere_radii.dtype)
+    if plane_height is not None:
+        kw["plane_height"] = jnp.asarray(plane_height, top.plane_height.dtype)
+    return dataclasses.replace(top, **kw)

@@ -72,15 +72,16 @@ def _edge_mask(ny: int, nx: int, di: int, dj: int) -> jax.Array:
 
 
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
-                 dt: float, n_substeps: int):
+                 dt: float, n_substeps: int, n_spheres: int):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
     restitution = cfg.collision.restitution
     friction = cfg.collision.friction
     plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
 
-    def kernel(plane_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
         im = im_ref[:]                        # [ny, nx] inv mass
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -130,6 +131,34 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 fr = 1.0 - friction
                 vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
                 vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+            if spheres_on:
+                # mirror solver/collide.py::_resolve_one_sphere per sphere
+                for si in range(n_spheres):
+                    cs = [sph_ref[si, c] for c in range(3)]
+                    radius = sph_ref[si, 3]
+                    d = [xz[c] - cs[c] for c in range(3)]
+                    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
+                    dist = dist2 * inv_dist
+                    pen = radius - dist
+                    contact = (pen > 0.0) & movable
+                    nrm = [d[c] * inv_dist for c in range(3)]
+                    pen_pos = jnp.where(contact, pen, 0.0)
+                    xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
+                    vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+                    inward = contact & (vn < 0.0)
+                    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+                    vz = [vz[c] - rem * nrm[c] for c in range(3)]
+                    vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+                    fr = 1.0 - friction
+                    vz = [
+                        jnp.where(
+                            contact,
+                            vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr,
+                            vz[c],
+                        )
+                        for c in range(3)
+                    ]
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (
@@ -148,10 +177,12 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, dt, n_substeps,
-                     interpret=False):
+def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, dt,
+                     n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
-    kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps)
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
     xo, vo = pl.pallas_call(
         kernel,
@@ -161,6 +192,7 @@ def _pallas_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, dt, n_substeps,
         ),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -175,7 +207,7 @@ def _pallas_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, dt, n_substeps,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), x3, v3, inv_mass2d)
+    )(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
     return xo, vo
 
 
@@ -183,13 +215,13 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` running the fused kernel.
 
     Requirements (dispatcher-gated): structured grid with uniform spacing,
-    Euler solver, plane-only collision, <= MAX_VMEM_VERTICES vertices.
+    Euler solver, <= MAX_VMEM_VERTICES vertices.  Plane and sphere
+    colliders are supported (sphere geometry arrives via SMEM so batched
+    scenes can move their spheres without recompiling).
     """
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    if cfg.collision.enable_spheres and top.n_spheres > 0:
-        raise ValueError("sphere colliders not supported by the fused kernel yet")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -198,8 +230,11 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
         xo, vo = _pallas_substeps(
-            x3, v3, im, top.plane_height, cfg, offsets, float(dt),
+            x3, v3, im, top.plane_height, spheres, cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T

@@ -153,3 +153,26 @@ def test_xpbd_draped_contact_stays_bounded():
     v = np.asarray(state.v)
     assert x[:, 1].min() >= -0.15 - 1e-6
     assert np.abs(v).max() < 5.0, f"drape blew up: |v|max={np.abs(v).max()}"
+
+
+def test_moving_sphere_collider_no_recompile():
+    """Collider geometry is array data: animating a sphere between frames
+    reuses the compiled step (the Unity moving-Collider analogue)."""
+    import jax as _jax
+
+    host, cfg = presets.build("cloth_hanging_sphere")
+    top, state = api.init(host)
+    compiles = [0]
+    from softbodyunity_tpu.solver import step as step_mod
+
+    fn = _jax.jit(lambda t, s: step_mod.step_scan(t, cfg, s, cfg.dt, 4))
+    for i in range(5):
+        c = np.array([[0.8 - 0.05 * i, -1.0, 0.15]])
+        top = api.move_colliders(top, sphere_centers=c)
+        state = fn(top, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # no vertex inside the final sphere position
+    d = np.linalg.norm(x - c[0], axis=1)
+    assert d.min() >= 0.35 - 1e-5
+    assert fn._cache_size() == 1, "moving the sphere must not retrace"

@@ -43,18 +43,34 @@ def test_pallas_matches_stencil_interpret(shear, bend, atol_x, atol_v):
     np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=atol_v)
 
 
-def test_pallas_gates():
-    host, cfg = _scene()
+def test_pallas_sphere_collider_matches_stencil():
     import dataclasses
-    # sphere colliders are not supported by the fused kernel
-    host.sphere_centers = np.array([[0.0, -0.5, 0.0]])
-    host.sphere_radii = np.array([0.1])
-    cfg2 = cfg.replace(
+
+    host, cfg = _scene()
+    host.sphere_centers = np.array([[0.35, -0.4, 0.0]])
+    host.sphere_radii = np.array([0.15])
+    cfg = cfg.replace(
         collision=dataclasses.replace(cfg.collision, enable_spheres=True)
     )
+    top, state = api.init(host)
+    pal = make_pallas_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 96))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 96)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=2e-5)
+    # cloth actually contacts the sphere in this scene
+    d = np.linalg.norm(np.asarray(s_pal.x) - np.array([0.35, -0.4, 0.0]), axis=1)
+    assert d.min() < 0.151
+
+
+def test_pallas_gate_too_large():
+    from softbodyunity_tpu.kernels.pallas_substep import MAX_VMEM_VERTICES
+    host, cfg = _scene()
     top, _ = api.init(host)
+    import dataclasses as dc
+    big = dc.replace(top, grid_shape=(512, 512))
     with pytest.raises(ValueError):
-        make_pallas_step(top, cfg2)
+        make_pallas_step(big, cfg)
 
 
 def test_pallas_pinned_hold_interpret():
