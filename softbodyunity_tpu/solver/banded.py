@@ -290,3 +290,100 @@ def volume_projection_banded(top, x: jax.Array, stiffness: float) -> jax.Array:
         )
         dx = dx + _xpbd.volume_projection(sub, x, stiffness)
     return dx
+
+
+# ---------------------------------------------------------------------------
+# Banded XPBD (distance + volume constraints with compliance)
+# ---------------------------------------------------------------------------
+
+def xpbd_iteration_banded(
+    top, cfg: SimConfig, xT: jax.Array, lams, lam_vols, cnt, dt: float
+):
+    """One Jacobi sweep over banded distance + volume constraints.
+
+    Mirrors solver/xpbd.py::xpbd_iteration exactly (same dlam, same
+    count-averaging, same relaxation); lambdas are [N] planes per group.
+    """
+    groups: OffsetGroups = top.offset_groups
+    tgroups: TetGroups = top.tet_groups
+    wN = top.inv_mass
+    dx = jnp.zeros_like(xT)
+    new_lams = []
+    for gi, delta in enumerate(groups.deltas):
+        m = groups.mask[gi]
+        xb = _roll_planes(xT, -delta)
+        d = xb - xT
+        d2 = jnp.sum(d * d, axis=0)
+        length = jnp.sqrt(d2)
+        nrm = d / jnp.maximum(length, 1e-12)
+        c_val = length - groups.rest[gi]
+        alpha_t = groups.compliance[gi] / (dt * dt)
+        wn = _roll_planes(wN, -delta)
+        denom = jnp.maximum(wN + wn + alpha_t, 1e-12)
+        dlam = -(c_val + alpha_t * lams[gi]) / denom * m
+        new_lams.append(lams[gi] + dlam)
+        dx = dx + (-(wN * dlam)) * nrm + _roll_planes((wn * dlam) * nrm, delta)
+    new_lam_vols = []
+    if tgroups is not None and len(tgroups.deltas) > 0:
+        alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
+        for gi, (d1, d2_, d3) in enumerate(tgroups.deltas):
+            m = tgroups.mask[gi]
+            p0 = xT
+            p1 = _roll_planes(xT, -d1)
+            p2 = _roll_planes(xT, -d2_)
+            p3 = _roll_planes(xT, -d3)
+            e1, e2, e3 = p1 - p0, p2 - p0, p3 - p0
+            g1 = _cross_planes(e2, e3) / 6.0
+            g2 = _cross_planes(e3, e1) / 6.0
+            g3 = _cross_planes(e1, e2) / 6.0
+            g0 = -(g1 + g2 + g3)
+            vol = jnp.sum(_cross_planes(e1, e2) * e3, axis=0) / 6.0
+            c_v = vol - tgroups.rest_volume[gi]
+            w0 = wN
+            w1 = _roll_planes(wN, -d1)
+            w2 = _roll_planes(wN, -d2_)
+            w3 = _roll_planes(wN, -d3)
+            denom = (
+                w0 * jnp.sum(g0 * g0, axis=0)
+                + w1 * jnp.sum(g1 * g1, axis=0)
+                + w2 * jnp.sum(g2 * g2, axis=0)
+                + w3 * jnp.sum(g3 * g3, axis=0)
+                + alpha_v
+            )
+            dlam_v = -(c_v + alpha_v * lam_vols[gi]) / jnp.maximum(denom, 1e-12) * m
+            new_lam_vols.append(lam_vols[gi] + dlam_v)
+            dx = dx + (w0 * dlam_v) * g0
+            dx = dx + _roll_planes((w1 * dlam_v) * g1, d1)
+            dx = dx + _roll_planes((w2 * dlam_v) * g2, d2_)
+            dx = dx + _roll_planes((w3 * dlam_v) * g3, d3)
+    xT = xT + cfg.xpbd.relaxation * dx / cnt
+    return xT, tuple(new_lams), tuple(new_lam_vols)
+
+
+def xpbd_constraint_count(top) -> jax.Array:
+    """Per-vertex constraint count [N] over banded edge + tet groups
+    (== the general path's segment-sum count when residual is empty)."""
+    groups: OffsetGroups = top.offset_groups
+    tgroups: TetGroups = top.tet_groups
+    n = top.inv_mass.shape[0]
+    cnt = jnp.zeros((n,), jnp.float32)
+    for gi, delta in enumerate(groups.deltas):
+        m = groups.mask[gi]
+        cnt = cnt + m + _roll_planes(m, delta)
+    if tgroups is not None:
+        for gi, (d1, d2, d3) in enumerate(tgroups.deltas):
+            m = tgroups.mask[gi]
+            cnt = cnt + m + _roll_planes(m, d1) + _roll_planes(m, d2) + _roll_planes(m, d3)
+    return jnp.maximum(cnt, 1.0)
+
+
+def xpbd_banded_applicable(top) -> bool:
+    """Static gate: every edge and tet must be banded (no residual), so the
+    count-average matches the general path exactly."""
+    g = top.offset_groups
+    t = top.tet_groups
+    if g is None or len(g.deltas) == 0 or g.n_residual > 0:
+        return False
+    if t is not None and t.n_residual > 0:
+        return False
+    return True

@@ -96,6 +96,8 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
 
 def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    from . import banded
+
     movable = top.inv_mass > 0.0
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     v = (s.v + dt * g[None, :]) * (1.0 - cfg.global_damping * dt)
@@ -103,19 +105,44 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     x_prev = s.x
     x = s.x + dt * v
 
-    lam0 = jnp.zeros((top.n_edges,), x.dtype)
-    lam_vol0 = jnp.zeros((top.n_tets,), x.dtype)
+    if banded.xpbd_banded_applicable(top):
+        # gather-free Jacobi sweeps over delta-grouped constraints
+        groups = top.offset_groups
+        tgroups = top.tet_groups
+        cnt = banded.xpbd_constraint_count(top)
+        n = x.shape[0]
+        lams0 = tuple(jnp.zeros((n,), x.dtype) for _ in groups.deltas)
+        lamv0 = tuple(
+            jnp.zeros((n,), x.dtype)
+            for _ in (tgroups.deltas if tgroups is not None else ())
+        )
 
-    def body(carry, _):
-        x, lam, lam_vol = carry
-        x, lam, lam_vol = xpbd.xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
-        # contacts projected inside the loop (see oracle substep_xpbd)
-        x = collide.project_positions_only(top, cfg, x, movable)
-        return (x, lam, lam_vol), None
+        def body(carry, _):
+            xT, lams, lamv = carry
+            xT, lams, lamv = banded.xpbd_iteration_banded(
+                top, cfg, xT, lams, lamv, cnt, dt
+            )
+            xT = collide.project_positions_only(top, cfg, xT.T, movable).T
+            return (xT, lams, lamv), None
 
-    (x, _, _), _ = jax.lax.scan(
-        body, (x, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
-    )
+        (xT, _, _), _ = jax.lax.scan(
+            body, (x.T, lams0, lamv0), None, length=cfg.xpbd.n_iterations
+        )
+        x = xT.T
+    else:
+        lam0 = jnp.zeros((top.n_edges,), x.dtype)
+        lam_vol0 = jnp.zeros((top.n_tets,), x.dtype)
+
+        def body(carry, _):
+            x, lam, lam_vol = carry
+            x, lam, lam_vol = xpbd.xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+            # contacts projected inside the loop (see oracle substep_xpbd)
+            x = collide.project_positions_only(top, cfg, x, movable)
+            return (x, lam, lam_vol), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
+        )
     x = jnp.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     return State(x=x, v=v, x_prev=x_prev)
