@@ -26,20 +26,20 @@ from ..utils import profiling
 
 
 def _make_run(top, cfg, n_substeps, backend):
-    if backend == "pallas":
-        from ..kernels.pallas_substep import make_pallas_step
+    from ..kernels import dispatch
 
-        fn = make_pallas_step(top, cfg)
-        return jax.jit(lambda t, s: jnp.mean(fn(s, cfg.dt, n_substeps).x))
-    if backend == "stencil":
-        from ..kernels.stencil import make_stencil_step
+    def impl(t, s):
+        # dispatch INSIDE the traced function (top as a jit argument, never
+        # a closure constant — see CLAUDE.md); gates apply per solver, so
+        # e.g. XPBD+pallas uses the XPBD kernel, not the Euler one
+        fn = None
+        if backend in ("pallas", "stencil"):
+            fn = dispatch.maybe_fast_step(t, cfg, backend)
+        if fn is None:
+            return jnp.mean(step_mod.step_scan(t, cfg, s, cfg.dt, n_substeps).x)
+        return jnp.mean(fn(s, cfg.dt, n_substeps).x)
 
-        return jax.jit(
-            lambda t, s: jnp.mean(make_stencil_step(t, cfg)(s, cfg.dt, n_substeps).x)
-        )
-    return jax.jit(
-        lambda t, s: jnp.mean(step_mod.step_scan(t, cfg, s, cfg.dt, n_substeps).x)
-    )
+    return jax.jit(impl)
 
 
 def run_preset(

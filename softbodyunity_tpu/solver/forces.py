@@ -70,15 +70,28 @@ def self_collision_forces_dense_mxu(x: jax.Array, radius: float, stiffness: floa
     """
     xc = x - jnp.mean(x, axis=0, keepdims=True)
     sq = jnp.sum(xc * xc, axis=-1)                            # [N]
-    gram = jnp.dot(xc, xc.T, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST is load-bearing: the TPU MXU's default bf16 passes
+    # leave ~1e-3 absolute error in the Gram matrix, which the |xi|^2+|xj|^2
+    # cancellation turns into garbage d^2 for close pairs -> (r-d)/d blows
+    # up -> NaN within a few frames (observed).  f32 6-pass costs 6x MXU
+    # flops, still microseconds here.
+    gram = jnp.dot(
+        xc, xc.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d2 = sq[:, None] + sq[None, :] - 2.0 * gram
     n_v = x.shape[0]
     eye = jnp.eye(n_v, dtype=bool)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    # cancellation floor: clamp a radius-relative epsilon, not 1e-24, so a
+    # residually-negative d2 can't fabricate a near-zero distance
+    d = jnp.sqrt(jnp.maximum(d2, (1e-3 * radius) ** 2))
     active = (d < radius) & (~eye)
     w = jnp.where(active, stiffness * (radius - d) / d, 0.0)  # [N,N] >= 0
     row = jnp.sum(w, axis=1)                                  # [N]
-    wx = jnp.dot(w, xc, preferred_element_type=jnp.float32)   # MXU
+    wx = jnp.dot(
+        w, xc, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return row[:, None] * xc - wx
 
 

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from softbodyunity_tpu import api
 from softbodyunity_tpu.core.config import SelfCollisionParams, SimConfig
 from softbodyunity_tpu.core.topology import cloth_grid, tet_cube
+from softbodyunity_tpu.models import presets
 from softbodyunity_tpu.oracle import reference as oracle
 from softbodyunity_tpu.solver import forces, hashgrid, normals
 
@@ -118,3 +119,19 @@ def test_volume_projection_matches_oracle(rng):
     dx_ref = oracle.volume_projection(host, x, stiffness=0.7)
     dx = jxpbd.volume_projection(top, jnp.asarray(x, jnp.float32), 0.7)
     np.testing.assert_allclose(np.asarray(dx), dx_ref, atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_dense_mxu_stable_long_horizon_tpu():
+    """TPU-only regression (run manually: pytest -m tpu on a TPU host,
+    without the conftest CPU forcing): the MXU's default-bf16 Gram matmul
+    made close-pair distances garbage and the batch exploded to NaN within
+    8 frames; Precision.HIGHEST keeps 60 frames finite."""
+    from softbodyunity_tpu.parallel import batch
+
+    host, cfg = presets.build("cloth_batch_rl")
+    top, state = api.init(host)
+    states = batch.batch_state(state, 64)
+    for _ in range(60):
+        states = batch.step_batched(top, cfg, states)
+    assert bool(jnp.isfinite(states.x).all())
