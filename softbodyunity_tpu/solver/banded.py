@@ -144,7 +144,8 @@ def residual_spring_forces(
     d = x[b] - x[a]
     length = jnp.linalg.norm(d, axis=1)
     n = d / jnp.maximum(length, 1e-12)[:, None]
-    rel = jnp.einsum("ej,ej->e", v[b] - v[a], n)
+    rel = jnp.einsum("ej,ej->e", v[b] - v[a], n,
+                     precision=jax.lax.Precision.HIGHEST)
     fmag = groups.residual_stiffness * (length - groups.residual_rest) + damping * rel
     fe = fmag[:, None] * n
     out = jax.ops.segment_sum(fe, a, num_segments=x.shape[0])

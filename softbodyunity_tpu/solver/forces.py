@@ -32,7 +32,8 @@ def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConfig
     length = jnp.linalg.norm(d, axis=1)
     inv_len = 1.0 / jnp.maximum(length, 1e-12)
     n = d * inv_len[:, None]
-    rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n)
+    rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n,
+                       precision=jax.lax.Precision.HIGHEST)
     fmag = top.edge_stiffness * (length - top.rest_length) + cfg.springs.damping * rel_v
     return fmag[:, None] * n
 
@@ -43,7 +44,8 @@ def spring_forces_gather(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConf
     # ghost row: padded incidence entries (id == E) gather zero force
     f_pad = jnp.concatenate([f_edge, jnp.zeros((1, 3), f_edge.dtype)], axis=0)
     gathered = f_pad[top.incident]                      # [N, D, 3]
-    return jnp.einsum("nd,ndj->nj", top.incident_sign, gathered)
+    return jnp.einsum("nd,ndj->nj", top.incident_sign, gathered,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spring_forces_segment(top: Topology, x: jax.Array, v: jax.Array, cfg: SimConfig):

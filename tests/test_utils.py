@@ -85,3 +85,15 @@ def test_cli_runs_preset():
     row = json.loads(out.stdout.strip().splitlines()[-1])
     assert row["preset"] == "cloth_32_euler"
     assert row["substeps_per_sec"] > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend (multi-host-ready) round-trips the state pytree."""
+    host, cfg = presets.build("cloth_32_euler")
+    top, state = api.init(host)
+    mid = api.step(top, cfg, state, n_substeps=8)
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, mid)
+    restored = checkpoint.load_orbax(path, mid)
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(mid.x))
+    np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(mid.v))
