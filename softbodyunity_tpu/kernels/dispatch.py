@@ -26,7 +26,13 @@ def maybe_fast_step(top, cfg, backend):
             if cfg.solver == Solver.XPBD:
                 from .pallas_xpbd import make_pallas_xpbd_step
                 return make_pallas_xpbd_step(top, cfg)
-            from .pallas_substep import make_pallas_step
+            from .pallas_substep import MAX_VMEM_VERTICES, make_pallas_step
+
+            ny, nx = top.grid_shape
+            if ny * nx > MAX_VMEM_VERTICES:
+                # beyond VMEM capacity: row-tiled kernel (plane-only)
+                from .pallas_tiled import make_tiled_step
+                return make_tiled_step(top, cfg)
             return make_pallas_step(top, cfg)
     except (ImportError, ValueError):
         # kernel preconditions unmet (size/collider gates) -> general path

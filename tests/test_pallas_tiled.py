@@ -1,0 +1,57 @@
+"""Row-tiled Pallas kernel vs twins (grids beyond VMEM capacity)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, SpringParams
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.kernels.pallas_substep import make_pallas_step
+from softbodyunity_tpu.kernels.pallas_tiled import make_tiled_step
+from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+
+def _scene():
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.3,
+    )
+    # plane below the cloth's reach: contact chaos would otherwise amplify
+    # legitimate rsqrt-level rounding differences past any fixed tolerance
+    host = cloth_grid(
+        16, 24, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.5, orientation="xy",
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize("tile", [8, 24])
+def test_tiled_matches_untiled_pallas(tile):
+    host, cfg = _scene()
+    top, state = api.init(host)
+    tiled = make_tiled_step(top, cfg, tile=tile, interpret=True)
+    whole = make_pallas_step(top, cfg, interpret=True)
+    s_t = tiled(state, cfg.dt, 48)
+    s_w = whole(state, cfg.dt, 48)
+    np.testing.assert_allclose(np.asarray(s_t.x), np.asarray(s_w.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_t.v), np.asarray(s_w.v), atol=1e-4)
+
+
+def test_tiled_matches_stencil():
+    host, cfg = _scene()
+    top, state = api.init(host)
+    tiled = make_tiled_step(top, cfg, tile=8, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    s_t = tiled(state, cfg.dt, 48)
+    s_r = ref(top, state)
+    np.testing.assert_allclose(np.asarray(s_t.x), np.asarray(s_r.x), atol=5e-5)
+
+
+def test_tiled_gates():
+    host, cfg = _scene()
+    top, _ = api.init(host)
+    with pytest.raises(ValueError):
+        make_tiled_step(top, cfg, tile=7)  # 24 % 7 != 0
