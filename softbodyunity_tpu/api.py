@@ -83,11 +83,12 @@ def _compiled_step(cfg: SimConfig, dt: float, n_substeps: int):
 
 
 def _dispatch_step(top, cfg, state, dt, n_substeps):
-    """Backend dispatch: structured-grid Euler scenes can use the stencil /
-    Pallas fast paths; everything else takes the general jnp path."""
+    """Backend dispatch: structured-grid scenes use the Pallas kernels on
+    TPU (stencil elsewhere — the Mosaic kernels don't run on CPU outside
+    interpret mode); everything else takes the general jnp/banded path."""
     backend = cfg.backend
     if backend == "auto":
-        backend = "jnp"
+        backend = "pallas" if jax.default_backend() == "tpu" else "stencil"
     if backend in ("stencil", "pallas"):
         from .kernels import dispatch as _kdispatch
 
