@@ -220,3 +220,25 @@ def softbody_cube_64k():
         plane_height=0.0, origin=(0.0, 1.0, 0.0),
     )
     return top, cfg
+
+
+@register("cloth_bench_1m")
+def cloth_bench_1m():
+    """Scaling showcase: 1024x1024 = 1,048,576-vertex curtain (6.3M springs).
+    Runs on the row-tiled Pallas kernel (kernels/pallas_tiled.py) at ~7.1k
+    substeps/s on one v5e core — 16x the headline scene's vertex count at
+    near-constant Gverts/s."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0, k_bend=150.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=2.0,
+        backend="auto",
+    )
+    top = cloth_grid(
+        1024, 1024, spacing=0.005, mass=0.005, shear=True, bend=True,
+        pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-30.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg

@@ -31,7 +31,7 @@ from softbodyunity_tpu.oracle import reference as oracle
 # test_64k_bench_scene_drift_bound and the invariants suite
 PRESETS = [
     n for n in presets.names()
-    if n not in ("cloth_bench_64k", "softbody_cube_64k")
+    if n not in ("cloth_bench_64k", "softbody_cube_64k", "cloth_bench_1m")
 ]
 
 
