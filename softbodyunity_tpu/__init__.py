@@ -17,7 +17,13 @@ from .core.config import (
     XPBDParams,
 )
 from .core.state import State, make_state
-from .core.topology import HostTopology, Topology, cloth_grid, tet_cube
+from .core.topology import (
+    HostTopology,
+    Topology,
+    cloth_grid,
+    from_triangle_mesh,
+    tet_cube,
+)
 from .models import presets
 
 __version__ = "0.1.0"
@@ -26,5 +32,5 @@ __all__ = [
     "SimConfig", "Solver", "SpringParams", "XPBDParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
-    "cloth_grid", "tet_cube", "presets",
+    "cloth_grid", "tet_cube", "from_triangle_mesh", "presets",
 ]

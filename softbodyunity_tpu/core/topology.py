@@ -407,3 +407,131 @@ def tet_cube(
         sphere_radii=np.zeros((0,), np.float64),
         grid_shape=None,
     )
+
+
+def from_triangle_mesh(
+    positions: np.ndarray,
+    triangles: np.ndarray,
+    *,
+    mass: float = 1.0,
+    pinned_ids: Tuple[int, ...] = (),
+    bend: bool = True,
+    springs=None,
+    xpbd=None,
+    plane_height: float = -1.0,
+    sphere_centers: Optional[np.ndarray] = None,
+    sphere_radii: Optional[np.ndarray] = None,
+    reorder: bool = True,
+) -> HostTopology:
+    """Build a cloth topology from an ARBITRARY triangle mesh — the analogue
+    of feeding any Unity ``Mesh`` to the reference's soft-body component.
+
+    * structural springs: the unique triangle edges, rest = current length;
+    * bend springs: for every interior edge (shared by two triangles), the
+      classic cross-pair between the two opposite vertices;
+    * ``reorder=True`` relabels vertices by BFS over the edge graph
+      (Cuthill-McKee style): physical meshes then concentrate their index
+      deltas into few values, which is what lets the banded (gather-free)
+      force path cover most of the edge list on TPU (solver/banded.py).
+      The returned topology is in the NEW vertex order; ``perm`` maps
+      old->new via ``positions0[perm_new_of_old]`` if callers need it.
+    """
+    from .config import SpringParams, XPBDParams
+
+    springs = springs or SpringParams()
+    xpbd = xpbd or XPBDParams()
+    pos = np.asarray(positions, np.float64).copy()
+    tris = np.asarray(triangles, np.int64).copy()
+    n = pos.shape[0]
+
+    # unique undirected edges + the triangles on each side
+    edge_owner: dict = {}
+    for fi, (a, b, c) in enumerate(tris):
+        for u, v in ((a, b), (b, c), (c, a)):
+            key = (min(u, v), max(u, v))
+            edge_owner.setdefault(key, []).append(fi)
+
+    if reorder and n > 0:
+        # BFS relabel for index locality (maximizes banded coverage)
+        adj = [[] for _ in range(n)]
+        for (u, v) in edge_owner:
+            adj[u].append(v)
+            adj[v].append(u)
+        order = []
+        seen = np.zeros(n, bool)
+        from collections import deque
+
+        for seed in range(n):
+            if seen[seed]:
+                continue
+            q = deque([seed])
+            seen[seed] = True
+            while q:
+                u = q.popleft()
+                order.append(u)
+                for w in sorted(adj[u]):
+                    if not seen[w]:
+                        seen[w] = True
+                        q.append(w)
+        old_to_new = np.empty(n, np.int64)
+        old_to_new[np.asarray(order)] = np.arange(n)
+        pos = pos[np.asarray(order)]
+        tris = old_to_new[tris]
+        pinned_ids = tuple(int(old_to_new[p]) for p in pinned_ids)
+        edge_owner = {
+            (min(old_to_new[u], old_to_new[v]), max(old_to_new[u], old_to_new[v])): f
+            for (u, v), f in edge_owner.items()
+        }
+
+    edge_list = [(int(u), int(v), EDGE_STRUCTURAL) for (u, v) in sorted(edge_owner)]
+    if bend:
+        for (u, v), faces in sorted(edge_owner.items()):
+            if len(faces) == 2:
+                opp = []
+                for fi in faces:
+                    tri = set(int(t) for t in tris[fi])
+                    opp.extend(tri - {int(u), int(v)})
+                if len(opp) == 2 and opp[0] != opp[1]:
+                    a, b = min(opp), max(opp)
+                    edge_list.append((a, b, EDGE_BEND))
+    # dedupe (a bend pair can coincide with an existing edge on folds)
+    seen_e = set()
+    uniq = []
+    for a, b, c in edge_list:
+        if (a, b) not in seen_e:
+            seen_e.add((a, b))
+            uniq.append((a, b, c))
+    edges, rest, cls, k, alpha = _edge_arrays(uniq, pos, springs, xpbd)
+    incident, sign = _build_incidence(n, edges)
+    inv_mass = np.full(n, 1.0 / mass, dtype=np.float64)
+    for p in pinned_ids:
+        inv_mass[p] = 0.0
+
+    sc = (
+        np.asarray(sphere_centers, np.float64).reshape(-1, 3)
+        if sphere_centers is not None else np.zeros((0, 3), np.float64)
+    )
+    sr = (
+        np.asarray(sphere_radii, np.float64).reshape(-1)
+        if sphere_radii is not None else np.zeros((0,), np.float64)
+    )
+    return HostTopology(
+        positions0=pos,
+        edges=edges,
+        rest_length=rest,
+        edge_class=cls,
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=inv_mass,
+        incident=incident,
+        incident_sign=sign,
+        tets=np.zeros((0, 4), np.int32),
+        rest_volume=np.zeros((0,), np.float64),
+        triangles=tris.astype(np.int32),
+        plane_height=float(plane_height),
+        sphere_centers=sc,
+        sphere_radii=sr,
+        grid_shape=None,
+        grid_spacing=None,
+        edge_classes_present=tuple(sorted(set(int(c) for c in cls))),
+    )
