@@ -164,3 +164,114 @@ def unshard_to_state(x3, v3, dt) -> State:
     x = x3.reshape(3, -1).T
     v = v3.reshape(3, -1).T
     return State(x=x, v=v, x_prev=x - dt * v)
+
+
+# ---------------------------------------------------------------------------
+# XPBD halo decomposition
+# ---------------------------------------------------------------------------
+
+def _halo_xpbd_substep(x3, v3, lams, inv_mass2, xoffsets, cfg, dt,
+                       plane_height, ny_global, axis_name, cnt_inv):
+    """One XPBD substep on a row-sharded block (inside shard_map).
+
+    Jacobi iterations exchange BOTH positions and the per-offset lambda
+    planes each sweep: a constraint owned by a halo row is recomputed
+    identically on both neighbouring devices (same x, same lambda inputs),
+    so each device reconstructs the reaction corrections that land in its
+    interior without any scatter communication — the same recompute-the-
+    owner trick as the Euler halo forces, extended with lambda state.
+    """
+    ny_local, nx = x3.shape[-2], x3.shape[-1]
+    dev = jax.lax.axis_index(axis_name)
+    movable = inv_mass2 > 0.0
+    w = inv_mass2[0]
+
+    g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
+    v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
+    v3 = jnp.where(movable, v3, 0.0)
+    x_prev = x3
+    x3 = x3 + dt * v3
+
+    we = _exchange_halo(w[None], axis_name)[0]          # [ext, nx]
+
+    def iteration(carry, _):
+        x3, lams = carry
+        xe = _exchange_halo(x3, axis_name)
+        dx = jnp.zeros_like(xe)
+        new_lams = []
+        for o, (di, dj, alpha, rest) in enumerate(xoffsets):
+            lam_e = _exchange_halo(lams[o][None], axis_name)[0]
+            xn = st._shift(xe, di, dj)
+            d = xn - xe
+            length = jnp.sqrt(jnp.sum(d * d, axis=0))
+            n = d / jnp.maximum(length, 1e-12)
+            c_val = length - rest
+            alpha_t = alpha / (dt * dt)
+            wn = st._shift(we[None], di, dj)[0]
+            m = _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev)
+            denom = jnp.maximum(we + wn + alpha_t, 1e-12)
+            dlam = -(c_val + alpha_t * lam_e) / denom * m
+            new_lams.append(dlam[HALO : HALO + ny_local, :] + lams[o])
+            dx = dx + (-(we * dlam)) * n + st._shift((wn * dlam) * n, -di, -dj)
+        x3 = x3 + cfg.xpbd.relaxation * dx[:, HALO : HALO + ny_local, :] * cnt_inv
+        if cfg.collision.enable_plane:
+            contact = (x3[1] < plane_height) & movable[0]
+            x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
+        return (x3, tuple(new_lams)), None
+
+    # derive zeros from the sharded input so the scan carry keeps the
+    # shard_map varying-axis type ({V:rows}); plain jnp.zeros is replicated
+    lams0 = tuple(x3[0] * 0.0 for _ in xoffsets)
+    (x3, _), _ = jax.lax.scan(
+        iteration, (x3, lams0), None, length=cfg.xpbd.n_iterations
+    )
+    x3 = jnp.where(movable, x3, x_prev)
+    v3 = (x3 - x_prev) / dt
+    return x3, v3
+
+
+def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """Row-sharded XPBD stepping (see make_halo_step for the interface)."""
+    from ..kernels.stencil import _xpbd_offsets
+
+    ny, nx = top.grid_shape
+    n_dev = mesh.shape[ROWS_AXIS]
+    assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    xoffsets = _xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend)
+
+    spec = P(None, ROWS_AXIS, None)
+
+    def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps):
+        def local(x3b, v3b, imb, ph):
+            ny_local = x3b.shape[-2]
+            dev = jax.lax.axis_index(ROWS_AXIS)
+            # per-vertex constraint count over owned + owning edges,
+            # judged globally on the extended block then sliced
+            cnt = jnp.zeros((ny_local + 2 * HALO, nx), x3b.dtype)
+            for di, dj, _, _ in xoffsets:
+                m = _owned_mask_ext(ny_local, nx, ny, di, dj, dev)
+                cnt = cnt + m + st._shift(m[None], -di, -dj)[0]
+            cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
+
+            def body(carry, _):
+                xb, vb, = carry
+                lams = None
+                xb, vb = _halo_xpbd_substep(
+                    xb, vb, None, imb, xoffsets, cfg, dt, ph[0], ny,
+                    ROWS_AXIS, cnt_inv,
+                )
+                return (xb, vb), None
+
+            (xf, vf), _ = jax.lax.scan(body, (x3b, v3b), None, length=n_substeps)
+            return xf, vf
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P()),
+            out_specs=(spec, spec),
+        )(x3, v3, inv_mass3, plane_height)
+
+    return sharded_steps
