@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .core.config import SimConfig, Solver
+from .core.config import SimConfig
 from .core.state import State, make_state
 from .core.topology import HostTopology, Topology
 from .solver import step as _step_mod

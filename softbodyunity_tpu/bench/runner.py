@@ -14,8 +14,6 @@ import json
 import time
 from typing import Optional
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

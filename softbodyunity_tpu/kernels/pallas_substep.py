@@ -28,9 +28,6 @@ float64 oracle (oracle/reference.py substep_euler); tests assert equality.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -23,9 +23,6 @@ otherwise (kernels/dispatch.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import numpy as np
 
 import jax
@@ -33,7 +30,7 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.state import State
-from ..core.topology import EDGE_BEND, EDGE_SHEAR, EDGE_STRUCTURAL, Topology
+from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
 
 
 def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:

@@ -20,11 +20,6 @@ zero-padding never fabricates springs.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -170,7 +165,7 @@ def unshard_to_state(x3, v3, dt) -> State:
 # XPBD halo decomposition
 # ---------------------------------------------------------------------------
 
-def _halo_xpbd_substep(x3, v3, lams, inv_mass2, xoffsets, cfg, dt,
+def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
@@ -256,10 +251,9 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
 
             def body(carry, _):
-                xb, vb, = carry
-                lams = None
+                xb, vb = carry
                 xb, vb = _halo_xpbd_substep(
-                    xb, vb, None, imb, xoffsets, cfg, dt, ph[0], ny,
+                    xb, vb, imb, xoffsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, cnt_inv,
                 )
                 return (xb, vb), None

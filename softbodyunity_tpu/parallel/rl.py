@@ -16,8 +16,7 @@ shaping is task-specific and left to the caller (obs carry what's needed).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ whenever it covers enough of the edge list.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

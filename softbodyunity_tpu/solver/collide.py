@@ -9,7 +9,6 @@ branches become ``jnp.where`` masks (SURVEY.md C8/C9); semantics mirror
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
