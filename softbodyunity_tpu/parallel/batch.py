@@ -82,3 +82,39 @@ def rollout_batched(
         return out
 
     return impl(top, states)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_hetero_step(cfg: SimConfig, dt: float, n_substeps: int):
+    import dataclasses
+
+    def impl(top: Topology, states: State, sphere_centers, sphere_radii):
+        def fn(s, sc, sr):
+            t = dataclasses.replace(top, sphere_centers=sc, sphere_radii=sr)
+            return _step_mod.step_scan(t, cfg, s, dt, n_substeps)
+
+        return jax.vmap(fn, in_axes=(0, 0, 0))(states, sphere_centers, sphere_radii)
+
+    return jax.jit(impl)
+
+
+def step_batched_hetero(
+    top: Topology,
+    cfg: SimConfig,
+    states: State,
+    sphere_centers,
+    sphere_radii,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+) -> State:
+    """Batched stepping where every scene carries its OWN sphere colliders
+    (f32[B, S, 3] / f32[B, S]) — collider geometry is Topology array data,
+    so per-scene geometry is just a vmapped axis (the docstring promise on
+    core/topology.Topology, honored).  Domain-randomized RL setups move or
+    resize obstacles per scene without recompiling."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_hetero_step(cfg, dt, n)(
+        top, states, jnp.asarray(sphere_centers, jnp.float32),
+        jnp.asarray(sphere_radii, jnp.float32),
+    )

@@ -42,3 +42,31 @@ def test_batched_rollout_jittered_finite():
     assert np.isfinite(x).all()
     # jittered scenes actually diverge from each other
     assert np.abs(x[0] - x[1]).max() > 0.0
+
+
+def test_heterogeneous_sphere_colliders_per_scene():
+    """Each batched scene carries its own sphere geometry: scenes with the
+    sphere in the cloth's path deform around it; scenes with it far away
+    match the no-contact trajectory."""
+    import dataclasses
+
+    from softbodyunity_tpu.models import presets as _p
+
+    host, cfg = _p.build("cloth_hanging_sphere")
+    top, state = api.init(host)
+    B = 4
+    states = batch.batch_state(state, B)
+    centers = np.tile(np.asarray(top.sphere_centers)[None], (B, 1, 1)).astype(np.float32)
+    radii = np.tile(np.asarray(top.sphere_radii)[None], (B, 1)).astype(np.float32)
+    centers[2:] = 100.0  # scenes 2,3: sphere far away
+    out = states
+    for _ in range(30):
+        out = batch.step_batched_hetero(top, cfg, out, centers, radii)
+    x = np.asarray(out.x)
+    # scenes 0,1 identical; scenes 2,3 identical; the two groups differ
+    np.testing.assert_array_equal(x[0], x[1])
+    np.testing.assert_array_equal(x[2], x[3])
+    assert np.abs(x[0] - x[2]).max() > 1e-3
+    # contact scenes keep vertices outside their sphere
+    d = np.linalg.norm(x[0] - np.asarray(top.sphere_centers)[0], axis=1)
+    assert d.min() >= float(top.sphere_radii[0]) - 1e-5
