@@ -43,7 +43,9 @@ MAX_VMEM_VERTICES = 128 * 1024  # gate: state must fit in VMEM
 
 
 def _kroll(a: jax.Array, di: int, dj: int) -> jax.Array:
-    """out[i, j] = a[(i+di) % ny, (j+dj) % nx] — pure wrap-around roll.
+    """out[..., i, j] = a[..., (i+di) % ny, (j+dj) % nx] — wrap-around roll
+    over the last two axes (2D planes or stacked [3, ny, nx] arrays; one
+    3D roll is ~1.7x cheaper than three plane rolls, measured).
 
     No masking: every use multiplies the rolled value into a lane where the
     *edge-ownership mask* (applied once to ``fmag``) is already zero for
@@ -51,12 +53,14 @@ def _kroll(a: jax.Array, di: int, dj: int) -> jax.Array:
     — so wrapped garbage is always annihilated downstream.  This cuts the
     per-shift cost from roll+2 iota+4 cmp+select to a single roll.
     """
-    ny, nx = a.shape
+    ny, nx = a.shape[-2], a.shape[-1]
+    sub_axis = a.ndim - 2
+    lane_axis = a.ndim - 1
     out = a
     if di:
-        out = pltpu.roll(out, (-di) % ny, 0)  # roll requires shift >= 0
+        out = pltpu.roll(out, (-di) % ny, sub_axis)  # roll requires shift >= 0
     if dj:
-        out = pltpu.roll(out, (-dj) % nx, 1)
+        out = pltpu.roll(out, (-dj) % nx, lane_axis)
     return out
 
 
@@ -85,32 +89,29 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         # loop-invariant edge-ownership masks, hoisted out of the substep loop
         masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
 
-        def spring_forces(xs, vs):
-            f = [jnp.zeros((ny, nx), jnp.float32) for _ in range(3)]
+        def spring_forces(xst, vst):
+            # stacked [3, ny, nx] formulation: one 3D roll per shift
+            f = jnp.zeros((3, ny, nx), jnp.float32)
             for (di, dj, k, rest), mask in zip(offsets, masks):
-                xn = [_kroll(xs[c], di, dj) for c in range(3)]
-                vn = [_kroll(vs[c], di, dj) for c in range(3)]
-                d = [xn[c] - xs[c] for c in range(3)]
+                xn = _kroll(xst, di, dj)
+                vn = _kroll(vst, di, dj)
+                d = xn - xst
                 d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                 inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
                 length = d2 * inv_len          # = sqrt(d2)
-                n = [d[c] * inv_len for c in range(3)]
-                rel_v = (
-                    (vn[0] - vs[0]) * n[0]
-                    + (vn[1] - vs[1]) * n[1]
-                    + (vn[2] - vs[2]) * n[2]
-                )
+                n = d * inv_len[None]
+                dv = vn - vst
+                rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
                 fmag = (k * (length - rest) + damping * rel_v) * mask
-                for c in range(3):
-                    fo = fmag * n[c]
-                    f[c] = f[c] + fo - _kroll(fo, -di, -dj)
+                fo = fmag[None] * n
+                f = f + fo - _kroll(fo, -di, -dj)
             return f
 
         def substep(_, carry):
             x0, x1, x2, v0, v1, v2 = carry
             xs = (x0, x1, x2)
             vs = (v0, v1, v2)
-            f = spring_forces(xs, vs)
+            f = spring_forces(jnp.stack(xs), jnp.stack(vs))
             vz = []
             for c, gc in enumerate(g):
                 vc = (vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt)

@@ -119,30 +119,27 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int, dt: float
         cp_xi.wait()
         cp_vi.wait()
 
-        xw = [xs[c] for c in range(3)]   # [ext, nx] planes
-        vw = [vs[c] for c in range(3)]
+        xw = xs[:]                           # [3, ext, nx] stacked
+        vw = vs[:]
 
         # spring forces on the extended window (reactions from upper-halo
-        # owners land in the interior via the reverse roll; see halo.py)
-        f = [jnp.zeros((ext, nx), jnp.float32) for _ in range(3)]
+        # owners land in the interior via the reverse roll; see halo.py);
+        # stacked 3D rolls: one roll moves all three component planes
+        f = jnp.zeros((3, ext, nx), jnp.float32)
         for di, dj, k, rest in offsets:
             mask = _global_edge_mask(ext, nx, ny, row0, di, dj)
-            xn = [_kroll(xw[c], di, dj) for c in range(3)]
-            vn = [_kroll(vw[c], di, dj) for c in range(3)]
-            d = [xn[c] - xw[c] for c in range(3)]
+            xn = _kroll(xw, di, dj)
+            vn = _kroll(vw, di, dj)
+            d = xn - xw
             d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
             inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
             length = d2 * inv_len
-            n = [d[c] * inv_len for c in range(3)]
-            rel_v = (
-                (vn[0] - vw[0]) * n[0]
-                + (vn[1] - vw[1]) * n[1]
-                + (vn[2] - vw[2]) * n[2]
-            )
+            n = d * inv_len[None]
+            dv = vn - vw
+            rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
             fmag = (k * (length - rest) + damping * rel_v) * mask
-            for c in range(3):
-                fo = fmag * n[c]
-                f[c] = f[c] + fo - _kroll(fo, -di, -dj)
+            fo = fmag[None] * n
+            f = f + fo - _kroll(fo, -di, -dj)
 
         im = im_ref[:]                       # [tile, nx] interior inv-mass
         movable = im > 0.0
