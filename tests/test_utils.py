@@ -97,3 +97,17 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = checkpoint.load_orbax(path, mid)
     np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(mid.x))
     np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(mid.v))
+
+
+def test_api_rollout_records_trajectory():
+    """api.rollout: n frames scanned on-device, per-frame positions out."""
+    host, cfg = presets.build("cloth_32_euler")
+    top, state = api.init(host)
+    final, xs = api.rollout(top, cfg, state, n_steps=5, n_substeps=2)
+    assert xs.shape == (5, 1024, 3)
+    assert np.isfinite(np.asarray(xs)).all()
+    # last recorded frame equals the final state
+    np.testing.assert_array_equal(np.asarray(xs[-1]), np.asarray(final.x))
+    # the cloth is actually falling across frames
+    y_means = np.asarray(xs)[:, :, 1].mean(axis=1)
+    assert (np.diff(y_means) < 0).all()
