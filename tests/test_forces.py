@@ -135,3 +135,16 @@ def test_dense_mxu_stable_long_horizon_tpu():
     for _ in range(60):
         states = batch.step_batched(top, cfg, states)
     assert bool(jnp.isfinite(states.x).all())
+
+
+def test_hash_points_far_outside_grid_stay_finite(rng):
+    """Vertices spread far wider than grid_dim*cell_size clip into border
+    cells; forces must stay finite and pairs beyond the radius untouched."""
+    x = rng.uniform(-50.0, 50.0, size=(64, 3)).astype(np.float32)
+    p = SelfCollisionParams(radius=0.05, cell_size=0.05, grid_dim=8, max_per_cell=8)
+    f = hashgrid.self_collision_forces_hash(jnp.asarray(x), p)
+    assert np.isfinite(np.asarray(f)).all()
+    # widely separated points get zero force even when sharing clipped cells
+    far = np.linalg.norm(x[:, None] - x[None, :], axis=-1) + np.eye(64) * 1e9
+    if far.min() > p.radius:
+        np.testing.assert_array_equal(np.asarray(f), 0.0)

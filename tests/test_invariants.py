@@ -2,6 +2,8 @@
 plane non-penetration, energy decay, XPBD residual decrease, volume
 preservation."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -176,3 +178,23 @@ def test_moving_sphere_collider_no_recompile():
     d = np.linalg.norm(x - c[0], axis=1)
     assert d.min() >= 0.35 - 1e-5
     assert fn._cache_size() == 1, "moving the sphere must not retrace"
+
+
+def test_free_cloth_conserves_momentum():
+    """No gravity, no damping, no pins, no colliders: spring forces are
+    equal-and-opposite pairs, so net momentum is conserved (to f32 sum)."""
+    host = cloth_grid(10, 10, shear=True, bend=True)
+    cfg = SimConfig(
+        gravity=(0.0, 0.0, 0.0), global_damping=0.0,
+        springs=dataclasses.replace(SimConfig().springs, damping=0.0),
+        collision=CollisionParams(enable_plane=False),
+    )
+    top, state = api.init(host)
+    rng = np.random.default_rng(3)
+    v0 = 0.5 * rng.standard_normal(state.v.shape).astype(np.float32)
+    x0 = np.asarray(state.x) + 0.01 * rng.standard_normal(state.x.shape).astype(np.float32)
+    state = state.replace(x=jnp.asarray(x0), x_prev=jnp.asarray(x0), v=jnp.asarray(v0))
+    p0 = v0.sum(axis=0)  # unit masses
+    state = _run(top, cfg, state, 40)
+    p1 = np.asarray(state.v).sum(axis=0)
+    np.testing.assert_allclose(p1, p0, atol=2e-3)
