@@ -64,7 +64,7 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 
 
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
-                  plane_height, ny_global, axis_name):
+                  plane_height, ny_global, axis_name, spheres=None):
     """One Euler substep on a row-sharded block (inside shard_map)."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
     dev = jax.lax.axis_index(axis_name)
@@ -93,6 +93,13 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
+    x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres)
+    return x3, v3
+
+
+def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
+    """Velocity-level plane/sphere resolve on plane-layout blocks (the
+    collider geometry is global, so sharding needs no special handling)."""
     if cfg.collision.enable_plane:
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
@@ -103,17 +110,35 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
             [jnp.where(contact, v3[0] * fr, v3[0]), vy,
              jnp.where(contact, v3[2] * fr, v3[2])]
         )
+    if cfg.collision.enable_spheres and spheres is not None:
+        centers, radii = spheres
+        for si in range(radii.shape[0]):
+            c = centers[si].reshape(3, 1, 1)
+            d = x3 - c
+            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+            pen = radii[si] - dist
+            contact = (pen > 0.0) & movable[0]
+            n = d / jnp.maximum(dist, 1e-12)
+            x3 = x3 + jnp.where(contact, pen, 0.0) * n
+            vn = jnp.sum(v3 * n, axis=0)
+            inward = contact & (vn < 0.0)
+            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * vn, 0.0) * n
+            vn2 = jnp.sum(v3 * n, axis=0) * n
+            vt = v3 - vn2
+            v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
     return x3, v3
 
 
 def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
-    """Build a jittable row-sharded stepping function.
+    """Build a jittable row-sharded stepping function (semi-implicit Euler).
 
     Returns ``fn(x3, v3, inv_mass3, plane_height, dt, n_substeps)`` operating
     on plane-layout arrays ``f32[3, ny, nx]`` sharded ``P(None, ROWS_AXIS,
     None)``; use :func:`shard_grid_state` to produce them from a ``State``.
+    Sphere colliders are supported (geometry replicated — it is global).
     """
     ny, nx = top.grid_shape
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -122,18 +147,36 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     spec = P(None, ROWS_AXIS, None)
 
-    def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps):
-        def local(x3b, v3b, imb, ph):
+    def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
+                      sphere_centers=None, sphere_radii=None):
+        # sphere geometry arrives as replicated shard_map INPUTS, never jit
+        # closure constants (trace-time value fetches stall on this image)
+        def local(x3b, v3b, imb, ph, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
+
             def body(carry, _):
                 xb, vb = carry
                 xb, vb = _halo_substep(
-                    xb, vb, imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS
+                    xb, vb, imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
+                    spheres=spheres,
                 )
                 return (xb, vb), None
 
             (xf, vf), _ = jax.lax.scan(body, (x3b, v3b), None, length=n_substeps)
             return xf, vf
 
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError(
+                    "cfg enables spheres: pass sphere_centers/sphere_radii "
+                    "(e.g. top.sphere_centers, top.sphere_radii)"
+                )
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, P(), P(), P()),
+                out_specs=(spec, spec),
+            )(x3, v3, inv_mass3, plane_height, sphere_centers, sphere_radii)
         return jax.shard_map(
             local,
             mesh=mesh,

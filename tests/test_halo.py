@@ -107,3 +107,33 @@ def test_halo_xpbd_matches_single_device(n_dev):
     assert np.isfinite(x).all()
     assert x[:, 1].min() >= -0.5 - 1e-6
     assert np.abs(np.asarray(got2.v)).max() < 5.0
+
+
+def test_halo_sphere_collider_matches_single_device():
+    import dataclasses
+
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True, friction=0.2),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 32, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-3.0,
+        sphere_centers=np.array([[0.4, -0.8, 0.0]]),
+        sphere_radii=np.array([0.3]),
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(halo.make_halo_step(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf = sharded(x3, v3, im3, ph, cfg.dt, 160,
+                     top.sphere_centers, top.sphere_radii)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    ref_fn = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 160))
+    want = ref_fn(top, state)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x), atol=5e-5)
+    # cloth actually touches the sphere in this scene
+    d = np.linalg.norm(np.asarray(got.x) - np.array([0.4, -0.8, 0.0]), axis=1)
+    assert d.min() <= 0.301
