@@ -268,6 +268,94 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     return x3, v3
 
 
+def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
+                         plane_height, ny_global, axis_name, spheres=None):
+    """One position-Verlet substep on a row-sharded block (oracle
+    substep_verlet semantics; halo forces as in _halo_substep)."""
+    ny_local, nx = x3.shape[-2], x3.shape[-1]
+    dev = jax.lax.axis_index(axis_name)
+    v_est = (x3 - xp3) / dt
+    xe = _exchange_halo(x3, axis_name)
+    ve = _exchange_halo(v_est, axis_name)
+    f = jnp.zeros_like(xe)
+    for di, dj, k, rest in offsets:
+        xn = st._shift(xe, di, dj)
+        vn = st._shift(ve, di, dj)
+        d = xn - xe
+        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        inv_len = 1.0 / jnp.maximum(length, 1e-12)
+        n = d * inv_len
+        rel_v = jnp.sum((vn - ve) * n, axis=0)
+        mask = _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev)
+        fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
+        fo = fmag * n
+        f = f + fo - st._shift(fo, -di, -dj)
+    f = f[:, HALO : HALO + ny_local, :]
+
+    movable = inv_mass2 > 0.0
+    g = jnp.asarray(cfg.gravity).astype(x3.dtype).reshape(3, 1, 1)
+    accel = g + f * inv_mass2
+    x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = jnp.where(movable, x_new, x3)
+    # position-only projection (Verlet path, oracle project_positions_only)
+    if cfg.collision.enable_plane:
+        contact = (x_new[1] < plane_height) & movable[0]
+        x_new = x_new.at[1].set(jnp.where(contact, plane_height, x_new[1]))
+    if cfg.collision.enable_spheres and spheres is not None:
+        centers, radii = spheres
+        for si in range(radii.shape[0]):
+            c = centers[si].reshape(3, 1, 1)
+            d = x_new - c
+            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+            pen = radii[si] - dist
+            contact = (pen > 0.0) & movable[0]
+            n = d / jnp.maximum(dist, 1e-12)
+            x_new = x_new + jnp.where(contact, pen, 0.0) * n
+    return x_new, x3
+
+
+def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """Row-sharded position-Verlet stepping; interface as make_halo_step but
+    carries (x, x_prev) and returns (x, v=(x - x_prev)/dt)."""
+    ny, nx = top.grid_shape
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    n_dev = mesh.shape[ROWS_AXIS]
+    assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    offsets = st._offsets(cfg, top.grid_spacing, has_shear, has_bend)
+    spec = P(None, ROWS_AXIS, None)
+
+    def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
+                      sphere_centers=None, sphere_radii=None):
+        def local(x3b, xp3b, imb, ph, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
+
+            def body(carry, _):
+                xb, xpb = carry
+                xb, xpb = _halo_verlet_substep(
+                    xb, xpb, imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
+                    spheres=spheres,
+                )
+                return (xb, xpb), None
+
+            (xf, xpf), _ = jax.lax.scan(body, (x3b, xp3b), None, length=n_substeps)
+            return xf, (xf - xpf) / dt
+
+        args = (x3, xp3, inv_mass3, plane_height)
+        specs = (spec, spec, spec, P())
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError("cfg enables spheres: pass sphere geometry")
+            args += (sphere_centers, sphere_radii)
+            specs += (P(), P())
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+        )(*args)
+
+    return sharded_steps
+
+
 def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Row-sharded XPBD stepping (see make_halo_step for the interface)."""
     from ..kernels.stencil import _xpbd_offsets

@@ -137,3 +137,30 @@ def test_halo_sphere_collider_matches_single_device():
     # cloth actually touches the sphere in this scene
     d = np.linalg.norm(np.asarray(got.x) - np.array([0.4, -0.8, 0.0]), axis=1)
     assert d.min() <= 0.301
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_verlet_matches_single_device(n_dev):
+    from softbodyunity_tpu.core.config import Solver
+
+    cfg = SimConfig(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 32, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-0.5, orientation="xy",
+    )
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(halo.make_halo_verlet_step(top, cfg, mesh), static_argnums=(5,))
+    x3, _, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xp3 = x3  # rest start: x_prev == x
+    xf, vf = sharded(x3, xp3, im3, ph, cfg.dt, 64)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    ref_fn = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    want = ref_fn(top, state)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=2e-3)
