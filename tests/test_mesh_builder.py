@@ -114,3 +114,44 @@ def test_pinned_mesh_vertex_stays():
     for _ in range(30):
         state = api.step(top, cfg, state)
     np.testing.assert_array_equal(np.asarray(state.x)[pinned], x0[pinned])
+
+
+def test_mesh_builder_xpbd_solver():
+    """Irregular meshes run under the XPBD solver (general/banded paths),
+    matching the oracle in f64."""
+    import jax
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+
+    pts, tris = _irregular_disc(n_rings=4, segs=8)
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=4, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True),
+    )
+    host = from_triangle_mesh(
+        pts, tris, pinned_ids=(0,), springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-0.4,
+    )
+    jax.config.update("jax_enable_x64", True)
+    top, state = api.init(host, dtype=jnp.float64)
+    x, v, xp = host.positions0.copy(), np.zeros_like(host.positions0), host.positions0.copy()
+    s = state
+    for _ in range(30):
+        x, v, xp = oracle.step(host, cfg, x, v, xp)
+        s = api.step(top, cfg, s)
+    drift = np.max(np.abs(np.asarray(s.x) - x))
+    assert drift < 1e-6, f"irregular-mesh XPBD f64 drift {drift:.2e}"
+
+
+def test_degenerate_rope_grid():
+    """nx=2 'rope' grids (no shear/bend room) must build and simulate."""
+    host = cloth_grid(2, 30, spacing=0.05, shear=True, bend=True,
+                      pinned=("tl", "tr"), orientation="xy", plane_height=-3.0)
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True))
+    top, state = api.init(host)
+    for _ in range(30):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() < -0.5, "rope actually hangs down"
