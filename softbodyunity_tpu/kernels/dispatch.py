@@ -11,9 +11,18 @@ from __future__ import annotations
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if top.n_tets > 0:
+        # volumetric lattices: fused Pallas lattice kernel (Mosaic-only —
+        # no XLA-level stencil twin; the banded jnp path is the fallback)
+        if backend == "pallas":
+            from .pallas_lattice import lattice_applicable, make_lattice_step
+
+            if lattice_applicable(top, cfg):
+                return make_lattice_step(top, cfg)
+        return None
     if top.grid_shape is None or top.grid_spacing is None:
         return None
-    if cfg.self_collision.enabled or top.n_tets > 0:
+    if cfg.self_collision.enabled:
         return None
     # fused Pallas kernels cover Euler and XPBD; Verlet takes the stencil path
     if backend == "pallas" and cfg.solver == Solver.VERLET:

@@ -1,0 +1,355 @@
+"""Fused Pallas substep kernel for banded lattices — the volumetric hot loop.
+
+The tet-cube preset (BASELINE.json:10 "tet-mesh edge springs +
+volume-preservation constraint") is delta-banded with zero residual: every
+spring is one of ~9 flat index deltas and every tet one of ~10 delta
+patterns (solver/banded.py groups them at build time).  This kernel fuses
+the whole Euler substep — banded spring forces, integration, banded PBD
+volume projection, plane/sphere collision — into ONE VMEM-resident Pallas
+program running all ``n_substeps``, exactly the transformation
+kernels/pallas_substep.py applies to grid cloth.
+
+The state lives as ``[3, S, 128]`` planes (flat vertex axis folded to
+sublane x lane).  A *flat* roll by delta ``d`` decomposes into one lane
+roll plus two sublane rolls and a lane-boundary select::
+
+    d = q*128 + r
+    out[s, l] = x[s + q, l + r]          if l + r < 128
+              = x[s + q + 1, l + r - 128] otherwise
+
+(`_flat_roll`), so the per-edge/per-tet gather of the reference's inner
+loop is pure VPU register traffic — no gathers, no scatters, no pad
+materialization.  Wrapped lanes always multiply into mask-zeroed positions
+(same annihilation argument as solver/banded.py).
+
+Per-group stiffness/rest/rest-volume are uniform for lattice meshes and are
+burned in as compile-time scalars (OffsetGroups.uniform /
+TetGroups.uniform_rest_volume); only the 0/1 ownership masks travel to VMEM.
+
+Physics semantics are identical to solver/step.py::substep_euler on the
+banded path and therefore to the float64 oracle; tests assert equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import SimConfig, Solver
+from ..core.state import State
+from ..core.topology import Topology
+
+LANES = 128
+# VMEM budget: persistent planes (state in/out, masks, cnt) plus Mosaic's
+# scoped stack for the unrolled tet-group loop (~150 plane-equivalents
+# measured at 64k: 35.6M stack / 256K per plane); v5e has 128M physical.
+MAX_VMEM_BYTES = 100 * 1024 * 1024
+_STACK_PLANES = 150
+
+
+def _flat_roll(a: jax.Array, d: int, s_dim: int) -> jax.Array:
+    """out[..., s, l] = a_flat[(s*128 + l + d) mod (S*128)] over the folded
+    last-two axes.  ``d`` may be negative (normalized mod S*128)."""
+    ntot = s_dim * LANES
+    dn = d % ntot
+    if dn == 0:
+        return a
+    q, r = divmod(dn, LANES)
+    sub_axis = a.ndim - 2
+    lane_axis = a.ndim - 1
+    if r == 0:
+        return pltpu.roll(a, (-q) % s_dim, sub_axis)
+    lane_rolled = pltpu.roll(a, LANES - r, lane_axis)   # lane index + r
+    lo = pltpu.roll(lane_rolled, (-q) % s_dim, sub_axis)        # sub + q
+    hi = pltpu.roll(lo, s_dim - 1, sub_axis)                    # sub + q + 1
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (s_dim, LANES), 1)
+    return jnp.where(lanes < LANES - r, lo, hi)
+
+
+def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
+    """Static gate for the fused lattice kernel: fully banded topology with
+    uniform per-group parameters, Euler solver, VMEM-sized."""
+    g = top.offset_groups
+    t = top.tet_groups
+    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+        return False
+    if cfg.self_collision.enabled:
+        return False
+    if g is None or len(g.deltas) == 0 or g.n_residual > 0:
+        return False
+    if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
+        return False
+    if t is None or t.n_residual > 0:
+        return False
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    if use_volume and (
+        any(u is None for u in t.uniform_rest_volume)
+        or len(t.uniform_rest_volume) != len(t.deltas)
+    ):
+        return False
+    if top.inv_mass.dtype != jnp.float32:
+        return False
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+    n_groups = len(g.deltas) + (len(t.deltas) if use_volume else 0)
+    # persistent: 6 state in + 6 out + masks + im + cnt; transient: stack
+    planes = 14 + n_groups + _STACK_PLANES
+    if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
+        return False
+    return True
+
+
+def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
+                 dt: float, n_substeps: int, n_spheres: int):
+    """egroups: ((delta, k, rest), ...); tgroups: (((d1,d2,d3), rest_vol), ...)."""
+    g = cfg.gravity
+    damping = cfg.springs.damping
+    gdamp = cfg.global_damping
+    restitution = cfg.collision.restitution
+    friction = cfg.collision.friction
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    vol_stiff = cfg.volume_stiffness
+    use_volume = len(tgroups) > 0 and vol_stiff != 0.0
+
+    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, em_ref, tm_ref,
+               xo_ref, vo_ref):
+        im = im_ref[:]                       # [S, 128] inv mass
+        movable = im > 0.0
+        plane_y = plane_ref[0, 0]
+
+        # loop-invariant per-vertex tet count (oracle count-averaging)
+        if use_volume:
+            cnt = jnp.zeros((s_dim, LANES), jnp.float32)
+            for gi, ((d1, d2, d3), _) in enumerate(tgroups):
+                m = tm_ref[gi]
+                cnt = (cnt + m + _flat_roll(m, -d1, s_dim)
+                       + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
+            inv_cnt_vs = vol_stiff / jnp.maximum(cnt, 1.0)
+
+        def spring_forces(xst, vst):
+            f = jnp.zeros((3, s_dim, LANES), jnp.float32)
+            for gi, (delta, k, rest) in enumerate(egroups):
+                xb = _flat_roll(xst, delta, s_dim)
+                vb = _flat_roll(vst, delta, s_dim)
+                d = xb - xst
+                d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+                length = d2 * inv_len
+                n = d * inv_len[None]
+                dv = vb - vst
+                rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
+                fmag = (k * (length - rest) + damping * rel_v) * em_ref[gi]
+                fo = fmag[None] * n
+                f = f + fo - _flat_roll(fo, -delta, s_dim)
+            return f
+
+        def volume_dx(xst):
+            """Banded PBD volume projection (solver/banded.py twin)."""
+            dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
+            for gi, ((d1, d2, d3), rest_vol) in enumerate(tgroups):
+                m = tm_ref[gi]
+                p1 = _flat_roll(xst, d1, s_dim)
+                p2 = _flat_roll(xst, d2, s_dim)
+                p3 = _flat_roll(xst, d3, s_dim)
+                e1 = p1 - xst
+                e2 = p2 - xst
+                e3 = p3 - xst
+
+                def cross(a, b):
+                    return jnp.stack([
+                        a[1] * b[2] - a[2] * b[1],
+                        a[2] * b[0] - a[0] * b[2],
+                        a[0] * b[1] - a[1] * b[0],
+                    ])
+
+                c12 = cross(e1, e2)
+                g1 = cross(e2, e3) * (1.0 / 6.0)
+                g2 = cross(e3, e1) * (1.0 / 6.0)
+                g3 = c12 * (1.0 / 6.0)
+                g0 = -(g1 + g2 + g3)
+                vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
+                c_val = vol - rest_vol
+                w1 = _flat_roll(im, d1, s_dim)
+                w2 = _flat_roll(im, d2, s_dim)
+                w3 = _flat_roll(im, d3, s_dim)
+                denom = (
+                    im * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
+                    + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
+                    + w2 * (g2[0] * g2[0] + g2[1] * g2[1] + g2[2] * g2[2])
+                    + w3 * (g3[0] * g3[0] + g3[1] * g3[1] + g3[2] * g3[2])
+                )
+                s = m * (-c_val) / jnp.maximum(denom, 1e-12)
+                dx = dx + (im * s)[None] * g0
+                dx = dx + _flat_roll((w1 * s)[None] * g1, -d1, s_dim)
+                dx = dx + _flat_roll((w2 * s)[None] * g2, -d2, s_dim)
+                dx = dx + _flat_roll((w3 * s)[None] * g3, -d3, s_dim)
+            return dx
+
+        def substep(_, carry):
+            x0, x1, x2, v0, v1, v2 = carry
+            xs = jnp.stack((x0, x1, x2))
+            vs = jnp.stack((v0, v1, v2))
+            f = spring_forces(xs, vs)
+            vz = []
+            for c, gc in enumerate(g):
+                vc = ((vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt))
+                vz.append(jnp.where(movable, vc, 0.0))
+            xz = [xs[c] + dt * vz[c] for c in range(3)]
+            if use_volume:
+                dxs = volume_dx(jnp.stack(xz))
+                for c in range(3):
+                    dxc = jnp.where(movable, dxs[c] * inv_cnt_vs, 0.0)
+                    xz[c] = xz[c] + dxc
+                    vz[c] = vz[c] + dxc * (1.0 / dt)
+            if plane_on:
+                contact = (xz[1] < plane_y) & movable
+                xz[1] = jnp.where(contact, plane_y, xz[1])
+                vy = vz[1]
+                vz[1] = jnp.where(
+                    contact, jnp.where(vy < 0.0, -restitution * vy, vy), vy
+                )
+                fr = 1.0 - friction
+                vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
+                vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+            if spheres_on:
+                # mirror solver/collide.py::_resolve_one_sphere per sphere
+                for si in range(n_spheres):
+                    cs = [sph_ref[si, c] for c in range(3)]
+                    radius = sph_ref[si, 3]
+                    d = [xz[c] - cs[c] for c in range(3)]
+                    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
+                    dist = dist2 * inv_dist
+                    pen = radius - dist
+                    contact = (pen > 0.0) & movable
+                    nrm = [d[c] * inv_dist for c in range(3)]
+                    pen_pos = jnp.where(contact, pen, 0.0)
+                    xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
+                    vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+                    inward = contact & (vn < 0.0)
+                    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+                    vz = [vz[c] - rem * nrm[c] for c in range(3)]
+                    vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+                    fr = 1.0 - friction
+                    vz = [
+                        jnp.where(
+                            contact,
+                            vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr,
+                            vz[c],
+                        )
+                        for c in range(3)
+                    ]
+            return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
+
+        init = (
+            x_ref[0], x_ref[1], x_ref[2],
+            v_ref[0], v_ref[1], v_ref[2],
+        )
+        # unroll=1: Mosaic otherwise unrolls static trip counts and the
+        # per-iteration stack allocations exceed the 16M VMEM scope
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
+        xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
+        vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "egroups", "tgroups", "dt", "n_substeps", "interpret"),
+)
+def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
+                             cfg, egroups, tgroups, dt, n_substeps,
+                             interpret=False):
+    s_dim = x3.shape[-2]
+    n_spheres = spheres.shape[0]
+    kernel = _make_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
+                          n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    n_el = s_dim * LANES
+    flops_per_sub = 3 * n_el * (len(egroups) * 30 + len(tgroups) * 70)
+    xo, vo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_substeps * flops_per_sub,
+            bytes_accessed=4 * 3 * n_el * 4 + (emask.size + tmask.size) * 4,
+            transcendentals=n_substeps * n_el * len(egroups),
+        ),
+        # the tet-volume group loop keeps more transient planes live than
+        # Mosaic's default 16M scoped-vmem budget; v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(plane_h.reshape(1, 1), sph, x3, v3, im2, emask, tmask)
+    return xo, vo
+
+
+def _fold(a: jax.Array, s_dim: int) -> jax.Array:
+    """[..., N] -> zero-padded [..., S, 128]."""
+    n = a.shape[-1]
+    pad = s_dim * LANES - n
+    if pad:
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        a = jnp.pad(a, widths)
+    return a.reshape(a.shape[:-1] + (s_dim, LANES))
+
+
+def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` running the fused
+    lattice kernel.  Callers must gate on :func:`lattice_applicable`."""
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        (delta, k, rest)
+        for delta, (k, rest, _alpha) in zip(g.deltas, g.uniform)
+    )
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    tgroups = tuple(
+        (pattern, rv)
+        for pattern, rv in zip(t.deltas, t.uniform_rest_volume)
+    ) if use_volume else ()
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = _fold(state.x.T, s_dim)
+        v3 = _fold(state.v.T, s_dim)
+        im2 = _fold(top.inv_mass, s_dim)
+        emask = _fold(g.mask, s_dim)
+        tmask = (_fold(t.mask, s_dim) if use_volume
+                 else jnp.zeros((1, s_dim, LANES), jnp.float32))
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
+        xo, vo = _pallas_lattice_substeps(
+            x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T[:n]
+        v = vo.reshape(3, -1).T[:n]
+        return State(x=x, v=v, x_prev=x - dt * v)
+
+    return fn

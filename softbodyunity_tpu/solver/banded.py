@@ -24,7 +24,7 @@ whenever it covers enough of the edge list.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -54,6 +54,12 @@ class OffsetGroups:
     deltas: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # per-group (k, rest, compliance) when constant across the group, else
+    # None — recorded host-side at build time so fused kernels can burn the
+    # scalars in statically instead of carrying [G, N] planes in VMEM
+    uniform: Tuple[Optional[Tuple[float, float, float]], ...] = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     @property
     def n_residual(self) -> int:
@@ -80,6 +86,7 @@ def build_offset_groups(
     r_pl = np.zeros((max(g, 1), n), np.float64)
     c_pl = np.zeros((max(g, 1), n), np.float64)
     banded = np.zeros(edges.shape[0], bool)
+    uniform = []
     for gi, d in enumerate(banded_deltas):
         sel = delta == d
         banded |= sel
@@ -88,6 +95,16 @@ def build_offset_groups(
         k_pl[gi, ai] = stiffness[sel]
         r_pl[gi, ai] = rest[sel]
         c_pl[gi, ai] = compliance[sel]
+        ks, rs, cs = (
+            np.unique(stiffness[sel].astype(np.float32)),
+            np.unique(rest[sel].astype(np.float32)),
+            np.unique(compliance[sel].astype(np.float32)),
+        )
+        uniform.append(
+            (float(ks[0]), float(rs[0]), float(cs[0]))
+            if len(ks) == 1 and len(rs) == 1 and len(cs) == 1
+            else None
+        )
     resid = ~banded
     return OffsetGroups(
         mask=jnp.asarray(mask, jnp.float32),
@@ -98,6 +115,7 @@ def build_offset_groups(
         residual_rest=jnp.asarray(rest[resid], jnp.float32),
         residual_stiffness=jnp.asarray(stiffness[resid], jnp.float32),
         deltas=tuple(banded_deltas),
+        uniform=tuple(uniform),
     )
 
 
@@ -182,6 +200,11 @@ class TetGroups:
     deltas: Tuple[Tuple[int, int, int], ...] = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # per-group rest volume when constant across the group, else None
+    # (lattice tets of one delta pattern are congruent => always uniform)
+    uniform_rest_volume: Tuple[Optional[float], ...] = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     @property
     def n_residual(self) -> int:
@@ -209,12 +232,15 @@ def build_tet_groups(n: int, tets: np.ndarray, rest_volume: np.ndarray,
     rv = np.zeros((max(g, 1), n), np.float64)
     banded = np.zeros(tets.shape[0], bool)
     deltas = []
+    uniform_rv = []
     for gi, pi in enumerate(keep):
         sel = inverse == pi
         banded |= sel
         mask[gi, t0[sel]] = 1.0
         rv[gi, t0[sel]] = rest_volume[sel]
         deltas.append(tuple(int(x) for x in patterns[pi]))
+        rvs = np.unique(rest_volume[sel].astype(np.float32))
+        uniform_rv.append(float(rvs[0]) if len(rvs) == 1 else None)
     resid = ~banded
     return TetGroups(
         mask=jnp.asarray(mask, jnp.float32),
@@ -222,6 +248,7 @@ def build_tet_groups(n: int, tets: np.ndarray, rest_volume: np.ndarray,
         residual_tets=jnp.asarray(tets[resid], jnp.int32),
         residual_rest_volume=jnp.asarray(rest_volume[resid], jnp.float32),
         deltas=tuple(deltas),
+        uniform_rest_volume=tuple(uniform_rv),
     )
 
 
