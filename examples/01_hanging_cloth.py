@@ -15,13 +15,13 @@ import softbodyunity_tpu as sb
 from softbodyunity_tpu.utils import meshio
 
 
-def main(out_dir="/tmp/cloth_demo"):
+def main(out_dir="/tmp/cloth_demo", n_frames=90):
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     host, cfg = sb.presets.build("cloth_hanging_sphere")
     top, state = sb.init(host)
-    for frame in range(90):                      # 1.5 s at 60 fps
+    for frame in range(n_frames):            # default 1.5 s at 60 fps
         state = sb.step(top, cfg, state)
         if frame % 10 == 0:
             meshio.write_obj(f"{out_dir}/frame_{frame:03d}.obj", top, state)

@@ -18,17 +18,17 @@ from softbodyunity_tpu.parallel.rl import EnvSpec, BatchedClothEnv
 from softbodyunity_tpu import api
 
 
-def main():
+def main(batch=1024, n_frames=30):
     host, cfg = sb.presets.build("cloth_batch_rl")
     top, rest = api.init(host)
     spec = EnvSpec(handle_ids=(240, 255), obs_ids=tuple(range(0, 256, 16)),
-                   batch=1024)
+                   batch=batch)
     env = BatchedClothEnv(top, cfg, rest, spec)
 
     def policy(obs):                             # lift the free corners
         return jnp.full(env.action_shape, 2.0) * jnp.array([0.0, 1.0, 0.0])
 
-    states, obs = env.rollout(jax.random.PRNGKey(0), policy, n_frames=30)
+    states, obs = env.rollout(jax.random.PRNGKey(0), policy, n_frames=n_frames)
     print("rollout done:", states.x.shape, "obs", obs.shape,
           "mean height", float(states.x[..., 1].mean()))
 

@@ -13,11 +13,11 @@ import softbodyunity_tpu as sb
 from softbodyunity_tpu.utils import meshio, profiling
 
 
-def main(out_dir="/tmp/cube_demo"):
+def main(out_dir="/tmp/cube_demo", n_frames=120):
     os.makedirs(out_dir, exist_ok=True)
     host, cfg = sb.presets.build("softbody_cube")
     top, state = sb.init(host)
-    for frame in range(120):
+    for frame in range(n_frames):
         state = sb.step(top, cfg, state)
         if frame % 15 == 0:
             meshio.write_obj(f"{out_dir}/cube_{frame:03d}.obj", top, state)

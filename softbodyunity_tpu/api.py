@@ -32,14 +32,22 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
     f32 = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
     i32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.int32)
     n = host.positions0.shape[0]
-    groups = build_offset_groups(
-        n, np.asarray(host.edges),
-        np.asarray(host.rest_length), np.asarray(host.edge_stiffness),
-        np.asarray(host.edge_compliance),
-    )
-    tgroups = build_tet_groups(
-        n, np.asarray(host.tets), np.asarray(host.rest_volume)
-    )
+    # Large structured grids always dispatch to the stencil/Pallas fast
+    # paths and never read the banded planes — skip building the four
+    # [G, N] planes (~150 MB HBM + host time for the 1M preset).
+    build_banded = host.grid_shape is None or n <= 65536
+    if build_banded:
+        groups = build_offset_groups(
+            n, np.asarray(host.edges),
+            np.asarray(host.rest_length), np.asarray(host.edge_stiffness),
+            np.asarray(host.edge_compliance),
+        )
+        tgroups = build_tet_groups(
+            n, np.asarray(host.tets), np.asarray(host.rest_volume)
+        )
+    else:
+        groups = None
+        tgroups = None
     return Topology(
         offset_groups=groups,
         tet_groups=tgroups,
@@ -112,6 +120,22 @@ def step(
     return _compiled_step(cfg, dt, n)(top, state)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_rollout(cfg: SimConfig, dt: float, n_substeps: int, n_steps: int):
+    """One jitted executable per rollout signature — repeated rollouts must
+    not retrace/recompile the full n_steps scan (the remote compile helper
+    on this image wedges after repeated large compiles)."""
+
+    def impl(top, state):
+        def body(s, _):
+            s2 = _dispatch_step(top, cfg, s, dt, n_substeps)
+            return s2, s2.x
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(impl)
+
+
 def rollout(
     top: Topology,
     cfg: SimConfig,
@@ -123,16 +147,7 @@ def rollout(
     """Scan ``n_steps`` frames on-device; returns (final_state, xs[n_steps,N,3])."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
-
-    @functools.partial(jax.jit, static_argnums=())
-    def impl(top, state):
-        def body(s, _):
-            s2 = _dispatch_step(top, cfg, s, dt, n)
-            return s2, s2.x
-
-        return jax.lax.scan(body, state, None, length=n_steps)
-
-    return impl(top, state)
+    return _compiled_rollout(cfg, dt, n, int(n_steps))(top, state)
 
 
 def normals(top: Topology, state: State) -> jax.Array:

@@ -1,11 +1,23 @@
-"""Backend dispatch: route structured-grid scenes to fast kernels.
+"""Backend dispatch: route structured scenes to fast kernels.
 
 Returns None when no fast path applies (caller falls back to the general
-jnp path).  The stencil / Pallas fast paths land in
-kernels/stencil.py and kernels/pallas_substep.py.
+jnp path).  A requested ``pallas`` backend that degrades to a slower path
+is reported ONCE on stderr — a mis-gated kernel regression must never hide
+behind green tests as a silent 10-100x perf cliff (tests additionally
+assert that the benchmark presets lower to a ``pallas_call``).
 """
 
 from __future__ import annotations
+
+import sys
+
+_warned: set = set()
+
+
+def _warn_once(key, msg):
+    if key not in _warned:
+        _warned.add(key)
+        print(f"softbodyunity_tpu: {msg}", file=sys.stderr, flush=True)
 
 
 def maybe_fast_step(top, cfg, backend):
@@ -19,31 +31,50 @@ def maybe_fast_step(top, cfg, backend):
 
             if lattice_applicable(top, cfg):
                 return make_lattice_step(top, cfg)
+            _warn_once(
+                ("lattice", top.n_vertices, cfg.solver),
+                f"pallas requested but the lattice kernel is not applicable "
+                f"(solver={cfg.solver.name}, n={top.n_vertices}); using the "
+                f"banded jnp path",
+            )
         return None
     if top.grid_shape is None or top.grid_spacing is None:
         return None
     if cfg.self_collision.enabled:
         return None
-    # fused Pallas kernels cover Euler and XPBD; Verlet takes the stencil path
-    if backend == "pallas" and cfg.solver == Solver.VERLET:
-        backend = "stencil"
-    try:
-        if backend == "stencil":
-            from .stencil import make_stencil_step
-            return make_stencil_step(top, cfg)
-        if backend == "pallas":
+    ny, nx = top.grid_shape
+    if backend == "pallas":
+        try:
+            from .pallas_substep import (
+                MAX_VMEM_VERTICES,
+                make_pallas_step,
+                make_pallas_verlet_step,
+            )
+
             if cfg.solver == Solver.XPBD:
+                if ny * nx > MAX_VMEM_VERTICES:
+                    from .pallas_tiled import make_tiled_xpbd_step
+                    return make_tiled_xpbd_step(top, cfg)
                 from .pallas_xpbd import make_pallas_xpbd_step
                 return make_pallas_xpbd_step(top, cfg)
-            from .pallas_substep import MAX_VMEM_VERTICES, make_pallas_step
-
-            ny, nx = top.grid_shape
+            if cfg.solver == Solver.VERLET:
+                if ny * nx > MAX_VMEM_VERTICES:
+                    raise ValueError("no tiled Verlet kernel yet")
+                return make_pallas_verlet_step(top, cfg)
             if ny * nx > MAX_VMEM_VERTICES:
-                # beyond VMEM capacity: row-tiled kernel (plane-only)
+                # beyond VMEM capacity: row-tiled kernel
                 from .pallas_tiled import make_tiled_step
                 return make_tiled_step(top, cfg)
             return make_pallas_step(top, cfg)
-    except (ImportError, ValueError):
-        # kernel preconditions unmet (size/collider gates) -> general path
-        return None
+        except (ImportError, ValueError) as e:
+            # kernel preconditions unmet (size/collider gates)
+            _warn_once(
+                ("grid", top.grid_shape, cfg.solver, str(e)),
+                f"pallas requested but unavailable for this grid scene "
+                f"({e}); falling back to the XLA stencil path",
+            )
+            backend = "stencil"
+    if backend == "stencil":
+        from .stencil import make_stencil_step
+        return make_stencil_step(top, cfg)
     return None

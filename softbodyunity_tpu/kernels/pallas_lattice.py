@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig, Solver
 from ..core.state import State
 from ..core.topology import Topology
+from .pallas_substep import _resolve_spheres_velocity
 
 LANES = 128
 # VMEM budget: persistent planes (state in/out, masks, cnt) plus Mosaic's
@@ -132,6 +133,9 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
             inv_cnt_vs = vol_stiff / jnp.maximum(cnt, 1.0)
 
         def spring_forces(xst, vst):
+            # NB a merged [6, S, 128] x+v roll was measured SLOWER (14.1k
+            # vs 20.1k substeps/s): the concat+slice costs more than the
+            # extra roll.  Keep two stacked 3-plane rolls.
             f = jnp.zeros((3, s_dim, LANES), jnp.float32)
             for gi, (delta, k, rest) in enumerate(egroups):
                 xb = _flat_roll(xst, delta, s_dim)
@@ -217,33 +221,9 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
                 vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
             if spheres_on:
-                # mirror solver/collide.py::_resolve_one_sphere per sphere
-                for si in range(n_spheres):
-                    cs = [sph_ref[si, c] for c in range(3)]
-                    radius = sph_ref[si, 3]
-                    d = [xz[c] - cs[c] for c in range(3)]
-                    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-                    inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
-                    dist = dist2 * inv_dist
-                    pen = radius - dist
-                    contact = (pen > 0.0) & movable
-                    nrm = [d[c] * inv_dist for c in range(3)]
-                    pen_pos = jnp.where(contact, pen, 0.0)
-                    xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
-                    vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
-                    inward = contact & (vn < 0.0)
-                    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
-                    vz = [vz[c] - rem * nrm[c] for c in range(3)]
-                    vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
-                    fr = 1.0 - friction
-                    vz = [
-                        jnp.where(
-                            contact,
-                            vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr,
-                            vz[c],
-                        )
-                        for c in range(3)
-                    ]
+                xz, vz = _resolve_spheres_velocity(
+                    xz, vz, movable, sph_ref, n_spheres, restitution, friction
+                )
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (

@@ -72,6 +72,72 @@ def _edge_mask(ny: int, nx: int, di: int, dj: int) -> jax.Array:
     return ok.astype(jnp.float32)
 
 
+def _spring_forces_stacked(xst, vst, offsets, masks, damping, ny, nx):
+    """Hooke + axial damper on stacked [3, ny, nx] planes — the shared
+    stencil core of the fused Euler and Verlet kernels."""
+    f = jnp.zeros((3, ny, nx), jnp.float32)
+    for (di, dj, k, rest), mask in zip(offsets, masks):
+        xn = _kroll(xst, di, dj)
+        vn = _kroll(vst, di, dj)
+        d = xn - xst
+        d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+        length = d2 * inv_len          # = sqrt(d2)
+        n = d * inv_len[None]
+        dv = vn - vst
+        rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
+        fmag = (k * (length - rest) + damping * rel_v) * mask
+        fo = fmag[None] * n
+        f = f + fo - _kroll(fo, -di, -dj)
+    return f
+
+
+def _project_spheres_positions(xz, movable, sph_ref, n_spheres):
+    """Position-only sphere push-out (solver/collide.py
+    project_positions_only twin) on component-plane lists."""
+    for si in range(n_spheres):
+        cs = [sph_ref[si, c] for c in range(3)]
+        radius = sph_ref[si, 3]
+        d = [xz[c] - cs[c] for c in range(3)]
+        dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
+        dist = dist2 * inv_dist
+        pen = radius - dist
+        contact = (pen > 0.0) & movable
+        pen_pos = jnp.where(contact, pen, 0.0)
+        xz = [xz[c] + pen_pos * d[c] * inv_dist for c in range(3)]
+    return xz
+
+
+def _resolve_spheres_velocity(xz, vz, movable, sph_ref, n_spheres,
+                              restitution, friction):
+    """Velocity-level sphere resolve (solver/collide.py
+    _resolve_one_sphere twin) on component-plane lists."""
+    for si in range(n_spheres):
+        cs = [sph_ref[si, c] for c in range(3)]
+        radius = sph_ref[si, 3]
+        d = [xz[c] - cs[c] for c in range(3)]
+        dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
+        dist = dist2 * inv_dist
+        pen = radius - dist
+        contact = (pen > 0.0) & movable
+        nrm = [d[c] * inv_dist for c in range(3)]
+        pen_pos = jnp.where(contact, pen, 0.0)
+        xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
+        vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+        inward = contact & (vn < 0.0)
+        rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+        vz = [vz[c] - rem * nrm[c] for c in range(3)]
+        vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+        fr = 1.0 - friction
+        vz = [
+            jnp.where(contact, vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr, vz[c])
+            for c in range(3)
+        ]
+    return xz, vz
+
+
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                  dt: float, n_substeps: int, n_spheres: int):
     g = cfg.gravity
@@ -89,29 +155,13 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         # loop-invariant edge-ownership masks, hoisted out of the substep loop
         masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
 
-        def spring_forces(xst, vst):
-            # stacked [3, ny, nx] formulation: one 3D roll per shift
-            f = jnp.zeros((3, ny, nx), jnp.float32)
-            for (di, dj, k, rest), mask in zip(offsets, masks):
-                xn = _kroll(xst, di, dj)
-                vn = _kroll(vst, di, dj)
-                d = xn - xst
-                d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-                inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
-                length = d2 * inv_len          # = sqrt(d2)
-                n = d * inv_len[None]
-                dv = vn - vst
-                rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
-                fmag = (k * (length - rest) + damping * rel_v) * mask
-                fo = fmag[None] * n
-                f = f + fo - _kroll(fo, -di, -dj)
-            return f
-
         def substep(_, carry):
             x0, x1, x2, v0, v1, v2 = carry
             xs = (x0, x1, x2)
             vs = (v0, v1, v2)
-            f = spring_forces(jnp.stack(xs), jnp.stack(vs))
+            f = _spring_forces_stacked(
+                jnp.stack(xs), jnp.stack(vs), offsets, masks, damping, ny, nx
+            )
             vz = []
             for c, gc in enumerate(g):
                 vc = (vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt)
@@ -130,33 +180,9 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
                 vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
             if spheres_on:
-                # mirror solver/collide.py::_resolve_one_sphere per sphere
-                for si in range(n_spheres):
-                    cs = [sph_ref[si, c] for c in range(3)]
-                    radius = sph_ref[si, 3]
-                    d = [xz[c] - cs[c] for c in range(3)]
-                    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-                    inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
-                    dist = dist2 * inv_dist
-                    pen = radius - dist
-                    contact = (pen > 0.0) & movable
-                    nrm = [d[c] * inv_dist for c in range(3)]
-                    pen_pos = jnp.where(contact, pen, 0.0)
-                    xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
-                    vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
-                    inward = contact & (vn < 0.0)
-                    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
-                    vz = [vz[c] - rem * nrm[c] for c in range(3)]
-                    vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
-                    fr = 1.0 - friction
-                    vz = [
-                        jnp.where(
-                            contact,
-                            vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr,
-                            vz[c],
-                        )
-                        for c in range(3)
-                    ]
+                xz, vz = _resolve_spheres_velocity(
+                    xz, vz, movable, sph_ref, n_spheres, restitution, friction
+                )
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (
@@ -238,5 +264,127 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
         return State(x=x, v=v, x_prev=x - dt * v)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Fused Verlet kernel (same VMEM-resident design; carries (x, x_prev))
+# ---------------------------------------------------------------------------
+
+def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
+                        dt: float, n_substeps: int, n_spheres: int):
+    g = cfg.gravity
+    damping = cfg.springs.damping
+    gdamp = cfg.global_damping
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    inv_dt = 1.0 / dt
+
+    def kernel(plane_ref, sph_ref, x_ref, xp_ref, im_ref, xo_ref, xpo_ref):
+        im = im_ref[:]
+        movable = im > 0.0
+        plane_y = plane_ref[0, 0]
+        masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
+
+        def substep(_, carry):
+            x0, x1, x2, p0, p1, p2 = carry
+            xs = (x0, x1, x2)
+            ps = (p0, p1, p2)
+            v_est = [(xs[c] - ps[c]) * inv_dt for c in range(3)]
+            f = _spring_forces_stacked(
+                jnp.stack(xs), jnp.stack(v_est), offsets, masks, damping,
+                ny, nx,
+            )
+            xz = []
+            for c, gc in enumerate(g):
+                accel = gc + f[c] * im
+                xn = xs[c] + (xs[c] - ps[c]) * (1.0 - gdamp * dt) + accel * (dt * dt)
+                xz.append(jnp.where(movable, xn, xs[c]))
+            # position-only collide (kernels/stencil.py verlet twin)
+            if plane_on:
+                contact = (xz[1] < plane_y) & movable
+                xz[1] = jnp.where(contact, plane_y, xz[1])
+            if spheres_on:
+                xz = _project_spheres_positions(xz, movable, sph_ref, n_spheres)
+            return (xz[0], xz[1], xz[2], x0, x1, x2)
+
+        init = (
+            x_ref[0], x_ref[1], x_ref[2],
+            xp_ref[0], xp_ref[1], xp_ref[2],
+        )
+        # unroll=1: Mosaic otherwise unrolls static trip counts and the
+        # per-iteration stack allocations exceed the 16M VMEM scope
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
+        xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
+        xpo_ref[0], xpo_ref[1], xpo_ref[2] = out[3], out[4], out[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
+)
+def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
+                            offsets, dt, n_substeps, interpret=False):
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    flops_per_sub = 3 * ny * nx * len(offsets) * 30
+    xo, xpo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_substeps * flops_per_sub,
+            bytes_accessed=4 * 3 * ny * nx * 4,
+            transcendentals=n_substeps * ny * nx * len(offsets),
+        ),
+        interpret=interpret,
+    )(plane_h.reshape(1, 1), sph, x3, xp3, inv_mass2d)
+    return xo, xpo
+
+
+def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
+                            interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` for the fused Verlet
+    kernel (same gates as the Euler kernel; plane + sphere colliders are
+    position-only projected, mirroring kernels/stencil.py
+    verlet_substep_grid)."""
+    ny, nx = top.grid_shape
+    if ny * nx > MAX_VMEM_VERTICES:
+        raise ValueError("grid too large for the VMEM-resident kernel")
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = state.x.T.reshape(3, ny, nx)
+        xp3 = state.x_prev.T.reshape(3, ny, nx)
+        im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
+        xo, xpo = _pallas_verlet_substeps(
+            x3, xp3, im, top.plane_height, spheres, cfg, offsets, float(dt),
+            int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T
+        xp = xpo.reshape(3, -1).T
+        return State(x=x, v=(x - xp) / dt, x_prev=xp)
 
     return fn

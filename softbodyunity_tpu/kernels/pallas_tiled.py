@@ -27,8 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
-from .pallas_substep import _kroll
-from .stencil import _offsets
+from .pallas_substep import (
+    _kroll,
+    _project_spheres_positions,
+    _resolve_spheres_velocity,
+)
+from .stencil import _offsets, _xpbd_offsets
 
 HALO = 2       # physical spring reach (bend = 2 rows)
 HPAD = 8       # DMA'd halo rows: Mosaic requires 8-aligned sublane offsets,
@@ -48,16 +52,19 @@ def _global_edge_mask(ext: int, nx: int, ny: int, row0, di: int, dj: int):
     return ok.astype(jnp.float32)
 
 
-def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int, dt: float):
+def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
+                 dt: float, n_spheres: int):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
     restitution = cfg.collision.restitution
     friction = cfg.collision.friction
     plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     ext = tile + 2 * HPAD
 
-    def kernel(plane_ref, x_hbm, v_hbm, im_ref, xo_ref, vo_ref, xs, vs, sem):
+    def kernel(plane_ref, sph_ref, x_hbm, v_hbm, im_ref, xo_ref, vo_ref,
+               xs, vs, sem):
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - HPAD  # global row of extended-window row 0
@@ -159,6 +166,10 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int, dt: float
             fr = 1.0 - friction
             vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
             vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+        if spheres_on:
+            xz, vz = _resolve_spheres_velocity(
+                xz, vz, movable, sph_ref, n_spheres, restitution, friction
+            )
         for c in range(3):
             xo_ref[c] = xz[c]
             vo_ref[c] = vz[c]
@@ -169,11 +180,13 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int, dt: float
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
 )
-def _tiled_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, tile, dt,
-                    n_substeps, interpret=False):
+def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, tile,
+                    dt, n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
-    kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt)
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -184,6 +197,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, tile, dt,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # plane height (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,4]
             pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
             pl.BlockSpec((tile, nx), lambda i: (i, 0),
@@ -204,7 +218,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, tile, dt,
     )
 
     def one(x3, v3):
-        return call(plane_h.reshape(1, 1), x3, v3, inv_mass2d)
+        return call(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
 
     def body(carry, _):
         x3, v3 = carry
@@ -217,9 +231,10 @@ def _tiled_substeps(x3, v3, inv_mass2d, plane_h, cfg, offsets, tile, dt,
 def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
                     interpret: bool = False):
     """Build ``fn(state, dt, n_substeps)`` for grids too large for the
-    whole-VMEM kernel.  Requires ``ny % tile == 0``; plane collider only.
-    ``tile=0`` auto-sizes so the working set (~20 live planes of
-    ``(tile+16, nx)``) stays inside the 16 MB VMEM scope."""
+    whole-VMEM kernel.  Requires ``ny % tile == 0``; plane + sphere
+    colliders (sphere geometry via SMEM).  ``tile=0`` auto-sizes so the
+    working set (~20 live planes of ``(tile+16, nx)``) stays inside the
+    16 MB VMEM scope."""
     ny, nx = top.grid_shape
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
@@ -229,8 +244,6 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
-    if cfg.collision.enable_spheres and top.n_spheres > 0:
-        raise ValueError("tiled kernel supports the plane collider only")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -239,9 +252,272 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
         xo, vo = _tiled_substeps(
-            x3, v3, im, top.plane_height, cfg, offsets, int(tile),
+            x3, v3, im, top.plane_height, spheres, cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T
+        v = vo.reshape(3, -1).T
+        return State(x=x, v=v, x_prev=x - dt * v)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled XPBD: overlapping halos wide enough for ALL Jacobi iterations
+# ---------------------------------------------------------------------------
+#
+# Unlike Euler (reach = 1 substep), an XPBD substep runs ``n_iterations``
+# Jacobi sweeps and halos cannot be refreshed between sweeps inside one
+# launch (grid programs are sequential).  Standard overlapping-domain trick:
+# each tile DMAs a halo of ``reach * n_iterations`` rows and runs the WHOLE
+# substep locally — contamination from the window edge creeps inward
+# ``reach`` rows per sweep, so the interior stays exactly equal to the
+# global computation.  The redundant halo compute is the price of keeping
+# the sweeps in VMEM.
+
+
+def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
+                            tile: int, xh: int, dt: float, n_spheres: int):
+    g = cfg.gravity
+    gdamp = cfg.global_damping
+    omega = cfg.xpbd.relaxation
+    n_iter = cfg.xpbd.n_iterations
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_off = len(xoffsets)
+    alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
+    ext = tile + 2 * xh
+
+    def kernel(plane_ref, sph_ref, x_hbm, v_hbm, im_hbm, xo_ref, vo_ref,
+               xs, vs, ims, sem):
+        i = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
+        row0 = i * tile - xh
+        tile0 = pl.multiple_of(i * tile, HPAD)
+        tile_up = pl.multiple_of(i * tile - xh, HPAD)
+        tile_dn = pl.multiple_of((i + 1) * tile, HPAD)
+        plane_y = plane_ref[0, 0]
+
+        # zero halos first (missing neighbours must read 0.0, not garbage)
+        xs[:, 0:xh, :] = jnp.zeros((3, xh, nx), jnp.float32)
+        vs[:, 0:xh, :] = jnp.zeros((3, xh, nx), jnp.float32)
+        ims[0:xh, :] = jnp.zeros((xh, nx), jnp.float32)
+        xs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
+        vs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
+        ims[tile + xh :, :] = jnp.zeros((xh, nx), jnp.float32)
+
+        cps = [
+            pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(tile0, tile), :],
+                xs.at[:, pl.ds(xh, tile), :], sem.at[0]),
+            pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(tile0, tile), :],
+                vs.at[:, pl.ds(xh, tile), :], sem.at[1]),
+            pltpu.make_async_copy(
+                im_hbm.at[pl.ds(tile0, tile), :],
+                ims.at[pl.ds(xh, tile), :], sem.at[2]),
+        ]
+        for cp in cps:
+            cp.start()
+
+        @pl.when(i > 0)
+        def _():
+            ups = [
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(tile_up, xh), :],
+                    xs.at[:, pl.ds(0, xh), :], sem.at[3]),
+                pltpu.make_async_copy(
+                    v_hbm.at[:, pl.ds(tile_up, xh), :],
+                    vs.at[:, pl.ds(0, xh), :], sem.at[4]),
+                pltpu.make_async_copy(
+                    im_hbm.at[pl.ds(tile_up, xh), :],
+                    ims.at[pl.ds(0, xh), :], sem.at[5]),
+            ]
+            for cp in ups:
+                cp.start()
+            for cp in ups:
+                cp.wait()
+
+        @pl.when(i < n_tiles - 1)
+        def _():
+            dns = [
+                pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(tile_dn, xh), :],
+                    xs.at[:, pl.ds(tile + xh, xh), :], sem.at[6]),
+                pltpu.make_async_copy(
+                    v_hbm.at[:, pl.ds(tile_dn, xh), :],
+                    vs.at[:, pl.ds(tile + xh, xh), :], sem.at[7]),
+                pltpu.make_async_copy(
+                    im_hbm.at[pl.ds(tile_dn, xh), :],
+                    ims.at[pl.ds(tile + xh, xh), :], sem.at[8]),
+            ]
+            for cp in dns:
+                cp.start()
+            for cp in dns:
+                cp.wait()
+
+        for cp in cps:
+            cp.wait()
+
+        w = ims[:]                            # [ext, nx]
+        movable = w > 0.0
+        masks = [
+            _global_edge_mask(ext, nx, ny, row0, di, dj)
+            for di, dj, _, _ in xoffsets
+        ]
+        cnt = jnp.zeros((ext, nx), jnp.float32)
+        for (di, dj, _, _), m in zip(xoffsets, masks):
+            cnt = cnt + m + _kroll(m, -di, -dj)
+        inv_cnt = omega / jnp.maximum(cnt, 1.0)
+
+        # predict (pointwise => identical on halo rows to the owning tile)
+        xw = xs[:]
+        vw = vs[:]
+        xp = [xw[c] for c in range(3)]
+        vp = []
+        for c, gc in enumerate(g):
+            vc = (vw[c] + dt * gc) * (1.0 - gdamp * dt)
+            vp.append(jnp.where(movable, vc, 0.0))
+        x = [xp[c] + dt * vp[c] for c in range(3)]
+
+        def iteration(_, it_carry):
+            x0, x1, x2 = it_carry[0:3]
+            lams = list(it_carry[3:])
+            xcur = (x0, x1, x2)
+            dx = [jnp.zeros((ext, nx), jnp.float32) for _ in range(3)]
+            new_lams = []
+            for o, (di, dj, alpha, rest) in enumerate(xoffsets):
+                xn = [_kroll(xcur[c], di, dj) for c in range(3)]
+                d = [xn[c] - xcur[c] for c in range(3)]
+                d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+                length = d2 * inv_len
+                c_val = length - rest
+                wn = _kroll(w, di, dj)
+                inv_denom = masks[o] / jnp.maximum(w + wn + alpha_ts[o], 1e-12)
+                dlam = -(c_val + alpha_ts[o] * lams[o]) * inv_denom
+                new_lams.append(lams[o] + dlam)
+                wdl_a = w * dlam * inv_len
+                wdl_b = wn * dlam * inv_len
+                for c in range(3):
+                    ca = -(wdl_a * d[c])
+                    cb = wdl_b * d[c]
+                    dx[c] = dx[c] + ca + _kroll(cb, -di, -dj)
+            x0 = x0 + dx[0] * inv_cnt
+            x1 = x1 + dx[1] * inv_cnt
+            x2 = x2 + dx[2] * inv_cnt
+            if plane_on:
+                contact = (x1 < plane_y) & movable
+                x1 = jnp.where(contact, plane_y, x1)
+            if spheres_on:
+                x0, x1, x2 = _project_spheres_positions(
+                    [x0, x1, x2], movable, sph_ref, n_spheres
+                )
+            return (x0, x1, x2, *new_lams)
+
+        zeros = tuple(jnp.zeros((ext, nx), jnp.float32) for _ in range(n_off))
+        out = jax.lax.fori_loop(
+            0, n_iter, iteration, (x[0], x[1], x[2], *zeros), unroll=1
+        )
+        xf = [jnp.where(movable, out[c], xp[c]) for c in range(3)]
+        sl = lambda a: a[xh : xh + tile, :]
+        for c in range(3):
+            xo_ref[c] = sl(xf[c])
+            vo_ref[c] = sl((xf[c] - xp[c]) * (1.0 / dt))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "xoffsets", "tile", "xh", "dt", "n_substeps", "interpret"),
+)
+def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
+                         tile, xh, dt, n_substeps, interpret=False):
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    n_tiles = ny // tile
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_xpbd_tiled_kernel(cfg, xoffsets, ny, nx, tile, xh, dt,
+                                     n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),       # inv-mass in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
+            pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
+            pltpu.VMEM((tile + 2 * xh, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def body(carry, _):
+        x3, v3 = carry
+        return call(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d), None
+
+    (xo, vo), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+    return xo, vo
+
+
+def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
+                         interpret: bool = False):
+    """Row-tiled fused XPBD for grids beyond the whole-VMEM gate.
+
+    Halo rows per side = spring reach x n_iterations (rounded up to the
+    8-row DMA alignment); requires ``tile >= halo`` so neighbour DMAs stay
+    in range and ``ny % tile == 0``."""
+    ny, nx = top.grid_shape
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    reach = 2 if has_bend else 1
+    xh = -(-(reach * cfg.xpbd.n_iterations) // HPAD) * HPAD
+    if tile == 0:
+        tile = max(xh, ((48 * 1024) // nx) // HPAD * HPAD)
+        while ny % tile != 0 and tile > xh:
+            tile -= HPAD
+    if ny % tile != 0 or tile % HPAD != 0 or tile < xh:
+        raise ValueError(
+            f"tile={tile} must divide ny={ny}, align to {HPAD}, and be >= "
+            f"the halo {xh}"
+        )
+    xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = state.x.T.reshape(3, ny, nx)
+        v3 = state.v.T.reshape(3, ny, nx)
+        im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
+        xo, vo = _tiled_xpbd_substeps(
+            x3, v3, im, top.plane_height, spheres, cfg, xoffsets, int(tile),
+            int(xh), float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T

@@ -25,20 +25,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
-from .pallas_substep import MAX_VMEM_VERTICES, _edge_mask, _kroll
+from .pallas_substep import (
+    MAX_VMEM_VERTICES,
+    _edge_mask,
+    _kroll,
+    _project_spheres_positions,
+)
 from .stencil import _xpbd_offsets
 
 
 def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
-                 dt: float, n_substeps: int):
+                 dt: float, n_substeps: int, n_spheres: int):
     g = cfg.gravity
     gdamp = cfg.global_damping
     omega = cfg.xpbd.relaxation
     n_iter = cfg.xpbd.n_iterations
     plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     n_off = len(xoffsets)
 
-    def kernel(plane_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
@@ -97,6 +103,10 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     # contacts projected inside the loop (oracle substep_xpbd)
                     contact = (x1 < plane_y) & movable
                     x1 = jnp.where(contact, plane_y, x1)
+                if spheres_on:
+                    x0, x1, x2 = _project_spheres_positions(
+                        [x0, x1, x2], movable, sph_ref, n_spheres
+                    )
                 return (x0, x1, x2, *new_lams)
 
             zeros = tuple(jnp.zeros((ny, nx), jnp.float32) for _ in range(n_off))
@@ -120,10 +130,12 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "xoffsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, cfg, xoffsets, dt,
-                          n_substeps, interpret=False):
+def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
+                          dt, n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
-    kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps)
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     xo, vo = pl.pallas_call(
         kernel,
         out_shape=(
@@ -132,6 +144,7 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, cfg, xoffsets, dt,
         ),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -146,19 +159,18 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, cfg, xoffsets, dt,
             transcendentals=n_substeps * cfg.xpbd.n_iterations * ny * nx * len(xoffsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), x3, v3, inv_mass2d)
+    )(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
     return xo, vo
 
 
 def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` (XPBD, fused kernel).
 
-    Gates: structured grid, plane-only collision, VMEM-sized."""
+    Gates: structured grid, VMEM-sized.  Plane and sphere colliders are
+    position-projected inside the Jacobi loop (sphere geometry via SMEM)."""
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    if cfg.collision.enable_spheres and top.n_spheres > 0:
-        raise ValueError("sphere colliders not supported by the fused kernel yet")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -167,8 +179,11 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
         xo, vo = _pallas_xpbd_substeps(
-            x3, v3, im, top.plane_height, cfg, xoffsets, float(dt),
+            x3, v3, im, top.plane_height, spheres, cfg, xoffsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T

@@ -54,8 +54,8 @@ from ..core.topology import HostTopology
 
 
 def spring_forces(
-    top: HostTopology, x: np.ndarray, v: np.ndarray, k_scale: float = 1.0,
-    damping: float = None, cfg: SimConfig = None,
+    top: HostTopology, x: np.ndarray, v: np.ndarray,
+    damping: "float | None" = None, cfg: SimConfig = None,
 ) -> np.ndarray:
     """Per-edge Hooke + axial damper, scatter-added to both endpoints."""
     c = cfg.springs.damping if damping is None else damping

@@ -71,17 +71,23 @@ def rollout_batched(
     only — RL observation extraction hooks in here)."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_rollout_batched(cfg, dt, n, int(n_steps))(top, states)
 
-    @jax.jit
+
+@functools.lru_cache(maxsize=32)
+def _compiled_rollout_batched(cfg: SimConfig, dt: float, n_substeps: int,
+                              n_steps: int):
+    """Cached executable: repeated batched rollouts must not recompile."""
+
     def impl(top, states):
         def body(ss, _):
-            fn = lambda s: _step_mod.step_scan(top, cfg, s, dt, n)
+            fn = lambda s: _step_mod.step_scan(top, cfg, s, dt, n_substeps)
             return jax.vmap(fn)(ss), None
 
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
         return out
 
-    return impl(top, states)
+    return jax.jit(impl)
 
 
 @functools.lru_cache(maxsize=32)

@@ -49,7 +49,6 @@ class BatchedClothEnv:
         handle = jnp.asarray(spec.handle_ids, jnp.int32)
         obs = jnp.asarray(spec.obs_ids, jnp.int32)
         b = spec.batch
-        dt_frame = cfg.dt * cfg.n_substeps
 
         def _obs(states: State):
             return jnp.concatenate(
@@ -64,9 +63,10 @@ class BatchedClothEnv:
 
         @jax.jit
         def _step(top, states: State, actions):
-            # actions f32[B, H, 3]: velocity impulses on the handle vertices
+            # actions f32[B, H, 3]: velocity impulses (delta-v) applied
+            # directly to the handle vertices before the frame's substeps
             dv = jnp.zeros_like(states.v)
-            dv = dv.at[:, handle, :].set(actions * dt_frame)
+            dv = dv.at[:, handle, :].set(actions)
             movable = (top.inv_mass > 0.0)[None, :, None]
             states = states.replace(v=jnp.where(movable, states.v + dv, 0.0))
             fn = lambda s: _step_mod.step_scan(top, cfg, s, cfg.dt, cfg.n_substeps)
@@ -75,6 +75,7 @@ class BatchedClothEnv:
 
         self._reset = _reset
         self._step = _step
+        self._rollouts = {}  # (policy_fn, n_frames) -> compiled executable
 
     @property
     def action_shape(self):
@@ -93,19 +94,24 @@ class BatchedClothEnv:
     def rollout(self, key, policy_fn, n_frames: int) -> Tuple[State, jax.Array]:
         """On-device rollout: ``policy_fn(obs) -> actions`` traced into one
         jitted scan (zero host round-trips inside the rollout,
-        BASELINE.json:5)."""
+        BASELINE.json:5).  Compiled once per (policy_fn, n_frames) and
+        reused across calls."""
+        run = self._rollouts.get((policy_fn, n_frames))
+        if run is None:
 
-        @jax.jit
-        def run(top, states, obs0):
-            def body(carry, _):
-                states, obs = carry
-                states, obs = self._step(top, states, policy_fn(obs))
-                return (states, obs), None
+            @jax.jit
+            def run(top, states, obs0):
+                def body(carry, _):
+                    states, obs = carry
+                    states, obs = self._step(top, states, policy_fn(obs))
+                    return (states, obs), None
 
-            (states, obs), _ = jax.lax.scan(
-                body, (states, obs0), None, length=n_frames
-            )
-            return states, obs
+                (states, obs), _ = jax.lax.scan(
+                    body, (states, obs0), None, length=n_frames
+                )
+                return states, obs
+
+            self._rollouts[(policy_fn, n_frames)] = run
 
         states, obs = self._reset(key)
         return run(self.top, states, obs)
@@ -117,8 +123,10 @@ def make_env(host, cfg: SimConfig, spec: Optional[EnvSpec] = None) -> BatchedClo
     top, rest = api.init(host)
     if spec is None:
         n = top.n_vertices
+        # the two top corners: row 0 spans vertices [0, nx) on a grid
+        nx = top.grid_shape[1] if top.grid_shape is not None else int(np.sqrt(n))
         spec = EnvSpec(
-            handle_ids=(0, int(np.sqrt(n)) - 1),   # the two top corners
+            handle_ids=(0, nx - 1),
             obs_ids=tuple(range(0, n, max(1, n // 16))),
             batch=1024,
         )

@@ -49,13 +49,13 @@ def total_forces(top: Topology, cfg: SimConfig, x, v):
 
 
 def _volume_projection(top: Topology, x, stiffness: float):
-    """Route to the banded (roll-based) projection when the tets are
-    lattice-regular; gather path otherwise.  NB when a vertex is shared by
-    banded AND residual tets the two count-averages are computed separately
-    (only bit-identical to the oracle when residual is empty, which holds
-    for every lattice builder)."""
+    """Route to the banded (roll-based) projection when EVERY tet is
+    lattice-regular (zero residual, same gate as xpbd_banded_applicable) —
+    a vertex shared by banded AND residual tets would get two separately
+    count-averaged corrections, deviating from the oracle semantics.
+    Mixed meshes take the gather path, which matches the oracle exactly."""
     tg = top.tet_groups
-    if tg is not None and len(tg.deltas) > 0 and tg.n_residual <= top.n_tets // 2:
+    if tg is not None and len(tg.deltas) > 0 and tg.n_residual == 0:
         from . import banded
 
         return banded.volume_projection_banded(top, x, stiffness)

@@ -1,0 +1,44 @@
+"""CI smoke for examples/ — the demos must never rot (VERDICT r1 hygiene).
+
+Each example's ``main`` runs with a tiny workload on the CPU test backend
+(conftest forces cpu + 8 virtual devices).  03_multichip is exercised via
+the same ``dryrun_multichip`` entry the driver calls.
+"""
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(REPO, "examples", name)
+    spec = importlib.util.spec_from_file_location(name.replace(".py", ""), path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_example_hanging_cloth(tmp_path):
+    _load("01_hanging_cloth.py").main(out_dir=str(tmp_path), n_frames=3)
+    assert (tmp_path / "frame_000.obj").exists()
+
+
+def test_example_rl_rollout():
+    _load("02_rl_rollout.py").main(batch=4, n_frames=2)
+
+
+def test_example_softbody_cube(tmp_path):
+    _load("04_softbody_cube.py").main(out_dir=str(tmp_path), n_frames=2)
+    assert (tmp_path / "cube_000.obj").exists()
+
+
+def test_example_multichip_entry():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+    finally:
+        sys.path.remove(REPO)

@@ -103,3 +103,78 @@ def test_pallas_xpbd_matches_stencil_interpret():
     s_pal = pal(state, cfg.dt, 64)
     np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=1e-3)
+
+
+def test_pallas_verlet_matches_stencil_interpret():
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_substep import make_pallas_verlet_step
+
+    host, cfg = _scene()
+    cfg = cfg.replace(solver=Solver.VERLET)
+    top, state = api.init(host)
+    pal = make_pallas_verlet_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=1e-3)
+    # pinned corners bit-frozen
+    pinned = host.inv_mass == 0.0
+    np.testing.assert_array_equal(np.asarray(s_pal.x)[pinned], host.positions0[pinned])
+
+
+def test_pallas_verlet_sphere_matches_stencil():
+    import dataclasses
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_substep import make_pallas_verlet_step
+
+    host, cfg = _scene()
+    # the shared scene starts with its bottom rows below the plane, which
+    # explicit Verlet turns into a position-projection velocity kick and a
+    # blowup (the no-sphere equivalence test tolerates that, a contact test
+    # cannot); rebuild with the plane out of reach and mild axial damping
+    cfg = cfg.replace(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0,
+                             k_bend=100.0, damping=0.1),
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True),
+    )
+    host = cloth_grid(
+        16, 8, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.5,
+        orientation="xy",
+    )
+    host.sphere_centers = np.array([[0.375, -0.45, 0.0]])
+    host.sphere_radii = np.array([0.15])
+    top, state = api.init(host)
+    pal = make_pallas_verlet_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 240))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 240)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=2e-5)
+    d = np.linalg.norm(np.asarray(s_pal.x) - np.array([0.375, -0.45, 0.0]), axis=1)
+    assert d.min() < 0.151  # real contact occurred
+
+
+def test_pallas_xpbd_sphere_matches_stencil():
+    import dataclasses
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
+
+    host, cfg = _scene()
+    host.sphere_centers = np.array([[0.375, -0.3, 0.0]])
+    host.sphere_radii = np.array([0.15])
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=6, relaxation=1.0),
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True),
+    )
+    top, state = api.init(host)
+    pal = make_pallas_xpbd_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 96))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 96)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=2e-5)
+    d = np.linalg.norm(np.asarray(s_pal.x) - np.array([0.375, -0.3, 0.0]), axis=1)
+    assert d.min() < 0.151  # real contact occurred

@@ -55,3 +55,67 @@ def test_tiled_gates():
     top, _ = api.init(host)
     with pytest.raises(ValueError):
         make_tiled_step(top, cfg, tile=7)  # 24 % 7 != 0
+
+
+def test_tiled_sphere_matches_untiled():
+    import dataclasses
+
+    host, cfg = _scene()
+    host.sphere_centers = np.array([[0.55, -0.35, 0.0]])
+    host.sphere_radii = np.array([0.2])
+    cfg = cfg.replace(
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True)
+    )
+    top, state = api.init(host)
+    tiled = make_tiled_step(top, cfg, tile=8, interpret=True)
+    whole = make_pallas_step(top, cfg, interpret=True)
+    s_t = tiled(state, cfg.dt, 96)
+    s_w = whole(state, cfg.dt, 96)
+    np.testing.assert_allclose(np.asarray(s_t.x), np.asarray(s_w.x), atol=1e-6)
+    d = np.linalg.norm(np.asarray(s_t.x) - np.array([0.55, -0.35, 0.0]), axis=1)
+    assert d.min() < 0.201  # real contact occurred
+
+
+def _xpbd_scene(n_iterations=4):
+    import dataclasses
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+
+    host, cfg = _scene()
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=n_iterations, relaxation=1.0),
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize("n_iterations", [4, 8])
+def test_tiled_xpbd_matches_stencil(n_iterations):
+    from softbodyunity_tpu.core.topology import cloth_grid
+    from softbodyunity_tpu.kernels.pallas_tiled import make_tiled_xpbd_step
+
+    host, cfg = _xpbd_scene(n_iterations)
+    if n_iterations == 8:
+        # halo = 16 rows: needs a taller grid so tiling still happens
+        host = cloth_grid(
+            16, 32, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+            springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.5,
+            orientation="xy",
+        )
+    top, state = api.init(host)
+    tile = 8 if n_iterations == 4 else 16
+    tiled = make_tiled_xpbd_step(top, cfg, tile=tile, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    s_t = tiled(state, cfg.dt, 48)
+    s_r = ref(top, state)
+    np.testing.assert_allclose(np.asarray(s_t.x), np.asarray(s_r.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_t.v), np.asarray(s_r.v), atol=1e-3)
+
+
+def test_tiled_xpbd_halo_gate():
+    from softbodyunity_tpu.kernels.pallas_tiled import make_tiled_xpbd_step
+
+    host, cfg = _xpbd_scene(8)   # halo = 16 rows
+    top, _ = api.init(host)
+    with pytest.raises(ValueError):
+        make_tiled_xpbd_step(top, cfg, tile=8)  # tile < halo
