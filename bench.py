@@ -136,30 +136,65 @@ def bench_batch_1024():
     return b / (cfg.n_substeps * per_substep_batch)
 
 
-def bench_cube_64k():
-    """Tertiary: substeps/sec, 64k-vertex volumetric tet cube (296k tets,
-    370k springs, banded gather-free path)."""
+def _bench_preset_substeps(preset: str, small: int, big: int):
+    """Substeps/sec of a preset through the production dispatch path (the
+    same route api.step takes: fused Pallas kernels on TPU)."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from softbodyunity_tpu import api
+    from softbodyunity_tpu.api import _dispatch_step
     from softbodyunity_tpu.models import presets
-    from softbodyunity_tpu.solver import step as step_mod
 
-    host, cfg = presets.build("softbody_cube_64k")
+    host, cfg = presets.build(preset)
     top, state = api.init(host)
 
     def make_run(n_substeps):
         @jax.jit
         def run(top, state):
-            return jnp.mean(step_mod.step_scan(top, cfg, state, cfg.dt, n_substeps).x)
+            return jnp.mean(_dispatch_step(top, cfg, state, cfg.dt, n_substeps).x)
 
         return run
 
-    return _marginal_throughput(make_run, (top, state), 4, 32, 1)
+    return _marginal_throughput(make_run, (top, state), small, big, 1)
 
 
-_PARTS = {"64k": bench_64k_cloth, "batch": bench_batch_1024, "cube": bench_cube_64k}
+def bench_cube_64k():
+    """Substeps/sec, 64k-vertex volumetric tet cube (296k tets, 370k
+    springs) — fused Pallas lattice kernel via dispatch."""
+    return _bench_preset_substeps("softbody_cube_64k", 8, 64)
+
+
+def bench_xpbd_64k():
+    """Substeps/sec, 64k XPBD cloth (8 Jacobi iters/substep, fused kernel)."""
+    return _bench_preset_substeps("cloth_bench_64k_xpbd", 8, 64)
+
+
+def bench_verlet_64k():
+    """Substeps/sec, 64k Verlet cloth (fused kernel)."""
+    return _bench_preset_substeps("cloth_bench_64k_verlet", 16, 160)
+
+
+def bench_1m():
+    """Substeps/sec, 1M-vertex cloth (row-tiled Pallas kernel)."""
+    return _bench_preset_substeps("cloth_bench_1m", 8, 64)
+
+
+def bench_selfcollide_16k():
+    """Substeps/sec, 16k single-scene self-colliding cloth (block-sparse
+    Morton-tiled MXU self-collision + banded springs)."""
+    return _bench_preset_substeps("cloth_selfcollide_16k", 8, 64)
+
+
+_PARTS = {
+    "64k": bench_64k_cloth,
+    "batch": bench_batch_1024,
+    "cube": bench_cube_64k,
+    "xpbd64k": bench_xpbd_64k,
+    "verlet64k": bench_verlet_64k,
+    "1m": bench_1m,
+    "sc16k": bench_selfcollide_16k,
+}
 
 
 def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
@@ -193,8 +228,21 @@ def main():
     _log(f"bench: 64k done ({substeps_per_sec:,.0f} substeps/s); 1024-scene batch ...")
     env_steps = _run_part_subprocess("batch")
     _log(f"bench: batch done ({env_steps:,.0f} env-steps/s); 64k tet cube ...")
-    cube = _run_part_subprocess("cube")
-    _log(f"bench: cube done ({cube:,.0f} substeps/s)")
+    secondary = {"env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1)}
+    for part, key in [
+        ("cube", "substeps_per_sec_64k_tet_cube"),
+        ("xpbd64k", "substeps_per_sec_64k_xpbd"),
+        ("verlet64k", "substeps_per_sec_64k_verlet"),
+        ("1m", "substeps_per_sec_1m_cloth"),
+        ("sc16k", "substeps_per_sec_16k_selfcollide"),
+    ]:
+        try:
+            val = _run_part_subprocess(part)
+            secondary[key] = round(val, 1)
+            _log(f"bench: {part} done ({val:,.0f} substeps/s)")
+        except RuntimeError as e:
+            secondary[key] = None
+            _log(f"bench: {part} FAILED ({e})")
     print(
         json.dumps(
             {
@@ -202,10 +250,7 @@ def main():
                 "value": round(substeps_per_sec, 1),
                 "unit": "substeps/s",
                 "vs_baseline": round(substeps_per_sec / target, 2),
-                "secondary": {
-                    "env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1),
-                    "substeps_per_sec_64k_tet_cube": round(cube, 1),
-                },
+                "secondary": secondary,
             }
         )
     )

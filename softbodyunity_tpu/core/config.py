@@ -91,14 +91,16 @@ class SelfCollisionParams:
     """
 
     enabled: bool = False
-    # "hash": sort-based spatial hash (large N); "dense_mxu": MXU pairwise
-    # (fastest below ~2-4k vertices/scene); "dense": O(N^2) oracle twin
+    # "block": Morton-tiled block-sparse MXU (large single scenes, 8k+);
+    # "hash": sort-based spatial hash; "dense_mxu": MXU pairwise (fastest
+    # below ~2-4k vertices/scene); "dense": O(N^2) oracle twin
     method: str = "hash"
     radius: float = 0.05        # repulsion distance between non-neighbour vertices
     stiffness: float = 0.5      # positional correction factor per contact
-    cell_size: float = 0.05     # hash cell edge (should be >= radius)
+    cell_size: float = 0.05     # hash/Morton cell edge (should be >= radius)
     grid_dim: int = 64          # cells per axis (grid_dim**3 virtual cells)
     max_per_cell: int = 4       # candidate cap per neighbour cell (static shapes)
+    block_partners: int = 8     # method="block": candidate-tile budget per tile
 
 
 @dataclasses.dataclass(frozen=True)

@@ -382,12 +382,14 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         for c, gc in enumerate(g):
             vc = (vw[c] + dt * gc) * (1.0 - gdamp * dt)
             vp.append(jnp.where(movable, vc, 0.0))
-        x = [xp[c] + dt * vp[c] for c in range(3)]
+        # delta-form accumulation (f32 drift control; see
+        # kernels/stencil.py xpbd_substep_grid)
+        dl = [dt * vp[c] for c in range(3)]
 
         def iteration(_, it_carry):
-            x0, x1, x2 = it_carry[0:3]
+            dl0, dl1, dl2 = it_carry[0:3]
             lams = list(it_carry[3:])
-            xcur = (x0, x1, x2)
+            xcur = (xp[0] + dl0, xp[1] + dl1, xp[2] + dl2)
             dx = [jnp.zeros((ext, nx), jnp.float32) for _ in range(3)]
             new_lams = []
             for o, (di, dj, alpha, rest) in enumerate(xoffsets):
@@ -407,27 +409,32 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     ca = -(wdl_a * d[c])
                     cb = wdl_b * d[c]
                     dx[c] = dx[c] + ca + _kroll(cb, -di, -dj)
-            x0 = x0 + dx[0] * inv_cnt
-            x1 = x1 + dx[1] * inv_cnt
-            x2 = x2 + dx[2] * inv_cnt
+            dl0 = dl0 + dx[0] * inv_cnt
+            dl1 = dl1 + dx[1] * inv_cnt
+            dl2 = dl2 + dx[2] * inv_cnt
             if plane_on:
-                contact = (x1 < plane_y) & movable
-                x1 = jnp.where(contact, plane_y, x1)
+                xe1 = xp[1] + dl1
+                contact = (xe1 < plane_y) & movable
+                dl1 = jnp.where(contact, plane_y - xp[1], dl1)
             if spheres_on:
-                x0, x1, x2 = _project_spheres_positions(
-                    [x0, x1, x2], movable, sph_ref, n_spheres
+                xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                xpr = _project_spheres_positions(
+                    list(xe), movable, sph_ref, n_spheres
                 )
-            return (x0, x1, x2, *new_lams)
+                dl0 = dl0 + (xpr[0] - xe[0])
+                dl1 = dl1 + (xpr[1] - xe[1])
+                dl2 = dl2 + (xpr[2] - xe[2])
+            return (dl0, dl1, dl2, *new_lams)
 
         zeros = tuple(jnp.zeros((ext, nx), jnp.float32) for _ in range(n_off))
         out = jax.lax.fori_loop(
-            0, n_iter, iteration, (x[0], x[1], x[2], *zeros), unroll=1
+            0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
         )
-        xf = [jnp.where(movable, out[c], xp[c]) for c in range(3)]
+        dlf = [jnp.where(movable, out[c], 0.0) for c in range(3)]
         sl = lambda a: a[xh : xh + tile, :]
         for c in range(3):
-            xo_ref[c] = sl(xf[c])
-            vo_ref[c] = sl((xf[c] - xp[c]) * (1.0 / dt))
+            xo_ref[c] = sl(xp[c] + dlf[c])
+            vo_ref[c] = sl(dlf[c] * (1.0 / dt))
 
     return kernel
 

@@ -68,12 +68,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 vc = (v[c] + dt * gc) * (1.0 - gdamp * dt)
                 v[c] = jnp.where(movable, vc, 0.0)
             xp = [x[c] for c in range(3)]
-            x = [x[c] + dt * v[c] for c in range(3)]
+            # delta-form accumulation (f32 drift control; see
+            # kernels/stencil.py xpbd_substep_grid): the loop carries the
+            # substep's total position change, never a rounded x
+            dl = [dt * v[c] for c in range(3)]
 
             def iteration(_, it_carry):
-                x0, x1, x2 = it_carry[0:3]
+                dl0, dl1, dl2 = it_carry[0:3]
                 lams = list(it_carry[3:])
-                xs = (x0, x1, x2)
+                xs = (xp[0] + dl0, xp[1] + dl1, xp[2] + dl2)
                 dx = [jnp.zeros((ny, nx), jnp.float32) for _ in range(3)]
                 new_lams = []
                 for o, (di, dj, alpha, rest) in enumerate(xoffsets):
@@ -96,25 +99,32 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                         ca = -(wdl_a * d[c])
                         cb = wdl_b * d[c]
                         dx[c] = dx[c] + ca + _kroll(cb, -di, -dj)
-                x0 = x0 + dx[0] * inv_cnt
-                x1 = x1 + dx[1] * inv_cnt
-                x2 = x2 + dx[2] * inv_cnt
+                dl0 = dl0 + dx[0] * inv_cnt
+                dl1 = dl1 + dx[1] * inv_cnt
+                dl2 = dl2 + dx[2] * inv_cnt
                 if plane_on:
-                    # contacts projected inside the loop (oracle substep_xpbd)
-                    contact = (x1 < plane_y) & movable
-                    x1 = jnp.where(contact, plane_y, x1)
+                    # contacts projected inside the loop (oracle
+                    # substep_xpbd), rebased into delta form
+                    xe1 = xp[1] + dl1
+                    contact = (xe1 < plane_y) & movable
+                    dl1 = jnp.where(contact, plane_y - xp[1], dl1)
                 if spheres_on:
-                    x0, x1, x2 = _project_spheres_positions(
-                        [x0, x1, x2], movable, sph_ref, n_spheres
+                    xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                    xpr = _project_spheres_positions(
+                        list(xe), movable, sph_ref, n_spheres
                     )
-                return (x0, x1, x2, *new_lams)
+                    dl0 = dl0 + (xpr[0] - xe[0])
+                    dl1 = dl1 + (xpr[1] - xe[1])
+                    dl2 = dl2 + (xpr[2] - xe[2])
+                return (dl0, dl1, dl2, *new_lams)
 
             zeros = tuple(jnp.zeros((ny, nx), jnp.float32) for _ in range(n_off))
             out = jax.lax.fori_loop(
-                0, n_iter, iteration, (x[0], x[1], x[2], *zeros), unroll=1
+                0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
             )
-            x = [jnp.where(movable, out[c], xp[c]) for c in range(3)]
-            v = [(x[c] - xp[c]) / dt for c in range(3)]
+            dl = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+            x = [xp[c] + dl[c] for c in range(3)]
+            v = [dl[c] * (1.0 / dt) for c in range(3)]
             return (x[0], x[1], x[2], v[0], v[1], v[2])
 
         init = (x_ref[0], x_ref[1], x_ref[2], v_ref[0], v_ref[1], v_ref[2])

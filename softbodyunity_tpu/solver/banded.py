@@ -327,9 +327,11 @@ def volume_projection_banded(top, x: jax.Array, stiffness: float) -> jax.Array:
 def xpbd_iteration_banded(
     top, cfg: SimConfig, xT: jax.Array, lams, lam_vols, cnt, dt: float
 ):
-    """One Jacobi sweep over banded distance + volume constraints.
+    """One Jacobi sweep over banded distance + volume constraints,
+    returning the relaxed position INCREMENT planes (delta-form caller
+    accumulates; see solver/step.py substep_xpbd).
 
-    Mirrors solver/xpbd.py::xpbd_iteration exactly (same dlam, same
+    Mirrors solver/xpbd.py::xpbd_iteration_dx exactly (same dlam, same
     count-averaging, same relaxation); lambdas are [N] planes per group.
     """
     groups: OffsetGroups = top.offset_groups
@@ -384,8 +386,7 @@ def xpbd_iteration_banded(
             dx = dx + _roll_planes((w1 * dlam_v) * g1, d1)
             dx = dx + _roll_planes((w2 * dlam_v) * g2, d2_)
             dx = dx + _roll_planes((w3 * dlam_v) * g3, d3)
-    xT = xT + cfg.xpbd.relaxation * dx / cnt
-    return xT, tuple(new_lams), tuple(new_lam_vols)
+    return cfg.xpbd.relaxation * dx / cnt, tuple(new_lams), tuple(new_lam_vols)
 
 
 def xpbd_constraint_count(top) -> jax.Array:

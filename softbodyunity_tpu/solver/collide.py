@@ -67,6 +67,34 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
     return x, v
 
 
+def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,
+                            movable):
+    """Delta-form twin of :func:`project_positions_only` for the XPBD
+    drift-controlled accumulation (solver/step.py substep_xpbd): the plane
+    clamp is expressed exactly as ``plane_y - x_prev`` (no rounding crumb),
+    spheres as the projection displacement at the evaluation point.  Every
+    XPBD path (general, banded, stencil, Pallas, halo) uses these same
+    forms so cross-path equivalence stays at rounding level."""
+    if cfg.collision.enable_plane:
+        xe_y = x_prev[:, 1] + delta[:, 1]
+        contact = (xe_y < top.plane_height) & movable
+        delta = delta.at[:, 1].set(
+            jnp.where(contact, top.plane_height - x_prev[:, 1], delta[:, 1])
+        )
+    if cfg.collision.enable_spheres and top.n_spheres > 0:
+        xe = x_prev + delta
+        xproj = xe
+        for s in range(top.n_spheres):
+            d = xproj - top.sphere_centers[s]
+            dist = jnp.linalg.norm(d, axis=1)
+            pen = top.sphere_radii[s] - dist
+            contact = (pen > 0.0) & movable
+            n = d / jnp.maximum(dist, 1e-12)[:, None]
+            xproj = xproj + jnp.where(contact, pen, 0.0)[:, None] * n
+        delta = delta + (xproj - xe)
+    return delta
+
+
 def project_positions_only(top: Topology, cfg: SimConfig, x, movable):
     """Verlet/XPBD-path resolve: positions only (velocity is implicit)."""
     if cfg.collision.enable_plane:

@@ -45,6 +45,18 @@ def cell_ids(x: jax.Array, origin: jax.Array, cell_size: float, grid_dim: int):
     return (c[:, 0] * grid_dim + c[:, 1]) * grid_dim + c[:, 2]
 
 
+def hash_overflow_count(x: jax.Array, p: SelfCollisionParams) -> jax.Array:
+    """Number of vertices whose cell run exceeds ``max_per_cell`` — when 0,
+    the hash pair set is EXACTLY the dense rule (the cap soft-truncates
+    pile-ups silently otherwise; probe this when tuning max_per_cell)."""
+    origin = jnp.min(x, axis=0) - 0.5 * p.cell_size
+    cid = cell_ids(x, origin, p.cell_size, p.grid_dim)
+    sorted_cid = jnp.sort(cid)
+    starts = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    ends = jnp.searchsorted(sorted_cid, sorted_cid, side="right")
+    return jnp.sum((ends - starts) > p.max_per_cell)
+
+
 def self_collision_forces_hash(x: jax.Array, p: SelfCollisionParams) -> jax.Array:
     """Spatial-hash vertex-vertex repulsion forces: f32[N,3]."""
     n = x.shape[0]

@@ -60,8 +60,11 @@ def volume_terms(top: Topology, x, lam_vol, compliance, dt):
     return (g0, g1, g2, g3), dlam, lam_vol + dlam
 
 
-def xpbd_iteration(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt):
-    """One Jacobi sweep over distance + volume constraints (oracle twin)."""
+def xpbd_iteration_dx(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt):
+    """One Jacobi sweep over distance + volume constraints (oracle twin),
+    returning the count-averaged, relaxed position INCREMENT (callers
+    accumulate it in delta form for f32 drift control — see
+    solver/step.py substep_xpbd)."""
     n_v = x.shape[0]
     w = top.inv_mass
     a = top.edges[:, 0]
@@ -83,8 +86,13 @@ def xpbd_iteration(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt):
                 (w[ids] * dlam_v)[:, None] * g, ids, num_segments=n_v
             )
             cnt = cnt + jax.ops.segment_sum(ones_t, ids, num_segments=n_v)
-    x = x + cfg.xpbd.relaxation * dx / jnp.maximum(cnt, 1.0)[:, None]
-    return x, lam, lam_vol
+    return cfg.xpbd.relaxation * dx / jnp.maximum(cnt, 1.0)[:, None], lam, lam_vol
+
+
+def xpbd_iteration(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt):
+    """One Jacobi sweep applied to ``x`` directly (compat wrapper)."""
+    dx, lam, lam_vol = xpbd_iteration_dx(top, cfg, x, lam, lam_vol, dt)
+    return x + dx, lam, lam_vol
 
 
 def volume_projection(top: Topology, x, stiffness: float):

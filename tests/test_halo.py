@@ -106,7 +106,10 @@ def test_halo_xpbd_matches_single_device(n_dev):
     x = np.asarray(got2.x)
     assert np.isfinite(x).all()
     assert x[:, 1].min() >= -0.5 - 1e-6
-    assert np.abs(np.asarray(got2.v)).max() < 5.0
+    # boundedness, not precision: Jacobi + deep contact rings transiently
+    # (~3-6 m/s vs 3.1 m/s free-fall impact; exact value is chaos-level
+    # sensitive to rounding forms) — an actual blowup is orders beyond 10
+    assert np.abs(np.asarray(got2.v)).max() < 10.0
 
 
 def test_halo_sphere_collider_matches_single_device():
@@ -164,3 +167,72 @@ def test_halo_verlet_matches_single_device(n_dev):
     want = ref_fn(top, state)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(want.x), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=2e-3)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_halo_lattice_matches_single_device(n_dev):
+    """Slab-sharded tet-cube (springs + volume + plane) == single-device
+    banded path."""
+    from softbodyunity_tpu.core.topology import tet_cube
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=1200.0, damping=1.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    host = tet_cube(
+        8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 0.02, 0.0),
+    )
+    host.inv_mass[:4] = 0.0  # a few pinned vertices too
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    fn = jax.jit(halo.make_halo_lattice_step(top, cfg, mesh), static_argnums=(7,))
+    args = halo.shard_lattice_state(top, state, mesh)
+    xf, vf = fn(*args, cfg.dt, 96)
+    got_x = np.asarray(xf).reshape(3, -1).T
+    got_v = np.asarray(vf).reshape(3, -1).T
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
+    np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=3e-5)
+    np.testing.assert_allclose(got_v, np.asarray(ref.v), atol=3e-3)
+    # pinned vertices bit-frozen (vs the f32 initial state); the cube
+    # actually reached the plane
+    np.testing.assert_array_equal(got_x[:4], np.asarray(state.x)[:4])
+    assert got_x[:, 1].min() <= 1e-6
+
+
+def test_halo_xpbd_sphere_matches_single_device():
+    import dataclasses
+
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_bend=5e-4,
+                        n_iterations=4, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        16, 32, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0, orientation="xy",
+    )
+    host.sphere_centers = np.array([[0.375, -1.0, 0.0]])
+    host.sphere_radii = np.array([0.3])
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(halo.make_halo_xpbd_step(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf = sharded(x3, v3, im3, ph, cfg.dt, 200,
+                     top.sphere_centers, top.sphere_radii)
+    got_x = np.asarray(xf).reshape(3, -1).T
+
+    ref_fn = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 200))
+    want = ref_fn(top, state)
+    np.testing.assert_allclose(got_x, np.asarray(want.x), atol=5e-5)
+    # the curtain actually drapes onto the sphere
+    d = np.linalg.norm(got_x - np.array([0.375, -1.0, 0.0]), axis=1)
+    assert d.min() < 0.31

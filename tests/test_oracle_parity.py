@@ -82,11 +82,11 @@ def test_f32_drift_short(name):
         # Euler cloth scenario; force-based configs meet it with margin.
         ("cloth_32_euler", 1e-3),
         ("softbody_cube", 1e-3),
-        # XPBD's Jacobi loop runs 8 projection sweeps per substep = 128k
-        # f32 position updates over 1k steps; the accumulated rounding bias
-        # is ~3e-3 (measured; damping-independent).  Held to 1e-2 here; its
-        # exact semantics are proven by the f64 tier above.
-        ("cloth_xpbd", 1e-2),
+        # XPBD meets the bound via delta-form accumulation (the Jacobi loop
+        # carries the substep's total position change instead of rounding
+        # 8 tiny corrections/substep into x): bias went 4.3e-3 -> 2.3e-6
+        # over 1k steps (solver/step.py substep_xpbd).
+        ("cloth_xpbd", 1e-3),
     ],
 )
 def test_f32_drift_1k_steps(name, bound):
