@@ -162,22 +162,30 @@ def _bench_preset_substeps(preset: str, small: int, big: int):
 def bench_cube_64k():
     """Substeps/sec, 64k-vertex volumetric tet cube (296k tets, 370k
     springs) — fused Pallas lattice kernel via dispatch."""
-    return _bench_preset_substeps("softbody_cube_64k", 8, 64)
+    return _bench_preset_substeps("softbody_cube_64k", 8, 160)
 
 
 def bench_xpbd_64k():
     """Substeps/sec, 64k XPBD cloth (8 Jacobi iters/substep, fused kernel)."""
-    return _bench_preset_substeps("cloth_bench_64k_xpbd", 8, 64)
+    return _bench_preset_substeps("cloth_bench_64k_xpbd", 8, 160)
 
 
 def bench_verlet_64k():
-    """Substeps/sec, 64k Verlet cloth (fused kernel)."""
-    return _bench_preset_substeps("cloth_bench_64k_verlet", 16, 160)
+    """Substeps/sec, 64k Verlet cloth (fused kernel).  Wide workload
+    spread: at >100k substeps/s a narrow spread leaves the marginal time
+    inside the ~20-30 ms tunnel dispatch noise."""
+    return _bench_preset_substeps("cloth_bench_64k_verlet", 16, 1616)
 
 
 def bench_1m():
     """Substeps/sec, 1M-vertex cloth (row-tiled Pallas kernel)."""
     return _bench_preset_substeps("cloth_bench_1m", 8, 64)
+
+
+def bench_cube_xpbd_64k():
+    """Substeps/sec, 64k tet cube XPBD (8 Jacobi iters, fused lattice
+    kernel)."""
+    return _bench_preset_substeps("softbody_cube_64k_xpbd", 4, 32)
 
 
 def bench_selfcollide_16k():
@@ -194,6 +202,7 @@ _PARTS = {
     "verlet64k": bench_verlet_64k,
     "1m": bench_1m,
     "sc16k": bench_selfcollide_16k,
+    "cubexpbd": bench_cube_xpbd_64k,
 }
 
 
@@ -235,6 +244,7 @@ def main():
         ("verlet64k", "substeps_per_sec_64k_verlet"),
         ("1m", "substeps_per_sec_1m_cloth"),
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
+        ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
     ]:
         try:
             val = _run_part_subprocess(part)

@@ -27,10 +27,17 @@ def maybe_fast_step(top, cfg, backend):
         # volumetric lattices: fused Pallas lattice kernel (Mosaic-only —
         # no XLA-level stencil twin; the banded jnp path is the fallback)
         if backend == "pallas":
-            from .pallas_lattice import lattice_applicable, make_lattice_step
+            from .pallas_lattice import (
+                lattice_applicable,
+                lattice_xpbd_applicable,
+                make_lattice_step,
+                make_lattice_xpbd_step,
+            )
 
             if lattice_applicable(top, cfg):
                 return make_lattice_step(top, cfg)
+            if lattice_xpbd_applicable(top, cfg):
+                return make_lattice_xpbd_step(top, cfg)
             _warn_once(
                 ("lattice", top.n_vertices, cfg.solver),
                 f"pallas requested but the lattice kernel is not applicable "
@@ -59,7 +66,8 @@ def maybe_fast_step(top, cfg, backend):
                 return make_pallas_xpbd_step(top, cfg)
             if cfg.solver == Solver.VERLET:
                 if ny * nx > MAX_VMEM_VERTICES:
-                    raise ValueError("no tiled Verlet kernel yet")
+                    from .pallas_tiled import make_tiled_verlet_step
+                    return make_tiled_verlet_step(top, cfg)
                 return make_pallas_verlet_step(top, cfg)
             if ny * nx > MAX_VMEM_VERTICES:
                 # beyond VMEM capacity: row-tiled kernel

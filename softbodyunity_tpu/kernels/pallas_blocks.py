@@ -1,0 +1,141 @@
+"""Pallas kernel for block-sparse self-collision tile pairs.
+
+The jnp twin (solver/blocksparse.py) materializes one [256, 256] weight
+plane per (tile, partner) pair to HBM — ~800 MB of traffic per substep at
+16k vertices (measured 1.4 ms).  Here the ENTIRE sorted tile array lives
+in VMEM (16k verts = 200 KB, 64k = 800 KB — far under the 16 MB budget),
+and ONE program walks the (tile, partner) pairs with dynamic VMEM
+indexing: no HBM intermediates, no per-pair grid/DMA overhead (a
+(B, K)-grid variant measured slower than the XLA twin from exactly that
+overhead).
+
+Math notes vs the jnp twin (tested equal to 5e-4):
+* distances are direct per-component VPU broadcasts — a [BLOCK,3]@[3,BLOCK]
+  MXU Gram pads the 3-long contraction to 128 lanes (~40x wasted flops,
+  measured slower), and the broadcast form has NO cancellation, so it
+  needs neither ``Precision.HIGHEST`` nor bbox centering for conditioning
+  (centering is kept only to match the twin's clamp semantics).
+* Mosaic only supports minor-dim inserts on 32-bit types: every
+  [BLOCK] -> [BLOCK, 1] broadcast goes through f32, never bool.
+
+The sorting/bbox/partner machinery stays in XLA (solver/blocksparse.py):
+the sort is 79 us of the 1.5 ms total; the tile loop is the 1.4 ms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import SelfCollisionParams
+from ..solver.blocksparse import BLOCK, _sorted_tiles, _tile_partners
+
+
+def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
+    def kernel(partners_ref, pvalid_ref, x_ref, v_ref, fo_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+        eye = rows == cols
+        big = 1e18
+
+        def tile_body(i, carry):
+            xi = x_ref[i]                    # [3, BLOCK]
+            vif = v_ref[i]                   # [1, BLOCK] f32 0/1
+            vi_on = vif > 0.0
+            mn = jnp.min(jnp.where(vi_on, xi, big), axis=1)
+            mx = jnp.max(jnp.where(vi_on, xi, -big), axis=1)
+            ctr = 0.5 * (mn + mx)
+            xci = xi - ctr[:, None]
+            vcol = vif.reshape(BLOCK, 1)
+
+            def k_body(k, fi):
+                # layout: rows = NEIGHBOUR j (sublanes), cols = SELF i
+                # (lanes) — the per-i reduction then runs over sublanes
+                # (cheap on the VPU) and lands i on lanes, matching the
+                # [3, BLOCK] output layout with no transpose
+                pk = partners_ref[i, k]
+                pv = pvalid_ref[i, k]
+                xj = x_ref[pk]
+                vjf = v_ref[pk]
+                xcj = xj - ctr[:, None]
+                dx0 = xci[0][None, :] - xcj[0][:, None]    # [j, i]
+                dx1 = xci[1][None, :] - xcj[1][:, None]
+                dx2 = xci[2][None, :] - xcj[2][:, None]
+                d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                inv_d = jax.lax.rsqrt(jnp.maximum(d2, (1e-3 * radius) ** 2))
+                not_self = jnp.logical_or(~eye, pk != i)
+                # w = k*(r-d)/d = k*(r*inv_d - 1); active iff d < r
+                w = jnp.where(
+                    (d2 * inv_d < radius) & not_self,
+                    stiffness * (radius * inv_d - 1.0), 0.0,
+                ) * (vjf.reshape(BLOCK, 1) * vcol.reshape(1, BLOCK)) * pv
+                # f_i = sum_j w_ij (x_i - x_j): sublane reductions
+                return (
+                    fi
+                    + jnp.stack([
+                        jnp.sum(w * dx0, axis=0),
+                        jnp.sum(w * dx1, axis=0),
+                        jnp.sum(w * dx2, axis=0),
+                    ])
+                )
+
+            fi = jax.lax.fori_loop(
+                0, k_budget, k_body, jnp.zeros((3, BLOCK), jnp.float32),
+                unroll=1,
+            )
+            fo_ref[i] = fi
+            return carry
+
+        jax.lax.fori_loop(0, b, tile_body, 0, unroll=1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "stiffness", "k_budget", "interpret")
+)
+def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
+                        k_budget, interpret=False):
+    """x_tiles f32[B, 3, BLOCK], valid f32[B, 1, BLOCK], partners i32[B, K],
+    pvalid f32[B, K] -> forces f32[B, 3, BLOCK] (sorted-tile space)."""
+    b = x_tiles.shape[0]
+    kernel = _make_kernel(radius, stiffness, b, k_budget)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 3, BLOCK), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [B, K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # pvalid   [B, K]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # tiles    [B, 3, BLOCK]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # valid    [B, 1, BLOCK]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=b * k_budget * BLOCK * BLOCK * 25,
+            bytes_accessed=2 * b * 3 * BLOCK * 4,
+            transcendentals=b * k_budget * BLOCK * BLOCK,
+        ),
+        interpret=interpret,
+    )(partners, pvalid, x_tiles, valid)
+
+
+def self_collision_forces_block_pallas(
+    x: jax.Array, p: SelfCollisionParams, interpret: bool = False
+) -> jax.Array:
+    """Pallas-tiled twin of blocksparse.self_collision_forces_block."""
+    n = x.shape[0]
+    xb, valid, order, b = _sorted_tiles(x, p.cell_size)
+    k = min(p.block_partners, b)
+    partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
+    x_tiles = jnp.swapaxes(xb, 1, 2)                  # [B, 3, BLOCK]
+    f_tiles = _block_pairs_pallas(
+        x_tiles, valid.astype(jnp.float32)[:, None, :],
+        partners.astype(jnp.int32), pvalid.astype(jnp.float32),
+        float(p.radius), float(p.stiffness), int(k), interpret,
+    )
+    f_sorted = jnp.swapaxes(f_tiles, 1, 2).reshape(-1, 3)[:n]
+    return jnp.zeros_like(x).at[order].set(f_sorted)

@@ -297,6 +297,272 @@ def _fold(a: jax.Array, s_dim: int) -> jax.Array:
     return a.reshape(a.shape[:-1] + (s_dim, LANES))
 
 
+def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
+    """Static gate for the fused XPBD lattice kernel (distance + volume
+    compliance constraints on a fully banded uniform lattice)."""
+    g = top.offset_groups
+    t = top.tet_groups
+    if cfg.solver != Solver.XPBD:
+        return False
+    if cfg.self_collision.enabled:
+        return False
+    if g is None or len(g.deltas) == 0 or g.n_residual > 0:
+        return False
+    if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
+        return False
+    if t is None or t.n_residual > 0:
+        return False
+    if len(t.deltas) > 0 and (
+        any(u is None for u in t.uniform_rest_volume)
+        or len(t.uniform_rest_volume) != len(t.deltas)
+    ):
+        return False
+    if top.inv_mass.dtype != jnp.float32:
+        return False
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+    # iteration carry: 3 delta + Ge lambda + Gt lambda planes, plus stack
+    n_groups = len(g.deltas) + len(t.deltas)
+    planes = 14 + 2 * n_groups + 3 + _STACK_PLANES
+    if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
+        return False
+    return True
+
+
+def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
+                      dt: float, n_substeps: int, n_spheres: int):
+    """egroups: ((delta, rest, alpha), ...); tgroups: (((d1,d2,d3), rv), ...).
+
+    Twin: solver/banded.py xpbd_iteration_banded driven by solver/step.py
+    substep_xpbd (delta-form accumulation, contacts inside the loop)."""
+    g = cfg.gravity
+    gdamp = cfg.global_damping
+    omega = cfg.xpbd.relaxation
+    n_iter = cfg.xpbd.n_iterations
+    alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_e = len(egroups)
+    n_t = len(tgroups)
+    alpha_ts = [alpha / (dt * dt) for _, _, alpha in egroups]
+
+    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, em_ref, tm_ref,
+               xo_ref, vo_ref):
+        w = im_ref[:]
+        movable = w > 0.0
+        plane_y = plane_ref[0, 0]
+
+        # loop-invariant per-vertex constraint count (banded
+        # xpbd_constraint_count twin: owned + owning edges and tet corners)
+        cnt = jnp.zeros((s_dim, LANES), jnp.float32)
+        for gi, (delta, _r, _a) in enumerate(egroups):
+            m = em_ref[gi]
+            cnt = cnt + m + _flat_roll(m, -delta, s_dim)
+        for gi, ((d1, d2, d3), _rv) in enumerate(tgroups):
+            m = tm_ref[gi]
+            cnt = (cnt + m + _flat_roll(m, -d1, s_dim)
+                   + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
+        inv_cnt = omega / jnp.maximum(cnt, 1.0)
+
+        def substep(_, carry):
+            x = list(carry[0:3])
+            v = list(carry[3:6])
+            for c, gc in enumerate(g):
+                vc = (v[c] + dt * gc) * (1.0 - gdamp * dt)
+                v[c] = jnp.where(movable, vc, 0.0)
+            xp = [x[c] for c in range(3)]
+            dl = [dt * v[c] for c in range(3)]
+
+            def iteration(_, it_carry):
+                dl0, dl1, dl2 = it_carry[0:3]
+                lams = list(it_carry[3:3 + n_e])
+                lamv = list(it_carry[3 + n_e:])
+                xe = jnp.stack((xp[0] + dl0, xp[1] + dl1, xp[2] + dl2))
+                dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
+                new_lams = []
+                for gi, (delta, rest, _a) in enumerate(egroups):
+                    xb = _flat_roll(xe, delta, s_dim)
+                    d = xb - xe
+                    d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+                    length = d2 * inv_len
+                    c_val = length - rest
+                    wn = _flat_roll(w, delta, s_dim)
+                    inv_denom = em_ref[gi] / jnp.maximum(
+                        w + wn + alpha_ts[gi], 1e-12
+                    )
+                    dlam = -(c_val + alpha_ts[gi] * lams[gi]) * inv_denom
+                    new_lams.append(lams[gi] + dlam)
+                    wdl_a = (w * dlam * inv_len)[None]
+                    wdl_b = (wn * dlam * inv_len)[None]
+                    dx = dx - wdl_a * d + _flat_roll(wdl_b * d, -delta, s_dim)
+                new_lamv = []
+                for gi, ((d1, d2_, d3), rest_vol) in enumerate(tgroups):
+                    m = tm_ref[gi]
+                    p1 = _flat_roll(xe, d1, s_dim)
+                    p2 = _flat_roll(xe, d2_, s_dim)
+                    p3 = _flat_roll(xe, d3, s_dim)
+                    e1 = p1 - xe
+                    e2 = p2 - xe
+                    e3 = p3 - xe
+
+                    def cross(a, b):
+                        return jnp.stack([
+                            a[1] * b[2] - a[2] * b[1],
+                            a[2] * b[0] - a[0] * b[2],
+                            a[0] * b[1] - a[1] * b[0],
+                        ])
+
+                    c12 = cross(e1, e2)
+                    g1 = cross(e2, e3) * (1.0 / 6.0)
+                    g2 = cross(e3, e1) * (1.0 / 6.0)
+                    g3 = c12 * (1.0 / 6.0)
+                    g0 = -(g1 + g2 + g3)
+                    vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
+                    c_v = vol - rest_vol
+                    w1 = _flat_roll(w, d1, s_dim)
+                    w2 = _flat_roll(w, d2_, s_dim)
+                    w3 = _flat_roll(w, d3, s_dim)
+                    denom = (
+                        w * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
+                        + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
+                        + w2 * (g2[0] * g2[0] + g2[1] * g2[1] + g2[2] * g2[2])
+                        + w3 * (g3[0] * g3[0] + g3[1] * g3[1] + g3[2] * g3[2])
+                        + alpha_v
+                    )
+                    dlam_v = -(c_v + alpha_v * lamv[gi]) / jnp.maximum(
+                        denom, 1e-12
+                    ) * m
+                    new_lamv.append(lamv[gi] + dlam_v)
+                    dx = dx + (w * dlam_v)[None] * g0
+                    dx = dx + _flat_roll((w1 * dlam_v)[None] * g1, -d1, s_dim)
+                    dx = dx + _flat_roll((w2 * dlam_v)[None] * g2, -d2_, s_dim)
+                    dx = dx + _flat_roll((w3 * dlam_v)[None] * g3, -d3, s_dim)
+                dl0 = dl0 + dx[0] * inv_cnt
+                dl1 = dl1 + dx[1] * inv_cnt
+                dl2 = dl2 + dx[2] * inv_cnt
+                if plane_on:
+                    xe1 = xp[1] + dl1
+                    contact = (xe1 < plane_y) & movable
+                    dl1 = jnp.where(contact, plane_y - xp[1], dl1)
+                if spheres_on:
+                    xev = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                    xpr = _project_spheres_positions(
+                        list(xev), movable, sph_ref, n_spheres
+                    )
+                    dl0 = dl0 + (xpr[0] - xev[0])
+                    dl1 = dl1 + (xpr[1] - xev[1])
+                    dl2 = dl2 + (xpr[2] - xev[2])
+                return (dl0, dl1, dl2, *new_lams, *new_lamv)
+
+            zeros = tuple(
+                jnp.zeros((s_dim, LANES), jnp.float32)
+                for _ in range(n_e + n_t)
+            )
+            out = jax.lax.fori_loop(
+                0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
+            )
+            dlf = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+            x = [xp[c] + dlf[c] for c in range(3)]
+            v = [dlf[c] * (1.0 / dt) for c in range(3)]
+            return (x[0], x[1], x[2], v[0], v[1], v[2])
+
+        init = (
+            x_ref[0], x_ref[1], x_ref[2],
+            v_ref[0], v_ref[1], v_ref[2],
+        )
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
+        xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
+        vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "egroups", "tgroups", "dt", "n_substeps", "interpret"),
+)
+def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
+                                  cfg, egroups, tgroups, dt, n_substeps,
+                                  interpret=False):
+    s_dim = x3.shape[-2]
+    n_spheres = spheres.shape[0]
+    kernel = _make_xpbd_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
+                               n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    n_el = s_dim * LANES
+    xo, vo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_substeps * cfg.xpbd.n_iterations * 3 * n_el
+            * (len(egroups) * 30 + len(tgroups) * 70),
+            bytes_accessed=4 * 3 * n_el * 4 + (emask.size + tmask.size) * 4,
+            transcendentals=n_substeps * cfg.xpbd.n_iterations * n_el
+            * len(egroups),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(plane_h.reshape(1, 1), sph, x3, v3, im2, emask, tmask)
+    return xo, vo
+
+
+def make_lattice_xpbd_step(top: Topology, cfg: SimConfig,
+                           interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` for the fused XPBD
+    lattice kernel.  Callers gate on :func:`lattice_xpbd_applicable`."""
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        (delta, rest, alpha)
+        for delta, (_k, rest, alpha) in zip(g.deltas, g.uniform)
+    )
+    tgroups = tuple(
+        (pattern, rv)
+        for pattern, rv in zip(t.deltas, t.uniform_rest_volume)
+    )
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = _fold(state.x.T, s_dim)
+        v3 = _fold(state.v.T, s_dim)
+        im2 = _fold(top.inv_mass, s_dim)
+        emask = _fold(g.mask, s_dim)
+        tmask = (_fold(t.mask, s_dim) if len(t.deltas) > 0
+                 else jnp.zeros((1, s_dim, LANES), jnp.float32))
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
+        xo, vo = _pallas_lattice_xpbd_substeps(
+            x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T[:n]
+        v = vo.reshape(3, -1).T[:n]
+        return State(x=x, v=v, x_prev=x - dt * v)
+
+    return fn
+
+
 def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` running the fused
     lattice kernel.  Callers must gate on :func:`lattice_applicable`."""

@@ -267,6 +267,198 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# Row-tiled Verlet (same DMA structure as the Euler kernel; carries x, x_prev)
+# ---------------------------------------------------------------------------
+
+
+def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
+                        dt: float, n_spheres: int):
+    g = cfg.gravity
+    damping = cfg.springs.damping
+    gdamp = cfg.global_damping
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    ext = tile + 2 * HPAD
+    inv_dt = 1.0 / dt
+
+    def kernel(plane_ref, sph_ref, x_hbm, xp_hbm, im_ref, xo_ref, xpo_ref,
+               xs, ps, sem):
+        i = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
+        row0 = i * tile - HPAD
+        tile0 = pl.multiple_of(i * tile, HPAD)
+        tile_up = pl.multiple_of(i * tile - HPAD, HPAD)
+        tile_dn = pl.multiple_of((i + 1) * tile, HPAD)
+        plane_y = plane_ref[0, 0]
+
+        xs[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+        ps[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+        xs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+        ps[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+
+        cp_xi = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(tile0, tile), :],
+            xs.at[:, pl.ds(HPAD, tile), :], sem.at[0])
+        cp_pi = pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(tile0, tile), :],
+            ps.at[:, pl.ds(HPAD, tile), :], sem.at[1])
+        cp_xi.start()
+        cp_pi.start()
+
+        @pl.when(i > 0)
+        def _():
+            up_x = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(tile_up, HPAD), :],
+                xs.at[:, pl.ds(0, HPAD), :], sem.at[2])
+            up_p = pltpu.make_async_copy(
+                xp_hbm.at[:, pl.ds(tile_up, HPAD), :],
+                ps.at[:, pl.ds(0, HPAD), :], sem.at[3])
+            up_x.start()
+            up_p.start()
+            up_x.wait()
+            up_p.wait()
+
+        @pl.when(i < n_tiles - 1)
+        def _():
+            dn_x = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(tile_dn, HPAD), :],
+                xs.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[4])
+            dn_p = pltpu.make_async_copy(
+                xp_hbm.at[:, pl.ds(tile_dn, HPAD), :],
+                ps.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[5])
+            dn_x.start()
+            dn_p.start()
+            dn_x.wait()
+            dn_p.wait()
+
+        cp_xi.wait()
+        cp_pi.wait()
+
+        xw = xs[:]
+        pw = ps[:]
+        vw = (xw - pw) * inv_dt              # velocity estimate (extended)
+
+        f = jnp.zeros((3, ext, nx), jnp.float32)
+        for di, dj, k, rest in offsets:
+            mask = _global_edge_mask(ext, nx, ny, row0, di, dj)
+            xn = _kroll(xw, di, dj)
+            vn = _kroll(vw, di, dj)
+            d = xn - xw
+            d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+            length = d2 * inv_len
+            n = d * inv_len[None]
+            dv = vn - vw
+            rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
+            fmag = (k * (length - rest) + damping * rel_v) * mask
+            fo = fmag[None] * n
+            f = f + fo - _kroll(fo, -di, -dj)
+
+        im = im_ref[:]
+        movable = im > 0.0
+        sl = lambda a: a[HPAD : HPAD + tile, :]
+        xz = []
+        for c, gc in enumerate(g):
+            accel = gc + sl(f[c]) * im
+            xn = (sl(xw[c]) + (sl(xw[c]) - sl(pw[c])) * (1.0 - gdamp * dt)
+                  + accel * (dt * dt))
+            xz.append(jnp.where(movable, xn, sl(xw[c])))
+        if plane_on:
+            contact = (xz[1] < plane_y) & movable
+            xz[1] = jnp.where(contact, plane_y, xz[1])
+        if spheres_on:
+            xz = _project_spheres_positions(xz, movable, sph_ref, n_spheres)
+        for c in range(3):
+            xo_ref[c] = xz[c]
+            xpo_ref[c] = sl(xw[c])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
+)
+def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
+                           offsets, tile, dt, n_substeps, interpret=False):
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    n_tiles = ny // tile
+    n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tile, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )
+
+    def body(carry, _):
+        x3, xp3 = carry
+        return call(plane_h.reshape(1, 1), sph, x3, xp3, inv_mass2d), None
+
+    (xo, xpo), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
+    return xo, xpo
+
+
+def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
+                           interpret: bool = False):
+    """Row-tiled fused Verlet for grids beyond the whole-VMEM gate (same
+    sizing rules as make_tiled_step)."""
+    ny, nx = top.grid_shape
+    if tile == 0:
+        tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
+        while ny % tile != 0 and tile > HPAD:
+            tile -= HPAD
+    if ny % tile != 0:
+        raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
+    if tile % HPAD != 0 or tile < HPAD:
+        raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = state.x.T.reshape(3, ny, nx)
+        xp3 = state.x_prev.T.reshape(3, ny, nx)
+        im = top.inv_mass.reshape(ny, nx)
+        spheres = jnp.concatenate(
+            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
+        ).astype(jnp.float32)
+        xo, xpo = _tiled_verlet_substeps(
+            x3, xp3, im, top.plane_height, spheres, cfg, offsets, int(tile),
+            float(dt), int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T
+        xp = xpo.reshape(3, -1).T
+        return State(x=x, v=(x - xp) / dt, x_prev=xp)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # Row-tiled XPBD: overlapping halos wide enough for ALL Jacobi iterations
 # ---------------------------------------------------------------------------
 #

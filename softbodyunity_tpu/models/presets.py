@@ -302,6 +302,29 @@ def softbody_cube_64k():
     return top, cfg
 
 
+@register("softbody_cube_64k_xpbd")
+def softbody_cube_64k_xpbd():
+    """XPBD variant of the 64k tet cube: distance + volume compliance
+    constraints, 8 Jacobi iterations per substep, fused XPBD lattice
+    kernel (kernels/pallas_lattice.py make_lattice_xpbd_step)."""
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(
+            compliance_distance=1e-6,
+            compliance_volume=1e-7,
+            n_iterations=8,
+            relaxation=1.0,
+        ),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+    )
+    top = tet_cube(
+        40, spacing=0.02, mass=0.01, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 1.0, 0.0),
+    )
+    return top, cfg
+
+
 @register("cloth_bench_1m")
 def cloth_bench_1m():
     """Scaling showcase: 1024x1024 = 1,048,576-vertex curtain (6.3M springs).

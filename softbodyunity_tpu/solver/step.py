@@ -44,11 +44,23 @@ def total_forces(top: Topology, cfg: SimConfig, x, v):
                 x, cfg.self_collision.radius, cfg.self_collision.stiffness
             )
         elif cfg.self_collision.method == "block":
-            from . import blocksparse
+            backend = cfg.backend
+            if backend == "auto":
+                backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+            if backend == "pallas":
+                from ..kernels.pallas_blocks import (
+                    self_collision_forces_block_pallas,
+                )
 
-            f = f + blocksparse.self_collision_forces_block(
-                x, cfg.self_collision
-            )
+                f = f + self_collision_forces_block_pallas(
+                    x, cfg.self_collision
+                )
+            else:
+                from . import blocksparse
+
+                f = f + blocksparse.self_collision_forces_block(
+                    x, cfg.self_collision
+                )
         else:
             f = f + hashgrid.self_collision_forces_hash(x, cfg.self_collision)
     return f

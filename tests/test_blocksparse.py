@@ -137,3 +137,21 @@ def test_block_matches_dense_16k_folded():
     np.testing.assert_allclose(
         np.asarray(f_blk), np.asarray(f_dns), atol=1e-3, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("n", [500, 2048])
+def test_block_pallas_matches_jnp_twin(n):
+    from softbodyunity_tpu.kernels.pallas_blocks import (
+        self_collision_forces_block_pallas,
+    )
+
+    rng = np.random.default_rng(n)
+    x = jnp.asarray(rng.uniform(0, 0.5, (n, 3)).astype(np.float32))
+    p = _params(block_partners=min(8, -(-n // BLOCK)))
+    f_jnp = self_collision_forces_block(x, p)
+    f_pal = self_collision_forces_block_pallas(x, p, interpret=True)
+    # contraction layouts differ (einsum bij vs dot_general) => rounding-
+    # level deviation only; the dense-parity tests hold both at 5e-4
+    np.testing.assert_allclose(
+        np.asarray(f_pal), np.asarray(f_jnp), atol=5e-4, rtol=1e-3
+    )

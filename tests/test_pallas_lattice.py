@@ -111,3 +111,44 @@ def test_dispatch_routes_lattice():
     assert fast is not None
     # jnp / stencil backends fall back to the banded path (no Mosaic on CPU)
     assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
+
+
+def test_lattice_xpbd_matches_banded_jnp():
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_xpbd_applicable,
+        make_lattice_xpbd_step,
+    )
+
+    host, cfg = _scene(n=6)
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_volume=1e-7,
+                        n_iterations=4, relaxation=1.0),
+    )
+    top, state = api.init(host)
+    assert lattice_xpbd_applicable(top, cfg)
+    pal = make_lattice_xpbd_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=2e-3)
+    # the cube reaches the plane (contact exercised inside the Jacobi loop)
+    assert np.asarray(s_ref.x)[:, 1].min() <= 1e-6
+
+
+def test_lattice_xpbd_dispatch_routes():
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _scene(n=6)
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, n_iterations=4),
+    )
+    top, state = api.init(host)
+    fn = dispatch.maybe_fast_step(top, cfg, "pallas")
+    assert fn is not None
+    jaxpr = str(jax.make_jaxpr(lambda t, s: fn(s, cfg.dt, 2))(top, state))
+    assert "pallas_call" in jaxpr

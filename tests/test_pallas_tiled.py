@@ -119,3 +119,23 @@ def test_tiled_xpbd_halo_gate():
     top, _ = api.init(host)
     with pytest.raises(ValueError):
         make_tiled_xpbd_step(top, cfg, tile=8)  # tile < halo
+
+
+def test_tiled_verlet_matches_untiled():
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_substep import make_pallas_verlet_step
+    from softbodyunity_tpu.kernels.pallas_tiled import make_tiled_verlet_step
+
+    host, cfg = _scene()
+    cfg = cfg.replace(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0,
+                             k_bend=100.0, damping=0.1),
+    )
+    top, state = api.init(host)
+    tiled = make_tiled_verlet_step(top, cfg, tile=8, interpret=True)
+    whole = make_pallas_verlet_step(top, cfg, interpret=True)
+    s_t = tiled(state, cfg.dt, 64)
+    s_w = whole(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_t.x), np.asarray(s_w.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_t.v), np.asarray(s_w.v), atol=1e-4)
