@@ -36,7 +36,7 @@ from ..solver.blocksparse import BLOCK, _sorted_tiles, _tile_partners
 
 
 def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
-    def kernel(partners_ref, pvalid_ref, x_ref, v_ref, fo_ref):
+    def kernel(partners_ref, nvalid_ref, pvalid_ref, x_ref, v_ref, fo_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
         eye = rows == cols
@@ -83,9 +83,12 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
                     ])
                 )
 
+            # dynamic trip count: partners are sorted interacting-first, so
+            # only the first nvalid[i] of the K budget do real work (the
+            # mean is ~K/3 for cloth scenes — a ~2-3x saving)
             fi = jax.lax.fori_loop(
-                0, k_budget, k_body, jnp.zeros((3, BLOCK), jnp.float32),
-                unroll=1,
+                0, nvalid_ref[i], k_body,
+                jnp.zeros((3, BLOCK), jnp.float32), unroll=1,
             )
             fo_ref[i] = fi
             return carry
@@ -104,11 +107,13 @@ def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
     pvalid f32[B, K] -> forces f32[B, 3, BLOCK] (sorted-tile space)."""
     b = x_tiles.shape[0]
     kernel = _make_kernel(radius, stiffness, b, k_budget)
+    nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)   # [B]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 3, BLOCK), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [B, K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # nvalid   [B]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # pvalid   [B, K]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # tiles    [B, 3, BLOCK]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # valid    [B, 1, BLOCK]
@@ -120,7 +125,7 @@ def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
             transcendentals=b * k_budget * BLOCK * BLOCK,
         ),
         interpret=interpret,
-    )(partners, pvalid, x_tiles, valid)
+    )(partners, nvalid, pvalid, x_tiles, valid)
 
 
 def self_collision_forces_block_pallas(

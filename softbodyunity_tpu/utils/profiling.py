@@ -71,12 +71,28 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
         state.x, state.v,
     )
     contacts = jnp.sum(state.x[:, 1] <= top.plane_height + 1e-6)
-    return {
+    out = {
         "kinetic_energy": float(ke),
         "spring_energy": float(pe),
         "max_edge_residual": float(residual),
         "ground_contacts": int(contacts),
     }
+    if cfg.self_collision.enabled:
+        # capacity diagnostics: nonzero => the static budget soft-truncated
+        # contacts this frame (raise max_per_cell / block_partners)
+        p = cfg.self_collision
+        if p.method == "block":
+            from ..solver.blocksparse import self_collision_block_diagnostics
+
+            d = self_collision_block_diagnostics(state.x, p)
+            out["self_collision_dropped_tile_pairs"] = int(d["dropped_pairs"])
+        elif p.method == "hash":
+            from ..solver.hashgrid import hash_overflow_count
+
+            out["self_collision_cell_overflows"] = int(
+                hash_overflow_count(state.x, p)
+            )
+    return out
 
 
 def checked_step(top: Topology, cfg: SimConfig, state: State,
