@@ -658,3 +658,325 @@ def shard_lattice_state(top: Topology, state: State, mesh: Mesh):
     else:
         tmask = jax.device_put(jnp.zeros((1, n, n2), jnp.float32), spec)
     return x3, v3, im3, ph, emask, tmask
+
+
+def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """Slab-sharded position-Verlet stepping for the banded tet lattice
+    (solver/step.py substep_verlet semantics on the banded path).
+
+    Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
+    sphere_centers=None, sphere_radii=None) -> (x, v)``."""
+    if not lattice_halo_applicable(top):
+        raise ValueError("topology is not a fully banded uniform lattice")
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n_dev = mesh.shape[ROWS_AXIS]
+    assert n % n_dev == 0, f"n={n} slabs must divide over {n_dev} devices"
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        _split_lattice_delta(d, n) + (k, rest)
+        for d, (k, rest, _a) in zip(g.deltas, g.uniform)
+    )
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    tgroups = tuple(
+        (tuple(_split_lattice_delta(d, n) for d in pat), rv)
+        for pat, rv in zip(t.deltas, t.uniform_rest_volume)
+    ) if use_volume else ()
+    vol_stiff = cfg.volume_stiffness
+    damping = cfg.springs.damping
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    spec = P(None, ROWS_AXIS, None)
+
+    def sharded_steps(x3, xp3, im3, plane_height, emask, tmask, dt,
+                      n_substeps, sphere_centers=None, sphere_radii=None):
+        def local(x3b, xp3b, imb, ph, emb, tmb, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
+            n_local = x3b.shape[-2]
+            movable = imb > 0.0
+            we = _exchange_slab(imb, ROWS_AXIS)[0]
+            eme = _exchange_slab(emb, ROWS_AXIS)
+            if use_volume:
+                tme = _exchange_slab(tmb, ROWS_AXIS)
+                cnt = jnp.zeros_like(we)
+                for gi, (corners, _rv) in enumerate(tgroups):
+                    m = tme[gi]
+                    cnt = cnt + m
+                    for (di, r) in corners:
+                        cnt = cnt + _rev(m, di, r)
+                inv_cnt_vs = vol_stiff / jnp.maximum(
+                    cnt[SLAB_HALO : SLAB_HALO + n_local, :], 1.0
+                )
+
+            def volume_dx_interior(xb):
+                xve = _exchange_slab(xb, ROWS_AXIS)
+                dx = jnp.zeros_like(xve)
+                for gi, (corners, rv) in enumerate(tgroups):
+                    m = tme[gi]
+                    p = [_nbr(xve, di, r) for (di, r) in corners]
+                    e1, e2, e3 = p[0] - xve, p[1] - xve, p[2] - xve
+                    c12 = jnp.stack([
+                        e1[1] * e2[2] - e1[2] * e2[1],
+                        e1[2] * e2[0] - e1[0] * e2[2],
+                        e1[0] * e2[1] - e1[1] * e2[0],
+                    ])
+                    g1 = jnp.stack([
+                        e2[1] * e3[2] - e2[2] * e3[1],
+                        e2[2] * e3[0] - e2[0] * e3[2],
+                        e2[0] * e3[1] - e2[1] * e3[0],
+                    ]) / 6.0
+                    g2 = jnp.stack([
+                        e3[1] * e1[2] - e3[2] * e1[1],
+                        e3[2] * e1[0] - e3[0] * e1[2],
+                        e3[0] * e1[1] - e3[1] * e1[0],
+                    ]) / 6.0
+                    g3 = c12 / 6.0
+                    g0 = -(g1 + g2 + g3)
+                    vol = jnp.sum(c12 * e3, axis=0) / 6.0
+                    c_val = vol - rv
+                    wc = [_nbr(we, di, r) for (di, r) in corners]
+                    denom = (
+                        we * jnp.sum(g0 * g0, axis=0)
+                        + wc[0] * jnp.sum(g1 * g1, axis=0)
+                        + wc[1] * jnp.sum(g2 * g2, axis=0)
+                        + wc[2] * jnp.sum(g3 * g3, axis=0)
+                    )
+                    s = m * (-c_val) / jnp.maximum(denom, 1e-12)
+                    dx = dx + (we * s) * g0
+                    for ci, gv in zip(range(3), (g1, g2, g3)):
+                        di, r = corners[ci]
+                        dx = dx + _rev((wc[ci] * s) * gv, di, r)
+                dxi = dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * inv_cnt_vs
+                return jnp.where(movable, dxi, 0.0)
+
+            def substep(carry, _):
+                xb, xpb = carry
+                v_est = (xb - xpb) / dt
+                xe = _exchange_slab(xb, ROWS_AXIS)
+                ve = _exchange_slab(v_est, ROWS_AXIS)
+                f = jnp.zeros_like(xe)
+                for gi, (di, r, k_s, rest) in enumerate(egroups):
+                    xn = _nbr(xe, di, r)
+                    vn = _nbr(ve, di, r)
+                    d = xn - xe
+                    length = jnp.sqrt(jnp.sum(d * d, axis=0))
+                    nrm = d / jnp.maximum(length, 1e-12)
+                    rel = jnp.sum((vn - ve) * nrm, axis=0)
+                    fmag = eme[gi] * (k_s * (length - rest) + damping * rel)
+                    fo = fmag * nrm
+                    f = f + fo - _rev(fo, di, r)
+                f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
+                gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
+                accel = gvec + f * imb
+                x_new = (xb + (xb - xpb) * (1.0 - cfg.global_damping * dt)
+                         + accel * (dt * dt))
+                x_new = jnp.where(movable, x_new, xb)
+                if use_volume:
+                    x_new = x_new + volume_dx_interior(x_new)
+                # position-only collide (oracle project_positions_only)
+                if cfg.collision.enable_plane:
+                    contact = (x_new[1] < ph[0]) & movable[0]
+                    x_new = x_new.at[1].set(
+                        jnp.where(contact, ph[0], x_new[1])
+                    )
+                if cfg.collision.enable_spheres and spheres is not None:
+                    centers, radii = spheres
+                    for si in range(radii.shape[0]):
+                        c = centers[si].reshape(3, 1, 1)
+                        d = x_new - c
+                        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                        pen = radii[si] - dist
+                        contact = (pen > 0.0) & movable[0]
+                        nrm = d / jnp.maximum(dist, 1e-12)
+                        x_new = x_new + jnp.where(contact, pen, 0.0) * nrm
+                return (x_new, xb), None
+
+            (xf, xpf), _ = jax.lax.scan(
+                substep, (x3b, xp3b), None, length=n_substeps
+            )
+            return xf, (xf - xpf) / dt
+
+        args = (x3, xp3, im3, plane_height, emask, tmask)
+        specs = (spec, spec, spec, P(), spec, spec)
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError("cfg enables spheres: pass sphere geometry")
+            args += (sphere_centers, sphere_radii)
+            specs += (P(), P())
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+        )(*args)
+
+    return sharded_steps
+
+
+def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """Slab-sharded XPBD stepping for the banded tet lattice: every Jacobi
+    sweep exchanges positions AND the per-group lambda planes (the cloth
+    XPBD halo's recompute-the-owner trick in 3D), with distance + volume
+    compliance constraints and delta-form accumulation (solver/step.py
+    substep_xpbd banded twin)."""
+    if not lattice_halo_applicable(top):
+        raise ValueError("topology is not a fully banded uniform lattice")
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n_dev = mesh.shape[ROWS_AXIS]
+    assert n % n_dev == 0, f"n={n} slabs must divide over {n_dev} devices"
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        _split_lattice_delta(d, n) + (rest, alpha)
+        for d, (_k, rest, alpha) in zip(g.deltas, g.uniform)
+    )
+    tgroups = tuple(
+        (tuple(_split_lattice_delta(d, n) for d in pat), rv)
+        for pat, rv in zip(t.deltas, t.uniform_rest_volume)
+    )
+    omega = cfg.xpbd.relaxation
+    n_iter = cfg.xpbd.n_iterations
+    spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    spec = P(None, ROWS_AXIS, None)
+
+    def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
+                      n_substeps, sphere_centers=None, sphere_radii=None):
+        alpha_ts = [alpha / (dt * dt) for _, _, _, alpha in egroups]
+        alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
+
+        def local(x3b, v3b, imb, ph, emb, tmb, *sph):
+            spheres = (sph[0], sph[1]) if sph else None
+            n_local = x3b.shape[-2]
+            movable = imb > 0.0
+            we = _exchange_slab(imb, ROWS_AXIS)[0]
+            eme = _exchange_slab(emb, ROWS_AXIS)
+            tme = _exchange_slab(tmb, ROWS_AXIS)
+            # constraint count: owned + owning edges and tet corners
+            cnt = jnp.zeros_like(we)
+            for gi in range(len(egroups)):
+                di, r = egroups[gi][0], egroups[gi][1]
+                m = eme[gi]
+                cnt = cnt + m + _rev(m, di, r)
+            for gi, (corners, _rv) in enumerate(tgroups):
+                m = tme[gi]
+                cnt = cnt + m
+                for (di, r) in corners:
+                    cnt = cnt + _rev(m, di, r)
+            cnt_inv = omega / jnp.maximum(
+                cnt[SLAB_HALO : SLAB_HALO + n_local, :], 1.0
+            )
+
+            def substep(carry, _):
+                xb, vb = carry
+                gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
+                vb = (vb + dt * gvec) * (1.0 - cfg.global_damping * dt)
+                vb = jnp.where(movable, vb, 0.0)
+                x_prev = xb
+                delta0 = dt * vb
+
+                def iteration(carry_it, _2):
+                    delta, lams, lamv = carry_it
+                    xe = _exchange_slab(x_prev + delta, ROWS_AXIS)
+                    dx = jnp.zeros_like(xe)
+                    new_lams = []
+                    for gi, (di, r, rest, _alpha) in enumerate(egroups):
+                        lam_e = _exchange_slab(lams[gi][None], ROWS_AXIS)[0]
+                        xn = _nbr(xe, di, r)
+                        d = xn - xe
+                        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+                        nrm = d / jnp.maximum(length, 1e-12)
+                        c_val = length - rest
+                        wn = _nbr(we, di, r)
+                        denom = jnp.maximum(we + wn + alpha_ts[gi], 1e-12)
+                        dlam = -(c_val + alpha_ts[gi] * lam_e) / denom * eme[gi]
+                        new_lams.append(
+                            dlam[SLAB_HALO : SLAB_HALO + n_local, :] + lams[gi]
+                        )
+                        dx = dx + (-(we * dlam)) * nrm + _rev((wn * dlam) * nrm, di, r)
+                    new_lamv = []
+                    for gi, (corners, rv) in enumerate(tgroups):
+                        lamv_e = _exchange_slab(lamv[gi][None], ROWS_AXIS)[0]
+                        m = tme[gi]
+                        p = [_nbr(xe, di, r) for (di, r) in corners]
+                        e1, e2, e3 = p[0] - xe, p[1] - xe, p[2] - xe
+                        c12 = jnp.stack([
+                            e1[1] * e2[2] - e1[2] * e2[1],
+                            e1[2] * e2[0] - e1[0] * e2[2],
+                            e1[0] * e2[1] - e1[1] * e2[0],
+                        ])
+                        g1 = jnp.stack([
+                            e2[1] * e3[2] - e2[2] * e3[1],
+                            e2[2] * e3[0] - e2[0] * e3[2],
+                            e2[0] * e3[1] - e2[1] * e3[0],
+                        ]) / 6.0
+                        g2 = jnp.stack([
+                            e3[1] * e1[2] - e3[2] * e1[1],
+                            e3[2] * e1[0] - e3[0] * e1[2],
+                            e3[0] * e1[1] - e3[1] * e1[0],
+                        ]) / 6.0
+                        g3 = c12 / 6.0
+                        g0 = -(g1 + g2 + g3)
+                        vol = jnp.sum(c12 * e3, axis=0) / 6.0
+                        c_v = vol - rv
+                        wc = [_nbr(we, di, r) for (di, r) in corners]
+                        denom = (
+                            we * jnp.sum(g0 * g0, axis=0)
+                            + wc[0] * jnp.sum(g1 * g1, axis=0)
+                            + wc[1] * jnp.sum(g2 * g2, axis=0)
+                            + wc[2] * jnp.sum(g3 * g3, axis=0)
+                            + alpha_v
+                        )
+                        dlam_v = -(c_v + alpha_v * lamv_e) / jnp.maximum(
+                            denom, 1e-12
+                        ) * m
+                        new_lamv.append(
+                            dlam_v[SLAB_HALO : SLAB_HALO + n_local, :] + lamv[gi]
+                        )
+                        dx = dx + (we * dlam_v) * g0
+                        for ci, gv in zip(range(3), (g1, g2, g3)):
+                            di, r = corners[ci]
+                            dx = dx + _rev((wc[ci] * dlam_v) * gv, di, r)
+                    delta = delta + dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * cnt_inv
+                    if cfg.collision.enable_plane:
+                        xe1 = x_prev[1] + delta[1]
+                        contact = (xe1 < ph[0]) & movable[0]
+                        delta = delta.at[1].set(
+                            jnp.where(contact, ph[0] - x_prev[1], delta[1])
+                        )
+                    if cfg.collision.enable_spheres and spheres is not None:
+                        centers, radii = spheres
+                        xev = x_prev + delta
+                        xproj = xev
+                        for si in range(radii.shape[0]):
+                            c = centers[si].reshape(3, 1, 1)
+                            d = xproj - c
+                            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                            pen = radii[si] - dist
+                            contact = (pen > 0.0) & movable[0]
+                            nrm = d / jnp.maximum(dist, 1e-12)
+                            xproj = xproj + jnp.where(contact, pen, 0.0) * nrm
+                        delta = delta + (xproj - xev)
+                    return (delta, tuple(new_lams), tuple(new_lamv)), None
+
+                # zeros derived from sharded input to keep {V:rows} typing
+                lams0 = tuple(x3b[0] * 0.0 for _ in egroups)
+                lamv0 = tuple(x3b[0] * 0.0 for _ in tgroups)
+                (delta, _, _), _ = jax.lax.scan(
+                    iteration, (delta0, lams0, lamv0), None, length=n_iter
+                )
+                delta = jnp.where(movable, delta, 0.0)
+                return (x_prev + delta, delta / dt), None
+
+            (xf, vf), _ = jax.lax.scan(
+                substep, (x3b, v3b), None, length=n_substeps
+            )
+            return xf, vf
+
+        args = (x3, v3, im3, plane_height, emask, tmask)
+        specs = (spec, spec, spec, P(), spec, spec)
+        if spheres_on:
+            if sphere_centers is None:
+                raise ValueError("cfg enables spheres: pass sphere geometry")
+            args += (sphere_centers, sphere_radii)
+            specs += (P(), P())
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+        )(*args)
+
+    return sharded_steps

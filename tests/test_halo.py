@@ -236,3 +236,67 @@ def test_halo_xpbd_sphere_matches_single_device():
     # the curtain actually drapes onto the sphere
     d = np.linalg.norm(got_x - np.array([0.375, -1.0, 0.0]), axis=1)
     assert d.min() < 0.31
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_lattice_verlet_matches_single_device(n_dev):
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.core.topology import tet_cube
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=1200.0, damping=0.2),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    host = tet_cube(
+        8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 0.02, 0.0),
+    )
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    fn = jax.jit(
+        halo.make_halo_lattice_verlet_step(top, cfg, mesh), static_argnums=(7,)
+    )
+    x3, _, im3, ph, emask, tmask = halo.shard_lattice_state(top, state, mesh)
+    xf, vf = fn(x3, x3, im3, ph, emask, tmask, cfg.dt, 96)
+    got_x = np.asarray(xf).reshape(3, -1).T
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
+    np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=3e-5)
+    assert got_x[:, 1].min() <= 1e-6  # reached the plane
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_lattice_xpbd_matches_single_device(n_dev):
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.core.topology import tet_cube
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_volume=1e-7,
+                        n_iterations=4, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.5,
+    )
+    host = tet_cube(
+        8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 0.02, 0.0),
+    )
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    fn = jax.jit(
+        halo.make_halo_lattice_xpbd_step(top, cfg, mesh), static_argnums=(7,)
+    )
+    x3, v3, im3, ph, emask, tmask = halo.shard_lattice_state(top, state, mesh)
+    xf, vf = fn(x3, v3, im3, ph, emask, tmask, cfg.dt, 64)
+    got_x = np.asarray(xf).reshape(3, -1).T
+    got_v = np.asarray(vf).reshape(3, -1).T
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 64))(top, state)
+    np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=3e-5)
+    np.testing.assert_allclose(got_v, np.asarray(ref.v), atol=3e-3)
+    assert got_x[:, 1].min() <= 1e-6  # contact exercised inside the loop
