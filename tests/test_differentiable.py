@@ -1,0 +1,117 @@
+"""Differentiable simulation — a capability the reference's C# engine
+cannot offer: the jnp/stencil paths are pure JAX, so ``jax.grad`` flows
+end-to-end through the physics (the fused Mosaic kernels are forward-only;
+use backend="stencil" under autodiff)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import (
+    CollisionParams,
+    SimConfig,
+    Solver,
+    SpringParams,
+    XPBDParams,
+)
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.solver.step import step_scan
+
+
+def _free_cloth(plane_height=-10.0):
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=500.0, k_shear=250.0, damping=0.5),
+        xpbd=XPBDParams(compliance_distance=1e-6, n_iterations=4),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.2,
+    )
+    host = cloth_grid(
+        8, 8, spacing=0.05, shear=True, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=plane_height,
+        orientation="xz",
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize(
+    "solver", [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD]
+)
+def test_grad_flows_through_all_solvers(solver):
+    host, cfg = _free_cloth()
+    cfg = cfg.replace(solver=solver)
+    top, state = api.init(host)
+    target = jnp.array([0.5, 0.3, 0.2])
+
+    def loss(v0):
+        s = state.replace(v=jnp.broadcast_to(v0, state.v.shape))
+        if solver == Solver.VERLET:
+            s = s.replace(x_prev=s.x - cfg.dt * s.v)
+        s = step_scan(top, cfg, s, cfg.dt, 32)
+        return jnp.sum((jnp.mean(s.x, axis=0) - target) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros(3))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_grad_finite_through_contact():
+    """Plane contact is a where() clamp — subgradients stay finite."""
+    host, cfg = _free_cloth(plane_height=-0.02)
+    top, state = api.init(host)
+
+    def loss(v0):
+        s = state.replace(v=jnp.broadcast_to(v0, state.v.shape))
+        s = step_scan(top, cfg, s, cfg.dt, 64)  # cloth hits the plane
+        return jnp.mean(s.x[:, 1] ** 2)
+
+    g = jax.grad(loss)(jnp.array([0.0, -1.0, 0.0]))
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_gradient_descent_reaches_target():
+    """Optimize an initial throw velocity so the cloth's center of mass
+    lands near a target — loss must drop by >2x in 40 GD steps."""
+    host, cfg = _free_cloth()
+    top, state = api.init(host)
+    target = jnp.array([0.5, 0.3, 0.2])
+
+    @jax.jit
+    def loss(v0):
+        s = state.replace(v=jnp.broadcast_to(v0, state.v.shape))
+        s = step_scan(top, cfg, s, cfg.dt, 64)
+        return jnp.sum((jnp.mean(s.x, axis=0) - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    v = jnp.zeros(3)
+    l0 = float(loss(v))
+    for _ in range(40):
+        _, g = vg(v)
+        v = v - 2.0 * g
+    l1 = float(loss(v))
+    assert l1 < 0.5 * l0, (l0, l1)
+
+
+def test_grad_wrt_material_parameters():
+    """Gradients w.r.t. topology data (rest lengths) — material/system
+    identification use case."""
+    host, cfg = _free_cloth()
+    top, state = api.init(host)
+
+    def loss(rest_scale):
+        import dataclasses
+
+        # gather path: the banded path reads rest lengths from its own
+        # [G, N] planes, so scale at the edge-list level
+        t2 = dataclasses.replace(
+            top, rest_length=top.rest_length * rest_scale,
+            offset_groups=None, tet_groups=None,
+        )
+        s = step_scan(t2, cfg, state, cfg.dt, 16)
+        return jnp.mean(s.x ** 2)
+
+    g = jax.grad(loss)(jnp.float32(1.0))
+    assert bool(jnp.isfinite(g))
+    assert abs(float(g)) > 0.0

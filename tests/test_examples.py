@@ -42,3 +42,7 @@ def test_example_multichip_entry():
         graft.dryrun_multichip(8)
     finally:
         sys.path.remove(REPO)
+
+
+def test_example_differentiable_throw():
+    _load("05_differentiable_throw.py").main(n_iters=3, n_substeps=16)
