@@ -190,8 +190,14 @@ def bench_cube_xpbd_64k():
 
 def bench_selfcollide_16k():
     """Substeps/sec, 16k single-scene self-colliding cloth (block-sparse
-    Morton-tiled MXU self-collision + banded springs)."""
+    Morton-tiled self-collision + banded springs)."""
     return _bench_preset_substeps("cloth_selfcollide_16k", 8, 64)
+
+
+def bench_selfcollide_64k():
+    """Substeps/sec, 64k single-scene self-colliding cloth (the dense rule
+    would be 4.3e9 pairs)."""
+    return _bench_preset_substeps("cloth_selfcollide_64k", 4, 24)
 
 
 _PARTS = {
@@ -202,6 +208,7 @@ _PARTS = {
     "verlet64k": bench_verlet_64k,
     "1m": bench_1m,
     "sc16k": bench_selfcollide_16k,
+    "sc64k": bench_selfcollide_64k,
     "cubexpbd": bench_cube_xpbd_64k,
 }
 
@@ -244,6 +251,7 @@ def main():
         ("verlet64k", "substeps_per_sec_64k_verlet"),
         ("1m", "substeps_per_sec_1m_cloth"),
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
+        ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
     ]:
         try:
