@@ -21,6 +21,7 @@ from .core.topology import (
     HostTopology,
     Topology,
     cloth_grid,
+    from_tet_mesh,
     from_triangle_mesh,
     tet_cube,
 )
@@ -32,5 +33,5 @@ __all__ = [
     "SimConfig", "Solver", "SpringParams", "XPBDParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
-    "cloth_grid", "tet_cube", "from_triangle_mesh", "presets",
+    "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh", "presets",
 ]

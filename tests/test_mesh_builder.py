@@ -155,3 +155,121 @@ def test_degenerate_rope_grid():
     x = np.asarray(state.x)
     assert np.isfinite(x).all()
     assert x[:, 1].min() < -0.5, "rope actually hangs down"
+
+
+# ---------------------------------------------------------------------------
+# from_tet_mesh: arbitrary volumetric meshes
+# ---------------------------------------------------------------------------
+
+def _random_tet_blob(n_pts=40, seed=0):
+    """A tetrahedralized blob via scipy-free Delaunay substitute: connect a
+    jittered grid's cube cells with the 5-tet split (irregular positions =>
+    irregular rest lengths/volumes but valid connectivity)."""
+    from softbodyunity_tpu.core.topology import tet_cube
+
+    host = tet_cube(3, spacing=0.1)
+    rng = np.random.default_rng(seed)
+    pos = host.positions0 + 0.02 * rng.standard_normal(host.positions0.shape)
+    return pos, np.asarray(host.tets)
+
+
+def test_from_tet_mesh_reproduces_tet_cube_physics():
+    """Feeding tet_cube's own (positions, tets) through from_tet_mesh must
+    produce identical physics (same springs/volumes up to vertex
+    relabeling): run both 50 f64 oracle steps and compare sorted states."""
+    import jax
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.core.config import CollisionParams, SimConfig, SpringParams
+    from softbodyunity_tpu.core.topology import from_tet_mesh, tet_cube
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=1200.0, damping=1.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    cube = tet_cube(5, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=0.0, origin=(0.0, 0.05, 0.0))
+    rebuilt = from_tet_mesh(
+        cube.positions0, np.asarray(cube.tets), springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0,
+    )
+    assert rebuilt.edges.shape == cube.edges.shape
+    assert rebuilt.tets.shape == cube.tets.shape
+    np.testing.assert_allclose(
+        np.sort(rebuilt.rest_volume), np.sort(cube.rest_volume), rtol=1e-12
+    )
+
+    top_a, s_a = api.init(cube)
+    top_b, s_b = api.init(rebuilt)
+    run = lambda t, s, c: jax.jit(
+        lambda tt, ss: step_scan(tt, c, ss, c.dt, 64)
+    )(t, s)
+    xa = np.asarray(run(top_a, s_a, cfg).x)
+    xb = np.asarray(run(top_b, s_b, cfg).x)
+    # same point set evolves identically regardless of labeling
+    np.testing.assert_allclose(
+        np.sort(xa, axis=0), np.sort(xb, axis=0), atol=5e-5
+    )
+
+
+def test_from_tet_mesh_irregular_blob():
+    """An irregular (jittered) tet mesh simulates stably with volume
+    preservation and boundary-face normals."""
+    import jax.numpy as jnp
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.core.config import CollisionParams, SimConfig, SpringParams
+    from softbodyunity_tpu.core.topology import from_tet_mesh
+    from softbodyunity_tpu.solver.step import step_scan
+
+    pos, tets = _random_tet_blob()
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=800.0, damping=1.0),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    host = from_tet_mesh(pos, tets, springs=cfg.springs, xpbd=cfg.xpbd,
+                         plane_height=-0.05)
+    assert (host.rest_volume > 0).all()      # orientation canonicalized
+    assert host.triangles.shape[0] > 0       # boundary faces extracted
+    top, state = api.init(host)
+    s = step_scan(top, cfg, state, cfg.dt, 96)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() >= -0.05 - 1e-5
+    from softbodyunity_tpu.solver.normals import vertex_normals
+
+    nrm = np.asarray(vertex_normals(top.triangles, s.x))
+    lens = np.linalg.norm(nrm, axis=1)
+    assert np.all((lens < 1e-6) | (np.abs(lens - 1.0) < 1e-4))
+
+
+def test_from_tet_mesh_ordering_is_best_of_identity_and_bfs():
+    """The builder keeps whichever vertex ordering gives more banded
+    (gather-free) coverage: a well-ordered lattice stays FULLY banded (BFS
+    would fragment it), and a randomly-relabeled copy is rescued by BFS."""
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.core.topology import from_tet_mesh, tet_cube
+
+    base = tet_cube(8, spacing=0.1)
+    pos, tets = base.positions0, np.asarray(base.tets)
+
+    def banded_frac(host):
+        top, _ = api.init(host)
+        g = top.offset_groups
+        return 1.0 - g.n_residual / host.edges.shape[0]
+
+    # well-ordered lattice: identity order must be preserved (full banding)
+    host = from_tet_mesh(pos, tets)
+    assert banded_frac(host) == 1.0
+
+    # random labeling: BFS must recover substantial banded coverage
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(pos.shape[0])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    host_shuffled_off = from_tet_mesh(pos[perm], inv[tets], reorder=False)
+    host_shuffled_on = from_tet_mesh(pos[perm], inv[tets], reorder=True)
+    assert banded_frac(host_shuffled_on) > banded_frac(host_shuffled_off) + 0.3
