@@ -7,7 +7,7 @@ See SURVEY.md for the component map and BASELINE.json for the capability
 contract.
 """
 
-from .api import init, normals, rollout, step
+from .api import init, move_colliders, normals, rollout, step
 from .core.config import (
     CollisionParams,
     SelfCollisionParams,
@@ -20,6 +20,7 @@ from .core.state import State, make_state
 from .core.topology import (
     HostTopology,
     Topology,
+    add_colliders,
     cloth_grid,
     from_tet_mesh,
     from_triangle_mesh,
@@ -29,7 +30,7 @@ from .models import presets
 
 __version__ = "0.1.0"
 __all__ = [
-    "init", "step", "rollout", "normals",
+    "init", "step", "rollout", "normals", "move_colliders", "add_colliders",
     "SimConfig", "Solver", "SpringParams", "XPBDParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",

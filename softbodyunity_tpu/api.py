@@ -65,6 +65,20 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
         plane_height=f32(host.plane_height),
         sphere_centers=f32(host.sphere_centers),
         sphere_radii=f32(host.sphere_radii),
+        capsule_p0=f32(host.capsule_p0 if host.capsule_p0 is not None
+                       else np.zeros((0, 3))),
+        capsule_p1=f32(host.capsule_p1 if host.capsule_p1 is not None
+                       else np.zeros((0, 3))),
+        capsule_radii=f32(host.capsule_radii if host.capsule_radii is not None
+                          else np.zeros((0,))),
+        box_centers=f32(host.box_centers if host.box_centers is not None
+                        else np.zeros((0, 3))),
+        box_half_extents=f32(
+            host.box_half_extents if host.box_half_extents is not None
+            else np.zeros((0, 3))
+        ),
+        box_rotations=f32(host.box_rotations if host.box_rotations is not None
+                          else np.zeros((0, 3, 3))),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
@@ -160,6 +174,12 @@ def move_colliders(
     sphere_centers=None,
     sphere_radii=None,
     plane_height=None,
+    capsule_p0=None,
+    capsule_p1=None,
+    capsule_radii=None,
+    box_centers=None,
+    box_half_extents=None,
+    box_rotations=None,
 ) -> Topology:
     """Animated colliders (the Unity moving-Collider analogue): collider
     geometry is *array data* on Topology, so replacing it between frames
@@ -168,11 +188,19 @@ def move_colliders(
     each carry their own sphere positions."""
     import dataclasses
 
+    f32 = top.plane_height.dtype
     kw = {}
-    if sphere_centers is not None:
-        kw["sphere_centers"] = jnp.asarray(sphere_centers, top.sphere_centers.dtype)
-    if sphere_radii is not None:
-        kw["sphere_radii"] = jnp.asarray(sphere_radii, top.sphere_radii.dtype)
-    if plane_height is not None:
-        kw["plane_height"] = jnp.asarray(plane_height, top.plane_height.dtype)
+    for name, val in (
+        ("sphere_centers", sphere_centers),
+        ("sphere_radii", sphere_radii),
+        ("plane_height", plane_height),
+        ("capsule_p0", capsule_p0),
+        ("capsule_p1", capsule_p1),
+        ("capsule_radii", capsule_radii),
+        ("box_centers", box_centers),
+        ("box_half_extents", box_half_extents),
+        ("box_rotations", box_rotations),
+    ):
+        if val is not None:
+            kw[name] = jnp.asarray(val, f32)
     return dataclasses.replace(top, **kw)

@@ -77,6 +77,10 @@ class CollisionParams:
     friction: float = 0.2       # tangential velocity damping in [0, 1] on contact
     enable_plane: bool = True
     enable_spheres: bool = False
+    # Unity's other standard primitive colliders (CapsuleCollider /
+    # BoxCollider); geometry lives on Topology like the spheres.
+    enable_capsules: bool = False
+    enable_boxes: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

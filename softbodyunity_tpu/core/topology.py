@@ -68,6 +68,15 @@ class Topology:
     # --- offset-grouped (banded) spring/tet planes; None disables --------
     offset_groups: object = None  # Optional[solver.banded.OffsetGroups]
     tet_groups: object = None     # Optional[solver.banded.TetGroups]
+    # --- capsule / box colliders (Unity CapsuleCollider / BoxCollider
+    #     analogues; same movable-array-data contract as the spheres) -----
+    capsule_p0: jax.Array = None      # f32[C, 3] segment endpoint 0
+    capsule_p1: jax.Array = None      # f32[C, 3] segment endpoint 1
+    capsule_radii: jax.Array = None   # f32[C]
+    box_centers: jax.Array = None     # f32[B, 3]
+    box_half_extents: jax.Array = None  # f32[B, 3] half sizes along local axes
+    box_rotations: jax.Array = None   # f32[B, 3, 3] world-from-local (columns
+    #                                   = the box's local axes in world space)
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -91,6 +100,14 @@ class Topology:
     @property
     def n_spheres(self) -> int:
         return self.sphere_radii.shape[0]
+
+    @property
+    def n_capsules(self) -> int:
+        return 0 if self.capsule_radii is None else self.capsule_radii.shape[0]
+
+    @property
+    def n_boxes(self) -> int:
+        return 0 if self.box_centers is None else self.box_centers.shape[0]
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -168,6 +185,53 @@ class HostTopology:
     grid_shape: Optional[Tuple[int, int]]
     grid_spacing: Optional[float] = None
     edge_classes_present: Tuple[int, ...] = (0,)
+    # capsule / box colliders (None = none; see add_colliders)
+    capsule_p0: Optional[np.ndarray] = None       # f64[C, 3]
+    capsule_p1: Optional[np.ndarray] = None       # f64[C, 3]
+    capsule_radii: Optional[np.ndarray] = None    # f64[C]
+    box_centers: Optional[np.ndarray] = None      # f64[B, 3]
+    box_half_extents: Optional[np.ndarray] = None  # f64[B, 3]
+    box_rotations: Optional[np.ndarray] = None    # f64[B, 3, 3]
+
+
+def add_colliders(
+    host: HostTopology,
+    *,
+    capsule_p0=None,
+    capsule_p1=None,
+    capsule_radii=None,
+    box_centers=None,
+    box_half_extents=None,
+    box_rotations=None,
+) -> HostTopology:
+    """Attach capsule / box colliders to any built topology (the analogue of
+    adding a Unity CapsuleCollider / BoxCollider to the scene).
+
+    Capsules are segments ``p0 -> p1`` with a radius; boxes are oriented
+    boxes given by center, per-axis half extents, and a world-from-local
+    rotation matrix (columns = the box's local axes in world space;
+    defaults to identity = axis-aligned).  Enable resolution with
+    ``CollisionParams(enable_capsules=True)`` / ``enable_boxes=True``.
+    """
+    if capsule_radii is not None:
+        host.capsule_p0 = np.asarray(capsule_p0, np.float64).reshape(-1, 3)
+        host.capsule_p1 = np.asarray(capsule_p1, np.float64).reshape(-1, 3)
+        host.capsule_radii = np.asarray(capsule_radii, np.float64).reshape(-1)
+    if box_centers is not None:
+        host.box_centers = np.asarray(box_centers, np.float64).reshape(-1, 3)
+        host.box_half_extents = np.asarray(
+            box_half_extents, np.float64
+        ).reshape(-1, 3)
+        nb = host.box_centers.shape[0]
+        if box_rotations is None:
+            host.box_rotations = np.broadcast_to(
+                np.eye(3), (nb, 3, 3)
+            ).copy()
+        else:
+            host.box_rotations = np.asarray(
+                box_rotations, np.float64
+            ).reshape(-1, 3, 3)
+    return host
 
 
 def cloth_grid(

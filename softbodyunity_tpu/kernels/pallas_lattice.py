@@ -80,6 +80,9 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False
     if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
@@ -305,6 +308,9 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
     if cfg.solver != Solver.XPBD:
         return False
     if cfg.self_collision.enabled:
+        return False
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
         return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False

@@ -246,6 +246,9 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -368,6 +371,9 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))

@@ -244,6 +244,9 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -436,6 +439,9 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -705,6 +711,9 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             f"tile={tile} must divide ny={ny}, align to {HPAD}, and be >= "
             f"the halo {xh}"
         )
+    from ..solver.collide import _needs_capsule_box
+    if _needs_capsule_box(top, cfg):
+        raise ValueError("capsule/box colliders not yet fused in this kernel")
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
 
     def fn(state: State, dt: float, n_substeps: int) -> State:

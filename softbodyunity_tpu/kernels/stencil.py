@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
+from ..solver import collide
 
 
 def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:
@@ -105,7 +106,7 @@ def stencil_spring_forces(
 
 def euler_substep_grid(
     x3, v3, inv_mass2, offsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii,
+    plane_height, sphere_centers, sphere_radii, top=None,
 ):
     """One semi-implicit Euler substep on grid planes — oracle semantics
     (oracle/reference.py substep_euler) in stencil form."""
@@ -145,12 +146,18 @@ def euler_substep_grid(
             vn2 = jnp.sum(v3 * n, axis=0) * n
             vt = v3 - vn2
             v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
+    if top is not None and collide._needs_capsule_box(top, cfg):
+        xz, vz = collide.resolve_capsules_boxes_components(
+            top, cfg, [x3[0], x3[1], x3[2]], [v3[0], v3[1], v3[2]], movable[0]
+        )
+        x3 = jnp.stack(xz)
+        v3 = jnp.stack(vz)
     return x3, v3
 
 
 def verlet_substep_grid(
     x3, xp3, inv_mass2, offsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii,
+    plane_height, sphere_centers, sphere_radii, top=None,
 ):
     """Position-Verlet substep in stencil form (oracle substep_verlet)."""
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
@@ -161,12 +168,13 @@ def verlet_substep_grid(
     x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable, x_new, x3)
     x_new = _project_positions_grid(
-        x_new, movable, cfg, plane_height, sphere_centers, sphere_radii
+        x_new, movable, cfg, plane_height, sphere_centers, sphere_radii, top
     )
     return x_new, x3
 
 
-def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers, sphere_radii):
+def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers,
+                            sphere_radii, top=None):
     if cfg.collision.enable_plane:
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
@@ -179,6 +187,11 @@ def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers, sphe
             contact = (pen > 0.0) & movable[0]
             n = d / jnp.maximum(dist, 1e-12)
             x3 = x3 + jnp.where(contact, pen, 0.0) * n
+    if top is not None and collide._needs_capsule_box(top, cfg):
+        xz = collide.project_capsules_boxes_components(
+            top, cfg, [x3[0], x3[1], x3[2]], movable[0]
+        )
+        x3 = jnp.stack(xz)
     return x3
 
 
@@ -200,7 +213,7 @@ def _xpbd_offsets(cfg: SimConfig, spacing: float, has_shear: bool, has_bend: boo
 
 def xpbd_substep_grid(
     x3, v3, inv_mass2, xoffsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii,
+    plane_height, sphere_centers, sphere_radii, top=None,
 ):
     """XPBD substep in stencil form (oracle substep_xpbd): predict, then
     ``n_iterations`` of Jacobi distance-constraint projection with
@@ -277,6 +290,12 @@ def xpbd_substep_grid(
                 n = d / jnp.maximum(dist, 1e-12)
                 xproj = xproj + jnp.where(contact, pen, 0.0) * n
             delta = delta + (xproj - xe)
+        if top is not None and collide._needs_capsule_box(top, cfg):
+            xe = x_prev + delta
+            xz = collide.project_capsules_boxes_components(
+                top, cfg, [xe[0], xe[1], xe[2]], movable[0]
+            )
+            delta = delta + (jnp.stack(xz) - xe)
         return (delta, tuple(new_lams)), None
 
     lams0 = tuple(jnp.zeros((ny, nx), x3.dtype) for _ in xoffsets)
@@ -302,7 +321,7 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
     offsets = _offsets(cfg, spacing, has_shear, has_bend)
     xoffsets = _xpbd_offsets(cfg, spacing, has_shear, has_bend)
     inv_mass2 = top.inv_mass.reshape(1, ny, nx)
-    colliders = (top.plane_height, top.sphere_centers, top.sphere_radii)
+    colliders = (top.plane_height, top.sphere_centers, top.sphere_radii, top)
 
     def to_planes(a):      # [N,3] -> [3,ny,nx]
         return a.T.reshape(3, ny, nx)

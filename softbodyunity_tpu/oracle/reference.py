@@ -18,9 +18,9 @@ Euler substep (Solver.SEMI_IMPLICIT_EULER):
   2. v  = (v + dt * (g + F * w)) * (1 - global_damping * dt); v[pinned] = 0
   3. x += dt * v
   4. volume-preservation projection (if tets): dx applied to x, v += dx/dt
-  5. plane/sphere resolve: position projection + velocity response
-     (restitution on the inward normal component, friction on tangent);
-     pinned vertices are never displaced
+  5. plane/sphere resolve (then capsules/boxes if enabled): position
+     projection + velocity response (restitution on the inward normal
+     component, friction on tangent); pinned vertices are never displaced
 
 Verlet substep (Solver.VERLET):
   1. v_est = (x - x_prev)/dt;  F as above using v_est
@@ -159,6 +159,95 @@ def resolve_spheres(x, v, centers, radii, restitution, friction, movable):
     return x, v
 
 
+def _capsule_closest(x, p0, p1):
+    """Closest point on the capsule's core segment to each vertex."""
+    axis = p1 - p0
+    l2 = float(np.dot(axis, axis))
+    t = np.clip((x - p0) @ axis / max(l2, 1e-12), 0.0, 1.0)
+    return p0 + t[:, None] * axis
+
+
+def resolve_capsules(x, v, p0s, p1s, radii, restitution, friction, movable):
+    """Capsule resolve (Unity CapsuleCollider analogue): sphere semantics
+    around the closest point on the core segment — push out along the
+    radial normal, reflect the inward normal velocity by (1+restitution),
+    damp the tangential component by (1-friction) on contact."""
+    x = x.copy()
+    v = v.copy()
+    for s in range(radii.shape[0]):
+        c = _capsule_closest(x, p0s[s], p1s[s])
+        d = x - c
+        dist = np.linalg.norm(d, axis=1)
+        pen = radii[s] - dist
+        contact = (pen > 0.0) & movable
+        n = d / np.maximum(dist, 1e-12)[:, None]
+        x = x + np.where(contact, pen, 0.0)[:, None] * n
+        vn = np.einsum("ij,ij->i", v, n)
+        inward = contact & (vn < 0.0)
+        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
+        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
+        vt = v - vn2
+        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+    return x, v
+
+
+def _box_face_push(x, center, half, rot):
+    """Per-vertex (inside, push, n): whether the vertex is inside the
+    oriented box, the push-out distance to the nearest face, and the world
+    face normal.  Local coords q = R^T (x - c); the exit face is the axis
+    of minimum penetration h_i - |q_i| (ties broken x < y < z — the same
+    deterministic rule in every implementation)."""
+    q = (x - center) @ rot                         # [N, 3] local coords
+    pen = half[None, :] - np.abs(q)
+    inside = (pen > 0.0).all(axis=1)
+    k0 = (pen[:, 0] <= pen[:, 1]) & (pen[:, 0] <= pen[:, 2])
+    k1 = (~k0) & (pen[:, 1] <= pen[:, 2])
+    kmask = np.stack([k0, k1, ~(k0 | k1)], axis=1)
+    sgn = np.where(q >= 0.0, 1.0, -1.0)
+    n = np.where(kmask, sgn, 0.0) @ rot.T          # world face normal
+    push = (pen * kmask).sum(axis=1)
+    return inside, push, n
+
+
+def resolve_boxes(x, v, centers, half_extents, rotations, restitution,
+                  friction, movable):
+    """Oriented-box resolve (Unity BoxCollider analogue): vertices inside
+    the box are pushed out through the nearest face; velocity response as
+    for plane/sphere (restitution on the inward normal component, friction
+    on the tangent)."""
+    x = x.copy()
+    v = v.copy()
+    for s in range(centers.shape[0]):
+        inside, push, n = _box_face_push(
+            x, centers[s], half_extents[s], rotations[s]
+        )
+        contact = inside & movable
+        x = x + np.where(contact, push, 0.0)[:, None] * n
+        vn = np.einsum("ij,ij->i", v, n)
+        inward = contact & (vn < 0.0)
+        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
+        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
+        vt = v - vn2
+        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+    return x, v
+
+
+def _has_capsules(top: HostTopology, cfg: SimConfig) -> bool:
+    return (
+        cfg.collision.enable_capsules
+        and top.capsule_radii is not None
+        and top.capsule_radii.shape[0] > 0
+    )
+
+
+def _has_boxes(top: HostTopology, cfg: SimConfig) -> bool:
+    return (
+        cfg.collision.enable_boxes
+        and top.box_centers is not None
+        and top.box_centers.shape[0] > 0
+    )
+
+
 def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
     """Position-only collision projection (Verlet / XPBD paths)."""
     if cfg.collision.enable_plane:
@@ -173,6 +262,23 @@ def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
             contact = (pen > 0.0) & movable
             n = d / np.maximum(dist, 1e-12)[:, None]
             x = x + np.where(contact, pen, 0.0)[:, None] * n
+    if _has_capsules(top, cfg):
+        for s in range(top.capsule_radii.shape[0]):
+            c = _capsule_closest(x, top.capsule_p0[s], top.capsule_p1[s])
+            d = x - c
+            dist = np.linalg.norm(d, axis=1)
+            pen = top.capsule_radii[s] - dist
+            contact = (pen > 0.0) & movable
+            n = d / np.maximum(dist, 1e-12)[:, None]
+            x = x + np.where(contact, pen, 0.0)[:, None] * n
+    if _has_boxes(top, cfg):
+        for s in range(top.box_centers.shape[0]):
+            inside, push, n = _box_face_push(
+                x, top.box_centers[s], top.box_half_extents[s],
+                top.box_rotations[s],
+            )
+            contact = inside & movable
+            x = x + np.where(contact, push, 0.0)[:, None] * n
     return x
 
 
@@ -205,6 +311,16 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
     if cfg.collision.enable_spheres:
         x, v = resolve_spheres(
             x, v, top.sphere_centers, top.sphere_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+        )
+    if _has_capsules(top, cfg):
+        x, v = resolve_capsules(
+            x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+        )
+    if _has_boxes(top, cfg):
+        x, v = resolve_boxes(
+            x, v, top.box_centers, top.box_half_extents, top.box_rotations,
             cfg.collision.restitution, cfg.collision.friction, movable,
         )
     return x, v, x_prev

@@ -129,6 +129,18 @@ def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
     return x3, v3
 
 
+def _check_halo_colliders(top: Topology, cfg: SimConfig) -> None:
+    """Halo-sharded substeps support plane + sphere colliders; fail loudly
+    (rather than silently ignoring geometry) for capsules/boxes."""
+    from ..solver.collide import _needs_capsule_box
+
+    if _needs_capsule_box(top, cfg):
+        raise NotImplementedError(
+            "capsule/box colliders are not supported in the halo-sharded "
+            "paths; use plane/sphere colliders or the single-device step"
+        )
+
+
 def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Build a jittable row-sharded stepping function (semi-implicit Euler).
 
@@ -137,6 +149,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     None)``; use :func:`shard_grid_state` to produce them from a ``State``.
     Sphere colliders are supported (geometry replicated — it is global).
     """
+    _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     n_dev = mesh.shape[ROWS_AXIS]
@@ -335,6 +348,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
 def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Row-sharded position-Verlet stepping; interface as make_halo_step but
     carries (x, x_prev) and returns (x, v=(x - x_prev)/dt)."""
+    _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     n_dev = mesh.shape[ROWS_AXIS]
@@ -376,6 +390,7 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
 def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Row-sharded XPBD stepping (see make_halo_step for the interface)."""
+    _check_halo_colliders(top, cfg)
     from ..kernels.stencil import _xpbd_offsets
 
     ny, nx = top.grid_shape
@@ -512,6 +527,7 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
     :func:`shard_lattice_state`.  Semantics mirror solver/step.py
     substep_euler on the banded path (tested vs single device)."""
+    _check_halo_colliders(top, cfg)
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -666,6 +682,7 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None) -> (x, v)``."""
+    _check_halo_colliders(top, cfg)
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -815,6 +832,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
     substep_xpbd banded twin)."""
+    _check_halo_colliders(top, cfg)
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))

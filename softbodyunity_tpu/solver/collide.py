@@ -1,10 +1,17 @@
-"""Plane / sphere collision resolve — branchless jnp ops.
+"""Plane / sphere / capsule / box collision resolve — branchless jnp ops.
 
 The reference resolves collisions with per-vertex ``if`` tests inline in the
-substep loop ("plane/sphere collision resolve", BASELINE.json:5).  On TPU
+substep loop ("plane/sphere collision resolve", BASELINE.json:5; capsules
+and boxes are the other two standard Unity primitive colliders).  On TPU
 branches become ``jnp.where`` masks (SURVEY.md C8/C9); semantics mirror
 :func:`softbodyunity_tpu.oracle.reference.resolve_plane` /
-``resolve_spheres`` / ``project_positions_only`` exactly.
+``resolve_spheres`` / ``resolve_capsules`` / ``resolve_boxes`` /
+``project_positions_only`` exactly.
+
+Capsule/box math is written once as *component-list* primitives (``xz`` is a
+list of three same-shaped arrays), so the [N,3] general path, the
+``[3, ny, nx]`` stencil path, and the Pallas kernels (component planes with
+SMEM-scalar geometry) all run the identical formulation.
 """
 
 from __future__ import annotations
@@ -13,6 +20,157 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.topology import Topology
+
+
+# ---------------------------------------------------------------------------
+# Component-list capsule / box primitives (single collider)
+# ---------------------------------------------------------------------------
+
+def _capsule_closest_components(xz, p0, p1):
+    """Closest point on the segment p0->p1 per element; ``p0``/``p1`` are
+    length-3 scalar sequences, ``xz`` three same-shaped component arrays."""
+    ax = [p1[c] - p0[c] for c in range(3)]
+    l2 = ax[0] * ax[0] + ax[1] * ax[1] + ax[2] * ax[2]
+    dp = [xz[c] - p0[c] for c in range(3)]
+    t = (dp[0] * ax[0] + dp[1] * ax[1] + dp[2] * ax[2]) / jnp.maximum(l2, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    return [p0[c] + t * ax[c] for c in range(3)]
+
+
+def _radial_pen_normal(xz, center, radius):
+    """(pen, n) of a sphere-like surface around ``center`` (scalar triple or
+    component arrays): penetration depth and outward unit normal."""
+    d = [xz[c] - center[c] for c in range(3)]
+    dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    inv = 1.0 / jnp.maximum(dist, 1e-12)
+    return radius - dist, [d[c] * inv for c in range(3)]
+
+
+def capsule_project_components(xz, movable, p0, p1, radius):
+    """Position-only capsule push-out (oracle project_positions_only twin)."""
+    cpt = _capsule_closest_components(xz, p0, p1)
+    pen, n = _radial_pen_normal(xz, cpt, radius)
+    contact = (pen > 0.0) & movable
+    pen_pos = jnp.where(contact, pen, 0.0)
+    return [xz[c] + pen_pos * n[c] for c in range(3)]
+
+
+def _normal_velocity_response(xz, vz, contact, pen, n, restitution, friction):
+    """Shared contact response: push out by ``pen`` along ``n``, reflect the
+    inward normal velocity by (1+restitution), damp tangent by (1-friction)."""
+    pen_pos = jnp.where(contact, pen, 0.0)
+    xz = [xz[c] + pen_pos * n[c] for c in range(3)]
+    vn = vz[0] * n[0] + vz[1] * n[1] + vz[2] * n[2]
+    inward = contact & (vn < 0.0)
+    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+    vz = [vz[c] - rem * n[c] for c in range(3)]
+    vn2 = vz[0] * n[0] + vz[1] * n[1] + vz[2] * n[2]
+    fr = 1.0 - friction
+    vz = [
+        jnp.where(contact, vn2 * n[c] + (vz[c] - vn2 * n[c]) * fr, vz[c])
+        for c in range(3)
+    ]
+    return xz, vz
+
+
+def capsule_resolve_components(xz, vz, movable, p0, p1, radius,
+                               restitution, friction):
+    """Velocity-level capsule resolve (oracle resolve_capsules twin)."""
+    cpt = _capsule_closest_components(xz, p0, p1)
+    pen, n = _radial_pen_normal(xz, cpt, radius)
+    contact = (pen > 0.0) & movable
+    return _normal_velocity_response(xz, vz, contact, pen, n,
+                                     restitution, friction)
+
+
+def box_face_push_components(xz, center, half, rot):
+    """(inside, push, n) for an oriented box.  ``center``/``half`` are
+    length-3 scalars; ``rot[c][i]`` = R[c, i] with columns = the box's local
+    axes in world space.  Exit face = axis of minimum penetration, ties
+    broken x < y < z (the oracle's _box_face_push rule, exactly)."""
+    d = [xz[c] - center[c] for c in range(3)]
+    q = [d[0] * rot[0][i] + d[1] * rot[1][i] + d[2] * rot[2][i]
+         for i in range(3)]
+    pen = [half[i] - jnp.abs(q[i]) for i in range(3)]
+    inside = (pen[0] > 0.0) & (pen[1] > 0.0) & (pen[2] > 0.0)
+    k0 = (pen[0] <= pen[1]) & (pen[0] <= pen[2])
+    k1 = (~k0) & (pen[1] <= pen[2])
+    k = [k0, k1, ~(k0 | k1)]
+    sgn = [jnp.where(q[i] >= 0.0, 1.0, -1.0) for i in range(3)]
+    # world normal n_c = sum_i [k_i] * sgn_i * R[c, i]
+    n = [
+        sum(jnp.where(k[i], sgn[i], 0.0) * rot[c][i] for i in range(3))
+        for c in range(3)
+    ]
+    push = sum(jnp.where(k[i], pen[i], 0.0) for i in range(3))
+    return inside, push, n
+
+
+def box_project_components(xz, movable, center, half, rot):
+    """Position-only box push-out."""
+    inside, push, n = box_face_push_components(xz, center, half, rot)
+    contact = inside & movable
+    pen_pos = jnp.where(contact, push, 0.0)
+    return [xz[c] + pen_pos * n[c] for c in range(3)]
+
+
+def box_resolve_components(xz, vz, movable, center, half, rot,
+                           restitution, friction):
+    """Velocity-level box resolve (oracle resolve_boxes twin)."""
+    inside, push, n = box_face_push_components(xz, center, half, rot)
+    contact = inside & movable
+    return _normal_velocity_response(xz, vz, contact, push, n,
+                                     restitution, friction)
+
+
+def _capsule_scalars(top: Topology, s: int):
+    return (
+        [top.capsule_p0[s, c] for c in range(3)],
+        [top.capsule_p1[s, c] for c in range(3)],
+        top.capsule_radii[s],
+    )
+
+
+def _box_scalars(top: Topology, s: int):
+    return (
+        [top.box_centers[s, c] for c in range(3)],
+        [top.box_half_extents[s, c] for c in range(3)],
+        [[top.box_rotations[s, c, i] for i in range(3)] for c in range(3)],
+    )
+
+
+def resolve_capsules_boxes_components(top, cfg, xz, vz, movable):
+    """All enabled capsule then box colliders, velocity level, in the
+    oracle's sequential order; ``xz``/``vz`` component lists of any shape."""
+    r, f = cfg.collision.restitution, cfg.collision.friction
+    if cfg.collision.enable_capsules and top.n_capsules > 0:
+        for s in range(top.n_capsules):
+            p0, p1, rad = _capsule_scalars(top, s)
+            xz, vz = capsule_resolve_components(xz, vz, movable, p0, p1, rad, r, f)
+    if cfg.collision.enable_boxes and top.n_boxes > 0:
+        for s in range(top.n_boxes):
+            c, h, rot = _box_scalars(top, s)
+            xz, vz = box_resolve_components(xz, vz, movable, c, h, rot, r, f)
+    return xz, vz
+
+
+def project_capsules_boxes_components(top, cfg, xz, movable):
+    """All enabled capsule then box colliders, position only."""
+    if cfg.collision.enable_capsules and top.n_capsules > 0:
+        for s in range(top.n_capsules):
+            p0, p1, rad = _capsule_scalars(top, s)
+            xz = capsule_project_components(xz, movable, p0, p1, rad)
+    if cfg.collision.enable_boxes and top.n_boxes > 0:
+        for s in range(top.n_boxes):
+            c, h, rot = _box_scalars(top, s)
+            xz = box_project_components(xz, movable, c, h, rot)
+    return xz
+
+
+def _needs_capsule_box(top: Topology, cfg: SimConfig) -> bool:
+    return (cfg.collision.enable_capsules and top.n_capsules > 0) or (
+        cfg.collision.enable_boxes and top.n_boxes > 0
+    )
 
 
 def resolve_plane(x, v, plane_y, restitution, friction, movable):
@@ -64,6 +222,13 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
             x, v, top.sphere_centers, top.sphere_radii,
             cfg.collision.restitution, cfg.collision.friction, movable,
         )
+    if _needs_capsule_box(top, cfg):
+        xz, vz = resolve_capsules_boxes_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
+            [v[:, 0], v[:, 1], v[:, 2]], movable,
+        )
+        x = jnp.stack(xz, axis=1)
+        v = jnp.stack(vz, axis=1)
     return x, v
 
 
@@ -92,6 +257,12 @@ def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,
             n = d / jnp.maximum(dist, 1e-12)[:, None]
             xproj = xproj + jnp.where(contact, pen, 0.0)[:, None] * n
         delta = delta + (xproj - xe)
+    if _needs_capsule_box(top, cfg):
+        xe = x_prev + delta
+        xz = project_capsules_boxes_components(
+            top, cfg, [xe[:, 0], xe[:, 1], xe[:, 2]], movable
+        )
+        delta = delta + (jnp.stack(xz, axis=1) - xe)
     return delta
 
 
@@ -108,4 +279,9 @@ def project_positions_only(top: Topology, cfg: SimConfig, x, movable):
             contact = (pen > 0.0) & movable
             n = d / jnp.maximum(dist, 1e-12)[:, None]
             x = x + jnp.where(contact, pen, 0.0)[:, None] * n
+    if _needs_capsule_box(top, cfg):
+        xz = project_capsules_boxes_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable
+        )
+        x = jnp.stack(xz, axis=1)
     return x

@@ -1,0 +1,206 @@
+"""Capsule + box collider tests.
+
+BASELINE.json:5 mandates plane/sphere resolve; capsules and oriented boxes
+are the other two standard Unity primitive colliders (CapsuleCollider /
+BoxCollider), so a reference user migrating a Unity scene expects them.
+Semantics are oracle-defined (oracle/reference.py resolve_capsules /
+resolve_boxes); every device path (general jnp, stencil) must match the
+oracle exactly in f64 and keep vertices outside the geometry in f32.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, Solver
+from softbodyunity_tpu.core.topology import add_colliders, cloth_grid
+from softbodyunity_tpu.oracle import reference as oracle
+
+
+def _rot_z(deg):
+    a = np.deg2rad(deg)
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _scene(solver, *, rot_deg=30.0):
+    """12x12 cloth falling onto a capsule and a tilted box (plane far below
+    so contact is capsule/box-driven)."""
+    cfg = SimConfig(
+        solver=solver,
+        collision=CollisionParams(
+            enable_plane=True, enable_capsules=True, enable_boxes=True,
+            restitution=0.1, friction=0.3,
+        ),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        12, 12, spacing=0.05, shear=True, bend=True, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
+        origin=(-0.28, 0.25, -0.28), orientation="xz",
+    )
+    host = add_colliders(
+        host,
+        capsule_p0=[[-0.3, 0.0, 0.0]],
+        capsule_p1=[[0.05, 0.0, 0.0]],
+        capsule_radii=[0.12],
+        box_centers=[[0.18, -0.05, 0.1]],
+        box_half_extents=[[0.15, 0.1, 0.12]],
+        box_rotations=[_rot_z(rot_deg)],
+    )
+    return host, cfg
+
+
+SOLVERS = [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD]
+
+
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    """_run_pair flips jax_enable_x64 on; alphabetically later test files
+    (test_differentiable, ...) assume the f32 default — restore it."""
+    prev = jax.config.jax_enable_x64
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
+
+def _run_pair(host, cfg, n_steps, dtype):
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    top, state = api.init(host, dtype=dtype)
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    s = state
+    for _ in range(n_steps):
+        x, v, xp = oracle.step(host, cfg, x, v, xp)
+        s = api.step(top, cfg, s)
+    return np.asarray(s.x), x
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+@pytest.mark.parametrize("backend", ["jnp", "stencil"])
+def test_f64_exact_parity(solver, backend):
+    """Both device formulations implement exactly the oracle capsule/box
+    semantics (f64; bound = summation-reorder noise under contact)."""
+    host, cfg = _scene(solver)
+    cfg = cfg.replace(backend=backend)
+    got, want = _run_pair(host, cfg, n_steps=40, dtype=jnp.float64)
+    drift = np.max(np.abs(got - want))
+    # noise floor is f64 summation-reorder (~1e-8 at step 5, measured),
+    # amplified exponentially by capsule/box contact chaos; XPBD's Jacobi
+    # iterations amplify hardest (8e-6 at 40 steps).  A semantic
+    # difference would appear from step 1 at 1e-3+.
+    bound = 3e-5 if solver == Solver.XPBD else 1e-6
+    assert drift < bound, f"{solver} {backend}: f64 drift {drift:.3e}"
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_no_penetration_after_settle(solver):
+    """f32 long-horizon contact invariant: after the drop settles, no vertex
+    is inside the capsule or the (tilted) box beyond f32 contact noise."""
+    host, cfg = _scene(solver)
+    top, state = api.init(host)
+    for _ in range(150):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x, np.float64)
+    assert np.isfinite(x).all()
+    # capsule clearance
+    p0, p1 = host.capsule_p0[0], host.capsule_p1[0]
+    ax = p1 - p0
+    t = np.clip((x - p0) @ ax / np.dot(ax, ax), 0.0, 1.0)
+    d = np.linalg.norm(x - (p0 + t[:, None] * ax), axis=1)
+    assert d.min() >= host.capsule_radii[0] - 1e-4, d.min()
+    # box clearance: local-coords |q| must reach the surface
+    R = host.box_rotations[0]
+    q = np.abs((x - host.box_centers[0]) @ R)
+    pen = (host.box_half_extents[0][None, :] - q).min(axis=1)
+    assert pen.max() <= 1e-4, f"vertex {pen.max():.2e} inside the box"
+
+
+def test_box_rotation_matters():
+    """A tilted box must produce a different (still penetration-free)
+    settle than the axis-aligned box — the rotation is actually applied."""
+    host_a, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, rot_deg=0.0)
+    host_b, _ = _scene(Solver.SEMI_IMPLICIT_EULER, rot_deg=40.0)
+    outs = []
+    for host in (host_a, host_b):
+        top, state = api.init(host)
+        for _ in range(60):
+            state = api.step(top, cfg, state)
+        outs.append(np.asarray(state.x))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+
+
+def test_move_capsule_box_no_recompile():
+    """Animated capsule/box geometry is array data: moving it between
+    frames must reuse the compiled executable."""
+    from softbodyunity_tpu.solver import step as step_mod
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    fn = jax.jit(lambda t, s: step_mod.step_scan(t, cfg, s, cfg.dt, 4))
+    for i in range(4):
+        top = api.move_colliders(
+            top,
+            capsule_p0=np.array([[-0.3, 0.01 * i, 0.0]]),
+            box_centers=np.array([[0.18, -0.05 - 0.01 * i, 0.1]]),
+            box_rotations=np.array([_rot_z(30.0 + 5 * i)]),
+        )
+        state = fn(top, state)
+    assert np.isfinite(np.asarray(state.x)).all()
+    assert fn._cache_size() == 1, "moving capsule/box must not retrace"
+
+
+def test_batched_capsule_box_consistency():
+    """vmap over B identical capsule/box scenes == the single scene."""
+    from softbodyunity_tpu.parallel import batch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    states = batch.batch_state(state, 3)
+    single = state
+    for _ in range(5):
+        states = batch.step_batched(top, cfg, states)
+        single = api.step(top, cfg, single)
+    for b in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(states.x[b]), np.asarray(single.x)
+        )
+
+
+def test_fast_paths_fall_back_not_crash():
+    """The fused Pallas kernels do not support capsules/boxes yet; the
+    dispatcher must fall back (to stencil) and still match the oracle —
+    never crash or silently skip the colliders."""
+    from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    fast = dispatch.maybe_fast_step(top, cfg.replace(backend="pallas"), "pallas")
+    assert fast is not None  # stencil fallback engaged
+
+    state0 = api.init(host)[1]
+    s_fast = fast(state0, cfg.dt, 8)
+    from softbodyunity_tpu.solver import step as step_mod
+
+    s_ref = step_mod.step_scan(top, cfg, state0, cfg.dt, 8)
+    np.testing.assert_allclose(
+        np.asarray(s_fast.x), np.asarray(s_ref.x), atol=1e-6
+    )
+
+
+def test_halo_rejects_capsules_loudly():
+    from jax.sharding import Mesh
+
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
+    with pytest.raises(NotImplementedError):
+        halo.make_halo_step(top, cfg, mesh)
