@@ -138,8 +138,74 @@ def _resolve_spheres_velocity(xz, vz, movable, sph_ref, n_spheres,
     return xz, vz
 
 
+def _pack_capsules(top: Topology) -> jax.Array:
+    """[C, 7] SMEM rows: p0 (3), p1 (3), radius (C may be 0)."""
+    if top.n_capsules == 0:
+        return jnp.zeros((0, 7), jnp.float32)
+    return jnp.concatenate(
+        [top.capsule_p0, top.capsule_p1, top.capsule_radii[:, None]], axis=1
+    ).astype(jnp.float32)
+
+
+def _pack_boxes(top: Topology) -> jax.Array:
+    """[B, 15] SMEM rows: center (3), half extents (3), R row-major (9)."""
+    if top.n_boxes == 0:
+        return jnp.zeros((0, 15), jnp.float32)
+    return jnp.concatenate(
+        [top.box_centers, top.box_half_extents,
+         top.box_rotations.reshape(-1, 9)], axis=1
+    ).astype(jnp.float32)
+
+
+def _resolve_capsules_boxes_smem(xz, vz, movable, cap_ref, n_capsules,
+                                 box_ref, n_boxes, restitution, friction):
+    """Velocity-level capsule/box resolve on component-plane lists with
+    SMEM-scalar geometry — runs the exact solver/collide.py component
+    formulation (single source of truth for the math)."""
+    from ..solver.collide import (
+        box_resolve_components,
+        capsule_resolve_components,
+    )
+
+    for s in range(n_capsules):
+        p0 = [cap_ref[s, c] for c in range(3)]
+        p1 = [cap_ref[s, 3 + c] for c in range(3)]
+        xz, vz = capsule_resolve_components(
+            xz, vz, movable, p0, p1, cap_ref[s, 6], restitution, friction
+        )
+    for s in range(n_boxes):
+        ce = [box_ref[s, c] for c in range(3)]
+        hf = [box_ref[s, 3 + c] for c in range(3)]
+        rot = [[box_ref[s, 6 + 3 * c + i] for i in range(3)] for c in range(3)]
+        xz, vz = box_resolve_components(
+            xz, vz, movable, ce, hf, rot, restitution, friction
+        )
+    return xz, vz
+
+
+def _project_capsules_boxes_smem(xz, movable, cap_ref, n_capsules,
+                                 box_ref, n_boxes):
+    """Position-only capsule/box push-out (Verlet/XPBD paths)."""
+    from ..solver.collide import (
+        box_project_components,
+        capsule_project_components,
+    )
+
+    for s in range(n_capsules):
+        p0 = [cap_ref[s, c] for c in range(3)]
+        p1 = [cap_ref[s, 3 + c] for c in range(3)]
+        xz = capsule_project_components(xz, movable, p0, p1, cap_ref[s, 6])
+    for s in range(n_boxes):
+        ce = [box_ref[s, c] for c in range(3)]
+        hf = [box_ref[s, 3 + c] for c in range(3)]
+        rot = [[box_ref[s, 6 + 3 * c + i] for i in range(3)] for c in range(3)]
+        xz = box_project_components(xz, movable, ce, hf, rot)
+    return xz
+
+
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
-                 dt: float, n_substeps: int, n_spheres: int):
+                 dt: float, n_substeps: int, n_spheres: int,
+                 n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
@@ -147,8 +213,11 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     friction = cfg.collision.friction
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
 
-    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
+               xo_ref, vo_ref):
         im = im_ref[:]                        # [ny, nx] inv mass
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -183,6 +252,11 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 xz, vz = _resolve_spheres_velocity(
                     xz, vz, movable, sph_ref, n_spheres, restitution, friction
                 )
+            if n_caps_on or n_boxes_on:
+                xz, vz = _resolve_capsules_boxes_smem(
+                    xz, vz, movable, cap_ref, n_caps_on,
+                    box_ref, n_boxes_on, restitution, friction,
+                )
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (
@@ -201,12 +275,17 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, dt,
-                     n_substeps, interpret=False):
+def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules, boxes,
+                     cfg, offsets, dt, n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
-    kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres)
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres,
+                          n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
     xo, vo = pl.pallas_call(
         kernel,
@@ -217,6 +296,8 @@ def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, dt,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -231,7 +312,7 @@ def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, dt,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
+    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d)
     return xo, vo
 
 
@@ -239,16 +320,14 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` running the fused kernel.
 
     Requirements (dispatcher-gated): structured grid with uniform spacing,
-    Euler solver, <= MAX_VMEM_VERTICES vertices.  Plane and sphere
-    colliders are supported (sphere geometry arrives via SMEM so batched
-    scenes can move their spheres without recompiling).
+    Euler solver, <= MAX_VMEM_VERTICES vertices.  All four primitive
+    colliders (plane/sphere/capsule/box) are supported; geometry arrives
+    via SMEM so batched scenes can move their colliders without
+    recompiling.
     """
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -261,7 +340,8 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, vo = _pallas_substeps(
-            x3, v3, im, top.plane_height, spheres, cfg, offsets, float(dt),
+            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -276,15 +356,19 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
-                        dt: float, n_substeps: int, n_spheres: int):
+                        dt: float, n_substeps: int, n_spheres: int,
+                        n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     inv_dt = 1.0 / dt
 
-    def kernel(plane_ref, sph_ref, x_ref, xp_ref, im_ref, xo_ref, xpo_ref):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
+               xo_ref, xpo_ref):
         im = im_ref[:]
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -310,6 +394,10 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 xz[1] = jnp.where(contact, plane_y, xz[1])
             if spheres_on:
                 xz = _project_spheres_positions(xz, movable, sph_ref, n_spheres)
+            if n_caps_on or n_boxes_on:
+                xz = _project_capsules_boxes_smem(
+                    xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
+                )
             return (xz[0], xz[1], xz[2], x0, x1, x2)
 
         init = (
@@ -328,12 +416,18 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
-                            offsets, dt, n_substeps, interpret=False):
+def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, capsules,
+                            boxes, cfg, offsets, dt, n_substeps,
+                            interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
-    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres)
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps,
+                                 n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
     xo, xpo = pl.pallas_call(
         kernel,
@@ -344,6 +438,8 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -358,22 +454,19 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, x3, xp3, inv_mass2d)
+    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3, inv_mass2d)
     return xo, xpo
 
 
 def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
                             interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` for the fused Verlet
-    kernel (same gates as the Euler kernel; plane + sphere colliders are
-    position-only projected, mirroring kernels/stencil.py
+    kernel (same gates as the Euler kernel; plane/sphere/capsule/box
+    colliders are position-only projected, mirroring kernels/stencil.py
     verlet_substep_grid)."""
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -386,7 +479,8 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, xpo = _pallas_verlet_substeps(
-            x3, xp3, im, top.plane_height, spheres, cfg, offsets, float(dt),
+            x3, xp3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T

@@ -29,22 +29,29 @@ from .pallas_substep import (
     MAX_VMEM_VERTICES,
     _edge_mask,
     _kroll,
+    _pack_boxes,
+    _pack_capsules,
+    _project_capsules_boxes_smem,
     _project_spheres_positions,
 )
 from .stencil import _xpbd_offsets
 
 
 def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
-                 dt: float, n_substeps: int, n_spheres: int):
+                 dt: float, n_substeps: int, n_spheres: int,
+                 n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     gdamp = cfg.global_damping
     omega = cfg.xpbd.relaxation
     n_iter = cfg.xpbd.n_iterations
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_off = len(xoffsets)
 
-    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
+               xo_ref, vo_ref):
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
@@ -116,6 +123,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     dl0 = dl0 + (xpr[0] - xe[0])
                     dl1 = dl1 + (xpr[1] - xe[1])
                     dl2 = dl2 + (xpr[2] - xe[2])
+                if n_caps_on or n_boxes_on:
+                    xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                    xpr = _project_capsules_boxes_smem(
+                        list(xe), movable, cap_ref, n_caps_on,
+                        box_ref, n_boxes_on,
+                    )
+                    dl0 = dl0 + (xpr[0] - xe[0])
+                    dl1 = dl1 + (xpr[1] - xe[1])
+                    dl2 = dl2 + (xpr[2] - xe[2])
                 return (dl0, dl1, dl2, *new_lams)
 
             zeros = tuple(jnp.zeros((ny, nx), jnp.float32) for _ in range(n_off))
@@ -140,12 +156,18 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "xoffsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
-                          dt, n_substeps, interpret=False):
+def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules,
+                          boxes, cfg, xoffsets, dt, n_substeps,
+                          interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
-    kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres)
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres,
+                          n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     xo, vo = pl.pallas_call(
         kernel,
         out_shape=(
@@ -155,6 +177,8 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -169,21 +193,18 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
             transcendentals=n_substeps * cfg.xpbd.n_iterations * ny * nx * len(xoffsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
+    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d)
     return xo, vo
 
 
 def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` (XPBD, fused kernel).
 
-    Gates: structured grid, VMEM-sized.  Plane and sphere colliders are
-    position-projected inside the Jacobi loop (sphere geometry via SMEM)."""
+    Gates: structured grid, VMEM-sized.  Plane/sphere/capsule/box colliders
+    are position-projected inside the Jacobi loop (geometry via SMEM)."""
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -196,7 +217,8 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, vo = _pallas_xpbd_substeps(
-            x3, v3, im, top.plane_height, spheres, cfg, xoffsets, float(dt),
+            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, xoffsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
