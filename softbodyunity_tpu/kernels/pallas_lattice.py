@@ -42,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig, Solver
 from ..core.state import State
 from ..core.topology import Topology
-from .pallas_substep import _resolve_spheres_velocity
+from .pallas_substep import (
+    _pack_boxes,
+    _pack_capsules,
+    _project_capsules_boxes_smem,
+    _resolve_capsules_boxes_smem,
+    _resolve_spheres_velocity,
+)
 
 LANES = 128
 # VMEM budget: persistent planes (state in/out, masks, cnt) plus Mosaic's
@@ -80,9 +86,6 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False
     if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
@@ -108,7 +111,8 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
 
 
 def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
-                 dt: float, n_substeps: int, n_spheres: int):
+                 dt: float, n_substeps: int, n_spheres: int,
+                 n_capsules: int = 0, n_boxes: int = 0):
     """egroups: ((delta, k, rest), ...); tgroups: (((d1,d2,d3), rest_vol), ...)."""
     g = cfg.gravity
     damping = cfg.springs.damping
@@ -117,11 +121,13 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     friction = cfg.collision.friction
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     vol_stiff = cfg.volume_stiffness
     use_volume = len(tgroups) > 0 and vol_stiff != 0.0
 
-    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, em_ref, tm_ref,
-               xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
+               em_ref, tm_ref, xo_ref, vo_ref):
         im = im_ref[:]                       # [S, 128] inv mass
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -227,6 +233,11 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 xz, vz = _resolve_spheres_velocity(
                     xz, vz, movable, sph_ref, n_spheres, restitution, friction
                 )
+            if n_caps_on or n_boxes_on:
+                xz, vz = _resolve_capsules_boxes_smem(
+                    xz, vz, movable, cap_ref, n_caps_on,
+                    box_ref, n_boxes_on, restitution, friction,
+                )
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (
@@ -247,13 +258,18 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     static_argnames=("cfg", "egroups", "tgroups", "dt", "n_substeps", "interpret"),
 )
 def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
+                             capsules, boxes,
                              cfg, egroups, tgroups, dt, n_substeps,
                              interpret=False):
     s_dim = x3.shape[-2]
     n_spheres = spheres.shape[0]
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
     kernel = _make_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
-                          n_spheres)
+                          n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     n_el = s_dim * LANES
     flops_per_sub = 3 * n_el * (len(egroups) * 30 + len(tgroups) * 70)
     xo, vo = pl.pallas_call(
@@ -265,6 +281,8 @@ def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -286,7 +304,7 @@ def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, x3, v3, im2, emask, tmask)
+    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, im2, emask, tmask)
     return xo, vo
 
 
@@ -308,9 +326,6 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
     if cfg.solver != Solver.XPBD:
         return False
     if cfg.self_collision.enabled:
-        return False
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
         return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False
@@ -336,7 +351,8 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
 
 
 def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
-                      dt: float, n_substeps: int, n_spheres: int):
+                      dt: float, n_substeps: int, n_spheres: int,
+                      n_capsules: int = 0, n_boxes: int = 0):
     """egroups: ((delta, rest, alpha), ...); tgroups: (((d1,d2,d3), rv), ...).
 
     Twin: solver/banded.py xpbd_iteration_banded driven by solver/step.py
@@ -348,12 +364,14 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_e = len(egroups)
     n_t = len(tgroups)
     alpha_ts = [alpha / (dt * dt) for _, _, alpha in egroups]
 
-    def kernel(plane_ref, sph_ref, x_ref, v_ref, im_ref, em_ref, tm_ref,
-               xo_ref, vo_ref):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
+               em_ref, tm_ref, xo_ref, vo_ref):
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
@@ -459,6 +477,15 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     dl0 = dl0 + (xpr[0] - xev[0])
                     dl1 = dl1 + (xpr[1] - xev[1])
                     dl2 = dl2 + (xpr[2] - xev[2])
+                if n_caps_on or n_boxes_on:
+                    xev = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                    xpr = _project_capsules_boxes_smem(
+                        list(xev), movable, cap_ref, n_caps_on,
+                        box_ref, n_boxes_on,
+                    )
+                    dl0 = dl0 + (xpr[0] - xev[0])
+                    dl1 = dl1 + (xpr[1] - xev[1])
+                    dl2 = dl2 + (xpr[2] - xev[2])
                 return (dl0, dl1, dl2, *new_lams, *new_lamv)
 
             zeros = tuple(
@@ -489,13 +516,18 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     static_argnames=("cfg", "egroups", "tgroups", "dt", "n_substeps", "interpret"),
 )
 def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
+                                  capsules, boxes,
                                   cfg, egroups, tgroups, dt, n_substeps,
                                   interpret=False):
     s_dim = x3.shape[-2]
     n_spheres = spheres.shape[0]
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
     kernel = _make_xpbd_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
-                               n_spheres)
+                               n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     n_el = s_dim * LANES
     xo, vo = pl.pallas_call(
         kernel,
@@ -506,6 +538,8 @@ def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -527,7 +561,7 @@ def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, x3, v3, im2, emask, tmask)
+    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, im2, emask, tmask)
     return xo, vo
 
 
@@ -560,6 +594,7 @@ def make_lattice_xpbd_step(top: Topology, cfg: SimConfig,
         ).astype(jnp.float32)
         xo, vo = _pallas_lattice_xpbd_substeps(
             x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            _pack_capsules(top), _pack_boxes(top),
             cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T[:n]
@@ -598,6 +633,7 @@ def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         ).astype(jnp.float32)
         xo, vo = _pallas_lattice_substeps(
             x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            _pack_capsules(top), _pack_boxes(top),
             cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T[:n]

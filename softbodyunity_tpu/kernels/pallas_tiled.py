@@ -29,7 +29,11 @@ from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
 from .pallas_substep import (
     _kroll,
+    _pack_boxes,
+    _pack_capsules,
+    _project_capsules_boxes_smem,
     _project_spheres_positions,
+    _resolve_capsules_boxes_smem,
     _resolve_spheres_velocity,
 )
 from .stencil import _offsets, _xpbd_offsets
@@ -53,7 +57,8 @@ def _global_edge_mask(ext: int, nx: int, ny: int, row0, di: int, dj: int):
 
 
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
-                 dt: float, n_spheres: int):
+                 dt: float, n_spheres: int,
+                 n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
@@ -61,10 +66,12 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     friction = cfg.collision.friction
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
 
-    def kernel(plane_ref, sph_ref, x_hbm, v_hbm, im_ref, xo_ref, vo_ref,
-               xs, vs, sem):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_ref,
+               xo_ref, vo_ref, xs, vs, sem):
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - HPAD  # global row of extended-window row 0
@@ -170,6 +177,11 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             xz, vz = _resolve_spheres_velocity(
                 xz, vz, movable, sph_ref, n_spheres, restitution, friction
             )
+        if n_caps_on or n_boxes_on:
+            xz, vz = _resolve_capsules_boxes_smem(
+                xz, vz, movable, cap_ref, n_caps_on,
+                box_ref, n_boxes_on, restitution, friction,
+            )
         for c in range(3):
             xo_ref[c] = xz[c]
             vo_ref[c] = vz[c]
@@ -180,13 +192,18 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
 )
-def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, tile,
-                    dt, n_substeps, interpret=False):
+def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules, boxes,
+                    cfg, offsets, tile, dt, n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
-    kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres)
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
+                          n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -198,6 +215,8 @@ def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, tile,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # plane height (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,4]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
             pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
             pl.BlockSpec((tile, nx), lambda i: (i, 0),
@@ -218,7 +237,8 @@ def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, offsets, tile,
     )
 
     def one(x3, v3):
-        return call(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d)
+        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
+                    inv_mass2d)
 
     def body(carry, _):
         x3, v3 = carry
@@ -244,9 +264,6 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -259,7 +276,8 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, vo = _tiled_substeps(
-            x3, v3, im, top.plane_height, spheres, cfg, offsets, int(tile),
+            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -275,16 +293,20 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
 
 
 def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
-                        dt: float, n_spheres: int):
+                        dt: float, n_spheres: int,
+                        n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     damping = cfg.springs.damping
     gdamp = cfg.global_damping
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
     inv_dt = 1.0 / dt
 
-    def kernel(plane_ref, sph_ref, x_hbm, xp_hbm, im_ref, xo_ref, xpo_ref,
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, xp_hbm, im_ref,
+               xo_ref, xpo_ref,
                xs, ps, sem):
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
@@ -371,6 +393,10 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             xz[1] = jnp.where(contact, plane_y, xz[1])
         if spheres_on:
             xz = _project_spheres_positions(xz, movable, sph_ref, n_spheres)
+        if n_caps_on or n_boxes_on:
+            xz = _project_capsules_boxes_smem(
+                xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
+            )
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
@@ -381,13 +407,19 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
 )
-def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
-                           offsets, tile, dt, n_substeps, interpret=False):
+def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, capsules,
+                           boxes, cfg, offsets, tile, dt, n_substeps,
+                           interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
-    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres)
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
+                                 n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -399,6 +431,8 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((tile, nx), lambda i: (i, 0),
@@ -420,7 +454,8 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, cfg,
 
     def body(carry, _):
         x3, xp3 = carry
-        return call(plane_h.reshape(1, 1), sph, x3, xp3, inv_mass2d), None
+        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3,
+                    inv_mass2d), None
 
     (xo, xpo), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
     return xo, xpo
@@ -439,9 +474,6 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -454,7 +486,8 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, xpo = _tiled_verlet_substeps(
-            x3, xp3, im, top.plane_height, spheres, cfg, offsets, int(tile),
+            x3, xp3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -479,19 +512,22 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
 
 
 def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
-                            tile: int, xh: int, dt: float, n_spheres: int):
+                            tile: int, xh: int, dt: float, n_spheres: int,
+                            n_capsules: int = 0, n_boxes: int = 0):
     g = cfg.gravity
     gdamp = cfg.global_damping
     omega = cfg.xpbd.relaxation
     n_iter = cfg.xpbd.n_iterations
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_off = len(xoffsets)
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
-    def kernel(plane_ref, sph_ref, x_hbm, v_hbm, im_hbm, xo_ref, vo_ref,
-               xs, vs, ims, sem):
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_hbm,
+               xo_ref, vo_ref, xs, vs, ims, sem):
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - xh
@@ -622,6 +658,15 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 dl0 = dl0 + (xpr[0] - xe[0])
                 dl1 = dl1 + (xpr[1] - xe[1])
                 dl2 = dl2 + (xpr[2] - xe[2])
+            if n_caps_on or n_boxes_on:
+                xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
+                xpr = _project_capsules_boxes_smem(
+                    list(xe), movable, cap_ref, n_caps_on,
+                    box_ref, n_boxes_on,
+                )
+                dl0 = dl0 + (xpr[0] - xe[0])
+                dl1 = dl1 + (xpr[1] - xe[1])
+                dl2 = dl2 + (xpr[2] - xe[2])
             return (dl0, dl1, dl2, *new_lams)
 
         zeros = tuple(jnp.zeros((ext, nx), jnp.float32) for _ in range(n_off))
@@ -641,14 +686,19 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     jax.jit,
     static_argnames=("cfg", "xoffsets", "tile", "xh", "dt", "n_substeps", "interpret"),
 )
-def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
-                         tile, xh, dt, n_substeps, interpret=False):
+def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules,
+                         boxes, cfg, xoffsets, tile, xh, dt, n_substeps,
+                         interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
     kernel = _make_xpbd_tiled_kernel(cfg, xoffsets, ny, nx, tile, xh, dt,
-                                     n_spheres)
+                                     n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -660,6 +710,8 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
             pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),       # inv-mass in HBM
@@ -684,7 +736,8 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, cfg, xoffsets,
 
     def body(carry, _):
         x3, v3 = carry
-        return call(plane_h.reshape(1, 1), sph, x3, v3, inv_mass2d), None
+        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
+                    inv_mass2d), None
 
     (xo, vo), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
     return xo, vo
@@ -711,9 +764,6 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             f"tile={tile} must divide ny={ny}, align to {HPAD}, and be >= "
             f"the halo {xh}"
         )
-    from ..solver.collide import _needs_capsule_box
-    if _needs_capsule_box(top, cfg):
-        raise ValueError("capsule/box colliders not yet fused in this kernel")
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
@@ -724,7 +774,8 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
         xo, vo = _tiled_xpbd_substeps(
-            x3, v3, im, top.plane_height, spheres, cfg, xoffsets, int(tile),
+            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+            _pack_boxes(top), cfg, xoffsets, int(tile),
             int(xh), float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T

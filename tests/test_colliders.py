@@ -28,9 +28,10 @@ def _rot_z(deg):
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
-def _scene(solver, *, rot_deg=30.0):
-    """12x12 cloth falling onto a capsule and a tilted box (plane far below
-    so contact is capsule/box-driven)."""
+def _scene(solver, *, rot_deg=30.0, origin_y=0.25, nx=12, ny=12):
+    """Cloth falling onto a capsule and a tilted box (plane far below so
+    contact is capsule/box-driven).  ``origin_y=0.05`` starts the cloth
+    INSIDE the collider band so short kernel-twin runs exercise contact."""
     cfg = SimConfig(
         solver=solver,
         collision=CollisionParams(
@@ -40,9 +41,9 @@ def _scene(solver, *, rot_deg=30.0):
         global_damping=0.3,
     )
     host = cloth_grid(
-        12, 12, spacing=0.05, shear=True, bend=True, pinned=(),
+        nx, ny, spacing=0.05, shear=True, bend=True, pinned=(),
         springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
-        origin=(-0.28, 0.25, -0.28), orientation="xz",
+        origin=(-0.28, origin_y, -0.28), orientation="xz",
     )
     host = add_colliders(
         host,
@@ -185,7 +186,7 @@ def test_fused_kernel_matches_stencil_interpret(solver):
     from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
     from softbodyunity_tpu.kernels.stencil import make_stencil_step
 
-    host, cfg = _scene(solver)
+    host, cfg = _scene(solver, origin_y=0.05)   # starts in contact
     top, state = api.init(host)
     maker = {
         Solver.SEMI_IMPLICIT_EULER: make_pallas_step,
@@ -196,40 +197,104 @@ def test_fused_kernel_matches_stencil_interpret(solver):
     ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
     s_ref = ref(top, state)
     s_pal = pal(state, cfg.dt, 48)
+    # contact actually happened: some vertex was pushed up by the capsule
+    assert np.asarray(s_ref.x)[:, 1].max() > 0.06
     # rsqrt-vs-sqrt spring rounding amplified by capsule/box contact chaos
     np.testing.assert_allclose(
         np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
     )
 
 
-def test_lattice_falls_back_with_capsules():
-    """The fused lattice kernel gates itself off for capsule/box scenes
-    (banded jnp path keeps the exact semantics); never crash or silently
-    skip the colliders."""
+def _cube_scene(solver):
+    """Tet cube dropped onto a capsule + tilted box."""
     from softbodyunity_tpu.core.topology import tet_cube
-    from softbodyunity_tpu.kernels import dispatch
 
     cfg = SimConfig(
-        collision=CollisionParams(enable_plane=True, enable_capsules=True),
+        solver=solver,
+        collision=CollisionParams(
+            enable_plane=True, enable_capsules=True, enable_boxes=True,
+            friction=0.3,
+        ),
         volume_stiffness=0.5,
+        global_damping=0.4,
     )
-    host = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
-                    plane_height=0.0, origin=(0.0, 0.2, 0.0))
+    # origin straddles the capsule/box band -> contact from substep 1
+    host = tet_cube(5, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=-0.5, origin=(-0.1, -0.02, -0.1))
     host = add_colliders(
-        host, capsule_p0=[[0.0, 0.1, 0.0]], capsule_p1=[[0.2, 0.1, 0.0]],
-        capsule_radii=[0.05],
+        host,
+        capsule_p0=[[-0.15, 0.0, 0.1]], capsule_p1=[[0.25, 0.0, 0.1]],
+        capsule_radii=[0.06],
+        box_centers=[[0.05, -0.06, -0.05]],
+        box_half_extents=[[0.12, 0.05, 0.1]],
+        box_rotations=[_rot_z(20.0)],
     )
+    return host, cfg
+
+
+@pytest.mark.parametrize(
+    "solver", [Solver.SEMI_IMPLICIT_EULER, Solver.XPBD]
+)
+def test_lattice_kernel_capsule_box_interpret(solver):
+    """The fused lattice kernels resolve capsules/boxes (SMEM geometry);
+    interpret-mode twin equality vs the banded jnp path on a cube dropped
+    onto a capsule + tilted box."""
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_applicable,
+        lattice_xpbd_applicable,
+        make_lattice_step,
+        make_lattice_xpbd_step,
+    )
+    from softbodyunity_tpu.solver.step import step_scan
+
+    host, cfg = _cube_scene(solver)
     top, state = api.init(host)
-    assert dispatch.maybe_fast_step(top, cfg, "pallas") is None
-    # the jnp fallback resolves the capsule (no vertex inside after steps)
-    for _ in range(20):
-        state = api.step(top, cfg, state)
-    x = np.asarray(state.x, np.float64)
-    p0, p1 = host.capsule_p0[0], host.capsule_p1[0]
-    ax = p1 - p0
-    t = np.clip((x - p0) @ ax / np.dot(ax, ax), 0.0, 1.0)
-    d = np.linalg.norm(x - (p0 + t[:, None] * ax), axis=1)
-    assert d.min() >= host.capsule_radii[0] - 1e-4
+    if solver == Solver.XPBD:
+        assert lattice_xpbd_applicable(top, cfg)
+        pal = make_lattice_xpbd_step(top, cfg, interpret=True)
+    else:
+        assert lattice_applicable(top, cfg)
+        pal = make_lattice_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 48)
+    # contact actually happened: the cube straddles the colliders at t=0,
+    # so the capsule/box projection moved vertices immediately
+    assert np.abs(np.asarray(s_ref.x)[:, 1] - np.asarray(state.x)[:, 1]).max() > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_tiled_kernel_capsule_box_interpret(solver):
+    """Row-tiled kernels (>VMEM grids) resolve capsules/boxes too —
+    twin equality vs the untiled/stencil paths on a contact-laden scene."""
+    from softbodyunity_tpu.kernels.pallas_tiled import (
+        make_tiled_step,
+        make_tiled_verlet_step,
+        make_tiled_xpbd_step,
+    )
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    # ny=16 divides into 8-row tiles (the tiled kernels' alignment gate)
+    host, cfg = _scene(solver, origin_y=0.05, ny=16)   # starts in contact
+    top, state = api.init(host)
+    maker = {
+        Solver.SEMI_IMPLICIT_EULER: make_tiled_step,
+        Solver.VERLET: make_tiled_verlet_step,
+        Solver.XPBD: make_tiled_xpbd_step,
+    }[solver]
+    # XPBD's halo = spring-reach x n_iterations rounded to 8 => tile >= 16
+    tiled = maker(top, cfg, tile=16 if solver == Solver.XPBD else 8,
+                  interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 32))
+    s_ref = ref(top, state)
+    s_t = tiled(state, cfg.dt, 32)
+    assert np.asarray(s_ref.x)[:, 1].max() > 0.06  # contact happened
+    np.testing.assert_allclose(
+        np.asarray(s_t.x), np.asarray(s_ref.x), atol=5e-5
+    )
 
 
 def test_halo_rejects_capsules_loudly():
