@@ -124,3 +124,52 @@ def step_batched_hetero(
         top, states, jnp.asarray(sphere_centers, jnp.float32),
         jnp.asarray(sphere_radii, jnp.float32),
     )
+
+
+_COLLIDER_FIELDS = (
+    "plane_height", "sphere_centers", "sphere_radii",
+    "capsule_p0", "capsule_p1", "capsule_radii",
+    "box_centers", "box_half_extents", "box_rotations",
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_collider_step(cfg: SimConfig, dt: float, n_substeps: int,
+                            names: tuple):
+    import dataclasses
+
+    def impl(top: Topology, states: State, *arrays):
+        def fn(s, *per_scene):
+            t = dataclasses.replace(top, **dict(zip(names, per_scene)))
+            return _step_mod.step_scan(t, cfg, s, dt, n_substeps)
+
+        return jax.vmap(fn)(states, *arrays)
+
+    return jax.jit(impl)
+
+
+def step_batched_colliders(
+    top: Topology,
+    cfg: SimConfig,
+    states: State,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+    **collider_arrays,
+) -> State:
+    """Generalized per-scene collider batching: pass any subset of
+    ``plane_height`` (f32[B]), ``sphere_centers``/``sphere_radii``,
+    ``capsule_p0``/``capsule_p1``/``capsule_radii``,
+    ``box_centers``/``box_half_extents``/``box_rotations`` with a leading
+    batch axis; unlisted geometry is shared from ``top``.  One compiled
+    executable per (cfg, field-set) — moving geometry between calls never
+    retraces."""
+    bad = set(collider_arrays) - set(_COLLIDER_FIELDS)
+    if bad:
+        raise ValueError(f"unknown collider fields: {sorted(bad)}")
+    names = tuple(sorted(collider_arrays))
+    arrays = tuple(
+        jnp.asarray(collider_arrays[k], jnp.float32) for k in names
+    )
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_collider_step(cfg, dt, n, names)(top, states, *arrays)

@@ -297,6 +297,30 @@ def test_tiled_kernel_capsule_box_interpret(solver):
     )
 
 
+def test_batched_hetero_capsules_boxes():
+    """Per-scene capsule/box geometry via step_batched_colliders: scene b
+    with the shared geometry must equal the single-scene step; a scene with
+    shifted geometry must differ."""
+    from softbodyunity_tpu.parallel import batch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, origin_y=0.05)
+    top, state = api.init(host)
+    b = 3
+    states = batch.batch_state(state, b)
+    cap_p0 = np.broadcast_to(host.capsule_p0, (b, 1, 3)).copy()
+    cap_p0[2, 0, 1] += 0.5  # scene 2's capsule moved away
+    box_c = np.broadcast_to(host.box_centers, (b, 1, 3)).copy()
+    box_c[2, 0, 1] -= 0.5
+    out = batch.step_batched_colliders(
+        top, cfg, states,
+        capsule_p0=cap_p0, box_centers=box_c,
+    )
+    single = api.step(top, cfg, state)
+    np.testing.assert_array_equal(np.asarray(out.x[0]), np.asarray(single.x))
+    np.testing.assert_array_equal(np.asarray(out.x[1]), np.asarray(single.x))
+    assert np.abs(np.asarray(out.x[2]) - np.asarray(single.x)).max() > 1e-4
+
+
 def test_halo_rejects_capsules_loudly():
     from jax.sharding import Mesh
 

@@ -46,3 +46,7 @@ def test_example_multichip_entry():
 
 def test_example_differentiable_throw():
     _load("05_differentiable_throw.py").main(n_iters=3, n_substeps=16)
+
+
+def test_example_capsule_box():
+    _load("06_capsule_box_colliders.py").main(n_frames=4)
