@@ -14,6 +14,7 @@ from .core.config import (
     SimConfig,
     Solver,
     SpringParams,
+    WindParams,
     XPBDParams,
 )
 from .core.state import State, make_state
@@ -31,7 +32,7 @@ from .models import presets
 __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "add_colliders",
-    "SimConfig", "Solver", "SpringParams", "XPBDParams",
+    "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh", "presets",

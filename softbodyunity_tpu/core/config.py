@@ -66,6 +66,32 @@ class XPBDParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class WindParams:
+    """Wind / aerodynamic forcing (the Unity WindZone-on-cloth analogue).
+
+    Per-vertex force, added to the spring forces in every solver's force
+    evaluation (oracle/reference.py _total_forces is the binding form)::
+
+        v_rel  = velocity - v                 # wind-relative velocity
+        f     += drag * v_rel                 # isotropic air drag
+        f     += lift * (v_rel . n) * n       # normal-projected (flutter)
+
+    ``n`` is the unit area-weighted vertex normal (C11 semantics).  The
+    lift term is what makes cloth billow and flutter; it needs vertex
+    normals each substep, which the grid paths compute with rolls and the
+    general path with the C11 segment-sum.
+    """
+
+    velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    drag: float = 0.0
+    lift: float = 0.0
+
+    @property
+    def enabled(self) -> bool:
+        return self.drag != 0.0 or self.lift != 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -124,6 +150,7 @@ class SimConfig:
     xpbd: XPBDParams = XPBDParams()
     collision: CollisionParams = CollisionParams()
     self_collision: SelfCollisionParams = SelfCollisionParams()
+    wind: WindParams = WindParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

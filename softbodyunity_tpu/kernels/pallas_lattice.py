@@ -86,6 +86,10 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
+    if cfg.wind.lift != 0.0:
+        # lift needs surface-triangle normals (not roll-able on a lattice);
+        # the banded jnp path computes them exactly
+        return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False
     if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
@@ -123,6 +127,8 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
     vol_stiff = cfg.volume_stiffness
     use_volume = len(tgroups) > 0 and vol_stiff != 0.0
 
@@ -210,7 +216,10 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
             f = spring_forces(xs, vs)
             vz = []
             for c, gc in enumerate(g):
-                vc = ((vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt))
+                fc = f[c]
+                if drag != 0.0:   # isotropic wind drag (lift gated off)
+                    fc = fc + drag * (wvel[c] - vs[c])
+                vc = ((vs[c] + dt * (gc + fc * im)) * (1.0 - gdamp * dt))
                 vz.append(jnp.where(movable, vc, 0.0))
             xz = [xs[c] + dt * vz[c] for c in range(3)]
             if use_volume:
@@ -327,6 +336,10 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
+    if cfg.wind.lift != 0.0:
+        # lift needs surface-triangle normals (not roll-able on a lattice);
+        # the banded jnp path computes them exactly
+        return False
     if g is None or len(g.deltas) == 0 or g.n_residual > 0:
         return False
     if any(u is None for u in g.uniform) or len(g.uniform) != len(g.deltas):
@@ -361,6 +374,8 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     gdamp = cfg.global_damping
     omega = cfg.xpbd.relaxation
     n_iter = cfg.xpbd.n_iterations
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
     alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
     plane_on = cfg.collision.enable_plane
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
@@ -392,7 +407,8 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
             x = list(carry[0:3])
             v = list(carry[3:6])
             for c, gc in enumerate(g):
-                vc = (v[c] + dt * gc) * (1.0 - gdamp * dt)
+                acc = gc + drag * (wvel[c] - v[c]) * w if drag != 0.0 else gc
+                vc = (v[c] + dt * acc) * (1.0 - gdamp * dt)
                 v[c] = jnp.where(movable, vc, 0.0)
             xp = [x[c] for c in range(3)]
             dl = [dt * v[c] for c in range(3)]

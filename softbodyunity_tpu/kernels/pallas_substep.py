@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
-from .stencil import _offsets
+from .stencil import _offsets, wind_forces_grid
 
 MAX_VMEM_VERTICES = 128 * 1024  # gate: state must fit in VMEM
 
@@ -215,6 +215,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
+    wind_on = cfg.wind.enabled
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
                xo_ref, vo_ref):
@@ -223,6 +224,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         plane_y = plane_ref[0, 0]
         # loop-invariant edge-ownership masks, hoisted out of the substep loop
         masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
+        cell_mask = _edge_mask(ny, nx, 1, 1)  # wind-lift normals
 
         def substep(_, carry):
             x0, x1, x2, v0, v1, v2 = carry
@@ -231,6 +233,11 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
             f = _spring_forces_stacked(
                 jnp.stack(xs), jnp.stack(vs), offsets, masks, damping, ny, nx
             )
+            if wind_on:
+                f = f + wind_forces_grid(
+                    jnp.stack(xs), jnp.stack(vs), cfg, shift=_kroll,
+                    cell_mask=cell_mask,
+                )
             vz = []
             for c, gc in enumerate(g):
                 vc = (vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt)
@@ -365,6 +372,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
+    wind_on = cfg.wind.enabled
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
@@ -373,6 +381,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
         masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
+        cell_mask = _edge_mask(ny, nx, 1, 1)  # wind-lift normals
 
         def substep(_, carry):
             x0, x1, x2, p0, p1, p2 = carry
@@ -383,6 +392,11 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 jnp.stack(xs), jnp.stack(v_est), offsets, masks, damping,
                 ny, nx,
             )
+            if wind_on:
+                f = f + wind_forces_grid(
+                    jnp.stack(xs), jnp.stack(v_est), cfg, shift=_kroll,
+                    cell_mask=cell_mask,
+                )
             xz = []
             for c, gc in enumerate(g):
                 accel = gc + f[c] * im

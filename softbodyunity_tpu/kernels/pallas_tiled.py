@@ -69,6 +69,8 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_ref,
                xo_ref, vo_ref, xs, vs, sem):
@@ -160,7 +162,10 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         sl = lambda a: a[HPAD : HPAD + tile, :]
         vz = []
         for c, gc in enumerate(g):
-            vc = (sl(vw[c]) + dt * (gc + sl(f[c]) * im)) * (1.0 - gdamp * dt)
+            fc = sl(f[c])
+            if drag != 0.0:   # isotropic wind drag (lift gated off: halos)
+                fc = fc + drag * (wvel[c] - sl(vw[c]))
+            vc = (sl(vw[c]) + dt * (gc + fc * im)) * (1.0 - gdamp * dt)
             vz.append(jnp.where(movable, vc, 0.0))
         xz = [sl(xw[c]) + dt * vz[c] for c in range(3)]
         if plane_on:
@@ -264,6 +269,11 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
+    if cfg.wind.lift != 0.0:
+        raise ValueError(
+            "wind lift needs cross-tile normals; tiled kernels support "
+            "drag-only wind (stencil path handles lift)"
+        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -303,6 +313,8 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, xp_hbm, im_ref,
@@ -384,7 +396,11 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         sl = lambda a: a[HPAD : HPAD + tile, :]
         xz = []
         for c, gc in enumerate(g):
-            accel = gc + sl(f[c]) * im
+            fc = sl(f[c])
+            if drag != 0.0:
+                v_est_c = (sl(xw[c]) - sl(pw[c])) * (1.0 / dt)
+                fc = fc + drag * (wvel[c] - v_est_c)
+            accel = gc + fc * im
             xn = (sl(xw[c]) + (sl(xw[c]) - sl(pw[c])) * (1.0 - gdamp * dt)
                   + accel * (dt * dt))
             xz.append(jnp.where(movable, xn, sl(xw[c])))
@@ -474,6 +490,11 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
+    if cfg.wind.lift != 0.0:
+        raise ValueError(
+            "wind lift needs cross-tile normals; tiled kernels support "
+            "drag-only wind (stencil path handles lift)"
+        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -523,6 +544,8 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_off = len(xoffsets)
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
@@ -614,7 +637,8 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         xp = [xw[c] for c in range(3)]
         vp = []
         for c, gc in enumerate(g):
-            vc = (vw[c] + dt * gc) * (1.0 - gdamp * dt)
+            acc = gc + drag * (wvel[c] - vw[c]) * w if drag != 0.0 else gc
+            vc = (vw[c] + dt * acc) * (1.0 - gdamp * dt)
             vp.append(jnp.where(movable, vc, 0.0))
         # delta-form accumulation (f32 drift control; see
         # kernels/stencil.py xpbd_substep_grid)
@@ -763,6 +787,11 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(
             f"tile={tile} must divide ny={ny}, align to {HPAD}, and be >= "
             f"the halo {xh}"
+        )
+    if cfg.wind.lift != 0.0:
+        raise ValueError(
+            "wind lift needs cross-tile normals; tiled kernels support "
+            "drag-only wind (stencil path handles lift)"
         )
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
 

@@ -34,7 +34,7 @@ from .pallas_substep import (
     _project_capsules_boxes_smem,
     _project_spheres_positions,
 )
-from .stencil import _xpbd_offsets
+from .stencil import _xpbd_offsets, wind_forces_grid
 
 
 def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
@@ -48,6 +48,7 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     spheres_on = cfg.collision.enable_spheres and n_spheres > 0
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
+    wind_on = cfg.wind.enabled
     n_off = len(xoffsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
@@ -55,6 +56,7 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
+        cell_mask = _edge_mask(ny, nx, 1, 1)  # wind-lift normals
 
         # per-offset count for Jacobi averaging (one persistent plane);
         # inv_denom / wn are recomputed per offset inside the sweep instead
@@ -70,9 +72,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         def substep(_, carry):
             x = list(carry[0:3])
             v = list(carry[3:6])
-            # predict
+            # predict (external wind forces enter here, oracle substep_xpbd)
+            if wind_on:
+                fw = wind_forces_grid(
+                    jnp.stack(x), jnp.stack(v), cfg, shift=_kroll,
+                    cell_mask=cell_mask,
+                )
             for c, gc in enumerate(g):
-                vc = (v[c] + dt * gc) * (1.0 - gdamp * dt)
+                acc = gc + fw[c] * w if wind_on else gc
+                vc = (v[c] + dt * acc) * (1.0 - gdamp * dt)
                 v[c] = jnp.where(movable, vc, 0.0)
             xp = [x[c] for c in range(3)]
             # delta-form accumulation (f32 drift control; see

@@ -104,6 +104,60 @@ def stencil_spring_forces(
     return f_total
 
 
+def _cross3(a, b):
+    """Cross product on stacked [3, ...] component planes."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def grid_vertex_normals(x3: jax.Array, shift=_shift, cell_mask=None) -> jax.Array:
+    """Unit area-weighted vertex normals of the grid triangulation —
+    EXACTLY the C11 semantics (oracle vertex_normals over cloth_grid's
+    triangles) expressed as rolls, so wind lift can run inside the
+    stencil/Pallas hot loops with zero gathers.
+
+    cloth_grid triangulates each cell (i, j) as
+    ``(v(i,j), v(i+1,j), v(i,j+1))`` and ``(v(i,j+1), v(i+1,j), v(i+1,j+1))``;
+    the face-normal planes are zero at invalid cells (last row/col), so
+    reaction shifts — wrap-around rolls included — annihilate.
+
+    ``shift`` is the neighbour primitive: `_shift` (pad, XLA path) or the
+    Pallas `_kroll` wrap-roll; ``cell_mask`` overrides the host-constant
+    valid-cell mask (kernels pass an iota-built one)."""
+    ny, nx = x3.shape[-2], x3.shape[-1]
+    cell = (jnp.asarray(_valid_mask(ny, nx, 1, 1))
+            if cell_mask is None else cell_mask)
+    pi = shift(x3, 1, 0)      # p(i+1, j)
+    pj = shift(x3, 0, 1)      # p(i, j+1)
+    pij = shift(x3, 1, 1)     # p(i+1, j+1)
+    f1 = _cross3(pi - x3, pj - x3) * cell
+    f2 = _cross3(pi - pj, pij - pj) * cell
+    acc = (
+        f1 + shift(f1, -1, 0) + shift(f1, 0, -1)
+        + shift(f2, 0, -1) + shift(f2, -1, 0) + shift(f2, -1, -1)
+    )
+    norm2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2]
+    return acc / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+
+
+def wind_forces_grid(x3, v3, cfg: SimConfig, shift=_shift, cell_mask=None):
+    """WindParams force on grid planes (oracle wind_forces twin).
+
+    The wind velocity enters as three Python-float scalars (never a [3]
+    array constant — Pallas kernels reject captured array constants)."""
+    wp = cfg.wind
+    vrel = jnp.stack([wp.velocity[c] - v3[c] for c in range(3)])
+    f = wp.drag * vrel
+    if wp.lift != 0.0:
+        n = grid_vertex_normals(x3, shift=shift, cell_mask=cell_mask)
+        vn = vrel[0] * n[0] + vrel[1] * n[1] + vrel[2] * n[2]
+        f = f + wp.lift * vn * n
+    return f
+
+
 def euler_substep_grid(
     x3, v3, inv_mass2, offsets, cfg: SimConfig, dt: float,
     plane_height, sphere_centers, sphere_radii, top=None,
@@ -113,6 +167,8 @@ def euler_substep_grid(
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
     f = stencil_spring_forces(x3, v3, offsets, cfg.springs.damping)
+    if cfg.wind.enabled:
+        f = f + wind_forces_grid(x3, v3, cfg)
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
@@ -164,6 +220,8 @@ def verlet_substep_grid(
     movable = inv_mass2 > 0.0
     v_est = (x3 - xp3) / dt
     f = stencil_spring_forces(x3, v_est, offsets, cfg.springs.damping)
+    if cfg.wind.enabled:
+        f = f + wind_forces_grid(x3, v_est, cfg)
     accel = g + f * inv_mass2
     x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable, x_new, x3)
@@ -233,7 +291,11 @@ def xpbd_substep_grid(
     movable = inv_mass2 > 0.0
     w = inv_mass2[0]                                    # [ny, nx]
 
-    v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
+    accel = g
+    if cfg.wind.enabled:
+        # external forces enter XPBD through the velocity predict (oracle)
+        accel = accel + wind_forces_grid(x3, v3, cfg) * inv_mass2
+    v3 = (v3 + dt * accel) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x_prev = x3
     delta0 = dt * v3

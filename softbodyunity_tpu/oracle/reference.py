@@ -282,12 +282,27 @@ def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
     return x
 
 
+def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
+    """Wind / aerodynamic force (WindParams semantics): isotropic drag
+    toward the wind velocity plus a normal-projected lift term using the
+    unit area-weighted vertex normal (C11)."""
+    wp = cfg.wind
+    vrel = np.asarray(wp.velocity)[None, :] - v
+    f = wp.drag * vrel
+    if wp.lift != 0.0 and top.triangles.shape[0] > 0:
+        n = vertex_normals(top.triangles, x)
+        f = f + wp.lift * np.einsum("ij,ij->i", vrel, n)[:, None] * n
+    return f
+
+
 def _total_forces(top, cfg, x, v):
     f = spring_forces(top, x, v, cfg=cfg)
     if cfg.self_collision.enabled:
         f = f + self_collision_forces(
             x, cfg.self_collision.radius, cfg.self_collision.stiffness
         )
+    if cfg.wind.enabled:
+        f = f + wind_forces(top, cfg, x, v)
     return f
 
 
@@ -392,7 +407,11 @@ def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt):
 def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
-    v = (v + dt * g[None, :]) * (1.0 - cfg.global_damping * dt)
+    accel = g[None, :]
+    if cfg.wind.enabled:
+        # external forces enter XPBD through the velocity predict
+        accel = accel + wind_forces(top, cfg, x, v) * top.inv_mass[:, None]
+    v = (v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = np.where(movable[:, None], v, 0.0)
     x_prev = x
     x = x + dt * v

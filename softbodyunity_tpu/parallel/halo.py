@@ -139,6 +139,10 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig) -> None:
             "capsule/box colliders are not supported in the halo-sharded "
             "paths; use plane/sphere colliders or the single-device step"
         )
+    if cfg.wind.enabled:
+        raise NotImplementedError(
+            "wind forcing is not supported in the halo-sharded paths yet"
+        )
 
 
 def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):

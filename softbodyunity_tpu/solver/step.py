@@ -21,6 +21,19 @@ from ..core.topology import Topology
 from . import collide, forces, hashgrid, xpbd
 
 
+def wind_forces(top: Topology, cfg: SimConfig, x, v):
+    """Wind drag + normal-projected lift (oracle wind_forces twin)."""
+    from .normals import vertex_normals
+
+    wp = cfg.wind
+    vrel = jnp.asarray(wp.velocity, dtype=v.dtype)[None, :] - v
+    f = wp.drag * vrel
+    if wp.lift != 0.0 and top.triangles.shape[0] > 0:
+        n = vertex_normals(top.triangles, x)
+        f = f + wp.lift * jnp.einsum("ij,ij->i", vrel, n)[:, None] * n
+    return f
+
+
 def total_forces(top: Topology, cfg: SimConfig, x, v):
     groups = top.offset_groups
     use_banded = (
@@ -63,6 +76,8 @@ def total_forces(top: Topology, cfg: SimConfig, x, v):
                 )
         else:
             f = f + hashgrid.self_collision_forces_hash(x, cfg.self_collision)
+    if cfg.wind.enabled:
+        f = f + wind_forces(top, cfg, x, v)
     return f
 
 
@@ -124,7 +139,11 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
     movable = top.inv_mass > 0.0
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
-    v = (s.v + dt * g[None, :]) * (1.0 - cfg.global_damping * dt)
+    accel = g[None, :]
+    if cfg.wind.enabled:
+        # external forces enter XPBD through the velocity predict (oracle)
+        accel = accel + wind_forces(top, cfg, s.x, s.v) * top.inv_mass[:, None]
+    v = (s.v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = jnp.where(movable[:, None], v, 0.0)
     x_prev = s.x
     delta0 = dt * v
