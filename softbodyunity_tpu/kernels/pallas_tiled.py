@@ -36,7 +36,7 @@ from .pallas_substep import (
     _resolve_capsules_boxes_smem,
     _resolve_spheres_velocity,
 )
-from .stencil import _offsets, _xpbd_offsets
+from .stencil import _offsets, _xpbd_offsets, wind_forces_grid
 
 HALO = 2       # physical spring reach (bend = 2 rows)
 HPAD = 8       # DMA'd halo rows: Mosaic requires 8-aligned sublane offsets,
@@ -69,8 +69,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
-    drag = cfg.wind.drag
-    wvel = cfg.wind.velocity
+    wind_on = cfg.wind.enabled
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_ref,
                xo_ref, vo_ref, xs, vs, sem):
@@ -156,6 +155,14 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             fmag = (k * (length - rest) + damping * rel_v) * mask
             fo = fmag[None] * n
             f = f + fo - _kroll(fo, -di, -dj)
+        if wind_on:
+            # normals at interior rows only read x within the 1-ring, which
+            # is inside the DMA'd halo; wrap contamination stays in the halo
+            # rows the interior slice below discards
+            f = f + wind_forces_grid(
+                xw, vw, cfg, shift=_kroll,
+                cell_mask=_global_edge_mask(ext, nx, ny, row0, 1, 1),
+            )
 
         im = im_ref[:]                       # [tile, nx] interior inv-mass
         movable = im > 0.0
@@ -163,8 +170,6 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         vz = []
         for c, gc in enumerate(g):
             fc = sl(f[c])
-            if drag != 0.0:   # isotropic wind drag (lift gated off: halos)
-                fc = fc + drag * (wvel[c] - sl(vw[c]))
             vc = (sl(vw[c]) + dt * (gc + fc * im)) * (1.0 - gdamp * dt)
             vz.append(jnp.where(movable, vc, 0.0))
         xz = [sl(xw[c]) + dt * vz[c] for c in range(3)]
@@ -269,11 +274,6 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
-    if cfg.wind.lift != 0.0:
-        raise ValueError(
-            "wind lift needs cross-tile normals; tiled kernels support "
-            "drag-only wind (stencil path handles lift)"
-        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -313,8 +313,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
-    drag = cfg.wind.drag
-    wvel = cfg.wind.velocity
+    wind_on = cfg.wind.enabled
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, xp_hbm, im_ref,
@@ -390,6 +389,11 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             fmag = (k * (length - rest) + damping * rel_v) * mask
             fo = fmag[None] * n
             f = f + fo - _kroll(fo, -di, -dj)
+        if wind_on:
+            f = f + wind_forces_grid(
+                xw, vw, cfg, shift=_kroll,
+                cell_mask=_global_edge_mask(ext, nx, ny, row0, 1, 1),
+            )
 
         im = im_ref[:]
         movable = im > 0.0
@@ -397,9 +401,6 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         xz = []
         for c, gc in enumerate(g):
             fc = sl(f[c])
-            if drag != 0.0:
-                v_est_c = (sl(xw[c]) - sl(pw[c])) * (1.0 / dt)
-                fc = fc + drag * (wvel[c] - v_est_c)
             accel = gc + fc * im
             xn = (sl(xw[c]) + (sl(xw[c]) - sl(pw[c])) * (1.0 - gdamp * dt)
                   + accel * (dt * dt))
@@ -490,11 +491,6 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(f"ny={ny} must be a multiple of tile={tile}")
     if tile % HPAD != 0 or tile < HPAD:
         raise ValueError(f"tile={tile} must be a multiple of {HPAD}")
-    if cfg.wind.lift != 0.0:
-        raise ValueError(
-            "wind lift needs cross-tile normals; tiled kernels support "
-            "drag-only wind (stencil path handles lift)"
-        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
@@ -544,8 +540,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_off = len(xoffsets)
-    drag = cfg.wind.drag
-    wvel = cfg.wind.velocity
+    wind_on = cfg.wind.enabled
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
@@ -631,13 +626,20 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             cnt = cnt + m + _kroll(m, -di, -dj)
         inv_cnt = omega / jnp.maximum(cnt, 1.0)
 
-        # predict (pointwise => identical on halo rows to the owning tile)
+        # predict: pointwise except wind lift, whose 1-ring normal read
+        # contaminates only the outermost window row per side — the xh
+        # budget in make_tiled_xpbd_step reserves that extra row
         xw = xs[:]
         vw = vs[:]
         xp = [xw[c] for c in range(3)]
+        if wind_on:
+            fw = wind_forces_grid(
+                xw, vw, cfg, shift=_kroll,
+                cell_mask=_global_edge_mask(ext, nx, ny, row0, 1, 1),
+            )
         vp = []
         for c, gc in enumerate(g):
-            acc = gc + drag * (wvel[c] - vw[c]) * w if drag != 0.0 else gc
+            acc = gc + fw[c] * w if wind_on else gc
             vc = (vw[c] + dt * acc) * (1.0 - gdamp * dt)
             vp.append(jnp.where(movable, vc, 0.0))
         # delta-form accumulation (f32 drift control; see
@@ -778,7 +780,10 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     reach = 2 if has_bend else 1
-    xh = -(-(reach * cfg.xpbd.n_iterations) // HPAD) * HPAD
+    # +1 halo row when wind lift is on: the predict's normal read
+    # contaminates one extra row per side before the sweeps start
+    lift_pad = 1 if cfg.wind.lift != 0.0 else 0
+    xh = -(-(reach * cfg.xpbd.n_iterations + lift_pad) // HPAD) * HPAD
     if tile == 0:
         tile = max(xh, ((48 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > xh:
@@ -787,11 +792,6 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
         raise ValueError(
             f"tile={tile} must divide ny={ny}, align to {HPAD}, and be >= "
             f"the halo {xh}"
-        )
-    if cfg.wind.lift != 0.0:
-        raise ValueError(
-            "wind lift needs cross-tile normals; tiled kernels support "
-            "drag-only wind (stencil path handles lift)"
         )
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
 

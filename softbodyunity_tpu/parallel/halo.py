@@ -85,6 +85,8 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
         fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
+    if cfg.wind.enabled:
+        f = f + _wind_force_ext(xe, ve, cfg, ny_local, nx, ny_global, dev)
     f = f[:, HALO : HALO + ny_local, :]
 
     inv_mass2 = inv_mass_ext_builder
@@ -129,9 +131,13 @@ def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
     return x3, v3
 
 
-def _check_halo_colliders(top: Topology, cfg: SimConfig) -> None:
+def _check_halo_colliders(top: Topology, cfg: SimConfig,
+                          wind: str = "full") -> None:
     """Halo-sharded substeps support plane + sphere colliders; fail loudly
-    (rather than silently ignoring geometry) for capsules/boxes."""
+    (rather than silently ignoring geometry) for capsules/boxes.  ``wind``
+    is what the caller supports: cloth paths take drag + lift ("full"),
+    lattice paths drag only ("drag" — lift needs surface triangles, which
+    the banded single-device path computes exactly)."""
     from ..solver.collide import _needs_capsule_box
 
     if _needs_capsule_box(top, cfg):
@@ -139,10 +145,19 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig) -> None:
             "capsule/box colliders are not supported in the halo-sharded "
             "paths; use plane/sphere colliders or the single-device step"
         )
-    if cfg.wind.enabled:
+    if wind == "drag" and cfg.wind.lift != 0.0:
         raise NotImplementedError(
-            "wind forcing is not supported in the halo-sharded paths yet"
+            "wind lift is not supported in the halo-sharded lattice paths "
+            "(drag is); use the single-device banded step for lift"
         )
+
+
+def _wind_force_ext(xe, ve, cfg, ny_local, nx, ny_global, dev):
+    """WindParams force on an exchanged (extended) cloth block; interior
+    rows are exact (lift's 1-ring normal read stays inside the 2-row halo;
+    see kernels/stencil.py grid_vertex_normals)."""
+    cell = _owned_mask_ext(ny_local, nx, ny_global, 1, 1, dev)
+    return st.wind_forces_grid(xe, ve, cfg, cell_mask=cell)
 
 
 def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
@@ -243,7 +258,15 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     w = inv_mass2[0]
 
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
-    v3 = (v3 + dt * g) * (1.0 - cfg.global_damping * dt)
+    accel = g
+    if cfg.wind.enabled:
+        # external forces enter XPBD through the velocity predict (oracle
+        # substep_xpbd); lift's normal read needs one exchanged halo
+        xe0 = _exchange_halo(x3, axis_name)
+        ve0 = _exchange_halo(v3, axis_name)
+        fw = _wind_force_ext(xe0, ve0, cfg, ny_local, nx, ny_global, dev)
+        accel = accel + fw[:, HALO : HALO + ny_local, :] * inv_mass2
+    v3 = (v3 + dt * accel) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x_prev = x3
     delta0 = dt * v3   # delta-form accumulation (see stencil xpbd twin)
@@ -325,6 +348,8 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
         fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
+    if cfg.wind.enabled:
+        f = f + _wind_force_ext(xe, ve, cfg, ny_local, nx, ny_global, dev)
     f = f[:, HALO : HALO + ny_local, :]
 
     movable = inv_mass2 > 0.0
@@ -531,7 +556,7 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
     :func:`shard_lattice_state`.  Semantics mirror solver/step.py
     substep_euler on the banded path (tested vs single device)."""
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, wind="drag")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -591,6 +616,10 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     fo = fmag * nrm
                     f = f + fo - _rev(fo, di, r)
                 f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
+                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
+                    wv = jnp.asarray(cfg.wind.velocity).astype(
+                        xb.dtype).reshape(3, 1, 1)
+                    f = f + cfg.wind.drag * (wv - vb)
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 vb = (vb + dt * (gvec + f * imb)) * (1.0 - cfg.global_damping * dt)
                 vb = jnp.where(movable, vb, 0.0)
@@ -686,7 +715,7 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None) -> (x, v)``."""
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, wind="drag")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -786,6 +815,10 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     fo = fmag * nrm
                     f = f + fo - _rev(fo, di, r)
                 f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
+                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
+                    wv = jnp.asarray(cfg.wind.velocity).astype(
+                        xb.dtype).reshape(3, 1, 1)
+                    f = f + cfg.wind.drag * (wv - v_est)
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 accel = gvec + f * imb
                 x_new = (xb + (xb - xpb) * (1.0 - cfg.global_damping * dt)
@@ -836,7 +869,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
     substep_xpbd banded twin)."""
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, wind="drag")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -887,7 +920,12 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             def substep(carry, _):
                 xb, vb = carry
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
-                vb = (vb + dt * gvec) * (1.0 - cfg.global_damping * dt)
+                acc = gvec
+                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
+                    wv = jnp.asarray(cfg.wind.velocity).astype(
+                        xb.dtype).reshape(3, 1, 1)
+                    acc = acc + cfg.wind.drag * (wv - vb) * imb
+                vb = (vb + dt * acc) * (1.0 - cfg.global_damping * dt)
                 vb = jnp.where(movable, vb, 0.0)
                 x_prev = xb
                 delta0 = dt * vb

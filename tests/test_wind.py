@@ -150,6 +150,122 @@ def test_lattice_drag_wind_matches_banded_jnp():
     assert np.asarray(s_ref.x)[:, 0].mean() > 0.1
 
 
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_tiled_kernel_wind_lift_matches_stencil(solver):
+    """The row-tiled kernels compute full wind (drag + lift) with window
+    rolls and global cell masks; interpret-mode twin equality."""
+    from softbodyunity_tpu.kernels.pallas_tiled import (
+        make_tiled_step,
+        make_tiled_verlet_step,
+        make_tiled_xpbd_step,
+    )
+    from softbodyunity_tpu.core.config import XPBDParams
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    cfg = SimConfig(
+        solver=solver,
+        wind=WindParams(velocity=(2.0, 0.5, 1.0), drag=0.3, lift=0.8),
+        xpbd=XPBDParams(n_iterations=3),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.2,
+    )
+    # contact-free scene: a vertex within one f32 ulp of the plane clamps
+    # on one path and not the other, turning LSB noise into O(impulse)
+    # divergence (same rationale as test_halo's contact-free XPBD scene)
+    host = cloth_grid(
+        16, 24, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-3.0,
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    maker = {
+        Solver.SEMI_IMPLICIT_EULER: make_tiled_step,
+        Solver.VERLET: make_tiled_verlet_step,
+        Solver.XPBD: make_tiled_xpbd_step,
+    }[solver]
+    til = maker(top, cfg, tile=8, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    s_ref = ref(top, state)
+    s_til = til(state, cfg.dt, 48)
+    np.testing.assert_allclose(
+        np.asarray(s_til.x), np.asarray(s_ref.x), atol=5e-5
+    )
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_halo_wind_matches_single_device(solver):
+    """Row-sharded cloth under full wind (drag + lift) equals the
+    single-device stencil path: the lift normal's 1-ring read stays inside
+    the exchanged 2-row halo."""
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(solver, nx=12, ny=16)
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    if solver == Solver.SEMI_IMPLICIT_EULER:
+        make = halo.make_halo_step
+    elif solver == Solver.VERLET:
+        make = halo.make_halo_verlet_step
+    else:
+        make = halo.make_halo_xpbd_step
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    if solver == Solver.VERLET:
+        xp3 = x3  # state starts with x_prev == x
+        xf, vf = sharded(x3, xp3, im3, ph, cfg.dt, 48)
+    else:
+        xf, vf = sharded(x3, v3, im3, ph, cfg.dt, 48)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    want = ref(top, state)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
+    )
+
+
+def test_halo_lattice_drag_wind_matches_single_device():
+    """Slab-sharded tet lattice supports drag-only wind (pointwise);
+    equality vs the single-device banded path."""
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.parallel import halo
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        wind=WindParams(velocity=(3.0, 0.0, 0.0), drag=0.5, lift=0.0),
+        collision=CollisionParams(enable_plane=True),
+        volume_stiffness=0.5,
+        global_damping=0.3,
+    )
+    host = tet_cube(8, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=0.0, origin=(0.0, 0.05, 0.0))
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    sharded = jax.jit(
+        halo.make_halo_lattice_step(top, cfg, mesh), static_argnums=(7,)
+    )
+    args = halo.shard_lattice_state(top, state, mesh)
+    xf, vf = sharded(*args, cfg.dt, 48)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    want = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))(top, state)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
+    )
+
+
+def test_halo_lattice_lift_raises():
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.parallel import halo
+
+    cfg = SimConfig(wind=WindParams(velocity=(1.0, 0, 0), drag=0.1, lift=0.5))
+    host = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd)
+    top, _ = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
+    with pytest.raises(NotImplementedError):
+        halo.make_halo_lattice_step(top, cfg, mesh)
+
+
 def test_lattice_lift_gates_to_jnp():
     from softbodyunity_tpu.kernels import dispatch
 
