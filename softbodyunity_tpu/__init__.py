@@ -14,6 +14,7 @@ from .core.config import (
     SimConfig,
     Solver,
     SpringParams,
+    TearParams,
     WindParams,
     XPBDParams,
 )
@@ -33,6 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "add_colliders",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
+    "TearParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh", "presets",

@@ -121,6 +121,16 @@ def _dispatch_step(top, cfg, state, dt, n_substeps):
     return _step_mod.step_scan(top, cfg, state, dt, n_substeps)
 
 
+def ensure_tear_state(top: Topology, cfg: SimConfig, state: State) -> State:
+    """Populate ``State.edge_alive`` (all edges live) when a tearing config
+    meets a state without it — OUTSIDE jit, because the pytree structure
+    changes.  No-op otherwise."""
+    if cfg.tear.enabled and state.edge_alive is None:
+        alive = jnp.ones((top.edges.shape[0],), state.x.dtype)
+        state = state.replace(edge_alive=alive)
+    return state
+
+
 def step(
     top: Topology,
     cfg: SimConfig,
@@ -131,6 +141,7 @@ def step(
     """Advance one frame: ``n_substeps`` substeps of size ``dt``."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    state = ensure_tear_state(top, cfg, state)
     return _compiled_step(cfg, dt, n)(top, state)
 
 
@@ -161,6 +172,7 @@ def rollout(
     """Scan ``n_steps`` frames on-device; returns (final_state, xs[n_steps,N,3])."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    state = ensure_tear_state(top, cfg, state)
     return _compiled_rollout(cfg, dt, n, int(n_steps))(top, state)
 
 

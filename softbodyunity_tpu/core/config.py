@@ -92,6 +92,29 @@ class WindParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class TearParams:
+    """Cloth tearing (the classic Unity soft-body demo feature): an edge
+    whose strain exceeds ``strain_limit`` fails PERMANENTLY.
+
+    Semantics (oracle/reference.py is binding): edge liveness is dynamic
+    state — ``State.edge_alive`` f32[E] of {0, 1} — threaded through the
+    substep.  Dead edges contribute no spring force and no XPBD distance
+    constraint (they also leave the Jacobi count).  The tear check runs at
+    the END of every substep on the post-collision positions::
+
+        alive *= (length <= rest_length * (1 + strain_limit))
+
+    Shapes stay static (the edge list never changes; liveness is a mask),
+    so tearing is jit/vmap/scan-friendly.  Supported on the general jnp
+    paths; structured-grid fast kernels decline loudly (dispatch returns
+    the exact jnp path instead).
+    """
+
+    enabled: bool = False
+    strain_limit: float = 0.5   # relative elongation at failure
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -151,6 +174,7 @@ class SimConfig:
     collision: CollisionParams = CollisionParams()
     self_collision: SelfCollisionParams = SelfCollisionParams()
     wind: WindParams = WindParams()
+    tear: TearParams = TearParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

@@ -30,6 +30,10 @@ class State:
     x: jax.Array       # f32[N, 3] positions
     v: jax.Array       # f32[N, 3] velocities
     x_prev: jax.Array  # f32[N, 3] previous positions
+    # Edge liveness for tearing (TearParams): f32[E] of {0,1}, or None when
+    # tearing is off (None keeps the pytree minimal; api.step populates it
+    # lazily — outside jit — the first time a tearing config is stepped).
+    edge_alive: "jax.Array | None" = None
 
     @property
     def n_vertices(self) -> int:

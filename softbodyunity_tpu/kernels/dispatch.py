@@ -23,6 +23,16 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if cfg.tear.enabled:
+        # tearing needs per-edge liveness masks; the structured fast paths
+        # bake uniform per-offset springs — the exact jnp gather path is
+        # the tearing path (TearParams docstring)
+        if backend == "pallas":
+            _warn_once(
+                ("tear", top.n_vertices, cfg.solver),
+                "pallas requested but tearing routes to the jnp gather path",
+            )
+        return None
     if top.n_tets > 0:
         # volumetric lattices: fused Pallas lattice kernel (Mosaic-only —
         # no XLA-level stencil twin; the banded jnp path is the fallback)

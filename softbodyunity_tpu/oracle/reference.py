@@ -56,8 +56,11 @@ from ..core.topology import HostTopology
 def spring_forces(
     top: HostTopology, x: np.ndarray, v: np.ndarray,
     damping: "float | None" = None, cfg: SimConfig = None,
+    alive: "np.ndarray | None" = None,
 ) -> np.ndarray:
-    """Per-edge Hooke + axial damper, scatter-added to both endpoints."""
+    """Per-edge Hooke + axial damper, scatter-added to both endpoints.
+    ``alive`` (TearParams liveness mask f64[E] of {0,1}) silences torn
+    edges; None means all edges live."""
     c = cfg.springs.damping if damping is None else damping
     a = top.edges[:, 0]
     b = top.edges[:, 1]
@@ -67,6 +70,8 @@ def spring_forces(
     n = d / length[:, None]
     rel_v = np.einsum("ej,ej->e", v[b] - v[a], n)     # axial relative velocity
     fmag = top.edge_stiffness * (length - top.rest_length) + c * rel_v
+    if alive is not None:
+        fmag = fmag * alive
     f_edge = fmag[:, None] * n                        # force on endpoint a (toward b)
     forces = np.zeros_like(x)
     np.add.at(forces, a, f_edge)
@@ -295,8 +300,18 @@ def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     return f
 
 
-def _total_forces(top, cfg, x, v):
-    f = spring_forces(top, x, v, cfg=cfg)
+def tear_update(top: HostTopology, cfg: SimConfig, x, alive):
+    """End-of-substep tear check (TearParams semantics, binding): an edge
+    whose post-substep elongation exceeds the strain limit dies forever."""
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    length = np.linalg.norm(x[b] - x[a], axis=1)
+    limit = top.rest_length * (1.0 + cfg.tear.strain_limit)
+    return alive * (length <= limit).astype(alive.dtype)
+
+
+def _total_forces(top, cfg, x, v, alive=None):
+    f = spring_forces(top, x, v, cfg=cfg, alive=alive)
     if cfg.self_collision.enabled:
         f = f + self_collision_forces(
             x, cfg.self_collision.radius, cfg.self_collision.stiffness
@@ -306,11 +321,12 @@ def _total_forces(top, cfg, x, v):
     return f
 
 
-def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
+                  alive=None):
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
-    f = _total_forces(top, cfg, x, v)
+    f = _total_forces(top, cfg, x, v, alive=alive)
     v = (v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
     v = np.where(movable[:, None], v, 0.0)
     x_prev = x
@@ -338,15 +354,18 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
             x, v, top.box_centers, top.box_half_extents, top.box_rotations,
             cfg.collision.restitution, cfg.collision.friction, movable,
         )
-    return x, v, x_prev
+    if alive is not None:
+        alive = tear_update(top, cfg, x, alive)
+    return x, v, x_prev, alive
 
 
-def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
+                   alive=None):
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     v_est = (x - x_prev) / dt
-    f = _total_forces(top, cfg, x, v_est)
+    f = _total_forces(top, cfg, x, v_est, alive=alive)
     accel = g[None, :] + f * w
     x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = np.where(movable[:, None], x_new, x)
@@ -354,11 +373,15 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
     x_new = x_new + dx
     x_new = project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - x) / dt
-    return x_new, v_new, x
+    if alive is not None:
+        alive = tear_update(top, cfg, x_new, alive)
+    return x_new, v_new, x, alive
 
 
-def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt):
-    """One Jacobi projection sweep over distance + volume constraints."""
+def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt,
+                   alive=None):
+    """One Jacobi projection sweep over distance + volume constraints.
+    Dead (torn) edges project nothing and leave the Jacobi count."""
     w = top.inv_mass
     a_idx = top.edges[:, 0]
     b_idx = top.edges[:, 1]
@@ -369,13 +392,17 @@ def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt):
     alpha_t = top.edge_compliance / (dt * dt)
     denom = w[a_idx] + w[b_idx] + alpha_t
     dlam = -(c_val + alpha_t * lam) / np.maximum(denom, 1e-12)
+    e_cnt = np.ones_like(dlam)
+    if alive is not None:
+        dlam = dlam * alive
+        e_cnt = alive
     lam = lam + dlam
     dx = np.zeros_like(x)
     cnt = np.zeros(x.shape[0])
     np.add.at(dx, a_idx, -(w[a_idx] * dlam)[:, None] * n)
     np.add.at(dx, b_idx, (w[b_idx] * dlam)[:, None] * n)
-    np.add.at(cnt, a_idx, 1.0)
-    np.add.at(cnt, b_idx, 1.0)
+    np.add.at(cnt, a_idx, e_cnt)
+    np.add.at(cnt, b_idx, e_cnt)
     # tet volume constraints with compliance
     if top.tets.shape[0] > 0:
         t = top.tets
@@ -404,7 +431,8 @@ def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt):
     return x, lam, lam_vol
 
 
-def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
+def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
+                 alive=None):
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     accel = g[None, :]
@@ -418,7 +446,8 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
     lam = np.zeros(top.edges.shape[0])
     lam_vol = np.zeros(top.tets.shape[0])
     for _ in range(cfg.xpbd.n_iterations):
-        x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt,
+                                         alive=alive)
         # contacts are projected INSIDE the Jacobi loop: projecting only
         # after the loop lets constraint corrections and the contact fight,
         # and the velocity recovery below turns the unresolved conflict into
@@ -427,7 +456,9 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt):
         x = project_positions_only(top, cfg, x, movable)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
-    return x, v, x_prev
+    if alive is not None:
+        alive = tear_update(top, cfg, x, alive)
+    return x, v, x_prev, alive
 
 
 _SUBSTEP = {
@@ -437,14 +468,19 @@ _SUBSTEP = {
 }
 
 
-def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None, n_substeps=None):
-    """One frame = n_substeps substeps (mirrors FixedUpdate + inner loop)."""
+def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None,
+         n_substeps=None, alive=None):
+    """One frame = n_substeps substeps (mirrors FixedUpdate + inner loop).
+    Returns ``(x, v, x_prev)``, or ``(x, v, x_prev, alive)`` when an edge
+    liveness mask was passed (TearParams)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     fn = _SUBSTEP[cfg.solver]
     for _ in range(n):
-        x, v, x_prev = fn(top, cfg, x, v, x_prev, dt)
-    return x, v, x_prev
+        x, v, x_prev, alive = fn(top, cfg, x, v, x_prev, dt, alive=alive)
+    if alive is None:
+        return x, v, x_prev
+    return x, v, x_prev, alive
 
 
 def run_trajectory(top: HostTopology, cfg: SimConfig, n_steps: int, record_every: int = 1):

@@ -30,11 +30,24 @@ def batch_state(state: State, batch: int, jitter: Optional[jax.Array] = None) ->
         if jitter.ndim == 2:
             jitter = jitter[:, None, :]
         bx = bx + jitter
+    alive = state.edge_alive
+    if alive is not None:
+        alive = jnp.broadcast_to(alive[None], (batch,) + alive.shape)
     return State(
         x=bx,
         v=jnp.zeros_like(bx),
         x_prev=bx,
+        edge_alive=alive,
     )
+
+
+def _ensure_tear_batched(top: Topology, cfg: SimConfig, states: State) -> State:
+    """Batched twin of api.ensure_tear_state (outside jit: structure change)."""
+    if cfg.tear.enabled and states.edge_alive is None:
+        b = states.x.shape[0]
+        alive = jnp.ones((b, top.edges.shape[0]), states.x.dtype)
+        states = states.replace(edge_alive=alive)
+    return states
 
 
 @functools.lru_cache(maxsize=32)
@@ -56,6 +69,7 @@ def step_batched(
     """Advance every scene one frame in lockstep: State[B,N,3] -> State[B,N,3]."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    states = _ensure_tear_batched(top, cfg, states)
     return _compiled_batched_step(cfg, dt, n)(top, states)
 
 
@@ -71,6 +85,7 @@ def rollout_batched(
     only — RL observation extraction hooks in here)."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    states = _ensure_tear_batched(top, cfg, states)
     return _compiled_rollout_batched(cfg, dt, n, int(n_steps))(top, states)
 
 

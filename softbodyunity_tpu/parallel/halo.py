@@ -150,6 +150,11 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "wind lift is not supported in the halo-sharded lattice paths "
             "(drag is); use the single-device banded step for lift"
         )
+    if cfg.tear.enabled:
+        raise NotImplementedError(
+            "tearing is not supported in the halo-sharded paths; use the "
+            "single-device step"
+        )
 
 
 def _wind_force_ext(xe, ve, cfg, ny_local, nx, ny_global, dev):

@@ -34,19 +34,29 @@ def wind_forces(top: Topology, cfg: SimConfig, x, v):
     return f
 
 
-def total_forces(top: Topology, cfg: SimConfig, x, v):
+def tear_update(top: Topology, cfg: SimConfig, x, alive):
+    """End-of-substep permanent edge failure (oracle tear_update twin)."""
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    length = jnp.linalg.norm(x[b] - x[a], axis=1)
+    limit = top.rest_length * (1.0 + cfg.tear.strain_limit)
+    return alive * (length <= limit).astype(alive.dtype)
+
+
+def total_forces(top: Topology, cfg: SimConfig, x, v, alive=None):
     groups = top.offset_groups
     use_banded = (
         groups is not None
         and top.n_edges > 0
         and groups.n_residual <= top.n_edges // 2  # static shape decision
+        and alive is None  # tearing needs per-edge masks: gather path
     )
     if use_banded:
         from . import banded
 
         f = banded.spring_forces_banded(groups, x, v, cfg)
     else:
-        f = forces.spring_forces_gather(top, x, v, cfg)
+        f = forces.spring_forces_gather(top, x, v, cfg, alive=alive)
     if cfg.self_collision.enabled:
         if cfg.self_collision.method == "dense":
             f = f + forces.self_collision_forces_dense(
@@ -95,11 +105,17 @@ def _volume_projection(top: Topology, x, stiffness: float):
     return xpbd.volume_projection(top, x, stiffness)
 
 
+def _tear_alive(cfg: SimConfig, s: State):
+    """The liveness mask this substep runs with (None = tearing inactive)."""
+    return s.edge_alive if cfg.tear.enabled and s.edge_alive is not None else None
+
+
 def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
+    alive = _tear_alive(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
-    f = total_forces(top, cfg, s.x, s.v)
+    f = total_forces(top, cfg, s.x, s.v, alive=alive)
     v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
     v = jnp.where(movable[:, None], v, 0.0)
     x_prev = s.x
@@ -109,15 +125,17 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         x = x + dx
         v = v + dx / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
-    return State(x=x, v=v, x_prev=x_prev)
+    alive = tear_update(top, cfg, x, alive) if alive is not None else s.edge_alive
+    return State(x=x, v=v, x_prev=x_prev, edge_alive=alive)
 
 
 def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
+    alive = _tear_alive(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     v_est = (s.x - s.x_prev) / dt
-    f = total_forces(top, cfg, s.x, v_est)
+    f = total_forces(top, cfg, s.x, v_est, alive=alive)
     accel = g[None, :] + f * w
     x_new = s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable[:, None], x_new, s.x)
@@ -125,7 +143,8 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         x_new = x_new + _volume_projection(top, x_new, cfg.volume_stiffness)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - s.x) / dt
-    return State(x=x_new, v=v_new, x_prev=s.x)
+    alive = tear_update(top, cfg, x_new, alive) if alive is not None else s.edge_alive
+    return State(x=x_new, v=v_new, x_prev=s.x, edge_alive=alive)
 
 
 def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
@@ -138,6 +157,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     from . import banded
 
     movable = top.inv_mass > 0.0
+    alive = _tear_alive(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     accel = g[None, :]
     if cfg.wind.enabled:
@@ -151,7 +171,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     def _project_delta(delta):
         return collide.project_positions_delta(top, cfg, x_prev, delta, movable)
 
-    if banded.xpbd_banded_applicable(top):
+    if banded.xpbd_banded_applicable(top) and alive is None:
         # gather-free Jacobi sweeps over delta-grouped constraints
         groups = top.offset_groups
         tgroups = top.tet_groups
@@ -184,7 +204,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         def body(carry, _):
             delta, lam, lam_vol = carry
             dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
-                top, cfg, x_prev + delta, lam, lam_vol, dt
+                top, cfg, x_prev + delta, lam, lam_vol, dt, alive=alive
             )
             # contacts projected inside the loop (see oracle substep_xpbd)
             delta = _project_delta(delta + dx)
@@ -194,7 +214,9 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
             body, (delta0, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
         )
     delta = jnp.where(movable[:, None], delta, 0.0)
-    return State(x=x_prev + delta, v=delta / dt, x_prev=x_prev)
+    x = x_prev + delta
+    alive = tear_update(top, cfg, x, alive) if alive is not None else s.edge_alive
+    return State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=alive)
 
 
 _SUBSTEP = {

@@ -22,8 +22,9 @@ from ..core.config import SimConfig
 from ..core.topology import Topology
 
 
-def distance_corrections(top: Topology, x, lam, dt):
-    """Per-edge XPBD distance projection; returns (dx_edge_a, n, dlam, lam)."""
+def distance_corrections(top: Topology, x, lam, dt, alive=None):
+    """Per-edge XPBD distance projection; returns (dx_edge_a, n, dlam, lam).
+    Dead (torn) edges project nothing (TearParams)."""
     w = top.inv_mass
     a = top.edges[:, 0]
     b = top.edges[:, 1]
@@ -34,6 +35,8 @@ def distance_corrections(top: Topology, x, lam, dt):
     alpha_t = top.edge_compliance / (dt * dt)
     denom = w[a] + w[b] + alpha_t
     dlam = -(c_val + alpha_t * lam) / jnp.maximum(denom, 1e-12)
+    if alive is not None:
+        dlam = dlam * alive
     return n, dlam, lam + dlam
 
 
@@ -60,19 +63,21 @@ def volume_terms(top: Topology, x, lam_vol, compliance, dt):
     return (g0, g1, g2, g3), dlam, lam_vol + dlam
 
 
-def xpbd_iteration_dx(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt):
+def xpbd_iteration_dx(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt,
+                      alive=None):
     """One Jacobi sweep over distance + volume constraints (oracle twin),
     returning the count-averaged, relaxed position INCREMENT (callers
     accumulate it in delta form for f32 drift control — see
-    solver/step.py substep_xpbd)."""
+    solver/step.py substep_xpbd).  ``alive`` removes torn edges from both
+    the corrections and the Jacobi count."""
     n_v = x.shape[0]
     w = top.inv_mass
     a = top.edges[:, 0]
     b = top.edges[:, 1]
-    n, dlam, lam = distance_corrections(top, x, lam, dt)
+    n, dlam, lam = distance_corrections(top, x, lam, dt, alive=alive)
     dx = jax.ops.segment_sum(-(w[a] * dlam)[:, None] * n, a, num_segments=n_v)
     dx = dx + jax.ops.segment_sum((w[b] * dlam)[:, None] * n, b, num_segments=n_v)
-    ones_e = jnp.ones_like(dlam)
+    ones_e = jnp.ones_like(dlam) if alive is None else alive
     cnt = jax.ops.segment_sum(ones_e, a, num_segments=n_v)
     cnt = cnt + jax.ops.segment_sum(ones_e, b, num_segments=n_v)
     if top.n_tets > 0:

@@ -50,3 +50,8 @@ def test_example_differentiable_throw():
 
 def test_example_capsule_box():
     _load("06_capsule_box_colliders.py").main(n_frames=4)
+
+
+def test_example_cloth_tearing():
+    torn = _load("07_cloth_tearing.py").main(n_frames=40, nx=8, ny=12)
+    assert torn > 0

@@ -1,0 +1,193 @@
+"""Cloth tearing tests (TearParams: permanent strain-based edge failure;
+oracle/reference.py tear_update is the binding definition).  Liveness is
+dynamic state (State.edge_alive), so shapes stay static under jit/vmap."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import (
+    CollisionParams,
+    SimConfig,
+    Solver,
+    SpringParams,
+    TearParams,
+    XPBDParams,
+)
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.oracle import reference as oracle
+
+SOLVERS = [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD]
+
+
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    prev = jax.config.jax_enable_x64
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
+
+def _scene(solver, strain_limit=0.03, nx=8, ny=12):
+    """A hanging cloth pinned along the whole top row: gravity stretches the
+    top-row-adjacent structural springs past a tight strain limit, so the
+    cloth tears near the pins and drops — the classic Unity tearing demo."""
+    cfg = SimConfig(
+        solver=solver,
+        springs=SpringParams(k_structural=300.0, k_shear=150.0,
+                             k_bend=60.0, damping=0.3),
+        xpbd=XPBDParams(compliance_distance=3e-4, compliance_bend=1e-3,
+                        n_iterations=4),
+        tear=TearParams(enabled=True, strain_limit=strain_limit),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.1,
+    )
+    host = cloth_grid(
+        nx, ny, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+        orientation="xy",
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_f64_exact_parity(solver):
+    """Device tearing == oracle tearing in f64, including identical tear
+    masks (a single different edge death would diverge immediately)."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _scene(solver)
+    top, state = api.init(host, dtype=jnp.float64)
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    alive_o = np.ones(host.edges.shape[0])
+    s = state
+    for _ in range(40):
+        x, v, xp, alive_o = oracle.step(host, cfg, x, v, xp, alive=alive_o)
+        s = api.step(top, cfg, s)
+    assert s.edge_alive is not None
+    np.testing.assert_array_equal(np.asarray(s.edge_alive), alive_o)
+    assert alive_o.min() == 0.0, "scene never tore — test is vacuous"
+    drift = np.max(np.abs(np.asarray(s.x) - x))
+    assert drift < 1e-6, f"{solver}: f64 drift {drift:.3e}"
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_tearing_physical(solver):
+    """Torn cloth falls: liveness is monotone non-increasing, some edges
+    die, the free part drops further than an untearable copy, and the
+    pinned row stays bit-frozen."""
+    host, cfg = _scene(solver)
+    top, state = api.init(host)
+    x0 = np.asarray(state.x)
+    alive_hist = []
+    s = state
+    for _ in range(60):
+        s = api.step(top, cfg, s)
+        alive_hist.append(float(jnp.sum(s.edge_alive)))
+    assert np.isfinite(np.asarray(s.x)).all()
+    # monotone non-increasing liveness (permanent failure)
+    assert all(b <= a + 1e-9 for a, b in zip(alive_hist, alive_hist[1:]))
+    assert alive_hist[-1] < alive_hist[0], "nothing tore"
+    # untearable copy hangs; torn cloth falls below it
+    cfg_no = cfg.replace(tear=TearParams(enabled=False))
+    s_no = api.init(host)[1]
+    for _ in range(60):
+        s_no = api.step(top, cfg_no, s_no)
+    assert (np.asarray(s.x)[:, 1].min()
+            < np.asarray(s_no.x)[:, 1].min() - 0.05)
+    pinned = np.asarray(host.inv_mass) == 0.0
+    np.testing.assert_array_equal(np.asarray(s.x)[pinned], x0[pinned])
+
+
+def test_huge_strain_limit_identical_to_disabled():
+    """With an unreachable strain limit the tearing path must reproduce the
+    no-tearing trajectory exactly (the alive mask is all-ones, and masked
+    forces/counts are bit-identical to unmasked ones)."""
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, strain_limit=1e9)
+    top, state = api.init(host)
+    s_tear = state
+    s_ref = state
+    cfg_ref = cfg.replace(tear=TearParams(enabled=False), backend="jnp")
+    cfg_tear = cfg.replace(backend="jnp")
+    for _ in range(30):
+        s_tear = api.step(top, cfg_tear, s_tear)
+        s_ref = api.step(top, cfg_ref, s_ref)
+    # all-ones mask: same physics; tolerance because the no-tear path uses
+    # the banded formulation (different f32 op order than gather; ~5e-7
+    # after 480 substeps).  Exactness vs the oracle is the f64 test above.
+    np.testing.assert_allclose(
+        np.asarray(s_tear.x), np.asarray(s_ref.x), atol=1e-5
+    )
+    assert float(jnp.min(s_tear.edge_alive)) == 1.0
+
+
+def test_dispatch_declines_tearing():
+    """Structured-grid fast paths must decline tearing configs (per-edge
+    liveness doesn't fit uniform per-offset springs)."""
+    from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    assert dispatch.maybe_fast_step(top, cfg, "pallas") is None
+    assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
+
+
+def test_batched_tearing_consistency():
+    """vmapped tearing == per-scene tearing (each scene carries its own
+    liveness plane [B, E])."""
+    from softbodyunity_tpu.parallel import batch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    states = batch.batch_state(state, 3)
+    states = batch.step_batched(top, cfg, states)
+    states = batch.step_batched(top, cfg, states)
+    single = api.step(top, cfg, api.step(top, cfg, state))
+    # scenes are bit-identical to each other; vs single allow vmap-lowering
+    # rounding (same tolerance stance as tests/test_batch.py)
+    np.testing.assert_array_equal(
+        np.asarray(states.x[0]), np.asarray(states.x[1])
+    )
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.asarray(states.x[b]), np.asarray(single.x), atol=1e-8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(states.edge_alive[b]), np.asarray(single.edge_alive)
+        )
+
+
+def test_checkpoint_roundtrip_with_tearing():
+    """edge_alive is part of the State pytree: npz save/restore resumes the
+    torn trajectory bit-identically."""
+    from softbodyunity_tpu.utils import checkpoint
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    for _ in range(30):
+        state = api.step(top, cfg, state)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "state.npz")
+        checkpoint.save_state(p, state)
+        restored = checkpoint.load_state(p, state)
+    a = api.step(top, cfg, state)
+    b = api.step(top, cfg, restored)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(
+        np.asarray(a.edge_alive), np.asarray(b.edge_alive)
+    )
+
+
+def test_halo_rejects_tearing():
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
+    with pytest.raises(NotImplementedError):
+        halo.make_halo_step(top, cfg, mesh)
