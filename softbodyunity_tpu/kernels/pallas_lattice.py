@@ -107,8 +107,10 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
     n = top.n_vertices
     s_dim = pl.cdiv(n, LANES)
     n_groups = len(g.deltas) + (len(t.deltas) if use_volume else 0)
-    # persistent: 6 state in + 6 out + masks + im + cnt; transient: stack
-    planes = 14 + n_groups + _STACK_PLANES
+    # persistent: 6 state in + 6 out + masks + im + cnt + hoisted
+    # tet-corner w rolls; transient: stack
+    hoisted = 3 * len(t.deltas) if use_volume else 0
+    planes = 14 + n_groups + hoisted + _STACK_PLANES
     if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
         return False
     return True
@@ -138,7 +140,8 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
 
-        # loop-invariant per-vertex tet count (oracle count-averaging)
+        # loop-invariant per-vertex tet count (oracle count-averaging) and
+        # tet-corner w rolls (im is constant across substeps)
         if use_volume:
             cnt = jnp.zeros((s_dim, LANES), jnp.float32)
             for gi, ((d1, d2, d3), _) in enumerate(tgroups):
@@ -146,6 +149,11 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 cnt = (cnt + m + _flat_roll(m, -d1, s_dim)
                        + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
             inv_cnt_vs = vol_stiff / jnp.maximum(cnt, 1.0)
+            t_w = [
+                (_flat_roll(im, d1, s_dim), _flat_roll(im, d2, s_dim),
+                 _flat_roll(im, d3, s_dim))
+                for (d1, d2, d3), _rv in tgroups
+            ]
 
         def spring_forces(xst, vst):
             # NB a merged [6, S, 128] x+v roll was measured SLOWER (14.1k
@@ -169,12 +177,21 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
 
         def volume_dx(xst):
             """Banded PBD volume projection (solver/banded.py twin)."""
+            x_rolls = {}
+
+            def xroll(d):
+                # corner deltas repeat across the 10 tet groups (~30 rolls,
+                # ~14 unique); Mosaic does not CSE the decomposed rolls
+                if d not in x_rolls:
+                    x_rolls[d] = _flat_roll(xst, d, s_dim)
+                return x_rolls[d]
+
             dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
             for gi, ((d1, d2, d3), rest_vol) in enumerate(tgroups):
                 m = tm_ref[gi]
-                p1 = _flat_roll(xst, d1, s_dim)
-                p2 = _flat_roll(xst, d2, s_dim)
-                p3 = _flat_roll(xst, d3, s_dim)
+                p1 = xroll(d1)
+                p2 = xroll(d2)
+                p3 = xroll(d3)
                 e1 = p1 - xst
                 e2 = p2 - xst
                 e3 = p3 - xst
@@ -193,9 +210,7 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 g0 = -(g1 + g2 + g3)
                 vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
                 c_val = vol - rest_vol
-                w1 = _flat_roll(im, d1, s_dim)
-                w2 = _flat_roll(im, d2, s_dim)
-                w3 = _flat_roll(im, d3, s_dim)
+                w1, w2, w3 = t_w[gi]
                 denom = (
                     im * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
                     + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
@@ -355,9 +370,12 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     n = top.n_vertices
     s_dim = pl.cdiv(n, LANES)
-    # iteration carry: 3 delta + Ge lambda + Gt lambda planes, plus stack
+    # iteration carry: 3 delta + Ge lambda + Gt lambda planes, plus stack,
+    # plus the hoisted loop-invariant planes (Ge inv_denom + Ge wn +
+    # 3*Gt tet-corner w rolls — w never changes across iterations)
     n_groups = len(g.deltas) + len(t.deltas)
-    planes = 14 + 2 * n_groups + 3 + _STACK_PLANES
+    hoisted = 2 * len(g.deltas) + 3 * len(t.deltas)
+    planes = 14 + 2 * n_groups + 3 + hoisted + _STACK_PLANES
     if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
         return False
     return True
@@ -403,6 +421,25 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                    + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
         inv_cnt = omega / jnp.maximum(cnt, 1.0)
 
+        # w never changes: hoist every per-group w roll and the edge
+        # constraint denominators out of the substep/iteration loops
+        # (measured 1.85k -> see docs/PERF.md; they were recomputed
+        # n_substeps * n_iterations times).  VMEM cost is accounted in
+        # lattice_xpbd_applicable.
+        e_wn = []
+        e_inv_denom = []
+        for gi, (delta, _r, _a) in enumerate(egroups):
+            wn = _flat_roll(w, delta, s_dim)
+            e_wn.append(wn)
+            e_inv_denom.append(
+                em_ref[gi] / jnp.maximum(w + wn + alpha_ts[gi], 1e-12)
+            )
+        t_w = [
+            (_flat_roll(w, d1, s_dim), _flat_roll(w, d2, s_dim),
+             _flat_roll(w, d3, s_dim))
+            for (d1, d2, d3), _rv in tgroups
+        ]
+
         def substep(_, carry):
             x = list(carry[0:3])
             v = list(carry[3:6])
@@ -418,20 +455,26 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 lams = list(it_carry[3:3 + n_e])
                 lamv = list(it_carry[3 + n_e:])
                 xe = jnp.stack((xp[0] + dl0, xp[1] + dl1, xp[2] + dl2))
+                # roll cache: edge and tet-corner deltas overlap heavily
+                # (39 rolls/iteration, only ~16 unique on the 5-tet cube)
+                xe_rolls = {}
+
+                def xroll(d):
+                    if d not in xe_rolls:
+                        xe_rolls[d] = _flat_roll(xe, d, s_dim)
+                    return xe_rolls[d]
+
                 dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
                 new_lams = []
                 for gi, (delta, rest, _a) in enumerate(egroups):
-                    xb = _flat_roll(xe, delta, s_dim)
+                    xb = xroll(delta)
                     d = xb - xe
                     d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                     inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
                     length = d2 * inv_len
                     c_val = length - rest
-                    wn = _flat_roll(w, delta, s_dim)
-                    inv_denom = em_ref[gi] / jnp.maximum(
-                        w + wn + alpha_ts[gi], 1e-12
-                    )
-                    dlam = -(c_val + alpha_ts[gi] * lams[gi]) * inv_denom
+                    wn = e_wn[gi]
+                    dlam = -(c_val + alpha_ts[gi] * lams[gi]) * e_inv_denom[gi]
                     new_lams.append(lams[gi] + dlam)
                     wdl_a = (w * dlam * inv_len)[None]
                     wdl_b = (wn * dlam * inv_len)[None]
@@ -439,9 +482,9 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 new_lamv = []
                 for gi, ((d1, d2_, d3), rest_vol) in enumerate(tgroups):
                     m = tm_ref[gi]
-                    p1 = _flat_roll(xe, d1, s_dim)
-                    p2 = _flat_roll(xe, d2_, s_dim)
-                    p3 = _flat_roll(xe, d3, s_dim)
+                    p1 = xroll(d1)
+                    p2 = xroll(d2_)
+                    p3 = xroll(d3)
                     e1 = p1 - xe
                     e2 = p2 - xe
                     e3 = p3 - xe
@@ -460,9 +503,7 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     g0 = -(g1 + g2 + g3)
                     vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
                     c_v = vol - rest_vol
-                    w1 = _flat_roll(w, d1, s_dim)
-                    w2 = _flat_roll(w, d2_, s_dim)
-                    w3 = _flat_roll(w, d3, s_dim)
+                    w1, w2, w3 = t_w[gi]
                     denom = (
                         w * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
                         + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
