@@ -105,9 +105,10 @@ class TearParams:
         alive *= (length <= rest_length * (1 + strain_limit))
 
     Shapes stay static (the edge list never changes; liveness is a mask),
-    so tearing is jit/vmap/scan-friendly.  Supported on the general jnp
-    paths; structured-grid fast kernels decline loudly (dispatch returns
-    the exact jnp path instead).
+    so tearing is jit/vmap/scan-friendly.  Grid cloth tears on the XLA
+    stencil fast path (liveness as per-offset planes, gather-free);
+    non-grid scenes take the exact jnp gather path; the Mosaic kernels
+    decline loudly.
     """
 
     enabled: bool = False

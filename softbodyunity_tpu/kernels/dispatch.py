@@ -24,9 +24,20 @@ def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
     if cfg.tear.enabled:
-        # tearing needs per-edge liveness masks; the structured fast paths
-        # bake uniform per-offset springs — the exact jnp gather path is
-        # the tearing path (TearParams docstring)
+        # tearing needs per-edge liveness masks: grid scenes carry them as
+        # per-offset planes on the XLA stencil path (zero gathers in the
+        # substep; one scatter/gather per frame at the State boundary);
+        # everything else takes the exact jnp gather path
+        if (top.grid_shape is not None and top.grid_spacing is not None
+                and top.n_tets == 0 and not cfg.self_collision.enabled):
+            if backend == "pallas":
+                _warn_once(
+                    ("tear", top.grid_shape, cfg.solver),
+                    "pallas requested but tearing runs on the stencil path "
+                    "(per-edge liveness planes)",
+                )
+            from .stencil import make_stencil_step
+            return make_stencil_step(top, cfg)
         if backend == "pallas":
             _warn_once(
                 ("tear", top.n_vertices, cfg.solver),

@@ -80,16 +80,19 @@ def stencil_spring_forces(
     v3: jax.Array,       # f32[3, ny, nx]
     offsets,             # from _offsets
     damping: float,
+    alive=None,          # f32[n_off, ny, nx] tear liveness planes, or None
 ) -> jax.Array:
     """Hooke + axial damper over all spring classes, stencil-accumulated.
 
     For each offset o: every vertex (i,j) owns the edge to (i,j)+o; the
     equal-and-opposite reaction is applied by shifting the force plane back
     by -o.  Equivalent to the oracle's per-edge scatter, with no scatter.
+    ``alive`` (TearParams) silences torn edges; entries at invalid grid
+    positions are 0 by construction, so it subsumes the validity mask.
     """
     ny, nx = x3.shape[-2], x3.shape[-1]
     f_total = jnp.zeros_like(x3)
-    for di, dj, k, rest in offsets:
+    for o, (di, dj, k, rest) in enumerate(offsets):
         xn = _shift(x3, di, dj)
         vn = _shift(v3, di, dj)
         d = xn - x3
@@ -97,11 +100,27 @@ def stencil_spring_forces(
         inv_len = 1.0 / jnp.maximum(length, 1e-12)
         n = d * inv_len
         rel_v = jnp.sum((vn - v3) * n, axis=0)
-        mask = jnp.asarray(_valid_mask(ny, nx, di, dj))
+        mask = (jnp.asarray(_valid_mask(ny, nx, di, dj))
+                if alive is None else alive[o])
         fmag = (k * (length - rest) + damping * rel_v) * mask
         f = fmag * n                       # force on (i,j), toward neighbour
         f_total = f_total + f - _shift(f, -di, -dj)
     return f_total
+
+
+def tear_update_grid(x3, offsets, alive, strain_limit: float):
+    """End-of-substep tear check on liveness planes (oracle tear_update
+    twin, zero gathers).  Invalid grid positions are already 0 in ``alive``
+    and stay 0 regardless of the garbage lengths the zero-pad shift makes
+    there."""
+    new = []
+    for o, off in enumerate(offsets):
+        di, dj, rest = off[0], off[1], off[3]
+        d = _shift(x3, di, dj) - x3
+        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        ok = (length <= rest * (1.0 + strain_limit)).astype(alive.dtype)
+        new.append(alive[o] * ok)
+    return jnp.stack(new)
 
 
 def _cross3(a, b):
@@ -160,13 +179,15 @@ def wind_forces_grid(x3, v3, cfg: SimConfig, shift=_shift, cell_mask=None):
 
 def euler_substep_grid(
     x3, v3, inv_mass2, offsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii, top=None,
+    plane_height, sphere_centers, sphere_radii, top=None, alive=None,
 ):
     """One semi-implicit Euler substep on grid planes — oracle semantics
-    (oracle/reference.py substep_euler) in stencil form."""
+    (oracle/reference.py substep_euler) in stencil form.  With ``alive``
+    (tear liveness planes) returns ``(x3, v3, alive)``."""
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
-    f = stencil_spring_forces(x3, v3, offsets, cfg.springs.damping)
+    f = stencil_spring_forces(x3, v3, offsets, cfg.springs.damping,
+                              alive=alive)
     if cfg.wind.enabled:
         f = f + wind_forces_grid(x3, v3, cfg)
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
@@ -208,18 +229,23 @@ def euler_substep_grid(
         )
         x3 = jnp.stack(xz)
         v3 = jnp.stack(vz)
+    if alive is not None:
+        return x3, v3, tear_update_grid(x3, offsets, alive,
+                                        cfg.tear.strain_limit)
     return x3, v3
 
 
 def verlet_substep_grid(
     x3, xp3, inv_mass2, offsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii, top=None,
+    plane_height, sphere_centers, sphere_radii, top=None, alive=None,
 ):
-    """Position-Verlet substep in stencil form (oracle substep_verlet)."""
+    """Position-Verlet substep in stencil form (oracle substep_verlet).
+    With ``alive`` (tear liveness planes) returns ``(x_new, x3, alive)``."""
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
     v_est = (x3 - xp3) / dt
-    f = stencil_spring_forces(x3, v_est, offsets, cfg.springs.damping)
+    f = stencil_spring_forces(x3, v_est, offsets, cfg.springs.damping,
+                              alive=alive)
     if cfg.wind.enabled:
         f = f + wind_forces_grid(x3, v_est, cfg)
     accel = g + f * inv_mass2
@@ -228,6 +254,9 @@ def verlet_substep_grid(
     x_new = _project_positions_grid(
         x_new, movable, cfg, plane_height, sphere_centers, sphere_radii, top
     )
+    if alive is not None:
+        return x_new, x3, tear_update_grid(x_new, offsets, alive,
+                                           cfg.tear.strain_limit)
     return x_new, x3
 
 
@@ -271,7 +300,7 @@ def _xpbd_offsets(cfg: SimConfig, spacing: float, has_shear: bool, has_bend: boo
 
 def xpbd_substep_grid(
     x3, v3, inv_mass2, xoffsets, cfg: SimConfig, dt: float,
-    plane_height, sphere_centers, sphere_radii, top=None,
+    plane_height, sphere_centers, sphere_radii, top=None, alive=None,
 ):
     """XPBD substep in stencil form (oracle substep_xpbd): predict, then
     ``n_iterations`` of Jacobi distance-constraint projection with
@@ -300,7 +329,13 @@ def xpbd_substep_grid(
     x_prev = x3
     delta0 = dt * v3
 
-    masks = [jnp.asarray(_valid_mask(ny, nx, di, dj)) for di, dj, _, _ in xoffsets]
+    # liveness planes subsume the validity masks (0 at invalid positions);
+    # dead edges leave both the projection and the Jacobi count
+    if alive is None:
+        masks = [jnp.asarray(_valid_mask(ny, nx, di, dj))
+                 for di, dj, _, _ in xoffsets]
+    else:
+        masks = [alive[o] for o in range(len(xoffsets))]
     # per-vertex constraint count: owned edges + edges owning this vertex
     cnt = jnp.zeros((ny, nx), x3.dtype)
     for (di, dj, _, _), m in zip(xoffsets, masks):
@@ -365,7 +400,12 @@ def xpbd_substep_grid(
         iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
     )
     delta = jnp.where(movable, delta, 0.0)
-    return x_prev + delta, delta / dt
+    x_new = x_prev + delta
+    if alive is not None:
+        return x_new, delta / dt, tear_update_grid(
+            x_new, xoffsets, alive, cfg.tear.strain_limit
+        )
+    return x_new, delta / dt
 
 
 def make_stencil_step(top: Topology, cfg: SimConfig):
@@ -391,50 +431,88 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
     def from_planes(a):    # [3,ny,nx] -> [N,3]
         return a.reshape(3, ny * nx).T
 
+    tearing = cfg.tear.enabled
+    if tearing:
+        # flat-[E] <-> per-offset-plane liveness conversion: edge e maps to
+        # (offset o, owner vertex) where owner + (di,dj) = neighbour.  Pure
+        # index arithmetic under jit (one scatter + one gather per FRAME,
+        # not per substep).  Offset (di,dj) order is identical in _offsets
+        # and _xpbd_offsets, so one mapping serves all solvers.
+        offs_dij = [(o[0], o[1]) for o in offsets]
+        a_idx = top.edges[:, 0]
+        b_idx = top.edges[:, 1]
+        di_e = b_idx // nx - a_idx // nx
+        dj_e = b_idx % nx - a_idx % nx
+        o_e = jnp.zeros_like(a_idx)
+        owner = a_idx
+        for o, (di, dj) in enumerate(offs_dij):
+            fwd = (di_e == di) & (dj_e == dj)
+            rev = (di_e == -di) & (dj_e == -dj)
+            o_e = jnp.where(fwd | rev, o, o_e)
+            owner = jnp.where(rev, b_idx, owner)
+        plane_idx = o_e * (ny * nx) + owner
+        n_off = len(offsets)
+
+        def alive_to_planes(alive):
+            flat = jnp.zeros((n_off * ny * nx,), alive.dtype)
+            return flat.at[plane_idx].set(alive).reshape(n_off, ny, nx)
+
+        def planes_to_alive(planes):
+            return planes.reshape(-1)[plane_idx]
+
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = to_planes(state.x)
         v3 = to_planes(state.v)
         xp3 = to_planes(state.x_prev)
+        ap = alive_to_planes(state.edge_alive) if tearing else None
 
         if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
 
             def body(carry, _):
-                x3, v3 = carry
-                x3, v3 = euler_substep_grid(
-                    x3, v3, inv_mass2, offsets, cfg, dt, *colliders
+                x3, v3, ap = carry
+                out = euler_substep_grid(
+                    x3, v3, inv_mass2, offsets, cfg, dt, *colliders, alive=ap
                 )
-                return (x3, v3), None
+                return (out + (None,))[:3], None
 
-            (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+            (x3f, v3f, apf), _ = jax.lax.scan(
+                body, (x3, v3, ap), None, length=n_substeps
+            )
             # the Euler solver never reads x_prev; reconstruct the natural
             # value (position before the final integrate) cheaply
             xp3f = x3f - dt * v3f
         elif cfg.solver == Solver.VERLET:
 
             def body(carry, _):
-                x3, xp3 = carry
-                x3, xp3 = verlet_substep_grid(
-                    x3, xp3, inv_mass2, offsets, cfg, dt, *colliders
+                x3, xp3, ap = carry
+                out = verlet_substep_grid(
+                    x3, xp3, inv_mass2, offsets, cfg, dt, *colliders, alive=ap
                 )
-                return (x3, xp3), None
+                return (out + (None,))[:3], None
 
-            (x3f, xp3f), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
+            (x3f, xp3f, apf), _ = jax.lax.scan(
+                body, (x3, xp3, ap), None, length=n_substeps
+            )
             v3f = (x3f - xp3f) / dt
         elif cfg.solver == Solver.XPBD:
 
             def body(carry, _):
-                x3, v3 = carry
-                x3n, v3n = xpbd_substep_grid(
-                    x3, v3, inv_mass2, xoffsets, cfg, dt, *colliders
+                x3, v3, ap = carry
+                out = xpbd_substep_grid(
+                    x3, v3, inv_mass2, xoffsets, cfg, dt, *colliders, alive=ap
                 )
-                return (x3n, v3n), x3
+                return (out + (None,))[:3], None
 
-            (x3f, v3f), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
+            (x3f, v3f, apf), _ = jax.lax.scan(
+                body, (x3, v3, ap), None, length=n_substeps
+            )
             xp3f = x3f - dt * v3f  # = pre-collision predicted origin
         else:  # pragma: no cover
             raise ValueError(f"unsupported solver {cfg.solver}")
 
-        return State(x=from_planes(x3f), v=from_planes(v3f),
-                     x_prev=from_planes(xp3f))
+        return State(
+            x=from_planes(x3f), v=from_planes(v3f), x_prev=from_planes(xp3f),
+            edge_alive=planes_to_alive(apf) if tearing else state.edge_alive,
+        )
 
     return fn

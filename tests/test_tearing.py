@@ -53,11 +53,15 @@ def _scene(solver, strain_limit=0.03, nx=8, ny=12):
 
 
 @pytest.mark.parametrize("solver", SOLVERS)
-def test_f64_exact_parity(solver):
+@pytest.mark.parametrize("backend", ["jnp", "stencil"])
+def test_f64_exact_parity(solver, backend):
     """Device tearing == oracle tearing in f64, including identical tear
-    masks (a single different edge death would diverge immediately)."""
+    masks (a single different edge death would diverge immediately).  The
+    stencil path carries liveness as per-offset planes; the flat<->plane
+    mapping must round-trip every edge exactly."""
     jax.config.update("jax_enable_x64", True)
     host, cfg = _scene(solver)
+    cfg = cfg.replace(backend=backend)
     top, state = api.init(host, dtype=jnp.float64)
     x = host.positions0.copy()
     v = np.zeros_like(x)
@@ -124,15 +128,19 @@ def test_huge_strain_limit_identical_to_disabled():
     assert float(jnp.min(s_tear.edge_alive)) == 1.0
 
 
-def test_dispatch_declines_tearing():
-    """Structured-grid fast paths must decline tearing configs (per-edge
-    liveness doesn't fit uniform per-offset springs)."""
+def test_dispatch_routes_tearing():
+    """Grid tearing scenes run on the stencil path (liveness planes); the
+    Mosaic kernels decline; non-grid tearing falls to the jnp gather path."""
+    from softbodyunity_tpu.core.topology import tet_cube
     from softbodyunity_tpu.kernels import dispatch
 
     host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
     top, _ = api.init(host)
-    assert dispatch.maybe_fast_step(top, cfg, "pallas") is None
-    assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
+    assert dispatch.maybe_fast_step(top, cfg, "pallas") is not None
+    assert dispatch.maybe_fast_step(top, cfg, "stencil") is not None
+    cube = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd)
+    ctop, _ = api.init(cube)
+    assert dispatch.maybe_fast_step(ctop, cfg, "pallas") is None
 
 
 def test_batched_tearing_consistency():
