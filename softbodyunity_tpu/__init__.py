@@ -7,7 +7,7 @@ See SURVEY.md for the component map and BASELINE.json for the capability
 contract.
 """
 
-from .api import init, move_colliders, normals, rollout, step
+from .api import init, move_colliders, move_pins, normals, rollout, step
 from .core.config import (
     CollisionParams,
     SelfCollisionParams,
@@ -32,7 +32,8 @@ from .models import presets
 
 __version__ = "0.1.0"
 __all__ = [
-    "init", "step", "rollout", "normals", "move_colliders", "add_colliders",
+    "init", "step", "rollout", "normals", "move_colliders", "move_pins",
+    "add_colliders",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams",
     "CollisionParams", "SelfCollisionParams",

@@ -181,6 +181,25 @@ def normals(top: Topology, state: State) -> jax.Array:
     return jax.jit(_vertex_normals)(top.triangles, state.x)
 
 
+def move_pins(top: Topology, state: State, positions, indices) -> State:
+    """Kinematic attachments (the Unity moving-anchor analogue): teleport
+    pinned vertices to new targets between frames.
+
+    ``indices`` are vertex ids with ``inv_mass == 0`` (pins; derive once on
+    the host from ``host.inv_mass == 0``); ``positions`` is f32[len, 3].
+    Position and Verlet history move together and velocity zeroes, so every
+    solver sees a clean kinematic boundary condition; the cloth follows
+    through the spring forces next step.  Pure function — jit/vmap-safe and
+    recompile-free (shapes unchanged)."""
+    idx = jnp.asarray(indices, jnp.int32)
+    pos = jnp.asarray(positions, state.x.dtype)
+    return state.replace(
+        x=state.x.at[idx].set(pos),
+        x_prev=state.x_prev.at[idx].set(pos),
+        v=state.v.at[idx].set(0.0),
+    )
+
+
 def move_colliders(
     top: Topology,
     sphere_centers=None,

@@ -230,3 +230,32 @@ def test_contact_invariants_1k_steps(name):
     np.testing.assert_array_equal(x[pinned], x0[pinned])
     # drape has settled: damped contact scenes must not accumulate energy
     assert np.abs(v).max() < 2.0, f"|v|max={np.abs(v).max()} after 1k frames"
+
+
+@pytest.mark.parametrize("solver", [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD])
+def test_move_pins_kinematic_attachment(solver):
+    """api.move_pins (Unity moving-anchor analogue): pinned vertices track
+    their animated targets exactly, no recompile across frames, and the
+    cloth follows the carried pins through its springs."""
+    cfg = SimConfig(solver=solver, global_damping=0.3)
+    host = cloth_grid(
+        10, 10, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    pin_ids = np.where(np.asarray(host.inv_mass) == 0.0)[0]
+    pin0 = np.asarray(state.x)[pin_ids]
+    n_exec0 = api._compiled_step.cache_info().currsize
+    for frame in range(40):
+        targets = pin0 + np.array([0.005 * (frame + 1), 0.0, 0.0])
+        state = api.move_pins(top, state, targets, pin_ids)
+        state = api.step(top, cfg, state)
+        np.testing.assert_array_equal(
+            np.asarray(state.x)[pin_ids], targets.astype(np.float32)
+        )
+    assert api._compiled_step.cache_info().currsize == n_exec0 + 1
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # the free cloth was dragged along (+x) by the moving pins
+    assert x[:, 0].mean() > np.asarray(host.positions0)[:, 0].mean() + 0.05
