@@ -148,6 +148,7 @@ def _bench_preset_substeps(preset: str, small: int, big: int):
 
     host, cfg = presets.build(preset)
     top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
 
     def make_run(n_substeps):
         @jax.jit
@@ -194,6 +195,12 @@ def bench_selfcollide_16k():
     return _bench_preset_substeps("cloth_selfcollide_16k", 8, 64)
 
 
+def bench_tearing_64k():
+    """Substeps/sec, 64k tearing cloth (per-offset liveness planes on the
+    stencil path; the flat<->plane conversion runs once per frame)."""
+    return _bench_preset_substeps("cloth_tearing_64k", 8, 160)
+
+
 def bench_selfcollide_64k():
     """Substeps/sec, 64k single-scene self-colliding cloth (the dense rule
     would be 4.3e9 pairs)."""
@@ -210,6 +217,7 @@ _PARTS = {
     "sc16k": bench_selfcollide_16k,
     "sc64k": bench_selfcollide_64k,
     "cubexpbd": bench_cube_xpbd_64k,
+    "tear64k": bench_tearing_64k,
 }
 
 
@@ -253,6 +261,7 @@ def main():
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
+        ("tear64k", "substeps_per_sec_64k_tearing"),
     ]:
         try:
             val = _run_part_subprocess(part)
