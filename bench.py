@@ -201,6 +201,12 @@ def bench_tearing_64k():
     return _bench_preset_substeps("cloth_tearing_64k", 8, 160)
 
 
+def bench_wind_64k():
+    """Substeps/sec, 64k cloth under drag+lift wind (fused Pallas kernel
+    computes the lift normals as rolls each substep)."""
+    return _bench_preset_substeps("cloth_wind_64k", 8, 808)
+
+
 def bench_selfcollide_64k():
     """Substeps/sec, 64k single-scene self-colliding cloth (the dense rule
     would be 4.3e9 pairs)."""
@@ -218,6 +224,7 @@ _PARTS = {
     "sc64k": bench_selfcollide_64k,
     "cubexpbd": bench_cube_xpbd_64k,
     "tear64k": bench_tearing_64k,
+    "wind64k": bench_wind_64k,
 }
 
 
@@ -262,6 +269,7 @@ def main():
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
         ("tear64k", "substeps_per_sec_64k_tearing"),
+        ("wind64k", "substeps_per_sec_64k_wind"),
     ]:
         try:
             val = _run_part_subprocess(part)

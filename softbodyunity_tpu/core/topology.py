@@ -262,7 +262,8 @@ def cloth_grid(
       * shear: diagonals (i,j)-(i+1,j+1) and (i,j+1)-(i+1,j)
       * bend: 2-apart (i,j)-(i,j+2) and (i,j)-(i+2,j)
 
-    ``pinned`` is a subset of {"tl","tr","bl","br","top","corners"} marking
+    ``pinned`` is a subset of {"tl","tr","bl","br","top","bottom","left",
+    "right","corners"} marking
     vertices with inv_mass = 0 ("pinned mask", BASELINE.json:5) — the
     branch-free pinning mechanism (SURVEY.md C10).
     """
@@ -320,6 +321,12 @@ def cloth_grid(
             pin_ids.add(vid(ny - 1, nx - 1))
         if p == "top":
             pin_ids.update(vid(0, j) for j in range(nx))
+        if p == "bottom":
+            pin_ids.update(vid(ny - 1, j) for j in range(nx))
+        if p == "left":
+            pin_ids.update(vid(i, 0) for i in range(ny))
+        if p == "right":
+            pin_ids.update(vid(i, nx - 1) for i in range(ny))
     for v in pin_ids:
         inv_mass[v] = 0.0
 

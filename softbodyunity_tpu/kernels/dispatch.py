@@ -23,21 +23,13 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
-    if cfg.tear.enabled:
+    if cfg.tear.enabled and (
+        top.grid_shape is None or top.grid_spacing is None
+        or top.n_tets > 0 or cfg.self_collision.enabled
+    ):
         # tearing needs per-edge liveness masks: grid scenes carry them as
-        # per-offset planes on the XLA stencil path (zero gathers in the
-        # substep; one scatter/gather per frame at the State boundary);
-        # everything else takes the exact jnp gather path
-        if (top.grid_shape is not None and top.grid_spacing is not None
-                and top.n_tets == 0 and not cfg.self_collision.enabled):
-            if backend == "pallas":
-                _warn_once(
-                    ("tear", top.grid_shape, cfg.solver),
-                    "pallas requested but tearing runs on the stencil path "
-                    "(per-edge liveness planes)",
-                )
-            from .stencil import make_stencil_step
-            return make_stencil_step(top, cfg)
+        # per-offset planes through the fused Pallas kernels (or the XLA
+        # stencil path); everything else takes the exact jnp gather path
         if backend == "pallas":
             _warn_once(
                 ("tear", top.n_vertices, cfg.solver),

@@ -86,6 +86,9 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
+    if cfg.tear.enabled:
+        # lattice tearing runs on the jnp gather path (per-edge masks)
+        return False
     if cfg.wind.lift != 0.0:
         # lift needs surface-triangle normals (not roll-able on a lattice);
         # the banded jnp path computes them exactly
@@ -350,6 +353,9 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
     if cfg.solver != Solver.XPBD:
         return False
     if cfg.self_collision.enabled:
+        return False
+    if cfg.tear.enabled:
+        # lattice tearing runs on the jnp gather path (per-edge masks)
         return False
     if cfg.wind.lift != 0.0:
         # lift needs surface-triangle normals (not roll-able on a lattice);

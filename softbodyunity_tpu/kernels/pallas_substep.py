@@ -203,6 +203,20 @@ def _project_capsules_boxes_smem(xz, movable, cap_ref, n_capsules,
     return xz
 
 
+def _tear_planes_kroll(xst, offsets, alive, strain_limit):
+    """Per-substep tear update on liveness planes inside a kernel
+    (stencil tear_update_grid twin; wrap garbage lands where alive is
+    already 0 and is annihilated by the product)."""
+    new = []
+    for o, off in enumerate(offsets):
+        di, dj, rest = off[0], off[1], off[3]
+        d = _kroll(xst, di, dj) - xst
+        length = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        ok = (length <= rest * (1.0 + strain_limit)).astype(alive[o].dtype)
+        new.append(alive[o] * ok)
+    return new
+
+
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                  dt: float, n_substeps: int, n_spheres: int,
                  n_capsules: int = 0, n_boxes: int = 0):
@@ -216,22 +230,32 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
-               xo_ref, vo_ref):
+               *refs):
+        if tearing:
+            a_ref, xo_ref, vo_ref, ao_ref = refs
+        else:
+            xo_ref, vo_ref = refs
         im = im_ref[:]                        # [ny, nx] inv mass
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
-        # loop-invariant edge-ownership masks, hoisted out of the substep loop
-        masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
+        # loop-invariant edge-ownership masks, hoisted out of the substep
+        # loop; under tearing the carried liveness planes subsume them
+        if not tearing:
+            masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
         cell_mask = _edge_mask(ny, nx, 1, 1)  # wind-lift normals
 
         def substep(_, carry):
-            x0, x1, x2, v0, v1, v2 = carry
+            x0, x1, x2, v0, v1, v2 = carry[:6]
+            alive = list(carry[6:]) if tearing else None
+            mlist = alive if tearing else masks
             xs = (x0, x1, x2)
             vs = (v0, v1, v2)
             f = _spring_forces_stacked(
-                jnp.stack(xs), jnp.stack(vs), offsets, masks, damping, ny, nx
+                jnp.stack(xs), jnp.stack(vs), offsets, mlist, damping, ny, nx
             )
             if wind_on:
                 f = f + wind_forces_grid(
@@ -264,17 +288,27 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                     xz, vz, movable, cap_ref, n_caps_on,
                     box_ref, n_boxes_on, restitution, friction,
                 )
+            if tearing:
+                alive = _tear_planes_kroll(
+                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit
+                )
+                return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2], *alive)
             return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
 
         init = (
             x_ref[0], x_ref[1], x_ref[2],
             v_ref[0], v_ref[1], v_ref[2],
         )
+        if tearing:
+            init = init + tuple(a_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = out[6 + o]
 
     return kernel
 
@@ -282,45 +316,57 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules, boxes,
-                     cfg, offsets, dt, n_substeps, interpret=False):
+def _pallas_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
+                     boxes, cfg, offsets, dt, n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
     kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
-    xo, vo = pl.pallas_call(
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    out_shape = (state_shape, state_shape)
+    in_specs = [
+        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(alive3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=n_substeps * flops_per_sub,
             bytes_accessed=4 * 3 * ny * nx * 4,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d)
-    return xo, vo
+    )(*args)
+    if tearing:
+        return out
+    return out[0], out[1], None
 
 
 def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
@@ -330,30 +376,43 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     Euler solver, <= MAX_VMEM_VERTICES vertices.  All four primitive
     colliders (plane/sphere/capsule/box) are supported; geometry arrives
     via SMEM so batched scenes can move their colliders without
-    recompiling.
+    recompiling.  Tearing (TearParams) carries per-offset liveness planes
+    through the VMEM-resident substep loop.
     """
+    from .stencil import tear_plane_maps
+
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, offsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo = _pallas_substeps(
-            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, vo, ao = _pallas_substeps(
+            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        return State(x=x, v=v, x_prev=x - dt * v)
+        return State(
+            x=x, v=v, x_prev=x - dt * v,
+            edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+        )
 
     return fn
 
@@ -373,23 +432,32 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
-               xo_ref, xpo_ref):
+               *refs):
+        if tearing:
+            a_ref, xo_ref, xpo_ref, ao_ref = refs
+        else:
+            xo_ref, xpo_ref = refs
         im = im_ref[:]
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
-        masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
+        if not tearing:
+            masks = [_edge_mask(ny, nx, di, dj) for di, dj, _, _ in offsets]
         cell_mask = _edge_mask(ny, nx, 1, 1)  # wind-lift normals
 
         def substep(_, carry):
-            x0, x1, x2, p0, p1, p2 = carry
+            x0, x1, x2, p0, p1, p2 = carry[:6]
+            alive = list(carry[6:]) if tearing else None
+            mlist = alive if tearing else masks
             xs = (x0, x1, x2)
             ps = (p0, p1, p2)
             v_est = [(xs[c] - ps[c]) * inv_dt for c in range(3)]
             f = _spring_forces_stacked(
-                jnp.stack(xs), jnp.stack(v_est), offsets, masks, damping,
+                jnp.stack(xs), jnp.stack(v_est), offsets, mlist, damping,
                 ny, nx,
             )
             if wind_on:
@@ -412,17 +480,27 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 xz = _project_capsules_boxes_smem(
                     xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
                 )
+            if tearing:
+                alive = _tear_planes_kroll(
+                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit
+                )
+                return (xz[0], xz[1], xz[2], x0, x1, x2, *alive)
             return (xz[0], xz[1], xz[2], x0, x1, x2)
 
         init = (
             x_ref[0], x_ref[1], x_ref[2],
             xp_ref[0], xp_ref[1], xp_ref[2],
         )
+        if tearing:
+            init = init + tuple(a_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         xpo_ref[0], xpo_ref[1], xpo_ref[2] = out[3], out[4], out[5]
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = out[6 + o]
 
     return kernel
 
@@ -430,46 +508,58 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, capsules,
-                            boxes, cfg, offsets, dt, n_substeps,
+def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
+                            capsules, boxes, cfg, offsets, dt, n_substeps,
                             interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps,
                                  n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
-    xo, xpo = pl.pallas_call(
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    out_shape = (state_shape, state_shape)
+    in_specs = [
+        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3, inv_mass2d]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(alive3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=n_substeps * flops_per_sub,
             bytes_accessed=4 * 3 * ny * nx * 4,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3, inv_mass2d)
-    return xo, xpo
+    )(*args)
+    if tearing:
+        return out
+    return out[0], out[1], None
 
 
 def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
@@ -477,28 +567,40 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
     """Build ``fn(state, dt, n_substeps) -> state`` for the fused Verlet
     kernel (same gates as the Euler kernel; plane/sphere/capsule/box
     colliders are position-only projected, mirroring kernels/stencil.py
-    verlet_substep_grid)."""
+    verlet_substep_grid).  Tearing carries per-offset liveness planes."""
+    from .stencil import tear_plane_maps
+
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, offsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         xp3 = state.x_prev.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, xpo = _pallas_verlet_substeps(
-            x3, xp3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, xpo, ao = _pallas_verlet_substeps(
+            x3, xp3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         xp = xpo.reshape(3, -1).T
-        return State(x=x, v=(x - xp) / dt, x_prev=xp)
+        return State(
+            x=x, v=(x - xp) / dt, x_prev=xp,
+            edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+        )
 
     return fn

@@ -266,6 +266,11 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     working set (~20 live planes of ``(tile+16, nx)``) stays inside the
     16 MB VMEM scope."""
     ny, nx = top.grid_shape
+    if cfg.tear.enabled:
+        raise ValueError(
+            "tearing needs liveness planes refreshed across tiles; "
+            ">VMEM tearing grids run on the stencil path"
+        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -483,6 +488,11 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
     """Row-tiled fused Verlet for grids beyond the whole-VMEM gate (same
     sizing rules as make_tiled_step)."""
     ny, nx = top.grid_shape
+    if cfg.tear.enabled:
+        raise ValueError(
+            "tearing needs liveness planes refreshed across tiles; "
+            ">VMEM tearing grids run on the stencil path"
+        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -777,6 +787,11 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
     8-row DMA alignment); requires ``tile >= halo`` so neighbour DMAs stay
     in range and ``ny % tile == 0``."""
     ny, nx = top.grid_shape
+    if cfg.tear.enabled:
+        raise ValueError(
+            "tearing needs liveness planes refreshed across tiles; "
+            ">VMEM tearing grids run on the stencil path"
+        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     reach = 2 if has_bend else 1

@@ -49,10 +49,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
     n_off = len(xoffsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
-               xo_ref, vo_ref):
+               *refs):
+        if tearing:
+            a_ref, xo_ref, vo_ref, ao_ref = refs
+        else:
+            xo_ref, vo_ref = refs
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
@@ -61,17 +66,28 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         # per-offset count for Jacobi averaging (one persistent plane);
         # inv_denom / wn are recomputed per offset inside the sweep instead
         # of hoisted — keeping ~12 planes live across both loops pushes the
-        # Mosaic VMEM stack past 16M at large n_substeps
+        # Mosaic VMEM stack past 16M at large n_substeps.  Under tearing
+        # the count depends on the liveness planes, which change per
+        # substep — it moves into the substep body.
         alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
-        cnt = jnp.zeros((ny, nx), jnp.float32)
-        for di, dj, alpha, rest in xoffsets:
-            m = _edge_mask(ny, nx, di, dj)
-            cnt = cnt + m + _kroll(m, -di, -dj)
-        inv_cnt = omega / jnp.maximum(cnt, 1.0)
+        if not tearing:
+            cnt = jnp.zeros((ny, nx), jnp.float32)
+            for di, dj, alpha, rest in xoffsets:
+                m = _edge_mask(ny, nx, di, dj)
+                cnt = cnt + m + _kroll(m, -di, -dj)
+            inv_cnt_static = omega / jnp.maximum(cnt, 1.0)
 
         def substep(_, carry):
             x = list(carry[0:3])
             v = list(carry[3:6])
+            alive = list(carry[6:]) if tearing else None
+            if tearing:
+                cnt = jnp.zeros((ny, nx), jnp.float32)
+                for o, (di, dj, _a, _r) in enumerate(xoffsets):
+                    cnt = cnt + alive[o] + _kroll(alive[o], -di, -dj)
+                inv_cnt = omega / jnp.maximum(cnt, 1.0)
+            else:
+                inv_cnt = inv_cnt_static
             # predict (external wind forces enter here, oracle substep_xpbd)
             if wind_on:
                 fw = wind_forces_grid(
@@ -102,7 +118,8 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     length = d2 * inv_len
                     c_val = length - rest
                     wn = _kroll(w, di, dj)
-                    inv_denom = _edge_mask(ny, nx, di, dj) / jnp.maximum(
+                    m = alive[o] if tearing else _edge_mask(ny, nx, di, dj)
+                    inv_denom = m / jnp.maximum(
                         w + wn + alpha_ts[o], 1e-12
                     )
                     dlam = -(c_val + alpha_ts[o] * lams[o]) * inv_denom
@@ -149,14 +166,26 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             dl = [jnp.where(movable, out[c], 0.0) for c in range(3)]
             x = [xp[c] + dl[c] for c in range(3)]
             v = [dl[c] * (1.0 / dt) for c in range(3)]
+            if tearing:
+                from .pallas_substep import _tear_planes_kroll
+
+                alive = _tear_planes_kroll(
+                    jnp.stack(x), xoffsets, alive, cfg.tear.strain_limit
+                )
+                return (x[0], x[1], x[2], v[0], v[1], v[2], *alive)
             return (x[0], x[1], x[2], v[0], v[1], v[2])
 
         init = (x_ref[0], x_ref[1], x_ref[2], v_ref[0], v_ref[1], v_ref[2])
+        if tearing:
+            init = init + tuple(a_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = out[6 + o]
 
     return kernel
 
@@ -164,73 +193,99 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "xoffsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules,
-                          boxes, cfg, xoffsets, dt, n_substeps,
+def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
+                          capsules, boxes, cfg, xoffsets, dt, n_substeps,
                           interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
     kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
-    xo, vo = pl.pallas_call(
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    out_shape = (state_shape, state_shape)
+    in_specs = [
+        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(alive3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=n_substeps * cfg.xpbd.n_iterations * 3 * ny * nx * len(xoffsets) * 25,
             bytes_accessed=4 * 3 * ny * nx * 4,
             transcendentals=n_substeps * cfg.xpbd.n_iterations * ny * nx * len(xoffsets),
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d)
-    return xo, vo
+    )(*args)
+    if tearing:
+        return out
+    return out[0], out[1], None
 
 
 def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` (XPBD, fused kernel).
 
     Gates: structured grid, VMEM-sized.  Plane/sphere/capsule/box colliders
-    are position-projected inside the Jacobi loop (geometry via SMEM)."""
+    are position-projected inside the Jacobi loop (geometry via SMEM).
+    Tearing carries per-offset liveness planes; torn edges leave both the
+    projection and the per-substep Jacobi count."""
+    from .stencil import tear_plane_maps
+
     ny, nx = top.grid_shape
     if ny * nx > MAX_VMEM_VERTICES:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, xoffsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo = _pallas_xpbd_substeps(
-            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, vo, ao = _pallas_xpbd_substeps(
+            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, xoffsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        return State(x=x, v=v, x_prev=x - dt * v)
+        return State(
+            x=x, v=v, x_prev=x - dt * v,
+            edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+        )
 
     return fn

