@@ -204,17 +204,12 @@ def _project_capsules_boxes_smem(xz, movable, cap_ref, n_capsules,
 
 
 def _tear_planes_kroll(xst, offsets, alive, strain_limit):
-    """Per-substep tear update on liveness planes inside a kernel
-    (stencil tear_update_grid twin; wrap garbage lands where alive is
-    already 0 and is annihilated by the product)."""
-    new = []
-    for o, off in enumerate(offsets):
-        di, dj, rest = off[0], off[1], off[3]
-        d = _kroll(xst, di, dj) - xst
-        length = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        ok = (length <= rest * (1.0 + strain_limit)).astype(alive[o].dtype)
-        new.append(alive[o] * ok)
-    return new
+    """Per-substep tear update inside a kernel: the single-source stencil
+    tear check with the Pallas wrap-roll as its shift primitive."""
+    from .stencil import tear_update_grid
+
+    return list(tear_update_grid(xst, offsets, alive, strain_limit,
+                                 shift=_kroll))
 
 
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
@@ -382,7 +377,11 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    if ny * nx > MAX_VMEM_VERTICES:
+    # tearing carries 3*n_off extra liveness planes (input + loop carry +
+    # output) through VMEM, so its vertex cap is halved; over-cap grids
+    # raise and dispatch degrades loudly to the stencil path
+    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
@@ -571,7 +570,11 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    if ny * nx > MAX_VMEM_VERTICES:
+    # tearing carries 3*n_off extra liveness planes (input + loop carry +
+    # output) through VMEM, so its vertex cap is halved; over-cap grids
+    # raise and dispatch degrades loudly to the stencil path
+    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present

@@ -256,7 +256,11 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    if ny * nx > MAX_VMEM_VERTICES:
+    # tearing carries 3*n_off extra liveness planes (input + loop carry +
+    # output) through VMEM, so its vertex cap is halved; over-cap grids
+    # raise and dispatch degrades loudly to the stencil path
+    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present

@@ -108,17 +108,19 @@ def stencil_spring_forces(
     return f_total
 
 
-def tear_update_grid(x3, offsets, alive, strain_limit: float):
+def tear_update_grid(x3, offsets, alive, strain_limit: float, shift=_shift):
     """End-of-substep tear check on liveness planes (oracle tear_update
     twin, zero gathers).  Invalid grid positions are already 0 in ``alive``
-    and stay 0 regardless of the garbage lengths the zero-pad shift makes
-    there."""
+    and stay 0 regardless of the garbage lengths the shift makes there —
+    the same annihilation argument covers the Pallas wrap-roll (pass
+    ``shift=_kroll``).  ``alive`` is anything [o]-indexable (stacked planes
+    or a loop-carry list)."""
     new = []
     for o, off in enumerate(offsets):
         di, dj, rest = off[0], off[1], off[3]
-        d = _shift(x3, di, dj) - x3
+        d = shift(x3, di, dj) - x3
         length = jnp.sqrt(jnp.sum(d * d, axis=0))
-        ok = (length <= rest * (1.0 + strain_limit)).astype(alive.dtype)
+        ok = (length <= rest * (1.0 + strain_limit)).astype(alive[o].dtype)
         new.append(alive[o] * ok)
     return jnp.stack(new)
 

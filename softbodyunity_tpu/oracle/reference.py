@@ -476,11 +476,15 @@ def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None,
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     fn = _SUBSTEP[cfg.solver]
+    # tearing only acts when the CONFIG enables it (device-path parity:
+    # solver/step.py _tear_alive); an alive mask passed with tear disabled
+    # is inert and returned unchanged
+    use = alive if cfg.tear.enabled else None
     for _ in range(n):
-        x, v, x_prev, alive = fn(top, cfg, x, v, x_prev, dt, alive=alive)
+        x, v, x_prev, use = fn(top, cfg, x, v, x_prev, dt, alive=use)
     if alive is None:
         return x, v, x_prev
-    return x, v, x_prev, alive
+    return x, v, x_prev, (use if cfg.tear.enabled else alive)
 
 
 def run_trajectory(top: HostTopology, cfg: SimConfig, n_steps: int, record_every: int = 1):

@@ -157,6 +157,13 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
         )
 
 
+def _drag_force(cfg: SimConfig, v3: jax.Array) -> jax.Array:
+    """Isotropic wind drag on plane-layout blocks (pointwise; the lattice
+    halo paths gate lift off — see _check_halo_colliders)."""
+    wv = jnp.asarray(cfg.wind.velocity).astype(v3.dtype).reshape(3, 1, 1)
+    return cfg.wind.drag * (wv - v3)
+
+
 def _wind_force_ext(xe, ve, cfg, ny_local, nx, ny_global, dev):
     """WindParams force on an exchanged (extended) cloth block; interior
     rows are exact (lift's 1-ring normal read stays inside the 2-row halo;
@@ -621,10 +628,8 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     fo = fmag * nrm
                     f = f + fo - _rev(fo, di, r)
                 f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
-                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
-                    wv = jnp.asarray(cfg.wind.velocity).astype(
-                        xb.dtype).reshape(3, 1, 1)
-                    f = f + cfg.wind.drag * (wv - vb)
+                if cfg.wind.drag != 0.0:
+                    f = f + _drag_force(cfg, vb)
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 vb = (vb + dt * (gvec + f * imb)) * (1.0 - cfg.global_damping * dt)
                 vb = jnp.where(movable, vb, 0.0)
@@ -820,10 +825,8 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     fo = fmag * nrm
                     f = f + fo - _rev(fo, di, r)
                 f = f[:, SLAB_HALO : SLAB_HALO + n_local, :]
-                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
-                    wv = jnp.asarray(cfg.wind.velocity).astype(
-                        xb.dtype).reshape(3, 1, 1)
-                    f = f + cfg.wind.drag * (wv - v_est)
+                if cfg.wind.drag != 0.0:
+                    f = f + _drag_force(cfg, v_est)
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 accel = gvec + f * imb
                 x_new = (xb + (xb - xpb) * (1.0 - cfg.global_damping * dt)
@@ -926,10 +929,8 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 xb, vb = carry
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 acc = gvec
-                if cfg.wind.drag != 0.0:   # pointwise; lift gated off above
-                    wv = jnp.asarray(cfg.wind.velocity).astype(
-                        xb.dtype).reshape(3, 1, 1)
-                    acc = acc + cfg.wind.drag * (wv - vb) * imb
+                if cfg.wind.drag != 0.0:
+                    acc = acc + _drag_force(cfg, vb) * imb
                 vb = (vb + dt * acc) * (1.0 - cfg.global_damping * dt)
                 vb = jnp.where(movable, vb, 0.0)
                 x_prev = xb
