@@ -52,11 +52,11 @@ def cost_analysis(top: Topology, cfg: SimConfig, state: State,
 
 
 @jax.jit
-def _energies(edges, rest_length, edge_stiffness, inv_mass, x, v):
+def _energies(edges, rest_length, edge_stiffness, inv_mass, x, v, alive):
     mass = jnp.where(inv_mass > 0, 1.0 / jnp.maximum(inv_mass, 1e-12), 0.0)
     ke = 0.5 * jnp.sum(mass[:, None] * v * v)
     d = x[edges[:, 1]] - x[edges[:, 0]]
-    ext = jnp.linalg.norm(d, axis=1) - rest_length
+    ext = (jnp.linalg.norm(d, axis=1) - rest_length) * alive
     pe = 0.5 * jnp.sum(edge_stiffness * ext * ext)
     residual = jnp.max(jnp.abs(ext))
     return ke, pe, residual
@@ -66,9 +66,12 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
     """Physics observables for logging/monitoring (host-side, between
     frames): kinetic/spring energy, max constraint residual, ground
     contacts.  Cheap: one fused kernel + scalar fetches."""
+    # torn edges carry no force: exclude them from spring energy/residual
+    alive = (state.edge_alive if state.edge_alive is not None
+             else jnp.ones((top.edges.shape[0],), state.x.dtype))
     ke, pe, residual = _energies(
         top.edges, top.rest_length, top.edge_stiffness, top.inv_mass,
-        state.x, state.v,
+        state.x, state.v, alive,
     )
     contacts = jnp.sum(state.x[:, 1] <= top.plane_height + 1e-6)
     out = {
@@ -77,6 +80,9 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
         "max_edge_residual": float(residual),
         "ground_contacts": int(contacts),
     }
+    if state.edge_alive is not None:
+        out["torn_edges"] = int(top.edges.shape[0]
+                                - float(jnp.sum(state.edge_alive)))
     if cfg.self_collision.enabled:
         # capacity diagnostics: nonzero => the static budget soft-truncated
         # contacts this frame (raise max_per_cell / block_partners)

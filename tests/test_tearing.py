@@ -233,3 +233,20 @@ def test_fused_kernel_tearing_matches_stencil(solver):
     np.testing.assert_allclose(
         np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
     )
+
+
+def test_diagnostics_reports_torn_edges():
+    """diagnostics() counts torn edges and excludes them from the spring
+    energy / residual (a torn stretched cloth would otherwise report huge
+    phantom elastic energy)."""
+    from softbodyunity_tpu.utils.profiling import diagnostics
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    for _ in range(60):
+        state = api.step(top, cfg, state)
+    d = diagnostics(top, cfg, state)
+    torn = int(host.edges.shape[0] - float(jnp.sum(state.edge_alive)))
+    assert d["torn_edges"] == torn > 0
+    # residual over LIVE edges only: the free-hanging remnant is near rest
+    assert d["max_edge_residual"] < 0.05 * 2  # bend rest is 2*spacing
