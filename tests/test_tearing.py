@@ -250,3 +250,54 @@ def test_diagnostics_reports_torn_edges():
     assert d["torn_edges"] == torn > 0
     # residual over LIVE edges only: the free-hanging remnant is near rest
     assert d["max_edge_residual"] < 0.05 * 2  # bend rest is 2*spacing
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_wind_plus_tearing_f64_parity(solver):
+    """Feature composition: a windy scene that tears must still match the
+    oracle exactly (wind enters the force/predict stage, tearing masks the
+    springs — both per-substep, order defined by the oracle)."""
+    from softbodyunity_tpu.core.config import WindParams
+
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _scene(solver, strain_limit=0.04)
+    cfg = cfg.replace(
+        wind=WindParams(velocity=(2.5, 0.0, 1.0), drag=0.3, lift=0.6),
+        backend="stencil",
+    )
+    top, state = api.init(host, dtype=jnp.float64)
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    alive_o = np.ones(host.edges.shape[0])
+    s = state
+    for _ in range(40):
+        x, v, xp, alive_o = oracle.step(host, cfg, x, v, xp, alive=alive_o)
+        s = api.step(top, cfg, s)
+    np.testing.assert_array_equal(np.asarray(s.edge_alive), alive_o)
+    drift = np.max(np.abs(np.asarray(s.x) - x))
+    assert drift < 1e-6, f"{solver}: wind+tear f64 drift {drift:.3e}"
+
+
+def test_wind_plus_tearing_fused_kernel_matches_stencil():
+    """The fused kernel composes wind lift (roll normals) with tearing
+    (liveness-plane carry) in one VMEM-resident program."""
+    from softbodyunity_tpu.core.config import WindParams
+    from softbodyunity_tpu.kernels.pallas_substep import make_pallas_step
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, strain_limit=0.04)
+    cfg = cfg.replace(wind=WindParams(velocity=(2.5, 0.0, 1.0),
+                                      drag=0.3, lift=0.6))
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    pal = make_pallas_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_array_equal(
+        np.asarray(s_pal.edge_alive), np.asarray(s_ref.edge_alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
