@@ -105,10 +105,11 @@ class TearParams:
         alive *= (length <= rest_length * (1 + strain_limit))
 
     Shapes stay static (the edge list never changes; liveness is a mask),
-    so tearing is jit/vmap/scan-friendly.  Grid cloth tears on the XLA
-    stencil fast path (liveness as per-offset planes, gather-free);
-    non-grid scenes take the exact jnp gather path; the Mosaic kernels
-    decline loudly.
+    so tearing is jit/vmap/scan-friendly.  Grid cloth tears inside the
+    fused Pallas kernels (liveness as per-offset planes in the
+    VMEM-resident carry), on the XLA stencil twin, and on the row-sharded
+    multi-chip halo paths (planes exchanged with the state); non-grid
+    scenes take the exact jnp gather path.
     """
 
     enabled: bool = False

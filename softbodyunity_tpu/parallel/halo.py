@@ -64,16 +64,21 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 
 
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
-                  plane_height, ny_global, axis_name, spheres=None):
-    """One Euler substep on a row-sharded block (inside shard_map)."""
+                  plane_height, ny_global, axis_name, spheres=None,
+                  alive=None):
+    """One Euler substep on a row-sharded block (inside shard_map).
+    ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
+    state) subsumes the static ownership masks; with it the return gains
+    the updated planes."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
     dev = jax.lax.axis_index(axis_name)
 
     xe = _exchange_halo(x3, axis_name)
     ve = _exchange_halo(v3, axis_name)
+    ae = _exchange_halo(alive, axis_name) if alive is not None else None
 
     f = jnp.zeros_like(xe)
-    for di, dj, k, rest in offsets:
+    for o, (di, dj, k, rest) in enumerate(offsets):
         xn = st._shift(xe, di, dj)
         vn = st._shift(ve, di, dj)
         d = xn - xe
@@ -81,7 +86,8 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
         inv_len = 1.0 / jnp.maximum(length, 1e-12)
         n = d * inv_len
         rel_v = jnp.sum((vn - ve) * n, axis=0)
-        mask = _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev)
+        mask = (ae[o] if ae is not None
+                else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
         fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
@@ -96,6 +102,10 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
     x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres)
+    if alive is not None:
+        alive = _tear_halo_update(x3, alive, offsets,
+                                  cfg.tear.strain_limit, axis_name)
+        return x3, v3, alive
     return x3, v3
 
 
@@ -132,12 +142,14 @@ def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
 
 
 def _check_halo_colliders(top: Topology, cfg: SimConfig,
-                          wind: str = "full") -> None:
+                          wind: str = "full", tear: str = "planes") -> None:
     """Halo-sharded substeps support plane + sphere colliders; fail loudly
     (rather than silently ignoring geometry) for capsules/boxes.  ``wind``
     is what the caller supports: cloth paths take drag + lift ("full"),
     lattice paths drag only ("drag" — lift needs surface triangles, which
-    the banded single-device path computes exactly)."""
+    the banded single-device path computes exactly).  ``tear``: cloth
+    paths shard the liveness planes ("planes"); lattice paths reject
+    ("none")."""
     from ..solver.collide import _needs_capsule_box
 
     if _needs_capsule_box(top, cfg):
@@ -150,11 +162,23 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "wind lift is not supported in the halo-sharded lattice paths "
             "(drag is); use the single-device banded step for lift"
         )
-    if cfg.tear.enabled:
+    if tear == "none" and cfg.tear.enabled:
         raise NotImplementedError(
-            "tearing is not supported in the halo-sharded paths; use the "
-            "single-device step"
+            "tearing is not supported in the halo-sharded lattice paths; "
+            "use the single-device step"
         )
+
+
+def _tear_halo_update(x3_new, alive, offsets, strain_limit, axis_name):
+    """Per-substep tear update on row-sharded liveness planes: exchange the
+    post-substep positions once so owner rows near the shard edge see their
+    cross-shard neighbours, then run the stencil tear check and keep the
+    interior rows (oracle tear_update semantics)."""
+    ny_local = x3_new.shape[-2]
+    xne = _exchange_halo(x3_new, axis_name)
+    new = st.tear_update_grid(xne, offsets, _exchange_halo(alive, axis_name),
+                              strain_limit)
+    return new[:, HALO : HALO + ny_local, :]
 
 
 def _drag_force(cfg: SimConfig, v3: jax.Array) -> jax.Array:
@@ -183,6 +207,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    tearing = cfg.tear.enabled
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -192,41 +217,49 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None):
+                      sphere_centers=None, sphere_radii=None, alive3=None):
         # sphere geometry arrives as replicated shard_map INPUTS, never jit
         # closure constants (trace-time value fetches stall on this image)
-        def local(x3b, v3b, imb, ph, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+        if tearing and alive3 is None:
+            raise ValueError(
+                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+            )
+
+        def local(x3b, v3b, imb, ph, *rest):
+            rest = list(rest)
+            ab = rest.pop() if tearing else None
+            spheres = (rest[0], rest[1]) if rest else None
 
             def body(carry, _):
-                xb, vb = carry
-                xb, vb = _halo_substep(
-                    xb, vb, imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
-                    spheres=spheres,
+                out = _halo_substep(
+                    *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
+                    spheres=spheres, alive=carry[2] if tearing else None,
                 )
-                return (xb, vb), None
+                return (out + (None,))[:3], None
 
-            (xf, vf), _ = jax.lax.scan(body, (x3b, v3b), None, length=n_substeps)
-            return xf, vf
+            (xf, vf, af), _ = jax.lax.scan(
+                body, (x3b, v3b, ab), None, length=n_substeps
+            )
+            return (xf, vf, af) if tearing else (xf, vf)
 
+        args = [x3, v3, inv_mass3, plane_height]
+        specs = [spec, spec, spec, P()]
+        outs = (spec, spec)
         if spheres_on:
             if sphere_centers is None:
                 raise ValueError(
                     "cfg enables spheres: pass sphere_centers/sphere_radii "
                     "(e.g. top.sphere_centers, top.sphere_radii)"
                 )
-            return jax.shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(spec, spec, spec, P(), P(), P()),
-                out_specs=(spec, spec),
-            )(x3, v3, inv_mass3, plane_height, sphere_centers, sphere_radii)
+            args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if tearing:
+            args.append(alive3)
+            specs.append(spec)
+            outs = (spec, spec, spec)
         return jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, P()),
-            out_specs=(spec, spec),
-        )(x3, v3, inv_mass3, plane_height)
+            local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
+        )(*args)
 
     return sharded_steps
 
@@ -248,13 +281,33 @@ def unshard_to_state(x3, v3, dt) -> State:
     return State(x=x, v=v, x_prev=x - dt * v)
 
 
+def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
+    """(shard, unshard) for tearing on the halo paths: ``shard(edge_alive)``
+    -> row-sharded per-offset liveness planes [n_off, ny, nx]; ``unshard``
+    maps the stepped planes back to the flat f32[E] mask (same
+    flat<->plane bijection as the single-device fast paths)."""
+    from ..kernels.stencil import _offsets, tear_plane_maps
+
+    ny, nx = top.grid_shape
+    has_shear = EDGE_SHEAR in top.edge_classes_present
+    has_bend = EDGE_BEND in top.edge_classes_present
+    offsets = _offsets(cfg, top.grid_spacing, has_shear, has_bend)
+    a2p, p2a = tear_plane_maps(top, offsets, ny, nx)
+    spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+
+    def shard(edge_alive):
+        return jax.device_put(a2p(edge_alive), spec)
+
+    return shard, p2a
+
+
 # ---------------------------------------------------------------------------
 # XPBD halo decomposition
 # ---------------------------------------------------------------------------
 
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv,
-                       spheres=None):
+                       spheres=None, alive=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -284,6 +337,14 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     delta0 = dt * v3   # delta-form accumulation (see stencil xpbd twin)
 
     we = _exchange_halo(w[None], axis_name)[0]          # [ext, nx]
+    if alive is not None:
+        # liveness planes subsume the static ownership masks; the Jacobi
+        # count follows the live constraints, recomputed per substep
+        ae = _exchange_halo(alive, axis_name)
+        cnt = jnp.zeros((ny_local + 2 * HALO, nx), x3.dtype)
+        for o, (di, dj, _a, _r) in enumerate(xoffsets):
+            cnt = cnt + ae[o] + st._shift(ae[o][None], -di, -dj)[0]
+        cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
 
     def iteration(carry, _):
         delta, lams = carry
@@ -299,7 +360,8 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             c_val = length - rest
             alpha_t = alpha / (dt * dt)
             wn = st._shift(we[None], di, dj)[0]
-            m = _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev)
+            m = (ae[o] if alive is not None
+                 else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
             denom = jnp.maximum(we + wn + alpha_t, 1e-12)
             dlam = -(c_val + alpha_t * lam_e) / denom * m
             new_lams.append(dlam[HALO : HALO + ny_local, :] + lams[o])
@@ -335,11 +397,17 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
     )
     delta = jnp.where(movable, delta, 0.0)
-    return x_prev + delta, delta / dt
+    x_new = x_prev + delta
+    if alive is not None:
+        alive = _tear_halo_update(x_new, alive, xoffsets,
+                                  cfg.tear.strain_limit, axis_name)
+        return x_new, delta / dt, alive
+    return x_new, delta / dt
 
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
-                         plane_height, ny_global, axis_name, spheres=None):
+                         plane_height, ny_global, axis_name, spheres=None,
+                         alive=None):
     """One position-Verlet substep on a row-sharded block (oracle
     substep_verlet semantics; halo forces as in _halo_substep)."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
@@ -347,8 +415,9 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
     v_est = (x3 - xp3) / dt
     xe = _exchange_halo(x3, axis_name)
     ve = _exchange_halo(v_est, axis_name)
+    ae = _exchange_halo(alive, axis_name) if alive is not None else None
     f = jnp.zeros_like(xe)
-    for di, dj, k, rest in offsets:
+    for o, (di, dj, k, rest) in enumerate(offsets):
         xn = st._shift(xe, di, dj)
         vn = st._shift(ve, di, dj)
         d = xn - xe
@@ -356,7 +425,8 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
         inv_len = 1.0 / jnp.maximum(length, 1e-12)
         n = d * inv_len
         rel_v = jnp.sum((vn - ve) * n, axis=0)
-        mask = _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev)
+        mask = (ae[o] if ae is not None
+                else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
         fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
@@ -383,6 +453,10 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
             contact = (pen > 0.0) & movable[0]
             n = d / jnp.maximum(dist, 1e-12)
             x_new = x_new + jnp.where(contact, pen, 0.0) * n
+    if alive is not None:
+        alive = _tear_halo_update(x_new, alive, offsets,
+                                  cfg.tear.strain_limit, axis_name)
+        return x_new, x3, alive
     return x_new, x3
 
 
@@ -399,31 +473,47 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     offsets = st._offsets(cfg, top.grid_spacing, has_shear, has_bend)
     spec = P(None, ROWS_AXIS, None)
 
+    tearing = cfg.tear.enabled
+
     def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None):
-        def local(x3b, xp3b, imb, ph, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+                      sphere_centers=None, sphere_radii=None, alive3=None):
+        if tearing and alive3 is None:
+            raise ValueError(
+                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+            )
+
+        def local(x3b, xp3b, imb, ph, *rest):
+            rest = list(rest)
+            ab = rest.pop() if tearing else None
+            spheres = (rest[0], rest[1]) if rest else None
 
             def body(carry, _):
-                xb, xpb = carry
-                xb, xpb = _halo_verlet_substep(
-                    xb, xpb, imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
-                    spheres=spheres,
+                out = _halo_verlet_substep(
+                    *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
+                    spheres=spheres, alive=carry[2] if tearing else None,
                 )
-                return (xb, xpb), None
+                return (out + (None,))[:3], None
 
-            (xf, xpf), _ = jax.lax.scan(body, (x3b, xp3b), None, length=n_substeps)
-            return xf, (xf - xpf) / dt
+            (xf, xpf, af), _ = jax.lax.scan(
+                body, (x3b, xp3b, ab), None, length=n_substeps
+            )
+            v = (xf - xpf) / dt
+            return (xf, v, af) if tearing else (xf, v)
 
-        args = (x3, xp3, inv_mass3, plane_height)
-        specs = (spec, spec, spec, P())
+        args = [x3, xp3, inv_mass3, plane_height]
+        specs = [spec, spec, spec, P()]
+        outs = (spec, spec)
         if spheres_on:
             if sphere_centers is None:
                 raise ValueError("cfg enables spheres: pass sphere geometry")
-            args += (sphere_centers, sphere_radii)
-            specs += (P(), P())
+            args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if tearing:
+            args.append(alive3)
+            specs.append(spec)
+            outs = (spec, spec, spec)
         return jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
 
     return sharded_steps
@@ -444,40 +534,61 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     spec = P(None, ROWS_AXIS, None)
 
+    tearing = cfg.tear.enabled
+
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None):
-        def local(x3b, v3b, imb, ph, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+                      sphere_centers=None, sphere_radii=None, alive3=None):
+        if tearing and alive3 is None:
+            raise ValueError(
+                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+            )
+
+        def local(x3b, v3b, imb, ph, *rest):
+            rest = list(rest)
+            ab = rest.pop() if tearing else None
+            spheres = (rest[0], rest[1]) if rest else None
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
-            # per-vertex constraint count over owned + owning edges,
-            # judged globally on the extended block then sliced
-            cnt = jnp.zeros((ny_local + 2 * HALO, nx), x3b.dtype)
-            for di, dj, _, _ in xoffsets:
-                m = _owned_mask_ext(ny_local, nx, ny, di, dj, dev)
-                cnt = cnt + m + st._shift(m[None], -di, -dj)[0]
-            cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
+            if tearing:
+                cnt_inv = None  # recomputed per substep from live planes
+            else:
+                # per-vertex constraint count over owned + owning edges,
+                # judged globally on the extended block then sliced
+                cnt = jnp.zeros((ny_local + 2 * HALO, nx), x3b.dtype)
+                for di, dj, _, _ in xoffsets:
+                    m = _owned_mask_ext(ny_local, nx, ny, di, dj, dev)
+                    cnt = cnt + m + st._shift(m[None], -di, -dj)[0]
+                cnt_inv = 1.0 / jnp.maximum(
+                    cnt[HALO : HALO + ny_local, :], 1.0
+                )
 
             def body(carry, _):
-                xb, vb = carry
-                xb, vb = _halo_xpbd_substep(
-                    xb, vb, imb, xoffsets, cfg, dt, ph[0], ny,
+                out = _halo_xpbd_substep(
+                    *carry[:2], imb, xoffsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, cnt_inv, spheres=spheres,
+                    alive=carry[2] if tearing else None,
                 )
-                return (xb, vb), None
+                return (out + (None,))[:3], None
 
-            (xf, vf), _ = jax.lax.scan(body, (x3b, v3b), None, length=n_substeps)
-            return xf, vf
+            (xf, vf, af), _ = jax.lax.scan(
+                body, (x3b, v3b, ab), None, length=n_substeps
+            )
+            return (xf, vf, af) if tearing else (xf, vf)
 
-        args = (x3, v3, inv_mass3, plane_height)
-        specs = (spec, spec, spec, P())
+        args = [x3, v3, inv_mass3, plane_height]
+        specs = [spec, spec, spec, P()]
+        outs = (spec, spec)
         if spheres_on:
             if sphere_centers is None:
                 raise ValueError("cfg enables spheres: pass sphere geometry")
-            args += (sphere_centers, sphere_radii)
-            specs += (P(), P())
+            args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if tearing:
+            args.append(alive3)
+            specs.append(spec)
+            outs = (spec, spec, spec)
         return jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
 
     return sharded_steps
@@ -568,7 +679,7 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
     :func:`shard_lattice_state`.  Semantics mirror solver/step.py
     substep_euler on the banded path (tested vs single device)."""
-    _check_halo_colliders(top, cfg, wind="drag")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -725,7 +836,7 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None) -> (x, v)``."""
-    _check_halo_colliders(top, cfg, wind="drag")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -877,7 +988,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
     substep_xpbd banded twin)."""
-    _check_halo_colliders(top, cfg, wind="drag")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))

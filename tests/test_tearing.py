@@ -191,15 +191,20 @@ def test_checkpoint_roundtrip_with_tearing():
     )
 
 
-def test_halo_rejects_tearing():
+def test_halo_lattice_rejects_tearing():
+    """Cloth halo paths shard the liveness planes; the volumetric lattice
+    paths still reject tearing loudly (per-edge masks don't fit the banded
+    slab decomposition yet)."""
     from jax.sharding import Mesh
+    from softbodyunity_tpu.core.topology import tet_cube
     from softbodyunity_tpu.parallel import halo
 
-    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
-    top, _ = api.init(host)
+    cfg = _scene(Solver.SEMI_IMPLICIT_EULER)[1]
+    cube = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd)
+    ctop, _ = api.init(cube)
     mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
     with pytest.raises(NotImplementedError):
-        halo.make_halo_step(top, cfg, mesh)
+        halo.make_halo_lattice_step(ctop, cfg, mesh)
 
 
 @pytest.mark.parametrize("solver", SOLVERS)
@@ -300,4 +305,43 @@ def test_wind_plus_tearing_fused_kernel_matches_stencil():
     )
     np.testing.assert_allclose(
         np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_halo_tearing_matches_single_device(solver):
+    """Multi-chip tearing: row-sharded liveness planes (exchanged with the
+    state each substep, torn with one extra post-substep exchange) equal
+    the single-device stencil path — identical tear masks included."""
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(solver, nx=12, ny=16)
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    shard_alive, unshard_alive = halo.tear_plane_shard_maps(top, cfg, mesh)
+    alive3 = shard_alive(state.edge_alive)
+    if solver == Solver.SEMI_IMPLICIT_EULER:
+        make = halo.make_halo_step
+    elif solver == Solver.VERLET:
+        make = halo.make_halo_verlet_step
+    else:
+        make = halo.make_halo_xpbd_step
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    first = x3 if solver != Solver.VERLET else x3  # verlet starts xp == x
+    second = v3 if solver != Solver.VERLET else x3
+    xf, vf, af = sharded(first, second, im3, ph, cfg.dt, 48, alive3=alive3)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    got_alive = unshard_alive(af)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    want = ref(top, state)
+    np.testing.assert_array_equal(
+        np.asarray(got_alive), np.asarray(want.edge_alive)
+    )
+    assert float(np.asarray(want.edge_alive).min()) == 0.0, "nothing tore"
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
     )
