@@ -108,6 +108,20 @@ def stencil_spring_forces(
     return f_total
 
 
+def tear_ok_planes(x3, offsets, strain_limit: float, shift=_shift):
+    """Per-offset survival masks of the tear check (oracle tear_update's
+    comparison): 1.0 where the edge owned at (i, j) is within its strain
+    limit.  Single source of the tear math for the stencil, fused-Pallas
+    (``shift=_kroll``), and halo paths."""
+    ok = []
+    for off in offsets:
+        di, dj, rest = off[0], off[1], off[3]
+        d = shift(x3, di, dj) - x3
+        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        ok.append((length <= rest * (1.0 + strain_limit)).astype(x3.dtype))
+    return ok
+
+
 def tear_update_grid(x3, offsets, alive, strain_limit: float, shift=_shift):
     """End-of-substep tear check on liveness planes (oracle tear_update
     twin, zero gathers).  Invalid grid positions are already 0 in ``alive``
@@ -115,14 +129,8 @@ def tear_update_grid(x3, offsets, alive, strain_limit: float, shift=_shift):
     the same annihilation argument covers the Pallas wrap-roll (pass
     ``shift=_kroll``).  ``alive`` is anything [o]-indexable (stacked planes
     or a loop-carry list)."""
-    new = []
-    for o, off in enumerate(offsets):
-        di, dj, rest = off[0], off[1], off[3]
-        d = shift(x3, di, dj) - x3
-        length = jnp.sqrt(jnp.sum(d * d, axis=0))
-        ok = (length <= rest * (1.0 + strain_limit)).astype(alive[o].dtype)
-        new.append(alive[o] * ok)
-    return jnp.stack(new)
+    ok = tear_ok_planes(x3, offsets, strain_limit, shift=shift)
+    return jnp.stack([alive[o] * ok[o] for o in range(len(offsets))])
 
 
 def _cross3(a, b):

@@ -172,13 +172,18 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
 def _tear_halo_update(x3_new, alive, offsets, strain_limit, axis_name):
     """Per-substep tear update on row-sharded liveness planes: exchange the
     post-substep positions once so owner rows near the shard edge see their
-    cross-shard neighbours, then run the stencil tear check and keep the
-    interior rows (oracle tear_update semantics)."""
+    cross-shard neighbours, then apply the shared tear check to the LOCAL
+    planes (no alive exchange — only interior rows are kept).  This is one
+    extra position exchange per substep; kept deliberately so the oracle's
+    end-of-substep tear semantics stay literal rather than relying on a
+    tear-at-next-substep-start equivalence argument."""
     ny_local = x3_new.shape[-2]
     xne = _exchange_halo(x3_new, axis_name)
-    new = st.tear_update_grid(xne, offsets, _exchange_halo(alive, axis_name),
-                              strain_limit)
-    return new[:, HALO : HALO + ny_local, :]
+    ok = st.tear_ok_planes(xne, offsets, strain_limit)
+    return jnp.stack([
+        alive[o] * ok[o][HALO : HALO + ny_local, :]
+        for o in range(len(offsets))
+    ])
 
 
 def _drag_force(cfg: SimConfig, v3: jax.Array) -> jax.Array:
@@ -222,7 +227,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         # closure constants (trace-time value fetches stall on this image)
         if tearing and alive3 is None:
             raise ValueError(
-                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+                "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
 
         def local(x3b, v3b, imb, ph, *rest):
@@ -479,7 +484,7 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                       sphere_centers=None, sphere_radii=None, alive3=None):
         if tearing and alive3 is None:
             raise ValueError(
-                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+                "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
 
         def local(x3b, xp3b, imb, ph, *rest):
@@ -540,7 +545,7 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                       sphere_centers=None, sphere_radii=None, alive3=None):
         if tearing and alive3 is None:
             raise ValueError(
-                "cfg enables tearing: pass alive3 (shard_tear_planes)"
+                "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
 
         def local(x3b, v3b, imb, ph, *rest):

@@ -331,8 +331,8 @@ def test_halo_tearing_matches_single_device(solver):
         make = halo.make_halo_xpbd_step
     sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
     x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
-    first = x3 if solver != Solver.VERLET else x3  # verlet starts xp == x
-    second = v3 if solver != Solver.VERLET else x3
+    first = x3
+    second = v3 if solver != Solver.VERLET else x3  # verlet carries (x, xp)
     xf, vf, af = sharded(first, second, im3, ph, cfg.dt, 48, alive3=alive3)
     got = halo.unshard_to_state(xf, vf, cfg.dt)
     got_alive = unshard_alive(af)
@@ -342,6 +342,47 @@ def test_halo_tearing_matches_single_device(solver):
         np.asarray(got_alive), np.asarray(want.edge_alive)
     )
     assert float(np.asarray(want.edge_alive).min()) == 0.0, "nothing tore"
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
+    )
+
+
+def test_halo_tearing_with_spheres_matches_single_device():
+    """Pins the positional-varargs ordering in the halo makers (sphere
+    geometry before liveness planes): spheres + tearing together must still
+    match the single-device stencil path with identical masks."""
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, nx=12, ny=16)
+    cfg = cfg.replace(
+        collision=CollisionParams(enable_plane=True, enable_spheres=True)
+    )
+    host = cloth_grid(
+        12, 16, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+        sphere_centers=np.array([[0.3, -0.4, 0.05]]),
+        sphere_radii=np.array([0.15]),
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    shard_alive, unshard_alive = halo.tear_plane_shard_maps(top, cfg, mesh)
+    sharded = jax.jit(halo.make_halo_step(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf, af = sharded(
+        x3, v3, im3, ph, cfg.dt, 48,
+        sphere_centers=top.sphere_centers, sphere_radii=top.sphere_radii,
+        alive3=shard_alive(state.edge_alive),
+    )
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    want = ref(top, state)
+    np.testing.assert_array_equal(
+        np.asarray(unshard_alive(af)), np.asarray(want.edge_alive)
+    )
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(want.x), atol=2e-5
     )
