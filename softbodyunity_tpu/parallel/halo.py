@@ -65,7 +65,7 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
-                  alive=None):
+                  alive=None, capsules=None, boxes=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
     state) subsumes the static ownership masks; with it the return gains
@@ -101,7 +101,8 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
-    x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres)
+    x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
+                                capsules, boxes)
     if alive is not None:
         alive = _tear_halo_update(x3, alive, offsets,
                                   cfg.tear.strain_limit, axis_name)
@@ -109,9 +110,12 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     return x3, v3
 
 
-def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
-    """Velocity-level plane/sphere resolve on plane-layout blocks (the
-    collider geometry is global, so sharding needs no special handling)."""
+def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
+                       capsules=None, boxes=None):
+    """Velocity-level collider resolve on plane-layout blocks (the
+    collider geometry is global, so sharding needs no special handling).
+    ``capsules`` [C,7] / ``boxes`` [B,15] are the packed rows the fused
+    kernels use; the shared component primitives run unchanged here."""
     if cfg.collision.enable_plane:
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
@@ -138,24 +142,63 @@ def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres):
             vn2 = jnp.sum(v3 * n, axis=0) * n
             vt = v3 - vn2
             v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
+    n_caps = capsules.shape[0] if capsules is not None else 0
+    n_boxes = boxes.shape[0] if boxes is not None else 0
+    if n_caps or n_boxes:
+        from ..kernels.pallas_substep import _resolve_capsules_boxes_smem
+
+        xz, vz = _resolve_capsules_boxes_smem(
+            [x3[0], x3[1], x3[2]], [v3[0], v3[1], v3[2]], movable[0],
+            capsules, n_caps, boxes, n_boxes,
+            cfg.collision.restitution, cfg.collision.friction,
+        )
+        x3 = jnp.stack(xz)
+        v3 = jnp.stack(vz)
     return x3, v3
 
 
+def pack_capsule_box_geometry(top: Topology):
+    """(capsules [C,7], boxes [B,15]) packed rows for the halo makers —
+    the same packing the fused kernels use; pass them as replicated
+    inputs, never closure constants."""
+    from ..kernels.pallas_substep import _pack_boxes, _pack_capsules
+
+    return _pack_capsules(top), _pack_boxes(top)
+
+
+def _project_capsules_boxes(x3, movable, capsules, boxes):
+    """Position-only capsule/box push-out on plane-layout blocks
+    (Verlet/XPBD paths; shared component primitives)."""
+    n_caps = capsules.shape[0] if capsules is not None else 0
+    n_boxes = boxes.shape[0] if boxes is not None else 0
+    if not (n_caps or n_boxes):
+        return x3
+    from ..kernels.pallas_substep import _project_capsules_boxes_smem
+
+    xz = _project_capsules_boxes_smem(
+        [x3[0], x3[1], x3[2]], movable[0], capsules, n_caps, boxes, n_boxes
+    )
+    return jnp.stack(xz)
+
+
 def _check_halo_colliders(top: Topology, cfg: SimConfig,
-                          wind: str = "full", tear: str = "planes") -> None:
-    """Halo-sharded substeps support plane + sphere colliders; fail loudly
-    (rather than silently ignoring geometry) for capsules/boxes.  ``wind``
-    is what the caller supports: cloth paths take drag + lift ("full"),
-    lattice paths drag only ("drag" — lift needs surface triangles, which
-    the banded single-device path computes exactly).  ``tear``: cloth
-    paths shard the liveness planes ("planes"); lattice paths reject
+                          wind: str = "full", tear: str = "planes",
+                          caps: str = "components") -> None:
+    """What each halo-sharded path supports, enforced loudly.  ``wind``:
+    cloth paths take drag + lift ("full"), lattice paths drag only ("drag"
+    — lift needs surface triangles, which the banded single-device path
+    computes exactly).  ``tear``: cloth paths shard the liveness planes
+    ("planes"); lattice paths reject ("none").  ``caps``: cloth paths run
+    capsule/box colliders through the shared component primitives with
+    geometry as replicated inputs ("components"); lattice paths reject
     ("none")."""
     from ..solver.collide import _needs_capsule_box
 
-    if _needs_capsule_box(top, cfg):
+    if caps == "none" and _needs_capsule_box(top, cfg):
         raise NotImplementedError(
             "capsule/box colliders are not supported in the halo-sharded "
-            "paths; use plane/sphere colliders or the single-device step"
+            "lattice paths; use plane/sphere colliders or the "
+            "single-device step"
         )
     if wind == "drag" and cfg.wind.lift != 0.0:
         raise NotImplementedError(
@@ -212,6 +255,8 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    from ..solver.collide import _needs_capsule_box
+    caps_on = _needs_capsule_box(top, cfg)
     tearing = cfg.tear.enabled
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
@@ -222,23 +267,39 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None, alive3=None):
-        # sphere geometry arrives as replicated shard_map INPUTS, never jit
-        # closure constants (trace-time value fetches stall on this image)
+                      sphere_centers=None, sphere_radii=None, alive3=None,
+                      capsules=None, boxes=None):
+        # collider geometry and liveness planes arrive as shard_map INPUTS
+        # (replicated / sharded respectively), never jit closure constants
+        # (trace-time value fetches stall on this image); positional order
+        # inside `local`: spheres, capsules+boxes, alive
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
+        if caps_on and capsules is None:
+            raise ValueError(
+                "cfg enables capsules/boxes: pass capsules/boxes "
+                "(pack_capsule_box_geometry(top))"
+            )
 
         def local(x3b, v3b, imb, ph, *rest):
-            rest = list(rest)
-            ab = rest.pop() if tearing else None
-            spheres = (rest[0], rest[1]) if rest else None
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest[0], rest[1])
+                i = 2
+            cb = (None, None)
+            if caps_on:
+                cb = (rest[i], rest[i + 1])
+                i += 2
+            ab = rest[i] if tearing else None
 
             def body(carry, _):
                 out = _halo_substep(
                     *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
                     spheres=spheres, alive=carry[2] if tearing else None,
+                    capsules=cb[0], boxes=cb[1],
                 )
                 return (out + (None,))[:3], None
 
@@ -257,6 +318,9 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     "(e.g. top.sphere_centers, top.sphere_radii)"
                 )
             args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if caps_on:
+            args += [capsules, boxes]
             specs += [P(), P()]
         if tearing:
             args.append(alive3)
@@ -312,7 +376,7 @@ def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
 
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv,
-                       spheres=None, alive=None):
+                       spheres=None, alive=None, capsules=None, boxes=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -393,6 +457,13 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                 n = d / jnp.maximum(dist, 1e-12)
                 xproj = xproj + jnp.where(contact, pen, 0.0) * n
             delta = delta + (xproj - xev)
+        if (capsules is not None and capsules.shape[0]) or (
+                boxes is not None and boxes.shape[0]):
+            # capsule/box projection inside the loop, delta-rebased (same
+            # ordering as the stencil XPBD twin)
+            xev = x_prev + delta
+            xproj = _project_capsules_boxes(xev, movable, capsules, boxes)
+            delta = delta + (xproj - xev)
         return (delta, tuple(new_lams)), None
 
     # derive zeros from the sharded input so the scan carry keeps the
@@ -412,7 +483,7 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                          plane_height, ny_global, axis_name, spheres=None,
-                         alive=None):
+                         alive=None, capsules=None, boxes=None):
     """One position-Verlet substep on a row-sharded block (oracle
     substep_verlet semantics; halo forces as in _halo_substep)."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
@@ -458,6 +529,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
             contact = (pen > 0.0) & movable[0]
             n = d / jnp.maximum(dist, 1e-12)
             x_new = x_new + jnp.where(contact, pen, 0.0) * n
+    x_new = _project_capsules_boxes(x_new, movable, capsules, boxes)
     if alive is not None:
         alive = _tear_halo_update(x_new, alive, offsets,
                                   cfg.tear.strain_limit, axis_name)
@@ -471,6 +543,8 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    from ..solver.collide import _needs_capsule_box
+    caps_on = _needs_capsule_box(top, cfg)
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -481,21 +555,35 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     tearing = cfg.tear.enabled
 
     def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None, alive3=None):
+                      sphere_centers=None, sphere_radii=None, alive3=None,
+                      capsules=None, boxes=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
+        if caps_on and capsules is None:
+            raise ValueError(
+                "cfg enables capsules/boxes: pass capsules/boxes "
+                "(pack_capsule_box_geometry(top))"
+            )
 
         def local(x3b, xp3b, imb, ph, *rest):
-            rest = list(rest)
-            ab = rest.pop() if tearing else None
-            spheres = (rest[0], rest[1]) if rest else None
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest[0], rest[1])
+                i = 2
+            cb = (None, None)
+            if caps_on:
+                cb = (rest[i], rest[i + 1])
+                i += 2
+            ab = rest[i] if tearing else None
 
             def body(carry, _):
                 out = _halo_verlet_substep(
                     *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
                     spheres=spheres, alive=carry[2] if tearing else None,
+                    capsules=cb[0], boxes=cb[1],
                 )
                 return (out + (None,))[:3], None
 
@@ -512,6 +600,9 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if sphere_centers is None:
                 raise ValueError("cfg enables spheres: pass sphere geometry")
             args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if caps_on:
+            args += [capsules, boxes]
             specs += [P(), P()]
         if tearing:
             args.append(alive3)
@@ -531,6 +622,8 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    from ..solver.collide import _needs_capsule_box
+    caps_on = _needs_capsule_box(top, cfg)
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -542,16 +635,29 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     tearing = cfg.tear.enabled
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
-                      sphere_centers=None, sphere_radii=None, alive3=None):
+                      sphere_centers=None, sphere_radii=None, alive3=None,
+                      capsules=None, boxes=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
             )
+        if caps_on and capsules is None:
+            raise ValueError(
+                "cfg enables capsules/boxes: pass capsules/boxes "
+                "(pack_capsule_box_geometry(top))"
+            )
 
         def local(x3b, v3b, imb, ph, *rest):
-            rest = list(rest)
-            ab = rest.pop() if tearing else None
-            spheres = (rest[0], rest[1]) if rest else None
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest[0], rest[1])
+                i = 2
+            cb = (None, None)
+            if caps_on:
+                cb = (rest[i], rest[i + 1])
+                i += 2
+            ab = rest[i] if tearing else None
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
             if tearing:
@@ -572,6 +678,7 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     *carry[:2], imb, xoffsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, cnt_inv, spheres=spheres,
                     alive=carry[2] if tearing else None,
+                    capsules=cb[0], boxes=cb[1],
                 )
                 return (out + (None,))[:3], None
 
@@ -587,6 +694,9 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if sphere_centers is None:
                 raise ValueError("cfg enables spheres: pass sphere geometry")
             args += [sphere_centers, sphere_radii]
+            specs += [P(), P()]
+        if caps_on:
+            args += [capsules, boxes]
             specs += [P(), P()]
         if tearing:
             args.append(alive3)
@@ -684,7 +794,7 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
     :func:`shard_lattice_state`.  Semantics mirror solver/step.py
     substep_euler on the banded path (tested vs single device)."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -841,7 +951,7 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None) -> (x, v)``."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -993,7 +1103,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
     substep_xpbd banded twin)."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))

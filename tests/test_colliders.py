@@ -321,13 +321,22 @@ def test_batched_hetero_capsules_boxes():
     assert np.abs(np.asarray(out.x[2]) - np.asarray(single.x)).max() > 1e-4
 
 
-def test_halo_rejects_capsules_loudly():
+def test_halo_lattice_rejects_capsules_loudly():
+    """Cloth halo paths run capsules/boxes via the shared component
+    primitives (tests/test_halo.py equality tests); the volumetric lattice
+    paths still reject loudly."""
     from jax.sharding import Mesh
 
+    from softbodyunity_tpu.core.topology import tet_cube
     from softbodyunity_tpu.parallel import halo
 
-    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
-    top, _ = api.init(host)
+    cfg = _scene(Solver.SEMI_IMPLICIT_EULER)[1]
+    cube = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd)
+    cube = add_colliders(
+        cube, capsule_p0=[[0.0, -0.2, 0.0]], capsule_p1=[[0.2, -0.2, 0.0]],
+        capsule_radii=[0.1],
+    )
+    ctop, _ = api.init(cube)
     mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
     with pytest.raises(NotImplementedError):
-        halo.make_halo_step(top, cfg, mesh)
+        halo.make_halo_lattice_step(ctop, cfg, mesh)
