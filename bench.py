@@ -201,6 +201,12 @@ def bench_tearing_64k():
     return _bench_preset_substeps("cloth_tearing_64k", 8, 160)
 
 
+def bench_tearing_262k():
+    """Substeps/sec, 262k tearing cloth past the whole-VMEM cap: the
+    row-tiled kernel DMA-refreshes the liveness planes across tiles."""
+    return _bench_preset_substeps("cloth_tearing_262k", 8, 80)
+
+
 def bench_wind_64k():
     """Substeps/sec, 64k cloth under drag+lift wind (fused Pallas kernel
     computes the lift normals as rolls each substep)."""
@@ -224,6 +230,7 @@ _PARTS = {
     "sc64k": bench_selfcollide_64k,
     "cubexpbd": bench_cube_xpbd_64k,
     "tear64k": bench_tearing_64k,
+    "tear262k": bench_tearing_262k,
     "wind64k": bench_wind_64k,
 }
 
@@ -269,6 +276,7 @@ def main():
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
         ("tear64k", "substeps_per_sec_64k_tearing"),
+        ("tear262k", "substeps_per_sec_262k_tearing"),
         ("wind64k", "substeps_per_sec_64k_wind"),
     ]:
         try:

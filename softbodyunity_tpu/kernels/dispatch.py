@@ -71,18 +71,23 @@ def maybe_fast_step(top, cfg, backend):
                 make_pallas_verlet_step,
             )
 
+            # tearing carries extra liveness planes through VMEM, halving
+            # the whole-VMEM kernels' vertex cap; over-cap grids take the
+            # row-tiled kernels (which DMA-refresh the planes per tile)
+            cap = (MAX_VMEM_VERTICES // 2 if cfg.tear.enabled
+                   else MAX_VMEM_VERTICES)
             if cfg.solver == Solver.XPBD:
-                if ny * nx > MAX_VMEM_VERTICES:
+                if ny * nx > cap:
                     from .pallas_tiled import make_tiled_xpbd_step
                     return make_tiled_xpbd_step(top, cfg)
                 from .pallas_xpbd import make_pallas_xpbd_step
                 return make_pallas_xpbd_step(top, cfg)
             if cfg.solver == Solver.VERLET:
-                if ny * nx > MAX_VMEM_VERTICES:
+                if ny * nx > cap:
                     from .pallas_tiled import make_tiled_verlet_step
                     return make_tiled_verlet_step(top, cfg)
                 return make_pallas_verlet_step(top, cfg)
-            if ny * nx > MAX_VMEM_VERTICES:
+            if ny * nx > cap:
                 # beyond VMEM capacity: row-tiled kernel
                 from .pallas_tiled import make_tiled_step
                 return make_tiled_step(top, cfg)

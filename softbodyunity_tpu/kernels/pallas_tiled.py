@@ -70,9 +70,18 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
 
-    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_ref,
-               xo_ref, vo_ref, xs, vs, sem):
+    def kernel(*refs):
+        # inputs: plane, spheres, capsules, boxes, [first-flag], x, v, im,
+        # [alive]; outputs: xo, vo, [ao]; scratch: xs, vs, [as_], sem
+        if tearing:
+            (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, v_hbm,
+             im_ref, a_hbm, xo_ref, vo_ref, ao_ref, xs, vs, as_, sem) = refs
+        else:
+            (plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_ref,
+             xo_ref, vo_ref, xs, vs, sem) = refs
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - HPAD  # global row of extended-window row 0
@@ -89,6 +98,10 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         vs[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         xs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         vs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+        if tearing:
+            as_[:, 0:HPAD, :] = jnp.zeros((n_off, HPAD, nx), jnp.float32)
+            as_[:, tile + HPAD :, :] = jnp.zeros((n_off, HPAD, nx),
+                                                 jnp.float32)
 
         cp_xi = pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(tile0, tile), :],
@@ -100,6 +113,12 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         )
         cp_xi.start()
         cp_vi.start()
+        if tearing:
+            cp_ai = pltpu.make_async_copy(
+                a_hbm.at[:, pl.ds(tile0, tile), :],
+                as_.at[:, pl.ds(HPAD, tile), :], sem.at[6],
+            )
+            cp_ai.start()
 
         @pl.when(i > 0)
         def _():
@@ -113,6 +132,13 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             )
             up_x.start()
             up_v.start()
+            if tearing:
+                up_a = pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_up, HPAD), :],
+                    as_.at[:, pl.ds(0, HPAD), :], sem.at[7],
+                )
+                up_a.start()
+                up_a.wait()
             up_x.wait()
             up_v.wait()
 
@@ -128,21 +154,48 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             )
             dn_x.start()
             dn_v.start()
+            if tearing:
+                dn_a = pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_dn, HPAD), :],
+                    as_.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[8],
+                )
+                dn_a.start()
+                dn_a.wait()
             dn_x.wait()
             dn_v.wait()
 
         cp_xi.wait()
         cp_vi.wait()
+        if tearing:
+            cp_ai.wait()
 
         xw = xs[:]                           # [3, ext, nx] stacked
         vw = vs[:]
+        if tearing:
+            # tear-at-start (skipped on the frame's first launch): the
+            # previous launch's post-substep x is THIS launch's input, so
+            # tearing here reproduces the oracle's end-of-substep update
+            # exactly; the frame wrapper applies the final end-of-frame
+            # tear.  ok garbage from the wrap-roll sits in the bottom 2
+            # window rows, whose alive is only read by down-halo owners
+            # that never reach the interior slice.
+            from .stencil import tear_ok_planes
+
+            first = first_ref[0, 0]
+            ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
+                                shift=_kroll)
+            aw = [
+                as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
+                for o in range(n_off)
+            ]
 
         # spring forces on the extended window (reactions from upper-halo
         # owners land in the interior via the reverse roll; see halo.py);
         # stacked 3D rolls: one roll moves all three component planes
         f = jnp.zeros((3, ext, nx), jnp.float32)
-        for di, dj, k, rest in offsets:
-            mask = _global_edge_mask(ext, nx, ny, row0, di, dj)
+        for o, (di, dj, k, rest) in enumerate(offsets):
+            mask = (aw[o] if tearing
+                    else _global_edge_mask(ext, nx, ny, row0, di, dj))
             xn = _kroll(xw, di, dj)
             vn = _kroll(vw, di, dj)
             d = xn - xw
@@ -195,6 +248,9 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         for c in range(3):
             xo_ref[c] = xz[c]
             vo_ref[c] = vz[c]
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = aw[o][HPAD : HPAD + tile, :]
 
     return kernel
 
@@ -202,60 +258,93 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
 )
-def _tiled_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules, boxes,
-                    cfg, offsets, tile, dt, n_substeps, interpret=False):
+def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
+                    boxes, cfg, offsets, tile, dt, n_substeps,
+                    interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
     kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # plane height (1,1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,4]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+    ]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
+        pl.BlockSpec((tile, nx), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),      # inv-mass interior
+    ]
+    out_shape = (state_shape, state_shape)
+    out_specs = (state_spec, state_spec)
+    scratch = [
+        pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+        pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+    ]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+        )
+        out_specs = out_specs + (
+            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch.append(pltpu.VMEM((n_off, tile + 2 * HPAD, nx), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((9 if tearing else 6,)))
+
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        # tearing's liveness planes push the per-tile working set just past
+        # the 16 MB default scoped-vmem limit; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # plane height (1,1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,4]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
-            pl.BlockSpec((tile, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),      # inv-mass interior
-        ],
-        out_specs=(
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
-            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
         interpret=interpret,
     )
 
-    def one(x3, v3):
-        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
-                    inv_mass2d)
+    if tearing:
+        def body(carry, k):
+            x3, v3, a3 = carry
+            first = (k == 0).astype(jnp.float32).reshape(1, 1)
+            xo, vo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+                              first, x3, v3, inv_mass2d, a3)
+            return (xo, vo, ao), None
+
+        (xo, vo, ao), _ = jax.lax.scan(
+            body, (x3, v3, alive3), jnp.arange(n_substeps)
+        )
+        return xo, vo, ao
 
     def body(carry, _):
         x3, v3 = carry
-        return one(x3, v3), None
+        xo, vo = call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
+                      inv_mass2d)
+        return (xo, vo), None
 
     (xo, vo), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
-    return xo, vo
+    return xo, vo, None
 
 
 def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
@@ -264,13 +353,17 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     whole-VMEM kernel.  Requires ``ny % tile == 0``; plane + sphere
     colliders (sphere geometry via SMEM).  ``tile=0`` auto-sizes so the
     working set (~20 live planes of ``(tile+16, nx)``) stays inside the
-    16 MB VMEM scope."""
+    16 MB VMEM scope.
+
+    Tearing: liveness planes travel HBM->VMEM with the state (the
+    per-launch halo DMA refreshes them across tiles).  Kernels tear at
+    launch START from their input positions — the previous launch's
+    post-substep x — which reproduces the oracle's end-of-substep update
+    exactly; a first-launch flag skips the spurious initial tear and the
+    frame wrapper applies the final end-of-frame tear in XLA."""
+    from .stencil import tear_plane_maps, tear_update_grid
+
     ny, nx = top.grid_shape
-    if cfg.tear.enabled:
-        raise ValueError(
-            "tearing needs liveness planes refreshed across tiles; "
-            ">VMEM tearing grids run on the stencil path"
-        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -282,22 +375,35 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, offsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo = _tiled_substeps(
-            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, vo, ao = _tiled_substeps(
+            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        return State(x=x, v=v, x_prev=x - dt * v)
+        alive = state.edge_alive
+        if tearing:
+            # end-of-frame tear from the final positions (the mask the
+            # next frame's first launch would otherwise compute and skip)
+            ao = tear_update_grid(xo, offsets, ao, cfg.tear.strain_limit)
+            alive = planes_to_alive(ao)
+        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive)
 
     return fn
 
@@ -319,11 +425,17 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     ext = tile + 2 * HPAD
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
     inv_dt = 1.0 / dt
 
-    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, xp_hbm, im_ref,
-               xo_ref, xpo_ref,
-               xs, ps, sem):
+    def kernel(*refs):
+        if tearing:
+            (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, xp_hbm,
+             im_ref, a_hbm, xo_ref, xpo_ref, ao_ref, xs, ps, as_, sem) = refs
+        else:
+            (plane_ref, sph_ref, cap_ref, box_ref, x_hbm, xp_hbm, im_ref,
+             xo_ref, xpo_ref, xs, ps, sem) = refs
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - HPAD
@@ -336,6 +448,10 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         ps[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         xs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         ps[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
+        if tearing:
+            as_[:, 0:HPAD, :] = jnp.zeros((n_off, HPAD, nx), jnp.float32)
+            as_[:, tile + HPAD :, :] = jnp.zeros((n_off, HPAD, nx),
+                                                 jnp.float32)
 
         cp_xi = pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(tile0, tile), :],
@@ -345,6 +461,11 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             ps.at[:, pl.ds(HPAD, tile), :], sem.at[1])
         cp_xi.start()
         cp_pi.start()
+        if tearing:
+            cp_ai = pltpu.make_async_copy(
+                a_hbm.at[:, pl.ds(tile0, tile), :],
+                as_.at[:, pl.ds(HPAD, tile), :], sem.at[6])
+            cp_ai.start()
 
         @pl.when(i > 0)
         def _():
@@ -356,6 +477,12 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 ps.at[:, pl.ds(0, HPAD), :], sem.at[3])
             up_x.start()
             up_p.start()
+            if tearing:
+                up_a = pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_up, HPAD), :],
+                    as_.at[:, pl.ds(0, HPAD), :], sem.at[7])
+                up_a.start()
+                up_a.wait()
             up_x.wait()
             up_p.wait()
 
@@ -369,19 +496,40 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 ps.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[5])
             dn_x.start()
             dn_p.start()
+            if tearing:
+                dn_a = pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_dn, HPAD), :],
+                    as_.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[8])
+                dn_a.start()
+                dn_a.wait()
             dn_x.wait()
             dn_p.wait()
 
         cp_xi.wait()
         cp_pi.wait()
+        if tearing:
+            cp_ai.wait()
 
         xw = xs[:]
         pw = ps[:]
         vw = (xw - pw) * inv_dt              # velocity estimate (extended)
+        if tearing:
+            # tear-at-start (see _make_kernel): input x is the previous
+            # launch's post-substep positions
+            from .stencil import tear_ok_planes
+
+            first = first_ref[0, 0]
+            ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
+                                shift=_kroll)
+            aw = [
+                as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
+                for o in range(n_off)
+            ]
 
         f = jnp.zeros((3, ext, nx), jnp.float32)
-        for di, dj, k, rest in offsets:
-            mask = _global_edge_mask(ext, nx, ny, row0, di, dj)
+        for o, (di, dj, k, rest) in enumerate(offsets):
+            mask = (aw[o] if tearing
+                    else _global_edge_mask(ext, nx, ny, row0, di, dj))
             xn = _kroll(xw, di, dj)
             vn = _kroll(vw, di, dj)
             d = xn - xw
@@ -422,6 +570,9 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = aw[o][HPAD : HPAD + tile, :]
 
     return kernel
 
@@ -429,50 +580,83 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "tile", "dt", "n_substeps", "interpret")
 )
-def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, capsules,
-                           boxes, cfg, offsets, tile, dt, n_substeps,
-                           interpret=False):
+def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
+                           capsules, boxes, cfg, offsets, tile, dt,
+                           n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
+    n_off = len(offsets)
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                                  n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+    ]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((tile, nx), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = (state_shape, state_shape)
+    out_specs = (state_spec, state_spec)
+    scratch = [
+        pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+        pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
+    ]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+        )
+        out_specs = out_specs + (
+            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch.append(pltpu.VMEM((n_off, tile + 2 * HPAD, nx), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((9 if tearing else 6,)))
+
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        # see _tiled_substeps: tearing planes exceed the 16 MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tile, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
-            pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
         interpret=interpret,
     )
+
+    if tearing:
+        def body(carry, k):
+            x3, xp3, a3 = carry
+            first = (k == 0).astype(jnp.float32).reshape(1, 1)
+            xo, xpo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+                               first, x3, xp3, inv_mass2d, a3)
+            return (xo, xpo, ao), None
+
+        (xo, xpo, ao), _ = jax.lax.scan(
+            body, (x3, xp3, alive3), jnp.arange(n_substeps)
+        )
+        return xo, xpo, ao
 
     def body(carry, _):
         x3, xp3 = carry
@@ -480,19 +664,16 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, plane_h, spheres, capsules,
                     inv_mass2d), None
 
     (xo, xpo), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
-    return xo, xpo
+    return xo, xpo, None
 
 
 def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
                            interpret: bool = False):
     """Row-tiled fused Verlet for grids beyond the whole-VMEM gate (same
     sizing rules as make_tiled_step)."""
+    from .stencil import tear_plane_maps, tear_update_grid
+
     ny, nx = top.grid_shape
-    if cfg.tear.enabled:
-        raise ValueError(
-            "tearing needs liveness planes refreshed across tiles; "
-            ">VMEM tearing grids run on the stencil path"
-        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -504,22 +685,33 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, offsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         xp3 = state.x_prev.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, xpo = _tiled_verlet_substeps(
-            x3, xp3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, xpo, ao = _tiled_verlet_substeps(
+            x3, xp3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         xp = xpo.reshape(3, -1).T
-        return State(x=x, v=(x - xp) / dt, x_prev=xp)
+        alive = state.edge_alive
+        if tearing:
+            ao = tear_update_grid(xo, offsets, ao, cfg.tear.strain_limit)
+            alive = planes_to_alive(ao)
+        return State(x=x, v=(x - xp) / dt, x_prev=xp, edge_alive=alive)
 
     return fn
 
@@ -551,11 +743,18 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_off = len(xoffsets)
     wind_on = cfg.wind.enabled
+    tearing = cfg.tear.enabled
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
-    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_hbm,
-               xo_ref, vo_ref, xs, vs, ims, sem):
+    def kernel(*refs):
+        if tearing:
+            (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, v_hbm,
+             im_hbm, a_hbm, xo_ref, vo_ref, ao_ref, xs, vs, ims, as_,
+             sem) = refs
+        else:
+            (plane_ref, sph_ref, cap_ref, box_ref, x_hbm, v_hbm, im_hbm,
+             xo_ref, vo_ref, xs, vs, ims, sem) = refs
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         row0 = i * tile - xh
@@ -571,6 +770,9 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         xs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
         vs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
         ims[tile + xh :, :] = jnp.zeros((xh, nx), jnp.float32)
+        if tearing:
+            as_[:, 0:xh, :] = jnp.zeros((n_off, xh, nx), jnp.float32)
+            as_[:, tile + xh :, :] = jnp.zeros((n_off, xh, nx), jnp.float32)
 
         cps = [
             pltpu.make_async_copy(
@@ -583,6 +785,10 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 im_hbm.at[pl.ds(tile0, tile), :],
                 ims.at[pl.ds(xh, tile), :], sem.at[2]),
         ]
+        if tearing:
+            cps.append(pltpu.make_async_copy(
+                a_hbm.at[:, pl.ds(tile0, tile), :],
+                as_.at[:, pl.ds(xh, tile), :], sem.at[9]))
         for cp in cps:
             cp.start()
 
@@ -599,6 +805,10 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     im_hbm.at[pl.ds(tile_up, xh), :],
                     ims.at[pl.ds(0, xh), :], sem.at[5]),
             ]
+            if tearing:
+                ups.append(pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_up, xh), :],
+                    as_.at[:, pl.ds(0, xh), :], sem.at[10]))
             for cp in ups:
                 cp.start()
             for cp in ups:
@@ -617,6 +827,10 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     im_hbm.at[pl.ds(tile_dn, xh), :],
                     ims.at[pl.ds(tile + xh, xh), :], sem.at[8]),
             ]
+            if tearing:
+                dns.append(pltpu.make_async_copy(
+                    a_hbm.at[:, pl.ds(tile_dn, xh), :],
+                    as_.at[:, pl.ds(tile + xh, xh), :], sem.at[11]))
             for cp in dns:
                 cp.start()
             for cp in dns:
@@ -627,10 +841,26 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
 
         w = ims[:]                            # [ext, nx]
         movable = w > 0.0
-        masks = [
-            _global_edge_mask(ext, nx, ny, row0, di, dj)
-            for di, dj, _, _ in xoffsets
-        ]
+        xw = xs[:]
+        vw = vs[:]
+        if tearing:
+            # tear-at-start (see _make_kernel); ok wrap garbage sits in the
+            # bottom 2 window rows — the xh budget reserves them, so the
+            # per-sweep contamination creep still never reaches the interior
+            from .stencil import tear_ok_planes
+
+            first = first_ref[0, 0]
+            ok = tear_ok_planes(xw, xoffsets, cfg.tear.strain_limit,
+                                shift=_kroll)
+            masks = [
+                as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
+                for o in range(n_off)
+            ]
+        else:
+            masks = [
+                _global_edge_mask(ext, nx, ny, row0, di, dj)
+                for di, dj, _, _ in xoffsets
+            ]
         cnt = jnp.zeros((ext, nx), jnp.float32)
         for (di, dj, _, _), m in zip(xoffsets, masks):
             cnt = cnt + m + _kroll(m, -di, -dj)
@@ -639,8 +869,6 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         # predict: pointwise except wind lift, whose 1-ring normal read
         # contaminates only the outermost window row per side — the xh
         # budget in make_tiled_xpbd_step reserves that extra row
-        xw = xs[:]
-        vw = vs[:]
         xp = [xw[c] for c in range(3)]
         if wind_on:
             fw = wind_forces_grid(
@@ -714,6 +942,9 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         for c in range(3):
             xo_ref[c] = sl(xp[c] + dlf[c])
             vo_ref[c] = sl(dlf[c] * (1.0 / dt))
+        if tearing:
+            for o in range(n_off):
+                ao_ref[o] = masks[o][xh : xh + tile, :]
 
     return kernel
 
@@ -722,53 +953,81 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     jax.jit,
     static_argnames=("cfg", "xoffsets", "tile", "xh", "dt", "n_substeps", "interpret"),
 )
-def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules,
-                         boxes, cfg, xoffsets, tile, xh, dt, n_substeps,
-                         interpret=False):
+def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
+                         capsules, boxes, cfg, xoffsets, tile, xh, dt,
+                         n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_tiles = ny // tile
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
+    tearing = cfg.tear.enabled
+    n_off = len(xoffsets)
     kernel = _make_xpbd_tiled_kernel(cfg, xoffsets, ny, nx, tile, xh, dt,
                                      n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
     capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
     boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
 
+    state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
+    state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+    ]
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),       # inv-mass in HBM
+    ]
+    out_shape = (state_shape, state_shape)
+    out_specs = (state_spec, state_spec)
+    if tearing:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+        )
+        out_specs = out_specs + (
+            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((3, ny, nx), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),       # v in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),       # inv-mass in HBM
-        ],
-        out_specs=(
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
             pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
             pltpu.VMEM((tile + 2 * xh, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
+        ] + ([pltpu.VMEM((n_off, tile + 2 * xh, nx), jnp.float32)]
+             if tearing else [])
+        + [pltpu.SemaphoreType.DMA((12 if tearing else 9,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
+
+    if tearing:
+        def body(carry, k):
+            x3, v3, a3 = carry
+            first = (k == 0).astype(jnp.float32).reshape(1, 1)
+            xo, vo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+                              first, x3, v3, inv_mass2d, a3)
+            return (xo, vo, ao), None
+
+        (xo, vo, ao), _ = jax.lax.scan(
+            body, (x3, v3, alive3), jnp.arange(n_substeps)
+        )
+        return xo, vo, ao
 
     def body(carry, _):
         x3, v3 = carry
@@ -776,7 +1035,7 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, plane_h, spheres, capsules,
                     inv_mass2d), None
 
     (xo, vo), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
-    return xo, vo
+    return xo, vo, None
 
 
 def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
@@ -786,19 +1045,20 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
     Halo rows per side = spring reach x n_iterations (rounded up to the
     8-row DMA alignment); requires ``tile >= halo`` so neighbour DMAs stay
     in range and ``ny % tile == 0``."""
+    from .stencil import tear_plane_maps, tear_update_grid
+
     ny, nx = top.grid_shape
-    if cfg.tear.enabled:
-        raise ValueError(
-            "tearing needs liveness planes refreshed across tiles; "
-            ">VMEM tearing grids run on the stencil path"
-        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     reach = 2 if has_bend else 1
-    # +1 halo row when wind lift is on: the predict's normal read
-    # contaminates one extra row per side before the sweeps start
+    # +1 halo row when wind lift is on (the predict's normal read
+    # contaminates one extra row per side before the sweeps start); +2
+    # when tearing (the start-of-launch tear check's wrap garbage sits in
+    # the outermost 2 window rows)
     lift_pad = 1 if cfg.wind.lift != 0.0 else 0
-    xh = -(-(reach * cfg.xpbd.n_iterations + lift_pad) // HPAD) * HPAD
+    tear_pad = 2 if cfg.tear.enabled else 0
+    xh = -(-(reach * cfg.xpbd.n_iterations + lift_pad + tear_pad)
+           // HPAD) * HPAD
     if tile == 0:
         tile = max(xh, ((48 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > xh:
@@ -809,21 +1069,32 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             f"the halo {xh}"
         )
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
+    tearing = cfg.tear.enabled
+    if tearing:
+        alive_to_planes, planes_to_alive = tear_plane_maps(
+            top, xoffsets, ny, nx
+        )
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
+        a3 = (alive_to_planes(state.edge_alive) if tearing
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo = _tiled_xpbd_substeps(
-            x3, v3, im, top.plane_height, spheres, _pack_capsules(top),
+        xo, vo, ao = _tiled_xpbd_substeps(
+            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, xoffsets, int(tile),
             int(xh), float(dt), int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        return State(x=x, v=v, x_prev=x - dt * v)
+        alive = state.edge_alive
+        if tearing:
+            ao = tear_update_grid(xo, xoffsets, ao, cfg.tear.strain_limit)
+            alive = planes_to_alive(ao)
+        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive)
 
     return fn

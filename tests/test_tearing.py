@@ -240,6 +240,59 @@ def test_fused_kernel_tearing_matches_stencil(solver):
     )
 
 
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_tiled_kernel_tearing_matches_stencil(solver):
+    """The row-tiled kernels (grids beyond the whole-VMEM gate) refresh
+    liveness planes across tiles by per-launch halo DMA and tear at launch
+    start (first-launch flag + end-of-frame tear in the wrapper);
+    interpret-mode twin equality vs the stencil path including identical
+    tear masks."""
+    from softbodyunity_tpu.kernels.pallas_tiled import (
+        make_tiled_step,
+        make_tiled_verlet_step,
+        make_tiled_xpbd_step,
+    )
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    # XPBD halo: reach 2 x 4 iters + 2 tear-pad rows -> xh=16, tile>=16
+    ny = 32 if solver == Solver.XPBD else 24
+    tile = 16 if solver == Solver.XPBD else 8
+    host, cfg = _scene(solver, nx=8, ny=ny)
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    maker = {
+        Solver.SEMI_IMPLICIT_EULER: make_tiled_step,
+        Solver.VERLET: make_tiled_verlet_step,
+        Solver.XPBD: make_tiled_xpbd_step,
+    }[solver]
+    pal = maker(top, cfg, tile=tile, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_array_equal(
+        np.asarray(s_pal.edge_alive), np.asarray(s_ref.edge_alive)
+    )
+    assert float(np.asarray(s_ref.edge_alive).min()) == 0.0, "nothing tore"
+    np.testing.assert_allclose(
+        np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
+
+
+def test_dispatch_tearing_over_cap_routes_to_tiled(monkeypatch, capsys):
+    """A tearing grid past the (halved) whole-VMEM cap must route to the
+    row-tiled kernel — not silently degrade to the stencil path."""
+    from softbodyunity_tpu.kernels import dispatch, pallas_substep
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER, ny=24)  # 192 verts
+    top, _ = api.init(host)
+    monkeypatch.setattr(pallas_substep, "MAX_VMEM_VERTICES", 256)
+    dispatch._warned.clear()
+    fn = dispatch.maybe_fast_step(top, cfg, "pallas")  # 192 > 256//2
+    assert fn is not None
+    assert fn.__module__ == "softbodyunity_tpu.kernels.pallas_tiled"
+    assert "falling back" not in capsys.readouterr().err
+
+
 def test_diagnostics_reports_torn_edges():
     """diagnostics() counts torn edges and excludes them from the spring
     energy / residual (a torn stretched cloth would otherwise report huge
