@@ -7,7 +7,16 @@ See SURVEY.md for the component map and BASELINE.json for the capability
 contract.
 """
 
-from .api import init, move_colliders, move_pins, normals, rollout, step
+from .api import (
+    init,
+    move_colliders,
+    move_pins,
+    normals,
+    pick_vertex,
+    raycast,
+    rollout,
+    step,
+)
 from .core.config import (
     CollisionParams,
     SelfCollisionParams,
@@ -33,7 +42,7 @@ from .models import presets
 __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "move_pins",
-    "add_colliders",
+    "add_colliders", "raycast", "pick_vertex",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams",
     "CollisionParams", "SelfCollisionParams",

@@ -181,6 +181,34 @@ def normals(top: Topology, state: State) -> jax.Array:
     return jax.jit(_vertex_normals)(top.triangles, state.x)
 
 
+def raycast(top: Topology, state: State, origin, direction):
+    """Nearest ray hit on the deformed mesh (Physics.Raycast analogue).
+
+    Returns a :class:`~softbodyunity_tpu.solver.raycast.RayHit`
+    (``t, tri, u, v, point``; ``t = inf``/``tri = -1`` on a miss).
+    Oracle twin: ``oracle/reference.py::raycast``.
+    """
+    from .solver.raycast import raycast as _raycast
+
+    return jax.jit(_raycast)(
+        top.triangles, state.x,
+        jnp.asarray(origin, dtype=state.x.dtype),
+        jnp.asarray(direction, dtype=state.x.dtype),
+    )
+
+
+def pick_vertex(top: Topology, state: State, origin, direction) -> jax.Array:
+    """Vertex id to grab along a ray (i32, -1 on miss) — feed into
+    :func:`move_pins` for mouse-drag interactions."""
+    from .solver.raycast import pick_vertex as _pick
+
+    return jax.jit(_pick)(
+        top.triangles, state.x,
+        jnp.asarray(origin, dtype=state.x.dtype),
+        jnp.asarray(direction, dtype=state.x.dtype),
+    )
+
+
 def move_pins(top: Topology, state: State, positions, indices) -> State:
     """Kinematic attachments (the Unity moving-anchor analogue): teleport
     pinned vertices to new targets between frames.

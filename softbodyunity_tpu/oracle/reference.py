@@ -513,3 +513,43 @@ def vertex_normals(triangles: np.ndarray, x: np.ndarray) -> np.ndarray:
         np.add.at(out, triangles[:, c], fn)
     norm = np.linalg.norm(out, axis=1)
     return out / np.maximum(norm, 1e-12)[:, None]
+
+
+def raycast(triangles: np.ndarray, x: np.ndarray, origin: np.ndarray,
+            direction: np.ndarray, eps: float = 1e-9):
+    """Nearest ray-triangle intersection (Moller-Trumbore, binding
+    definition for the device twin).
+
+    The interaction analogue of Unity's ``Physics.Raycast`` against the
+    deformed soft-body mesh (mouse picking / grabbing; the reference
+    snapshot has no code, so the canonical editor interaction is the
+    spec).  ``direction`` need not be unit length; ``t`` is in units of
+    ``|direction|``.
+
+    Returns ``(t, tri, u, v)``: distance-parameter, triangle index and
+    barycentric (u, v) of the nearest front- or back-face hit with
+    ``t >= 0``; ``t = inf`` and ``tri = -1`` on a miss.  Ties (exactly
+    equal t) break toward the lowest triangle index.
+    """
+    o = np.asarray(origin, dtype=np.float64)
+    d = np.asarray(direction, dtype=np.float64)
+    p0 = x[triangles[:, 0]]
+    p1 = x[triangles[:, 1]]
+    p2 = x[triangles[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    h = np.cross(d[None, :], e2)
+    a = np.einsum("fc,fc->f", e1, h)
+    parallel = np.abs(a) < eps
+    f = 1.0 / np.where(parallel, 1.0, a)
+    s = o[None, :] - p0
+    u = f * np.einsum("fc,fc->f", s, h)
+    q = np.cross(s, e1)
+    v = f * np.einsum("fc,fc->f", d[None, :], q)
+    t = f * np.einsum("fc,fc->f", e2, q)
+    hit = (~parallel) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    t = np.where(hit, t, np.inf)
+    i = int(np.argmin(t))
+    if not np.isfinite(t[i]):
+        return np.inf, -1, 0.0, 0.0
+    return float(t[i]), i, float(u[i]), float(v[i])

@@ -59,3 +59,7 @@ def test_example_cloth_tearing():
 
 def test_example_wind_flag():
     _load("08_wind_flag.py").main(n_frames=12, nx=10, ny=8)
+
+
+def test_example_mouse_grab():
+    _load("09_mouse_grab.py").main(n_frames=12, nx=8, ny=8)
