@@ -38,11 +38,13 @@ from .core.topology import (
     tet_cube,
 )
 from .models import presets
+from .utils.profiling import contact_impulses, diagnostics
 
 __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "move_pins",
     "add_colliders", "raycast", "pick_vertex",
+    "diagnostics", "contact_impulses",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams",
     "CollisionParams", "SelfCollisionParams",

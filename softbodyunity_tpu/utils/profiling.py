@@ -101,6 +101,99 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
     return out
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dt"))
+def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
+    from ..solver.collide import (
+        _box_scalars,
+        _capsule_scalars,
+        _resolve_one_sphere,
+        box_resolve_components,
+        capsule_resolve_components,
+        resolve_plane,
+    )
+
+    movable = top.inv_mass > 0.0
+    m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
+    g = jnp.asarray(cfg.gravity, state.x.dtype)
+    v = state.v + dt * g[None, :]          # predicted velocities at contact
+    # predicted positions: post-resolve states rest *exactly on* contact
+    # surfaces (membership there is 1-ulp ill-conditioned), so advance one
+    # substep — resting vertices land strictly inside and register
+    x = state.x + dt * v
+    r, f = cfg.collision.restitution, cfg.collision.friction
+
+    def imp(v0, v1):
+        return jnp.sum(m[:, None] * (v1 - v0), axis=0)
+
+    out = {}
+    if cfg.collision.enable_plane:
+        x1, v1 = resolve_plane(x, v, top.plane_height, r, f, movable)
+        out["plane"] = imp(v, v1)
+        x, v = x1, v1
+    if cfg.collision.enable_spheres and top.n_spheres > 0:
+        js = []
+        for s in range(top.n_spheres):
+            x1, v1 = _resolve_one_sphere(
+                x, v, top.sphere_centers[s], top.sphere_radii[s], r, f,
+                movable,
+            )
+            js.append(imp(v, v1))
+            x, v = x1, v1
+        out["spheres"] = jnp.stack(js)
+    xz = [x[:, 0], x[:, 1], x[:, 2]]
+    vz = [v[:, 0], v[:, 1], v[:, 2]]
+
+    def imp_c(vz0, vz1):
+        return jnp.stack([jnp.sum(m * (vz1[c] - vz0[c])) for c in range(3)])
+
+    if cfg.collision.enable_capsules and top.n_capsules > 0:
+        js = []
+        for s in range(top.n_capsules):
+            p0, p1, rad = _capsule_scalars(top, s)
+            xz1, vz1 = capsule_resolve_components(xz, vz, movable, p0, p1,
+                                                  rad, r, f)
+            js.append(imp_c(vz, vz1))
+            xz, vz = xz1, vz1
+        out["capsules"] = jnp.stack(js)
+    if cfg.collision.enable_boxes and top.n_boxes > 0:
+        js = []
+        for s in range(top.n_boxes):
+            c3, h, rot = _box_scalars(top, s)
+            xz1, vz1 = box_resolve_components(xz, vz, movable, c3, h, rot,
+                                              r, f)
+            js.append(imp_c(vz, vz1))
+            xz, vz = xz1, vz1
+        out["boxes"] = jnp.stack(js)
+    return out
+
+
+def contact_impulses(top: Topology, cfg: SimConfig, state: State,
+                     dt=None) -> Dict[str, jax.Array]:
+    """Per-collider contact impulse for two-way rigidbody coupling.
+
+    Runs one velocity-level resolve pass (the oracle's sequential
+    plane -> spheres -> capsules -> boxes order) on the *predicted*
+    state (``v_hat = v + dt*g``, ``x_hat = x + dt*v_hat`` — one substep
+    ahead, so vertices resting exactly on a surface register as contacts)
+    and reports, per collider, the impulse
+    ``J = sum_i m_i * dv_i`` the resolve applies to the soft body.  The
+    reaction on the rigid collider is ``-J`` (equivalent force ``-J/dt``):
+    a cloth resting on the ground plane reports ``J/dt ~= (0, M*g, 0)``
+    with ``M`` the supported mass — feed ``-J/dt`` to the game engine's
+    rigidbody as the soft body's weight/push.
+
+    Keys present: ``"plane"`` f32[3], ``"spheres"`` f32[S,3],
+    ``"capsules"`` f32[C,3], ``"boxes"`` f32[B,3] — only for enabled
+    collider sets.  Observable-tier (once per frame), not inside the
+    substep scan.
+    """
+    return _contact_impulses(top, cfg, state,
+                             float(cfg.dt if dt is None else dt))
+
+
 def checked_step(top: Topology, cfg: SimConfig, state: State,
                  dt=None, n_substeps=None) -> State:
     """Step with checkify NaN/Inf guards: raises on the first non-finite
