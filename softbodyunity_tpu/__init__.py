@@ -19,6 +19,7 @@ from .api import (
 )
 from .core.config import (
     CollisionParams,
+    PlasticityParams,
     SelfCollisionParams,
     SimConfig,
     Solver,
@@ -46,7 +47,7 @@ __all__ = [
     "add_colliders", "raycast", "pick_vertex",
     "diagnostics", "contact_impulses",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
-    "TearParams",
+    "TearParams", "PlasticityParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh", "presets",

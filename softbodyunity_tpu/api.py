@@ -131,6 +131,15 @@ def ensure_tear_state(top: Topology, cfg: SimConfig, state: State) -> State:
     return state
 
 
+def ensure_plastic_state(top: Topology, cfg: SimConfig, state: State) -> State:
+    """Populate ``State.rest_scale`` (all ones) when a plasticity config
+    meets a state without it — OUTSIDE jit (pytree structure changes)."""
+    if cfg.plasticity.enabled and state.rest_scale is None:
+        scale = jnp.ones((top.edges.shape[0],), state.x.dtype)
+        state = state.replace(rest_scale=scale)
+    return state
+
+
 def step(
     top: Topology,
     cfg: SimConfig,
@@ -142,6 +151,7 @@ def step(
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)
+    state = ensure_plastic_state(top, cfg, state)
     return _compiled_step(cfg, dt, n)(top, state)
 
 
@@ -173,6 +183,7 @@ def rollout(
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)
+    state = ensure_plastic_state(top, cfg, state)
     return _compiled_rollout(cfg, dt, n, int(n_steps))(top, state)
 
 

@@ -117,6 +117,37 @@ class TearParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlasticityParams:
+    """Plastic (permanent) deformation — the soft-body "memory foam" /
+    bent-metal behaviour: an edge strained past ``yield_strain`` creeps
+    its rest length toward the deformed length and keeps the new shape
+    when the load is removed.
+
+    Semantics (oracle/reference.py::plastic_update is binding): rest
+    scale is dynamic state — ``State.rest_scale`` f32[E], starting at 1 —
+    multiplying ``rest_length`` wherever springs or XPBD distance
+    constraints read it (and in the tearing strain check, so plastic flow
+    delays tearing).  At the END of every substep, before the tear
+    check::
+
+        strain = (length - rest*scale) / (rest*scale)
+        excess = sign(strain) * max(|strain| - yield_strain, 0)
+        scale  = clip(scale * (1 + creep * excess), min_scale, max_scale)
+
+    ``creep`` is a per-substep rate (halve it if you double n_substeps
+    for the same flow per frame).  Shapes stay static, so plasticity is
+    jit/vmap/scan-friendly; plastic scenes run on the exact jnp gather
+    path (per-edge rest breaks the banded/stencil shared-rest layout).
+    """
+
+    enabled: bool = False
+    yield_strain: float = 0.1   # elastic limit (relative elongation)
+    creep: float = 0.1          # per-substep flow rate toward the load
+    min_scale: float = 0.25     # rest-length scale clamp (sanity bounds)
+    max_scale: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -177,6 +208,7 @@ class SimConfig:
     self_collision: SelfCollisionParams = SelfCollisionParams()
     wind: WindParams = WindParams()
     tear: TearParams = TearParams()
+    plasticity: PlasticityParams = PlasticityParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

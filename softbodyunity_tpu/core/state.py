@@ -34,6 +34,10 @@ class State:
     # tearing is off (None keeps the pytree minimal; api.step populates it
     # lazily — outside jit — the first time a tearing config is stepped).
     edge_alive: "jax.Array | None" = None
+    # Rest-length scale for plastic deformation (PlasticityParams):
+    # f32[E] starting at 1.0, or None when plasticity is off (populated
+    # lazily by api.step like edge_alive).
+    rest_scale: "jax.Array | None" = None
 
     @property
     def n_vertices(self) -> int:

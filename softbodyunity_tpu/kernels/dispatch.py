@@ -23,6 +23,17 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if cfg.plasticity.enabled:
+        # plasticity carries per-edge rest-length scales, which break the
+        # shared-rest layout of the stencil/banded/Pallas fast paths; the
+        # exact jnp gather path is the only one that reads them
+        if backend == "pallas":
+            _warn_once(
+                ("plastic", top.n_vertices, cfg.solver),
+                "pallas requested but plasticity routes to the jnp gather "
+                "path",
+            )
+        return None
     if cfg.tear.enabled and (
         top.grid_shape is None or top.grid_spacing is None
         or top.n_tets > 0 or cfg.self_collision.enabled

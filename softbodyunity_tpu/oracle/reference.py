@@ -57,10 +57,12 @@ def spring_forces(
     top: HostTopology, x: np.ndarray, v: np.ndarray,
     damping: "float | None" = None, cfg: SimConfig = None,
     alive: "np.ndarray | None" = None,
+    rest_scale: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Per-edge Hooke + axial damper, scatter-added to both endpoints.
     ``alive`` (TearParams liveness mask f64[E] of {0,1}) silences torn
-    edges; None means all edges live."""
+    edges; ``rest_scale`` (PlasticityParams f64[E]) multiplies the rest
+    lengths; None means all edges live / unscaled."""
     c = cfg.springs.damping if damping is None else damping
     a = top.edges[:, 0]
     b = top.edges[:, 1]
@@ -69,7 +71,9 @@ def spring_forces(
     length = np.maximum(length, 1e-12)
     n = d / length[:, None]
     rel_v = np.einsum("ej,ej->e", v[b] - v[a], n)     # axial relative velocity
-    fmag = top.edge_stiffness * (length - top.rest_length) + c * rel_v
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    fmag = top.edge_stiffness * (length - rest) + c * rel_v
     if alive is not None:
         fmag = fmag * alive
     f_edge = fmag[:, None] * n                        # force on endpoint a (toward b)
@@ -300,18 +304,39 @@ def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     return f
 
 
-def tear_update(top: HostTopology, cfg: SimConfig, x, alive):
+def tear_update(top: HostTopology, cfg: SimConfig, x, alive,
+                rest_scale=None):
     """End-of-substep tear check (TearParams semantics, binding): an edge
-    whose post-substep elongation exceeds the strain limit dies forever."""
+    whose post-substep elongation exceeds the strain limit dies forever.
+    Plastic flow (``rest_scale``) rescales the rest length first, so
+    creeping edges tear later."""
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     length = np.linalg.norm(x[b] - x[a], axis=1)
-    limit = top.rest_length * (1.0 + cfg.tear.strain_limit)
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    limit = rest * (1.0 + cfg.tear.strain_limit)
     return alive * (length <= limit).astype(alive.dtype)
 
 
-def _total_forces(top, cfg, x, v, alive=None):
-    f = spring_forces(top, x, v, cfg=cfg, alive=alive)
+def plastic_update(top: HostTopology, cfg: SimConfig, x, scale):
+    """End-of-substep plastic flow (PlasticityParams semantics, binding):
+    edges strained past the yield point creep their rest-length scale
+    toward the deformed length; runs BEFORE the tear check each substep."""
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    length = np.linalg.norm(x[b] - x[a], axis=1)
+    rest = np.maximum(top.rest_length * scale, 1e-12)
+    strain = (length - rest) / rest
+    pp = cfg.plasticity
+    excess = np.sign(strain) * np.maximum(np.abs(strain) - pp.yield_strain,
+                                          0.0)
+    return np.clip(scale * (1.0 + pp.creep * excess),
+                   pp.min_scale, pp.max_scale)
+
+
+def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
+    f = spring_forces(top, x, v, cfg=cfg, alive=alive, rest_scale=rest_scale)
     if cfg.self_collision.enabled:
         f = f + self_collision_forces(
             x, cfg.self_collision.radius, cfg.self_collision.stiffness
@@ -322,11 +347,11 @@ def _total_forces(top, cfg, x, v, alive=None):
 
 
 def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                  alive=None):
+                  alive=None, scale=None):
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
-    f = _total_forces(top, cfg, x, v, alive=alive)
+    f = _total_forces(top, cfg, x, v, alive=alive, rest_scale=scale)
     v = (v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
     v = np.where(movable[:, None], v, 0.0)
     x_prev = x
@@ -354,18 +379,20 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
             x, v, top.box_centers, top.box_half_extents, top.box_rotations,
             cfg.collision.restitution, cfg.collision.friction, movable,
         )
+    if scale is not None:
+        scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
-        alive = tear_update(top, cfg, x, alive)
-    return x, v, x_prev, alive
+        alive = tear_update(top, cfg, x, alive, rest_scale=scale)
+    return x, v, x_prev, alive, scale
 
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                   alive=None):
+                   alive=None, scale=None):
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     v_est = (x - x_prev) / dt
-    f = _total_forces(top, cfg, x, v_est, alive=alive)
+    f = _total_forces(top, cfg, x, v_est, alive=alive, rest_scale=scale)
     accel = g[None, :] + f * w
     x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = np.where(movable[:, None], x_new, x)
@@ -373,22 +400,27 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     x_new = x_new + dx
     x_new = project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - x) / dt
+    if scale is not None:
+        scale = plastic_update(top, cfg, x_new, scale)
     if alive is not None:
-        alive = tear_update(top, cfg, x_new, alive)
-    return x_new, v_new, x, alive
+        alive = tear_update(top, cfg, x_new, alive, rest_scale=scale)
+    return x_new, v_new, x, alive, scale
 
 
 def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt,
-                   alive=None):
+                   alive=None, rest_scale=None):
     """One Jacobi projection sweep over distance + volume constraints.
-    Dead (torn) edges project nothing and leave the Jacobi count."""
+    Dead (torn) edges project nothing and leave the Jacobi count;
+    ``rest_scale`` rescales the distance targets (PlasticityParams)."""
     w = top.inv_mass
     a_idx = top.edges[:, 0]
     b_idx = top.edges[:, 1]
     d = x[b_idx] - x[a_idx]
     length = np.linalg.norm(d, axis=1)
     n = d / np.maximum(length, 1e-12)[:, None]
-    c_val = length - top.rest_length
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    c_val = length - rest
     alpha_t = top.edge_compliance / (dt * dt)
     denom = w[a_idx] + w[b_idx] + alpha_t
     dlam = -(c_val + alpha_t * lam) / np.maximum(denom, 1e-12)
@@ -432,7 +464,7 @@ def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt,
 
 
 def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                 alive=None):
+                 alive=None, scale=None):
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     accel = g[None, :]
@@ -447,7 +479,7 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     lam_vol = np.zeros(top.tets.shape[0])
     for _ in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt,
-                                         alive=alive)
+                                         alive=alive, rest_scale=scale)
         # contacts are projected INSIDE the Jacobi loop: projecting only
         # after the loop lets constraint corrections and the contact fight,
         # and the velocity recovery below turns the unresolved conflict into
@@ -456,9 +488,11 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         x = project_positions_only(top, cfg, x, movable)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
+    if scale is not None:
+        scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
-        alive = tear_update(top, cfg, x, alive)
-    return x, v, x_prev, alive
+        alive = tear_update(top, cfg, x, alive, rest_scale=scale)
+    return x, v, x_prev, alive, scale
 
 
 _SUBSTEP = {
@@ -469,22 +503,28 @@ _SUBSTEP = {
 
 
 def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None,
-         n_substeps=None, alive=None):
+         n_substeps=None, alive=None, rest_scale=None):
     """One frame = n_substeps substeps (mirrors FixedUpdate + inner loop).
-    Returns ``(x, v, x_prev)``, or ``(x, v, x_prev, alive)`` when an edge
-    liveness mask was passed (TearParams)."""
+    Returns ``(x, v, x_prev)``, plus ``alive`` when an edge liveness mask
+    was passed (TearParams), plus ``rest_scale`` when a plastic scale was
+    passed (PlasticityParams)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     fn = _SUBSTEP[cfg.solver]
-    # tearing only acts when the CONFIG enables it (device-path parity:
-    # solver/step.py _tear_alive); an alive mask passed with tear disabled
-    # is inert and returned unchanged
+    # tearing/plasticity only act when the CONFIG enables them
+    # (device-path parity: solver/step.py _tear_alive/_plastic_scale); a
+    # mask passed with the feature disabled is inert, returned unchanged
     use = alive if cfg.tear.enabled else None
+    use_s = rest_scale if cfg.plasticity.enabled else None
     for _ in range(n):
-        x, v, x_prev, use = fn(top, cfg, x, v, x_prev, dt, alive=use)
-    if alive is None:
-        return x, v, x_prev
-    return x, v, x_prev, (use if cfg.tear.enabled else alive)
+        x, v, x_prev, use, use_s = fn(top, cfg, x, v, x_prev, dt,
+                                      alive=use, scale=use_s)
+    out = (x, v, x_prev)
+    if alive is not None:
+        out = out + ((use if cfg.tear.enabled else alive),)
+    if rest_scale is not None:
+        out = out + ((use_s if cfg.plasticity.enabled else rest_scale),)
+    return out
 
 
 def run_trajectory(top: HostTopology, cfg: SimConfig, n_steps: int, record_every: int = 1):

@@ -33,20 +33,29 @@ def batch_state(state: State, batch: int, jitter: Optional[jax.Array] = None) ->
     alive = state.edge_alive
     if alive is not None:
         alive = jnp.broadcast_to(alive[None], (batch,) + alive.shape)
+    scale = state.rest_scale
+    if scale is not None:
+        scale = jnp.broadcast_to(scale[None], (batch,) + scale.shape)
     return State(
         x=bx,
         v=jnp.zeros_like(bx),
         x_prev=bx,
         edge_alive=alive,
+        rest_scale=scale,
     )
 
 
 def _ensure_tear_batched(top: Topology, cfg: SimConfig, states: State) -> State:
-    """Batched twin of api.ensure_tear_state (outside jit: structure change)."""
+    """Batched twin of api.ensure_tear_state / ensure_plastic_state
+    (outside jit: structure change)."""
     if cfg.tear.enabled and states.edge_alive is None:
         b = states.x.shape[0]
         alive = jnp.ones((b, top.edges.shape[0]), states.x.dtype)
         states = states.replace(edge_alive=alive)
+    if cfg.plasticity.enabled and states.rest_scale is None:
+        b = states.x.shape[0]
+        scale = jnp.ones((b, top.edges.shape[0]), states.x.dtype)
+        states = states.replace(rest_scale=scale)
     return states
 
 

@@ -25,9 +25,10 @@ from ..core.topology import Topology
 
 
 def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
-                       cfg: SimConfig, alive=None):
+                       cfg: SimConfig, alive=None, rest_scale=None):
     """Per-edge Hooke + axial-damper force on endpoint *a* (toward *b*):
-    f32[E,3].  ``alive`` (TearParams liveness f32[E]) silences torn edges."""
+    f32[E,3].  ``alive`` (TearParams liveness f32[E]) silences torn edges;
+    ``rest_scale`` (PlasticityParams f32[E]) rescales the rest lengths."""
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     d = x[b] - x[a]
@@ -36,16 +37,19 @@ def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
     n = d * inv_len[:, None]
     rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n,
                        precision=jax.lax.Precision.HIGHEST)
-    fmag = top.edge_stiffness * (length - top.rest_length) + cfg.springs.damping * rel_v
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    fmag = top.edge_stiffness * (length - rest) + cfg.springs.damping * rel_v
     if alive is not None:
         fmag = fmag * alive
     return fmag[:, None] * n
 
 
 def spring_forces_gather(top: Topology, x: jax.Array, v: jax.Array,
-                         cfg: SimConfig, alive=None):
+                         cfg: SimConfig, alive=None, rest_scale=None):
     """Race-free incidence-gather accumulation: f32[N,3]."""
-    f_edge = edge_force_vectors(top, x, v, cfg, alive=alive)
+    f_edge = edge_force_vectors(top, x, v, cfg, alive=alive,
+                                rest_scale=rest_scale)
     # ghost row: padded incidence entries (id == E) gather zero force
     f_pad = jnp.concatenate([f_edge, jnp.zeros((1, 3), f_edge.dtype)], axis=0)
     gathered = f_pad[top.incident]                      # [N, D, 3]

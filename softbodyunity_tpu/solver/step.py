@@ -34,29 +34,51 @@ def wind_forces(top: Topology, cfg: SimConfig, x, v):
     return f
 
 
-def tear_update(top: Topology, cfg: SimConfig, x, alive):
-    """End-of-substep permanent edge failure (oracle tear_update twin)."""
+def tear_update(top: Topology, cfg: SimConfig, x, alive, rest_scale=None):
+    """End-of-substep permanent edge failure (oracle tear_update twin);
+    ``rest_scale`` (plasticity) rescales the rest length first."""
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     length = jnp.linalg.norm(x[b] - x[a], axis=1)
-    limit = top.rest_length * (1.0 + cfg.tear.strain_limit)
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    limit = rest * (1.0 + cfg.tear.strain_limit)
     return alive * (length <= limit).astype(alive.dtype)
 
 
-def total_forces(top: Topology, cfg: SimConfig, x, v, alive=None):
+def plastic_update(top: Topology, cfg: SimConfig, x, scale):
+    """End-of-substep plastic flow (oracle plastic_update twin): edges
+    strained past the yield point creep their rest-length scale toward
+    the deformed length; runs BEFORE the tear check."""
+    a = top.edges[:, 0]
+    b = top.edges[:, 1]
+    length = jnp.linalg.norm(x[b] - x[a], axis=1)
+    rest = jnp.maximum(top.rest_length * scale, 1e-12)
+    strain = (length - rest) / rest
+    pp = cfg.plasticity
+    excess = jnp.sign(strain) * jnp.maximum(jnp.abs(strain)
+                                            - pp.yield_strain, 0.0)
+    return jnp.clip(scale * (1.0 + pp.creep * excess),
+                    pp.min_scale, pp.max_scale)
+
+
+def total_forces(top: Topology, cfg: SimConfig, x, v, alive=None,
+                 rest_scale=None):
     groups = top.offset_groups
     use_banded = (
         groups is not None
         and top.n_edges > 0
         and groups.n_residual <= top.n_edges // 2  # static shape decision
         and alive is None  # tearing needs per-edge masks: gather path
+        and rest_scale is None  # plasticity: per-edge rest, gather path
     )
     if use_banded:
         from . import banded
 
         f = banded.spring_forces_banded(groups, x, v, cfg)
     else:
-        f = forces.spring_forces_gather(top, x, v, cfg, alive=alive)
+        f = forces.spring_forces_gather(top, x, v, cfg, alive=alive,
+                                        rest_scale=rest_scale)
     if cfg.self_collision.enabled:
         if cfg.self_collision.method == "dense":
             f = f + forces.self_collision_forces_dense(
@@ -110,12 +132,19 @@ def _tear_alive(cfg: SimConfig, s: State):
     return s.edge_alive if cfg.tear.enabled and s.edge_alive is not None else None
 
 
+def _plastic_scale(cfg: SimConfig, s: State):
+    """The rest-length scale this substep runs with (None = inactive)."""
+    return (s.rest_scale
+            if cfg.plasticity.enabled and s.rest_scale is not None else None)
+
+
 def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     alive = _tear_alive(cfg, s)
+    scale = _plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
-    f = total_forces(top, cfg, s.x, s.v, alive=alive)
+    f = total_forces(top, cfg, s.x, s.v, alive=alive, rest_scale=scale)
     v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
     v = jnp.where(movable[:, None], v, 0.0)
     x_prev = s.x
@@ -125,17 +154,21 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         x = x + dx
         v = v + dx / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
-    alive = tear_update(top, cfg, x, alive) if alive is not None else s.edge_alive
-    return State(x=x, v=v, x_prev=x_prev, edge_alive=alive)
+    scale = plastic_update(top, cfg, x, scale) if scale is not None else None
+    alive = (tear_update(top, cfg, x, alive, rest_scale=scale)
+             if alive is not None else s.edge_alive)
+    return State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
+                 rest_scale=scale if scale is not None else s.rest_scale)
 
 
 def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     alive = _tear_alive(cfg, s)
+    scale = _plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     v_est = (s.x - s.x_prev) / dt
-    f = total_forces(top, cfg, s.x, v_est, alive=alive)
+    f = total_forces(top, cfg, s.x, v_est, alive=alive, rest_scale=scale)
     accel = g[None, :] + f * w
     x_new = s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable[:, None], x_new, s.x)
@@ -143,8 +176,12 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         x_new = x_new + _volume_projection(top, x_new, cfg.volume_stiffness)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - s.x) / dt
-    alive = tear_update(top, cfg, x_new, alive) if alive is not None else s.edge_alive
-    return State(x=x_new, v=v_new, x_prev=s.x, edge_alive=alive)
+    scale = (plastic_update(top, cfg, x_new, scale)
+             if scale is not None else None)
+    alive = (tear_update(top, cfg, x_new, alive, rest_scale=scale)
+             if alive is not None else s.edge_alive)
+    return State(x=x_new, v=v_new, x_prev=s.x, edge_alive=alive,
+                 rest_scale=scale if scale is not None else s.rest_scale)
 
 
 def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
@@ -158,6 +195,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
     movable = top.inv_mass > 0.0
     alive = _tear_alive(cfg, s)
+    scale = _plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     accel = g[None, :]
     if cfg.wind.enabled:
@@ -171,7 +209,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     def _project_delta(delta):
         return collide.project_positions_delta(top, cfg, x_prev, delta, movable)
 
-    if banded.xpbd_banded_applicable(top) and alive is None:
+    if banded.xpbd_banded_applicable(top) and alive is None and scale is None:
         # gather-free Jacobi sweeps over delta-grouped constraints
         groups = top.offset_groups
         tgroups = top.tet_groups
@@ -204,7 +242,8 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         def body(carry, _):
             delta, lam, lam_vol = carry
             dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
-                top, cfg, x_prev + delta, lam, lam_vol, dt, alive=alive
+                top, cfg, x_prev + delta, lam, lam_vol, dt, alive=alive,
+                rest_scale=scale,
             )
             # contacts projected inside the loop (see oracle substep_xpbd)
             delta = _project_delta(delta + dx)
@@ -215,8 +254,11 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         )
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
-    alive = tear_update(top, cfg, x, alive) if alive is not None else s.edge_alive
-    return State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=alive)
+    scale = plastic_update(top, cfg, x, scale) if scale is not None else None
+    alive = (tear_update(top, cfg, x, alive, rest_scale=scale)
+             if alive is not None else s.edge_alive)
+    return State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=alive,
+                 rest_scale=scale if scale is not None else s.rest_scale)
 
 
 _SUBSTEP = {

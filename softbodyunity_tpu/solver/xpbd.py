@@ -22,16 +22,20 @@ from ..core.config import SimConfig
 from ..core.topology import Topology
 
 
-def distance_corrections(top: Topology, x, lam, dt, alive=None):
+def distance_corrections(top: Topology, x, lam, dt, alive=None,
+                         rest_scale=None):
     """Per-edge XPBD distance projection; returns (dx_edge_a, n, dlam, lam).
-    Dead (torn) edges project nothing (TearParams)."""
+    Dead (torn) edges project nothing (TearParams); ``rest_scale``
+    rescales the distance targets (PlasticityParams)."""
     w = top.inv_mass
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     d = x[b] - x[a]
     length = jnp.linalg.norm(d, axis=1)
     n = d / jnp.maximum(length, 1e-12)[:, None]
-    c_val = length - top.rest_length
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    c_val = length - rest
     alpha_t = top.edge_compliance / (dt * dt)
     denom = w[a] + w[b] + alpha_t
     dlam = -(c_val + alpha_t * lam) / jnp.maximum(denom, 1e-12)
@@ -64,7 +68,7 @@ def volume_terms(top: Topology, x, lam_vol, compliance, dt):
 
 
 def xpbd_iteration_dx(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt,
-                      alive=None):
+                      alive=None, rest_scale=None):
     """One Jacobi sweep over distance + volume constraints (oracle twin),
     returning the count-averaged, relaxed position INCREMENT (callers
     accumulate it in delta form for f32 drift control — see
@@ -74,7 +78,8 @@ def xpbd_iteration_dx(top: Topology, cfg: SimConfig, x, lam, lam_vol, dt,
     w = top.inv_mass
     a = top.edges[:, 0]
     b = top.edges[:, 1]
-    n, dlam, lam = distance_corrections(top, x, lam, dt, alive=alive)
+    n, dlam, lam = distance_corrections(top, x, lam, dt, alive=alive,
+                                        rest_scale=rest_scale)
     dx = jax.ops.segment_sum(-(w[a] * dlam)[:, None] * n, a, num_segments=n_v)
     dx = dx + jax.ops.segment_sum((w[b] * dlam)[:, None] * n, b, num_segments=n_v)
     ones_e = jnp.ones_like(dlam) if alive is None else alive

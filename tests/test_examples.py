@@ -63,3 +63,8 @@ def test_example_wind_flag():
 
 def test_example_mouse_grab():
     _load("09_mouse_grab.py").main(n_frames=12, nx=8, ny=8)
+
+
+def test_example_plastic_deformation():
+    smax = _load("10_plastic_deformation.py").main(n_frames=25, nx=8, ny=10)
+    assert smax > 1.001
