@@ -149,6 +149,7 @@ def _bench_preset_substeps(preset: str, small: int, big: int):
     host, cfg = presets.build(preset)
     top, state = api.init(host)
     state = api.ensure_tear_state(top, cfg, state)
+    state = api.ensure_plastic_state(top, cfg, state)
 
     def make_run(n_substeps):
         @jax.jit
@@ -201,6 +202,12 @@ def bench_tearing_64k():
     return _bench_preset_substeps("cloth_tearing_64k", 8, 160)
 
 
+def bench_plastic_64k():
+    """Substeps/sec, 64k plastically-deforming cloth (rest-scale planes on
+    the stencil path)."""
+    return _bench_preset_substeps("cloth_plastic_64k", 8, 104)
+
+
 def bench_tearing_262k():
     """Substeps/sec, 262k tearing cloth past the whole-VMEM cap: the
     row-tiled kernel DMA-refreshes the liveness planes across tiles."""
@@ -231,6 +238,7 @@ _PARTS = {
     "cubexpbd": bench_cube_xpbd_64k,
     "tear64k": bench_tearing_64k,
     "tear262k": bench_tearing_262k,
+    "plastic64k": bench_plastic_64k,
     "wind64k": bench_wind_64k,
 }
 
@@ -277,6 +285,7 @@ def main():
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
         ("tear64k", "substeps_per_sec_64k_tearing"),
         ("tear262k", "substeps_per_sec_262k_tearing"),
+        ("plastic64k", "substeps_per_sec_64k_plastic"),
         ("wind64k", "substeps_per_sec_64k_wind"),
     ]:
         try:

@@ -24,16 +24,28 @@ def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
     if cfg.plasticity.enabled:
-        # plasticity carries per-edge rest-length scales, which break the
-        # shared-rest layout of the stencil/banded/Pallas fast paths; the
-        # exact jnp gather path is the only one that reads them
+        # plasticity carries per-edge rest-length scales: grid scenes run
+        # them as per-offset planes on the XLA stencil path (same plane
+        # machinery as tearing); everything else takes the exact jnp
+        # gather path.  The fused Pallas kernels don't carry rest planes
+        # (per-offset scales would double their VMEM plane budget).
+        if (top.grid_shape is None or top.grid_spacing is None
+                or top.n_tets > 0 or cfg.self_collision.enabled):
+            if backend == "pallas":
+                _warn_once(
+                    ("plastic", top.n_vertices, cfg.solver),
+                    "pallas requested but plasticity routes to the jnp "
+                    "gather path",
+                )
+            return None
         if backend == "pallas":
             _warn_once(
-                ("plastic", top.n_vertices, cfg.solver),
-                "pallas requested but plasticity routes to the jnp gather "
-                "path",
+                ("plastic-grid", top.grid_shape, cfg.solver),
+                "pallas requested but plasticity runs on the XLA stencil "
+                "path (fused kernels don't carry rest-scale planes)",
             )
-        return None
+        from .stencil import make_stencil_step
+        return make_stencil_step(top, cfg)
     if cfg.tear.enabled and (
         top.grid_shape is None or top.grid_spacing is None
         or top.n_tets > 0 or cfg.self_collision.enabled

@@ -81,6 +81,7 @@ def stencil_spring_forces(
     offsets,             # from _offsets
     damping: float,
     alive=None,          # f32[n_off, ny, nx] tear liveness planes, or None
+    rest_scale=None,     # f32[n_off, ny, nx] plastic rest scales, or None
 ) -> jax.Array:
     """Hooke + axial damper over all spring classes, stencil-accumulated.
 
@@ -102,35 +103,64 @@ def stencil_spring_forces(
         rel_v = jnp.sum((vn - v3) * n, axis=0)
         mask = (jnp.asarray(_valid_mask(ny, nx, di, dj))
                 if alive is None else alive[o])
-        fmag = (k * (length - rest) + damping * rel_v) * mask
+        rest_eff = rest if rest_scale is None else rest * rest_scale[o]
+        fmag = (k * (length - rest_eff) + damping * rel_v) * mask
         f = fmag * n                       # force on (i,j), toward neighbour
         f_total = f_total + f - _shift(f, -di, -dj)
     return f_total
 
 
-def tear_ok_planes(x3, offsets, strain_limit: float, shift=_shift):
+def tear_ok_planes(x3, offsets, strain_limit: float, shift=_shift,
+                   rest_scale=None):
     """Per-offset survival masks of the tear check (oracle tear_update's
     comparison): 1.0 where the edge owned at (i, j) is within its strain
     limit.  Single source of the tear math for the stencil, fused-Pallas
-    (``shift=_kroll``), and halo paths."""
+    (``shift=_kroll``), and halo paths.  ``rest_scale`` (plasticity)
+    rescales the rest lengths first."""
     ok = []
-    for off in offsets:
+    for o, off in enumerate(offsets):
         di, dj, rest = off[0], off[1], off[3]
         d = shift(x3, di, dj) - x3
         length = jnp.sqrt(jnp.sum(d * d, axis=0))
-        ok.append((length <= rest * (1.0 + strain_limit)).astype(x3.dtype))
+        rest_eff = rest if rest_scale is None else rest * rest_scale[o]
+        ok.append((length <= rest_eff * (1.0 + strain_limit))
+                  .astype(x3.dtype))
     return ok
 
 
-def tear_update_grid(x3, offsets, alive, strain_limit: float, shift=_shift):
+def tear_update_grid(x3, offsets, alive, strain_limit: float, shift=_shift,
+                     rest_scale=None):
     """End-of-substep tear check on liveness planes (oracle tear_update
     twin, zero gathers).  Invalid grid positions are already 0 in ``alive``
     and stay 0 regardless of the garbage lengths the shift makes there —
     the same annihilation argument covers the Pallas wrap-roll (pass
     ``shift=_kroll``).  ``alive`` is anything [o]-indexable (stacked planes
     or a loop-carry list)."""
-    ok = tear_ok_planes(x3, offsets, strain_limit, shift=shift)
+    ok = tear_ok_planes(x3, offsets, strain_limit, shift=shift,
+                        rest_scale=rest_scale)
     return jnp.stack([alive[o] * ok[o] for o in range(len(offsets))])
+
+
+def plastic_update_grid(x3, offsets, scale, pp, shift=_shift):
+    """End-of-substep plastic flow on rest-scale planes (oracle
+    plastic_update twin, zero gathers; PlasticityParams ``pp``).  Invalid
+    grid positions carry garbage scales (0 from the flat->plane scatter,
+    clamped to min_scale after one update) that nothing ever reads: the
+    force/constraint masks zero those positions and planes_to_alive only
+    gathers valid owners."""
+    out = []
+    for o, off in enumerate(offsets):
+        di, dj, rest = off[0], off[1], off[3]
+        d = shift(x3, di, dj) - x3
+        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        rest_eff = jnp.maximum(rest * scale[o], 1e-12)
+        strain = (length - rest_eff) / rest_eff
+        excess = jnp.sign(strain) * jnp.maximum(
+            jnp.abs(strain) - pp.yield_strain, 0.0
+        )
+        out.append(jnp.clip(scale[o] * (1.0 + pp.creep * excess),
+                            pp.min_scale, pp.max_scale))
+    return jnp.stack(out)
 
 
 def _cross3(a, b):
@@ -190,14 +220,16 @@ def wind_forces_grid(x3, v3, cfg: SimConfig, shift=_shift, cell_mask=None):
 def euler_substep_grid(
     x3, v3, inv_mass2, offsets, cfg: SimConfig, dt: float,
     plane_height, sphere_centers, sphere_radii, top=None, alive=None,
+    scale=None,
 ):
     """One semi-implicit Euler substep on grid planes — oracle semantics
-    (oracle/reference.py substep_euler) in stencil form.  With ``alive``
-    (tear liveness planes) returns ``(x3, v3, alive)``."""
+    (oracle/reference.py substep_euler) in stencil form.  ``alive`` (tear
+    liveness planes) / ``scale`` (plastic rest-scale planes) ride along;
+    returns ``(x3, v3, alive, scale)`` with Nones preserved."""
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
     f = stencil_spring_forces(x3, v3, offsets, cfg.springs.damping,
-                              alive=alive)
+                              alive=alive, rest_scale=scale)
     if cfg.wind.enabled:
         f = f + wind_forces_grid(x3, v3, cfg)
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
@@ -239,23 +271,26 @@ def euler_substep_grid(
         )
         x3 = jnp.stack(xz)
         v3 = jnp.stack(vz)
+    if scale is not None:
+        scale = plastic_update_grid(x3, offsets, scale, cfg.plasticity)
     if alive is not None:
-        return x3, v3, tear_update_grid(x3, offsets, alive,
-                                        cfg.tear.strain_limit)
-    return x3, v3
+        alive = tear_update_grid(x3, offsets, alive, cfg.tear.strain_limit,
+                                 rest_scale=scale)
+    return x3, v3, alive, scale
 
 
 def verlet_substep_grid(
     x3, xp3, inv_mass2, offsets, cfg: SimConfig, dt: float,
     plane_height, sphere_centers, sphere_radii, top=None, alive=None,
+    scale=None,
 ):
     """Position-Verlet substep in stencil form (oracle substep_verlet).
-    With ``alive`` (tear liveness planes) returns ``(x_new, x3, alive)``."""
+    Returns ``(x_new, x3, alive, scale)`` with Nones preserved."""
     g = jnp.asarray(cfg.gravity, dtype=x3.dtype).reshape(3, 1, 1)
     movable = inv_mass2 > 0.0
     v_est = (x3 - xp3) / dt
     f = stencil_spring_forces(x3, v_est, offsets, cfg.springs.damping,
-                              alive=alive)
+                              alive=alive, rest_scale=scale)
     if cfg.wind.enabled:
         f = f + wind_forces_grid(x3, v_est, cfg)
     accel = g + f * inv_mass2
@@ -264,10 +299,12 @@ def verlet_substep_grid(
     x_new = _project_positions_grid(
         x_new, movable, cfg, plane_height, sphere_centers, sphere_radii, top
     )
+    if scale is not None:
+        scale = plastic_update_grid(x_new, offsets, scale, cfg.plasticity)
     if alive is not None:
-        return x_new, x3, tear_update_grid(x_new, offsets, alive,
-                                           cfg.tear.strain_limit)
-    return x_new, x3
+        alive = tear_update_grid(x_new, offsets, alive,
+                                 cfg.tear.strain_limit, rest_scale=scale)
+    return x_new, x3, alive, scale
 
 
 def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers,
@@ -311,6 +348,7 @@ def _xpbd_offsets(cfg: SimConfig, spacing: float, has_shear: bool, has_bend: boo
 def xpbd_substep_grid(
     x3, v3, inv_mass2, xoffsets, cfg: SimConfig, dt: float,
     plane_height, sphere_centers, sphere_radii, top=None, alive=None,
+    scale=None,
 ):
     """XPBD substep in stencil form (oracle substep_xpbd): predict, then
     ``n_iterations`` of Jacobi distance-constraint projection with
@@ -357,12 +395,16 @@ def xpbd_substep_grid(
         xe = x_prev + delta            # evaluation point (not stored)
         dx = jnp.zeros_like(xe)
         new_lams = []
-        for (di, dj, alpha, rest), m, lam in zip(xoffsets, masks, lams):
+        for o, ((di, dj, alpha, rest), m, lam) in enumerate(
+                zip(xoffsets, masks, lams)):
             xn = _shift(xe, di, dj)
             d = xn - xe
             length = jnp.sqrt(jnp.sum(d * d, axis=0))
             n = d / jnp.maximum(length, 1e-12)
-            c_val = length - rest
+            # plastic rest scale is substep-constant (oracle: the update
+            # runs after the iteration loop)
+            rest_eff = rest if scale is None else rest * scale[o]
+            c_val = length - rest_eff
             alpha_t = alpha / (dt * dt)
             wn = _shift(w[None], di, dj)[0]
             denom = jnp.maximum(w + wn + alpha_t, 1e-12)
@@ -411,11 +453,12 @@ def xpbd_substep_grid(
     )
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
+    if scale is not None:
+        scale = plastic_update_grid(x_new, xoffsets, scale, cfg.plasticity)
     if alive is not None:
-        return x_new, delta / dt, tear_update_grid(
-            x_new, xoffsets, alive, cfg.tear.strain_limit
-        )
-    return x_new, delta / dt
+        alive = tear_update_grid(x_new, xoffsets, alive,
+                                 cfg.tear.strain_limit, rest_scale=scale)
+    return x_new, delta / dt, alive, scale
 
 
 def tear_plane_maps(top: Topology, offsets, ny: int, nx: int):
@@ -474,7 +517,10 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
         return a.reshape(3, ny * nx).T
 
     tearing = cfg.tear.enabled
-    if tearing:
+    plastic = cfg.plasticity.enabled
+    if tearing or plastic:
+        # one flat-[E] <-> plane mapping serves both liveness masks and
+        # rest-scale planes (pure per-edge index arithmetic)
         alive_to_planes, planes_to_alive = tear_plane_maps(
             top, offsets, ny, nx
         )
@@ -484,18 +530,20 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
         v3 = to_planes(state.v)
         xp3 = to_planes(state.x_prev)
         ap = alive_to_planes(state.edge_alive) if tearing else None
+        sp = alive_to_planes(state.rest_scale) if plastic else None
 
         if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
 
             def body(carry, _):
-                x3, v3, ap = carry
+                x3, v3, ap, sp = carry
                 out = euler_substep_grid(
-                    x3, v3, inv_mass2, offsets, cfg, dt, *colliders, alive=ap
+                    x3, v3, inv_mass2, offsets, cfg, dt, *colliders,
+                    alive=ap, scale=sp,
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (x3f, v3f, apf), _ = jax.lax.scan(
-                body, (x3, v3, ap), None, length=n_substeps
+            (x3f, v3f, apf, spf), _ = jax.lax.scan(
+                body, (x3, v3, ap, sp), None, length=n_substeps
             )
             # the Euler solver never reads x_prev; reconstruct the natural
             # value (position before the final integrate) cheaply
@@ -503,27 +551,29 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
         elif cfg.solver == Solver.VERLET:
 
             def body(carry, _):
-                x3, xp3, ap = carry
+                x3, xp3, ap, sp = carry
                 out = verlet_substep_grid(
-                    x3, xp3, inv_mass2, offsets, cfg, dt, *colliders, alive=ap
+                    x3, xp3, inv_mass2, offsets, cfg, dt, *colliders,
+                    alive=ap, scale=sp,
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (x3f, xp3f, apf), _ = jax.lax.scan(
-                body, (x3, xp3, ap), None, length=n_substeps
+            (x3f, xp3f, apf, spf), _ = jax.lax.scan(
+                body, (x3, xp3, ap, sp), None, length=n_substeps
             )
             v3f = (x3f - xp3f) / dt
         elif cfg.solver == Solver.XPBD:
 
             def body(carry, _):
-                x3, v3, ap = carry
+                x3, v3, ap, sp = carry
                 out = xpbd_substep_grid(
-                    x3, v3, inv_mass2, xoffsets, cfg, dt, *colliders, alive=ap
+                    x3, v3, inv_mass2, xoffsets, cfg, dt, *colliders,
+                    alive=ap, scale=sp,
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (x3f, v3f, apf), _ = jax.lax.scan(
-                body, (x3, v3, ap), None, length=n_substeps
+            (x3f, v3f, apf, spf), _ = jax.lax.scan(
+                body, (x3, v3, ap, sp), None, length=n_substeps
             )
             xp3f = x3f - dt * v3f  # = pre-collision predicted origin
         else:  # pragma: no cover
@@ -532,6 +582,8 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
         return State(
             x=from_planes(x3f), v=from_planes(v3f), x_prev=from_planes(xp3f),
             edge_alive=planes_to_alive(apf) if tearing else state.edge_alive,
+            rest_scale=(planes_to_alive(spf) if plastic
+                        else state.rest_scale),
         )
 
     return fn

@@ -401,6 +401,29 @@ def cloth_tearing_64k():
     return top, cfg
 
 
+@register("cloth_plastic_64k")
+def cloth_plastic_64k():
+    """64k-vertex awning that sags permanently under load (PlasticityParams):
+    rest-length scales ride as per-offset planes through the XLA stencil
+    path's substep scan (kernels/stencil.py plastic_update_grid)."""
+    from ..core.config import PlasticityParams
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0, k_bend=150.0,
+                             damping=0.8),
+        plasticity=PlasticityParams(enabled=True, yield_strain=0.03,
+                                    creep=0.05),
+        global_damping=0.5,
+    )
+    top = cloth_grid(
+        256, 256, spacing=0.01, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-50.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
 @register("cloth_tearing_262k")
 def cloth_tearing_262k():
     """512x512 = 262k-vertex ripping banner — past the whole-VMEM kernel's

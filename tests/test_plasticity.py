@@ -56,12 +56,16 @@ def _scene(solver, yield_strain=0.02, creep=0.25, nx=8, ny=12):
 
 
 @pytest.mark.parametrize("solver", SOLVERS)
-def test_f64_exact_parity(solver):
+@pytest.mark.parametrize("backend", ["jnp", "stencil"])
+def test_f64_exact_parity(solver, backend):
     """Device plasticity == oracle plasticity in f64, including identical
     rest-scale planes (the scale feeds back into the forces, so a single
-    divergent edge would compound immediately)."""
+    divergent edge would compound immediately).  The stencil path carries
+    rest scales as per-offset planes; the flat<->plane mapping must
+    round-trip every edge exactly."""
     jax.config.update("jax_enable_x64", True)
     host, cfg = _scene(solver)
+    cfg = cfg.replace(backend=backend)
     top, state = api.init(host, dtype=jnp.float64)
     x = host.positions0.copy()
     v = np.zeros_like(x)
@@ -152,17 +156,27 @@ def test_plastic_plus_tearing_f64_parity(solver):
     assert scale_o.max() > 1.0 + 1e-6, "nothing yielded"
 
 
-def test_dispatch_routes_plasticity_to_jnp(capsys):
-    """Plastic scenes must take the exact jnp gather path (per-edge rest
-    breaks the shared-rest fast-path layouts), loudly when pallas was
-    requested."""
+def test_dispatch_routes_plasticity(capsys):
+    """Plastic grid scenes run on the XLA stencil path (rest scales as
+    per-offset planes); irregular meshes take the exact jnp gather path —
+    loudly in both cases when pallas was requested."""
+    from softbodyunity_tpu.core.topology import from_triangle_mesh
     from softbodyunity_tpu.kernels import dispatch
 
     host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
     top, _ = api.init(host)
     dispatch._warned.clear()
-    assert dispatch.maybe_fast_step(top, cfg, "pallas") is None
-    assert "plasticity" in capsys.readouterr().err
+    fn = dispatch.maybe_fast_step(top, cfg, "pallas")
+    assert fn is not None
+    assert "stencil" in capsys.readouterr().err
+    # irregular mesh: no grid planes -> jnp gather path
+    verts = np.asarray(host.positions0)
+    tris = np.asarray(host.triangles)
+    ihost = from_triangle_mesh(verts, tris, springs=cfg.springs,
+                               xpbd=cfg.xpbd)
+    itop, _ = api.init(ihost)
+    assert dispatch.maybe_fast_step(itop, cfg, "pallas") is None
+    assert "jnp" in capsys.readouterr().err
 
 
 def test_batched_plasticity_consistency():
