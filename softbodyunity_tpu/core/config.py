@@ -137,9 +137,10 @@ class PlasticityParams:
     ``creep`` is a per-substep rate (halve it if you double n_substeps
     for the same flow per frame).  Shapes stay static, so plasticity is
     jit/vmap/scan-friendly; grid scenes carry the scales as per-offset
-    planes on the XLA stencil path (kernels/stencil.py
-    plastic_update_grid), irregular meshes take the exact jnp gather
-    path (per-edge rest breaks the banded shared-rest layout).
+    planes through the fused Pallas kernels (or the XLA stencil twin,
+    kernels/stencil.py plastic_update_grid), irregular meshes take the
+    exact jnp gather path (per-edge rest breaks the banded shared-rest
+    layout).
     """
 
     enabled: bool = False

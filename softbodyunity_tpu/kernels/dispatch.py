@@ -23,29 +23,21 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
-    if cfg.plasticity.enabled:
+    if cfg.plasticity.enabled and (
+        top.grid_shape is None or top.grid_spacing is None
+        or top.n_tets > 0 or cfg.self_collision.enabled
+    ):
         # plasticity carries per-edge rest-length scales: grid scenes run
-        # them as per-offset planes on the XLA stencil path (same plane
-        # machinery as tearing); everything else takes the exact jnp
-        # gather path.  The fused Pallas kernels don't carry rest planes
-        # (per-offset scales would double their VMEM plane budget).
-        if (top.grid_shape is None or top.grid_spacing is None
-                or top.n_tets > 0 or cfg.self_collision.enabled):
-            if backend == "pallas":
-                _warn_once(
-                    ("plastic", top.n_vertices, cfg.solver),
-                    "pallas requested but plasticity routes to the jnp "
-                    "gather path",
-                )
-            return None
+        # them as per-offset planes (fused Pallas kernels / XLA stencil,
+        # same plane machinery as tearing); everything else takes the
+        # exact jnp gather path
         if backend == "pallas":
             _warn_once(
-                ("plastic-grid", top.grid_shape, cfg.solver),
-                "pallas requested but plasticity runs on the XLA stencil "
-                "path (fused kernels don't carry rest-scale planes)",
+                ("plastic", top.n_vertices, cfg.solver),
+                "pallas requested but plasticity routes to the jnp gather "
+                "path",
             )
-        from .stencil import make_stencil_step
-        return make_stencil_step(top, cfg)
+        return None
     if cfg.tear.enabled and (
         top.grid_shape is None or top.grid_spacing is None
         or top.n_tets > 0 or cfg.self_collision.enabled
@@ -94,11 +86,15 @@ def maybe_fast_step(top, cfg, backend):
                 make_pallas_verlet_step,
             )
 
-            # tearing carries extra liveness planes through VMEM, halving
-            # the whole-VMEM kernels' vertex cap; over-cap grids take the
-            # row-tiled kernels (which DMA-refresh the planes per tile)
-            cap = (MAX_VMEM_VERTICES // 2 if cfg.tear.enabled
-                   else MAX_VMEM_VERTICES)
+            # tearing / plasticity each carry extra per-offset planes
+            # through VMEM, each halving the whole-VMEM kernels' vertex
+            # cap; over-cap grids take the row-tiled kernels (which
+            # DMA-refresh liveness planes per tile; the tiled kernels do
+            # NOT carry rest-scale planes, so over-cap plastic grids raise
+            # there and fall back to the stencil path below)
+            cap = MAX_VMEM_VERTICES // (
+                1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
+            )
             if cfg.solver == Solver.XPBD:
                 if ny * nx > cap:
                     from .pallas_tiled import make_tiled_xpbd_step

@@ -72,11 +72,13 @@ def _edge_mask(ny: int, nx: int, di: int, dj: int) -> jax.Array:
     return ok.astype(jnp.float32)
 
 
-def _spring_forces_stacked(xst, vst, offsets, masks, damping, ny, nx):
+def _spring_forces_stacked(xst, vst, offsets, masks, damping, ny, nx,
+                           scales=None):
     """Hooke + axial damper on stacked [3, ny, nx] planes — the shared
-    stencil core of the fused Euler and Verlet kernels."""
+    stencil core of the fused Euler and Verlet kernels.  ``scales``
+    (plastic rest-scale planes) rescale the per-offset rest lengths."""
     f = jnp.zeros((3, ny, nx), jnp.float32)
-    for (di, dj, k, rest), mask in zip(offsets, masks):
+    for o, ((di, dj, k, rest), mask) in enumerate(zip(offsets, masks)):
         xn = _kroll(xst, di, dj)
         vn = _kroll(vst, di, dj)
         d = xn - xst
@@ -86,7 +88,8 @@ def _spring_forces_stacked(xst, vst, offsets, masks, damping, ny, nx):
         n = d * inv_len[None]
         dv = vn - vst
         rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
-        fmag = (k * (length - rest) + damping * rel_v) * mask
+        rest_eff = rest if scales is None else rest * scales[o]
+        fmag = (k * (length - rest_eff) + damping * rel_v) * mask
         fo = fmag[None] * n
         f = f + fo - _kroll(fo, -di, -dj)
     return f
@@ -203,13 +206,21 @@ def _project_capsules_boxes_smem(xz, movable, cap_ref, n_capsules,
     return xz
 
 
-def _tear_planes_kroll(xst, offsets, alive, strain_limit):
+def _tear_planes_kroll(xst, offsets, alive, strain_limit, rest_scale=None):
     """Per-substep tear update inside a kernel: the single-source stencil
     tear check with the Pallas wrap-roll as its shift primitive."""
     from .stencil import tear_update_grid
 
     return list(tear_update_grid(xst, offsets, alive, strain_limit,
-                                 shift=_kroll))
+                                 shift=_kroll, rest_scale=rest_scale))
+
+
+def _plastic_planes_kroll(xst, offsets, scale, pp):
+    """Per-substep plastic flow inside a kernel (stencil
+    plastic_update_grid with the wrap-roll shift)."""
+    from .stencil import plastic_update_grid
+
+    return list(plastic_update_grid(xst, offsets, scale, pp, shift=_kroll))
 
 
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
@@ -226,14 +237,17 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     n_off = len(offsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
                *refs):
-        if tearing:
-            a_ref, xo_ref, vo_ref, ao_ref = refs
-        else:
-            xo_ref, vo_ref = refs
+        refs = list(refs)
+        a_ref = refs.pop(0) if tearing else None
+        s_ref = refs.pop(0) if plastic else None
+        xo_ref, vo_ref = refs.pop(0), refs.pop(0)
+        ao_ref = refs.pop(0) if tearing else None
+        so_ref = refs.pop(0) if plastic else None
         im = im_ref[:]                        # [ny, nx] inv mass
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -245,12 +259,15 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 
         def substep(_, carry):
             x0, x1, x2, v0, v1, v2 = carry[:6]
-            alive = list(carry[6:]) if tearing else None
+            extra = list(carry[6:])
+            alive = extra[:n_off] if tearing else None
+            scale = extra[n_off if tearing else 0:] if plastic else None
             mlist = alive if tearing else masks
             xs = (x0, x1, x2)
             vs = (v0, v1, v2)
             f = _spring_forces_stacked(
-                jnp.stack(xs), jnp.stack(vs), offsets, mlist, damping, ny, nx
+                jnp.stack(xs), jnp.stack(vs), offsets, mlist, damping,
+                ny, nx, scales=scale,
             )
             if wind_on:
                 f = f + wind_forces_grid(
@@ -283,12 +300,19 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                     xz, vz, movable, cap_ref, n_caps_on,
                     box_ref, n_boxes_on, restitution, friction,
                 )
+            # end-of-substep feature updates: plastic flow first, then the
+            # tear check against the rescaled rest (oracle ordering)
+            if plastic:
+                scale = _plastic_planes_kroll(
+                    jnp.stack(xz), offsets, scale, cfg.plasticity
+                )
             if tearing:
                 alive = _tear_planes_kroll(
-                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit
+                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit,
+                    rest_scale=scale if plastic else None,
                 )
-                return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2], *alive)
-            return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2])
+            tail = (alive if tearing else []) + (scale if plastic else [])
+            return (xz[0], xz[1], xz[2], vz[0], vz[1], vz[2], *tail)
 
         init = (
             x_ref[0], x_ref[1], x_ref[2],
@@ -296,14 +320,21 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         )
         if tearing:
             init = init + tuple(a_ref[o] for o in range(n_off))
+        if plastic:
+            init = init + tuple(s_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+        base = 6
         if tearing:
             for o in range(n_off):
-                ao_ref[o] = out[6 + o]
+                ao_ref[o] = out[base + o]
+            base += n_off
+        if plastic:
+            for o in range(n_off):
+                so_ref[o] = out[base + o]
 
     return kernel
 
@@ -311,13 +342,15 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
-                     boxes, cfg, offsets, dt, n_substeps, interpret=False):
+def _pallas_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h, spheres,
+                     capsules, boxes, cfg, offsets, dt, n_substeps,
+                     interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
@@ -347,6 +380,13 @@ def _pallas_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
             jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
         )
         out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    if plastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(scale3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(scale3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -359,9 +399,9 @@ def _pallas_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
         ),
         interpret=interpret,
     )(*args)
-    if tearing:
-        return out
-    return out[0], out[1], None
+    ao = out[2] if tearing else None
+    so = out[3 if tearing else 2] if plastic else None
+    return out[0], out[1], ao, so
 
 
 def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
@@ -377,17 +417,20 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    # tearing carries 3*n_off extra liveness planes (input + loop carry +
-    # output) through VMEM, so its vertex cap is halved; over-cap grids
-    # raise and dispatch degrades loudly to the stencil path
-    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    # tearing / plasticity each carry 3*n_off extra planes (input + loop
+    # carry + output) through VMEM, so each halves the vertex cap;
+    # over-cap grids raise and dispatch degrades loudly
+    cap = MAX_VMEM_VERTICES // (
+        1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
+    )
     if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
     tearing = cfg.tear.enabled
-    if tearing:
+    plastic = cfg.plasticity.enabled
+    if tearing or plastic:
         alive_to_planes, planes_to_alive = tear_plane_maps(
             top, offsets, ny, nx
         )
@@ -398,12 +441,14 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
+        s3 = (alive_to_planes(state.rest_scale) if plastic
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo, ao = _pallas_substeps(
-            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
-            _pack_boxes(top), cfg, offsets, float(dt),
+        xo, vo, ao, so = _pallas_substeps(
+            x3, v3, im, a3, s3, top.plane_height, spheres,
+            _pack_capsules(top), _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -411,6 +456,8 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         return State(
             x=x, v=v, x_prev=x - dt * v,
             edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+            rest_scale=(planes_to_alive(so) if plastic
+                        else state.rest_scale),
         )
 
     return fn
@@ -432,15 +479,18 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     n_off = len(offsets)
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
                *refs):
-        if tearing:
-            a_ref, xo_ref, xpo_ref, ao_ref = refs
-        else:
-            xo_ref, xpo_ref = refs
+        refs = list(refs)
+        a_ref = refs.pop(0) if tearing else None
+        s_ref = refs.pop(0) if plastic else None
+        xo_ref, xpo_ref = refs.pop(0), refs.pop(0)
+        ao_ref = refs.pop(0) if tearing else None
+        so_ref = refs.pop(0) if plastic else None
         im = im_ref[:]
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
@@ -450,14 +500,16 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 
         def substep(_, carry):
             x0, x1, x2, p0, p1, p2 = carry[:6]
-            alive = list(carry[6:]) if tearing else None
+            extra = list(carry[6:])
+            alive = extra[:n_off] if tearing else None
+            scale = extra[n_off if tearing else 0:] if plastic else None
             mlist = alive if tearing else masks
             xs = (x0, x1, x2)
             ps = (p0, p1, p2)
             v_est = [(xs[c] - ps[c]) * inv_dt for c in range(3)]
             f = _spring_forces_stacked(
                 jnp.stack(xs), jnp.stack(v_est), offsets, mlist, damping,
-                ny, nx,
+                ny, nx, scales=scale,
             )
             if wind_on:
                 f = f + wind_forces_grid(
@@ -479,12 +531,17 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 xz = _project_capsules_boxes_smem(
                     xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
                 )
+            if plastic:
+                scale = _plastic_planes_kroll(
+                    jnp.stack(xz), offsets, scale, cfg.plasticity
+                )
             if tearing:
                 alive = _tear_planes_kroll(
-                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit
+                    jnp.stack(xz), offsets, alive, cfg.tear.strain_limit,
+                    rest_scale=scale if plastic else None,
                 )
-                return (xz[0], xz[1], xz[2], x0, x1, x2, *alive)
-            return (xz[0], xz[1], xz[2], x0, x1, x2)
+            tail = (alive if tearing else []) + (scale if plastic else [])
+            return (xz[0], xz[1], xz[2], x0, x1, x2, *tail)
 
         init = (
             x_ref[0], x_ref[1], x_ref[2],
@@ -492,14 +549,21 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
         )
         if tearing:
             init = init + tuple(a_ref[o] for o in range(n_off))
+        if plastic:
+            init = init + tuple(s_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         xpo_ref[0], xpo_ref[1], xpo_ref[2] = out[3], out[4], out[5]
+        base = 6
         if tearing:
             for o in range(n_off):
-                ao_ref[o] = out[6 + o]
+                ao_ref[o] = out[base + o]
+            base += n_off
+        if plastic:
+            for o in range(n_off):
+                so_ref[o] = out[base + o]
 
     return kernel
 
@@ -507,14 +571,15 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "offsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
-                            capsules, boxes, cfg, offsets, dt, n_substeps,
-                            interpret=False):
+def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, scale3, plane_h,
+                            spheres, capsules, boxes, cfg, offsets, dt,
+                            n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps,
                                  n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
@@ -544,6 +609,13 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
             jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
         )
         out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    if plastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(scale3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(scale3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -556,9 +628,9 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
         ),
         interpret=interpret,
     )(*args)
-    if tearing:
-        return out
-    return out[0], out[1], None
+    ao = out[2] if tearing else None
+    so = out[3 if tearing else 2] if plastic else None
+    return out[0], out[1], ao, so
 
 
 def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
@@ -566,21 +638,25 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
     """Build ``fn(state, dt, n_substeps) -> state`` for the fused Verlet
     kernel (same gates as the Euler kernel; plane/sphere/capsule/box
     colliders are position-only projected, mirroring kernels/stencil.py
-    verlet_substep_grid).  Tearing carries per-offset liveness planes."""
+    verlet_substep_grid).  Tearing (liveness) and plasticity (rest-scale)
+    carry per-offset planes."""
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    # tearing carries 3*n_off extra liveness planes (input + loop carry +
-    # output) through VMEM, so its vertex cap is halved; over-cap grids
-    # raise and dispatch degrades loudly to the stencil path
-    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    # tearing / plasticity each carry 3*n_off extra planes through VMEM,
+    # so each halves the vertex cap; over-cap grids raise and dispatch
+    # degrades loudly
+    cap = MAX_VMEM_VERTICES // (
+        1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
+    )
     if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
     tearing = cfg.tear.enabled
-    if tearing:
+    plastic = cfg.plasticity.enabled
+    if tearing or plastic:
         alive_to_planes, planes_to_alive = tear_plane_maps(
             top, offsets, ny, nx
         )
@@ -591,12 +667,14 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
+        s3 = (alive_to_planes(state.rest_scale) if plastic
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, xpo, ao = _pallas_verlet_substeps(
-            x3, xp3, im, a3, top.plane_height, spheres, _pack_capsules(top),
-            _pack_boxes(top), cfg, offsets, float(dt),
+        xo, xpo, ao, so = _pallas_verlet_substeps(
+            x3, xp3, im, a3, s3, top.plane_height, spheres,
+            _pack_capsules(top), _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -604,6 +682,8 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
         return State(
             x=x, v=(x - xp) / dt, x_prev=xp,
             edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+            rest_scale=(planes_to_alive(so) if plastic
+                        else state.rest_scale),
         )
 
     return fn

@@ -364,6 +364,11 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape
+    if cfg.plasticity.enabled:
+        raise ValueError(
+            "the row-tiled kernels do not carry rest-scale planes; "
+            ">VMEM plastic grids run on the stencil path"
+        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -674,6 +679,11 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape
+    if cfg.plasticity.enabled:
+        raise ValueError(
+            "the row-tiled kernels do not carry rest-scale planes; "
+            ">VMEM plastic grids run on the stencil path"
+        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -1048,6 +1058,11 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape
+    if cfg.plasticity.enabled:
+        raise ValueError(
+            "the row-tiled kernels do not carry rest-scale planes; "
+            ">VMEM plastic grids run on the stencil path"
+        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     reach = 2 if has_bend else 1

@@ -50,14 +50,17 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     n_off = len(xoffsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
                *refs):
-        if tearing:
-            a_ref, xo_ref, vo_ref, ao_ref = refs
-        else:
-            xo_ref, vo_ref = refs
+        refs = list(refs)
+        a_ref = refs.pop(0) if tearing else None
+        s_ref = refs.pop(0) if plastic else None
+        xo_ref, vo_ref = refs.pop(0), refs.pop(0)
+        ao_ref = refs.pop(0) if tearing else None
+        so_ref = refs.pop(0) if plastic else None
         w = im_ref[:]
         movable = w > 0.0
         plane_y = plane_ref[0, 0]
@@ -80,7 +83,11 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         def substep(_, carry):
             x = list(carry[0:3])
             v = list(carry[3:6])
-            alive = list(carry[6:]) if tearing else None
+            extra = list(carry[6:])
+            alive = extra[:n_off] if tearing else None
+            # plastic rest scale is substep-constant (oracle: the update
+            # runs after the iteration loop); read-only inside iteration
+            scale = extra[n_off if tearing else 0:] if plastic else None
             if tearing:
                 cnt = jnp.zeros((ny, nx), jnp.float32)
                 for o, (di, dj, _a, _r) in enumerate(xoffsets):
@@ -116,7 +123,8 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                     inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
                     length = d2 * inv_len
-                    c_val = length - rest
+                    rest_eff = rest if scale is None else rest * scale[o]
+                    c_val = length - rest_eff
                     wn = _kroll(w, di, dj)
                     m = alive[o] if tearing else _edge_mask(ny, nx, di, dj)
                     inv_denom = m / jnp.maximum(
@@ -166,26 +174,40 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             dl = [jnp.where(movable, out[c], 0.0) for c in range(3)]
             x = [xp[c] + dl[c] for c in range(3)]
             v = [dl[c] * (1.0 / dt) for c in range(3)]
+            if plastic:
+                from .pallas_substep import _plastic_planes_kroll
+
+                scale = _plastic_planes_kroll(
+                    jnp.stack(x), xoffsets, scale, cfg.plasticity
+                )
             if tearing:
                 from .pallas_substep import _tear_planes_kroll
 
                 alive = _tear_planes_kroll(
-                    jnp.stack(x), xoffsets, alive, cfg.tear.strain_limit
+                    jnp.stack(x), xoffsets, alive, cfg.tear.strain_limit,
+                    rest_scale=scale if plastic else None,
                 )
-                return (x[0], x[1], x[2], v[0], v[1], v[2], *alive)
-            return (x[0], x[1], x[2], v[0], v[1], v[2])
+            tail = (alive if tearing else []) + (scale if plastic else [])
+            return (x[0], x[1], x[2], v[0], v[1], v[2], *tail)
 
         init = (x_ref[0], x_ref[1], x_ref[2], v_ref[0], v_ref[1], v_ref[2])
         if tearing:
             init = init + tuple(a_ref[o] for o in range(n_off))
+        if plastic:
+            init = init + tuple(s_ref[o] for o in range(n_off))
         # unroll=1: Mosaic otherwise unrolls static trip counts and the
         # per-iteration stack allocations exceed the 16M VMEM scope
         out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
         xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
         vo_ref[0], vo_ref[1], vo_ref[2] = out[3], out[4], out[5]
+        base = 6
         if tearing:
             for o in range(n_off):
-                ao_ref[o] = out[6 + o]
+                ao_ref[o] = out[base + o]
+            base += n_off
+        if plastic:
+            for o in range(n_off):
+                so_ref[o] = out[base + o]
 
     return kernel
 
@@ -193,14 +215,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "xoffsets", "dt", "n_substeps", "interpret")
 )
-def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
-                          capsules, boxes, cfg, xoffsets, dt, n_substeps,
-                          interpret=False):
+def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h,
+                          spheres, capsules, boxes, cfg, xoffsets, dt,
+                          n_substeps, interpret=False):
     ny, nx = x3.shape[-2], x3.shape[-1]
     n_spheres = spheres.shape[0] if spheres.shape[0] > 0 else 0
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
@@ -229,6 +252,13 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
             jax.ShapeDtypeStruct(alive3.shape, jnp.float32),
         )
         out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
+    if plastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(scale3)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(scale3.shape, jnp.float32),
+        )
+        out_specs = out_specs + (pl.BlockSpec(memory_space=pltpu.VMEM),)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -241,9 +271,9 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
         ),
         interpret=interpret,
     )(*args)
-    if tearing:
-        return out
-    return out[0], out[1], None
+    ao = out[2] if tearing else None
+    so = out[3 if tearing else 2] if plastic else None
+    return out[0], out[1], ao, so
 
 
 def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False):
@@ -256,17 +286,20 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
-    # tearing carries 3*n_off extra liveness planes (input + loop carry +
-    # output) through VMEM, so its vertex cap is halved; over-cap grids
-    # raise and dispatch degrades loudly to the stencil path
-    cap = MAX_VMEM_VERTICES // 2 if cfg.tear.enabled else MAX_VMEM_VERTICES
+    # tearing / plasticity each carry 3*n_off extra planes through VMEM,
+    # so each halves the vertex cap; over-cap grids raise and dispatch
+    # degrades loudly
+    cap = MAX_VMEM_VERTICES // (
+        1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
+    )
     if ny * nx > cap:
         raise ValueError("grid too large for the VMEM-resident kernel")
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
     tearing = cfg.tear.enabled
-    if tearing:
+    plastic = cfg.plasticity.enabled
+    if tearing or plastic:
         alive_to_planes, planes_to_alive = tear_plane_maps(
             top, xoffsets, ny, nx
         )
@@ -277,12 +310,14 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
+        s3 = (alive_to_planes(state.rest_scale) if plastic
+              else jnp.zeros((1, 1, 1), jnp.float32))
         spheres = jnp.concatenate(
             [top.sphere_centers, top.sphere_radii[:, None]], axis=1
         ).astype(jnp.float32)
-        xo, vo, ao = _pallas_xpbd_substeps(
-            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
-            _pack_boxes(top), cfg, xoffsets, float(dt),
+        xo, vo, ao, so = _pallas_xpbd_substeps(
+            x3, v3, im, a3, s3, top.plane_height, spheres,
+            _pack_capsules(top), _pack_boxes(top), cfg, xoffsets, float(dt),
             int(n_substeps), interpret,
         )
         x = xo.reshape(3, -1).T
@@ -290,6 +325,8 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
         return State(
             x=x, v=v, x_prev=x - dt * v,
             edge_alive=planes_to_alive(ao) if tearing else state.edge_alive,
+            rest_scale=(planes_to_alive(so) if plastic
+                        else state.rest_scale),
         )
 
     return fn

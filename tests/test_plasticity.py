@@ -156,10 +156,53 @@ def test_plastic_plus_tearing_f64_parity(solver):
     assert scale_o.max() > 1.0 + 1e-6, "nothing yielded"
 
 
+@pytest.mark.parametrize("solver", SOLVERS)
+@pytest.mark.parametrize("with_tear", [False, True])
+def test_fused_kernel_plasticity_matches_stencil(solver, with_tear):
+    """The fused Pallas kernels carry rest-scale planes through the
+    VMEM-resident substep loop (optionally together with tear liveness
+    planes); interpret-mode twin equality vs the stencil path including
+    identical scale planes."""
+    from softbodyunity_tpu.kernels.pallas_substep import (
+        make_pallas_step,
+        make_pallas_verlet_step,
+    )
+    from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+
+    host, cfg = _scene(solver)
+    if with_tear:
+        cfg = cfg.replace(tear=TearParams(enabled=True, strain_limit=0.12))
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    state = api.ensure_plastic_state(top, cfg, state)
+    maker = {
+        Solver.SEMI_IMPLICIT_EULER: make_pallas_step,
+        Solver.VERLET: make_pallas_verlet_step,
+        Solver.XPBD: make_pallas_xpbd_step,
+    }[solver]
+    pal = maker(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.rest_scale), np.asarray(s_ref.rest_scale),
+        atol=1e-6,
+    )
+    assert float(np.asarray(s_ref.rest_scale).max()) > 1.001, "no flow"
+    if with_tear:
+        np.testing.assert_array_equal(
+            np.asarray(s_pal.edge_alive), np.asarray(s_ref.edge_alive)
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_pal.x), np.asarray(s_ref.x), atol=5e-5
+    )
+
+
 def test_dispatch_routes_plasticity(capsys):
-    """Plastic grid scenes run on the XLA stencil path (rest scales as
-    per-offset planes); irregular meshes take the exact jnp gather path —
-    loudly in both cases when pallas was requested."""
+    """Plastic grid scenes run on the fused Pallas kernels (rest scales as
+    per-offset planes in the VMEM carry); irregular meshes take the exact
+    jnp gather path, loudly when pallas was requested."""
     from softbodyunity_tpu.core.topology import from_triangle_mesh
     from softbodyunity_tpu.kernels import dispatch
 
@@ -168,7 +211,8 @@ def test_dispatch_routes_plasticity(capsys):
     dispatch._warned.clear()
     fn = dispatch.maybe_fast_step(top, cfg, "pallas")
     assert fn is not None
-    assert "stencil" in capsys.readouterr().err
+    assert fn.__module__ == "softbodyunity_tpu.kernels.pallas_substep"
+    assert capsys.readouterr().err == ""
     # irregular mesh: no grid planes -> jnp gather path
     verts = np.asarray(host.positions0)
     tris = np.asarray(host.triangles)
