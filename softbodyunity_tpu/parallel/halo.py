@@ -65,17 +65,19 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
-                  alive=None, capsules=None, boxes=None):
+                  alive=None, scale=None, capsules=None, boxes=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
-    state) subsumes the static ownership masks; with it the return gains
-    the updated planes."""
+    state) subsumes the static ownership masks; ``scale`` (plastic
+    rest-scale planes) rescales the rest lengths.  Returns
+    ``(x3, v3, alive, scale)`` with Nones preserved."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
     dev = jax.lax.axis_index(axis_name)
 
     xe = _exchange_halo(x3, axis_name)
     ve = _exchange_halo(v3, axis_name)
     ae = _exchange_halo(alive, axis_name) if alive is not None else None
+    se = _exchange_halo(scale, axis_name) if scale is not None else None
 
     f = jnp.zeros_like(xe)
     for o, (di, dj, k, rest) in enumerate(offsets):
@@ -88,7 +90,8 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
         rel_v = jnp.sum((vn - ve) * n, axis=0)
         mask = (ae[o] if ae is not None
                 else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
-        fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
+        rest_eff = rest if se is None else rest * se[o]
+        fmag = (k * (length - rest_eff) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
     if cfg.wind.enabled:
@@ -103,11 +106,10 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     x3 = x3 + dt * v3
     x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
                                 capsules, boxes)
-    if alive is not None:
-        alive = _tear_halo_update(x3, alive, offsets,
-                                  cfg.tear.strain_limit, axis_name)
-        return x3, v3, alive
-    return x3, v3
+    if alive is not None or scale is not None:
+        alive, scale = _feature_halo_update(x3, alive, scale, offsets, cfg,
+                                            axis_name)
+    return x3, v3, alive, scale
 
 
 def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
@@ -187,11 +189,12 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
     """What each halo-sharded path supports, enforced loudly.  ``wind``:
     cloth paths take drag + lift ("full"), lattice paths drag only ("drag"
     — lift needs surface triangles, which the banded single-device path
-    computes exactly).  ``tear``: cloth paths shard the liveness planes
-    ("planes"); lattice paths reject ("none").  ``caps``: cloth paths run
-    capsule/box colliders through the shared component primitives with
-    geometry as replicated inputs ("components"); lattice paths reject
-    ("none")."""
+    computes exactly).  ``tear``: cloth paths shard the tear-liveness AND
+    plastic rest-scale planes ("planes"); lattice paths reject both
+    ("none" — the knob covers the two dynamic-plane features).  ``caps``:
+    cloth paths run capsule/box colliders through the shared component
+    primitives with geometry as replicated inputs ("components"); lattice
+    paths reject ("none")."""
     from ..solver.collide import _needs_capsule_box
 
     if caps == "none" and _needs_capsule_box(top, cfg):
@@ -210,23 +213,55 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "tearing is not supported in the halo-sharded lattice paths; "
             "use the single-device step"
         )
+    if tear == "none" and cfg.plasticity.enabled:
+        raise NotImplementedError(
+            "plasticity is not supported in the halo-sharded lattice "
+            "paths; use the single-device step"
+        )
 
 
-def _tear_halo_update(x3_new, alive, offsets, strain_limit, axis_name):
-    """Per-substep tear update on row-sharded liveness planes: exchange the
-    post-substep positions once so owner rows near the shard edge see their
-    cross-shard neighbours, then apply the shared tear check to the LOCAL
-    planes (no alive exchange — only interior rows are kept).  This is one
-    extra position exchange per substep; kept deliberately so the oracle's
-    end-of-substep tear semantics stay literal rather than relying on a
-    tear-at-next-substep-start equivalence argument."""
+def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):
+    """End-of-substep tear/plastic updates on row-sharded planes: exchange
+    the post-substep positions once so owner rows near the shard edge see
+    their cross-shard neighbours, then apply the shared checks to the
+    LOCAL planes (no plane exchange — only interior rows are kept).
+    Plastic flow runs first, then the tear check against the RESCALED
+    rest (oracle ordering).  One extra position exchange per substep,
+    kept deliberately so the oracle's end-of-substep semantics stay
+    literal rather than relying on an update-at-next-substep-start
+    equivalence argument."""
     ny_local = x3_new.shape[-2]
     xne = _exchange_halo(x3_new, axis_name)
-    ok = st.tear_ok_planes(xne, offsets, strain_limit)
-    return jnp.stack([
-        alive[o] * ok[o][HALO : HALO + ny_local, :]
-        for o in range(len(offsets))
-    ])
+    lengths = []
+    for off in offsets:
+        di, dj = off[0], off[1]
+        d = st._shift(xne, di, dj) - xne
+        lengths.append(
+            jnp.sqrt(jnp.sum(d * d, axis=0))[HALO : HALO + ny_local, :]
+        )
+    if scale is not None:
+        pp = cfg.plasticity
+        new_scale = []
+        for o, off in enumerate(offsets):
+            rest_eff = jnp.maximum(off[3] * scale[o], 1e-12)
+            strain = (lengths[o] - rest_eff) / rest_eff
+            excess = jnp.sign(strain) * jnp.maximum(
+                jnp.abs(strain) - pp.yield_strain, 0.0
+            )
+            new_scale.append(jnp.clip(scale[o] * (1.0 + pp.creep * excess),
+                                      pp.min_scale, pp.max_scale))
+        scale = jnp.stack(new_scale)
+    if alive is not None:
+        lim = cfg.tear.strain_limit
+        new_alive = []
+        for o, off in enumerate(offsets):
+            rest_eff = off[3] if scale is None else off[3] * scale[o]
+            new_alive.append(
+                alive[o]
+                * (lengths[o] <= rest_eff * (1.0 + lim)).astype(x3_new.dtype)
+            )
+        alive = jnp.stack(new_alive)
+    return alive, scale
 
 
 def _drag_force(cfg: SimConfig, v3: jax.Array) -> jax.Array:
@@ -258,6 +293,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     from ..solver.collide import _needs_capsule_box
     caps_on = _needs_capsule_box(top, cfg)
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -268,14 +304,19 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None):
-        # collider geometry and liveness planes arrive as shard_map INPUTS
-        # (replicated / sharded respectively), never jit closure constants
-        # (trace-time value fetches stall on this image); positional order
-        # inside `local`: spheres, capsules+boxes, alive
+                      capsules=None, boxes=None, scale3=None):
+        # collider geometry and liveness/rest-scale planes arrive as
+        # shard_map INPUTS (replicated / sharded respectively), never jit
+        # closure constants (trace-time value fetches stall on this
+        # image); positional order inside `local`: spheres, capsules+boxes,
+        # alive, scale
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
+            )
+        if plastic and scale3 is None:
+            raise ValueError(
+                "cfg enables plasticity: pass scale3 (tear_plane_shard_maps)"
             )
         if caps_on and capsules is None:
             raise ValueError(
@@ -293,20 +334,25 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if caps_on:
                 cb = (rest[i], rest[i + 1])
                 i += 2
-            ab = rest[i] if tearing else None
+            ab = None
+            if tearing:
+                ab = rest[i]
+                i += 1
+            sb = rest[i] if plastic else None
 
             def body(carry, _):
                 out = _halo_substep(
-                    *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
-                    spheres=spheres, alive=carry[2] if tearing else None,
-                    capsules=cb[0], boxes=cb[1],
+                    carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
+                    ROWS_AXIS, spheres=spheres, alive=carry[2],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1],
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (xf, vf, af), _ = jax.lax.scan(
-                body, (x3b, v3b, ab), None, length=n_substeps
+            (xf, vf, af, sf), _ = jax.lax.scan(
+                body, (x3b, v3b, ab, sb), None, length=n_substeps
             )
-            return (xf, vf, af) if tearing else (xf, vf)
+            return ((xf, vf) + ((af,) if tearing else ())
+                    + ((sf,) if plastic else ()))
 
         args = [x3, v3, inv_mass3, plane_height]
         specs = [spec, spec, spec, P()]
@@ -325,7 +371,11 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if tearing:
             args.append(alive3)
             specs.append(spec)
-            outs = (spec, spec, spec)
+            outs = outs + (spec,)
+        if plastic:
+            args.append(scale3)
+            specs.append(spec)
+            outs = outs + (spec,)
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -351,10 +401,11 @@ def unshard_to_state(x3, v3, dt) -> State:
 
 
 def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
-    """(shard, unshard) for tearing on the halo paths: ``shard(edge_alive)``
-    -> row-sharded per-offset liveness planes [n_off, ny, nx]; ``unshard``
-    maps the stepped planes back to the flat f32[E] mask (same
-    flat<->plane bijection as the single-device fast paths)."""
+    """(shard, unshard) for per-edge dynamic state on the halo paths:
+    ``shard(edge_values)`` -> row-sharded per-offset planes [n_off, ny,
+    nx]; ``unshard`` maps stepped planes back to flat f32[E].  The same
+    bijection serves tear liveness masks (``edge_alive``) and plastic
+    rest scales (``rest_scale``) — it is pure index arithmetic."""
     from ..kernels.stencil import _offsets, tear_plane_maps
 
     ny, nx = top.grid_shape
@@ -376,7 +427,8 @@ def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
 
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv,
-                       spheres=None, alive=None, capsules=None, boxes=None):
+                       spheres=None, alive=None, scale=None, capsules=None,
+                       boxes=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -406,6 +458,9 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     delta0 = dt * v3   # delta-form accumulation (see stencil xpbd twin)
 
     we = _exchange_halo(w[None], axis_name)[0]          # [ext, nx]
+    # plastic rest scale is substep-constant: one exchange serves every
+    # Jacobi iteration (oracle: the update runs after the loop)
+    se = _exchange_halo(scale, axis_name) if scale is not None else None
     if alive is not None:
         # liveness planes subsume the static ownership masks; the Jacobi
         # count follows the live constraints, recomputed per substep
@@ -426,7 +481,8 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             d = xn - xe
             length = jnp.sqrt(jnp.sum(d * d, axis=0))
             n = d / jnp.maximum(length, 1e-12)
-            c_val = length - rest
+            rest_eff = rest if se is None else rest * se[o]
+            c_val = length - rest_eff
             alpha_t = alpha / (dt * dt)
             wn = st._shift(we[None], di, dj)[0]
             m = (ae[o] if alive is not None
@@ -474,24 +530,25 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     )
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
-    if alive is not None:
-        alive = _tear_halo_update(x_new, alive, xoffsets,
-                                  cfg.tear.strain_limit, axis_name)
-        return x_new, delta / dt, alive
-    return x_new, delta / dt
+    if alive is not None or scale is not None:
+        alive, scale = _feature_halo_update(x_new, alive, scale, xoffsets,
+                                            cfg, axis_name)
+    return x_new, delta / dt, alive, scale
 
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                          plane_height, ny_global, axis_name, spheres=None,
-                         alive=None, capsules=None, boxes=None):
+                         alive=None, scale=None, capsules=None, boxes=None):
     """One position-Verlet substep on a row-sharded block (oracle
-    substep_verlet semantics; halo forces as in _halo_substep)."""
+    substep_verlet semantics; halo forces as in _halo_substep).  Returns
+    ``(x_new, x3, alive, scale)`` with Nones preserved."""
     ny_local, nx = x3.shape[-2], x3.shape[-1]
     dev = jax.lax.axis_index(axis_name)
     v_est = (x3 - xp3) / dt
     xe = _exchange_halo(x3, axis_name)
     ve = _exchange_halo(v_est, axis_name)
     ae = _exchange_halo(alive, axis_name) if alive is not None else None
+    se = _exchange_halo(scale, axis_name) if scale is not None else None
     f = jnp.zeros_like(xe)
     for o, (di, dj, k, rest) in enumerate(offsets):
         xn = st._shift(xe, di, dj)
@@ -503,7 +560,8 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
         rel_v = jnp.sum((vn - ve) * n, axis=0)
         mask = (ae[o] if ae is not None
                 else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
-        fmag = (k * (length - rest) + cfg.springs.damping * rel_v) * mask
+        rest_eff = rest if se is None else rest * se[o]
+        fmag = (k * (length - rest_eff) + cfg.springs.damping * rel_v) * mask
         fo = fmag * n
         f = f + fo - st._shift(fo, -di, -dj)
     if cfg.wind.enabled:
@@ -530,11 +588,10 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
             n = d / jnp.maximum(dist, 1e-12)
             x_new = x_new + jnp.where(contact, pen, 0.0) * n
     x_new = _project_capsules_boxes(x_new, movable, capsules, boxes)
-    if alive is not None:
-        alive = _tear_halo_update(x_new, alive, offsets,
-                                  cfg.tear.strain_limit, axis_name)
-        return x_new, x3, alive
-    return x_new, x3
+    if alive is not None or scale is not None:
+        alive, scale = _feature_halo_update(x_new, alive, scale, offsets,
+                                            cfg, axis_name)
+    return x_new, x3, alive, scale
 
 
 def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
@@ -553,13 +610,18 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spec = P(None, ROWS_AXIS, None)
 
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
 
     def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None):
+                      capsules=None, boxes=None, scale3=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
+            )
+        if plastic and scale3 is None:
+            raise ValueError(
+                "cfg enables plasticity: pass scale3 (tear_plane_shard_maps)"
             )
         if caps_on and capsules is None:
             raise ValueError(
@@ -577,21 +639,26 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if caps_on:
                 cb = (rest[i], rest[i + 1])
                 i += 2
-            ab = rest[i] if tearing else None
+            ab = None
+            if tearing:
+                ab = rest[i]
+                i += 1
+            sb = rest[i] if plastic else None
 
             def body(carry, _):
                 out = _halo_verlet_substep(
-                    *carry[:2], imb, offsets, cfg, dt, ph[0], ny, ROWS_AXIS,
-                    spheres=spheres, alive=carry[2] if tearing else None,
-                    capsules=cb[0], boxes=cb[1],
+                    carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
+                    ROWS_AXIS, spheres=spheres, alive=carry[2],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1],
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (xf, xpf, af), _ = jax.lax.scan(
-                body, (x3b, xp3b, ab), None, length=n_substeps
+            (xf, xpf, af, sf), _ = jax.lax.scan(
+                body, (x3b, xp3b, ab, sb), None, length=n_substeps
             )
             v = (xf - xpf) / dt
-            return (xf, v, af) if tearing else (xf, v)
+            return ((xf, v) + ((af,) if tearing else ())
+                    + ((sf,) if plastic else ()))
 
         args = [x3, xp3, inv_mass3, plane_height]
         specs = [spec, spec, spec, P()]
@@ -607,7 +674,11 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if tearing:
             args.append(alive3)
             specs.append(spec)
-            outs = (spec, spec, spec)
+            outs = outs + (spec,)
+        if plastic:
+            args.append(scale3)
+            specs.append(spec)
+            outs = outs + (spec,)
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -633,13 +704,18 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spec = P(None, ROWS_AXIS, None)
 
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None):
+                      capsules=None, boxes=None, scale3=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
+            )
+        if plastic and scale3 is None:
+            raise ValueError(
+                "cfg enables plasticity: pass scale3 (tear_plane_shard_maps)"
             )
         if caps_on and capsules is None:
             raise ValueError(
@@ -657,7 +733,11 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if caps_on:
                 cb = (rest[i], rest[i + 1])
                 i += 2
-            ab = rest[i] if tearing else None
+            ab = None
+            if tearing:
+                ab = rest[i]
+                i += 1
+            sb = rest[i] if plastic else None
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
             if tearing:
@@ -675,17 +755,17 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
             def body(carry, _):
                 out = _halo_xpbd_substep(
-                    *carry[:2], imb, xoffsets, cfg, dt, ph[0], ny,
-                    ROWS_AXIS, cnt_inv, spheres=spheres,
-                    alive=carry[2] if tearing else None,
-                    capsules=cb[0], boxes=cb[1],
+                    carry[0], carry[1], imb, xoffsets, cfg, dt, ph[0], ny,
+                    ROWS_AXIS, cnt_inv, spheres=spheres, alive=carry[2],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1],
                 )
-                return (out + (None,))[:3], None
+                return out, None
 
-            (xf, vf, af), _ = jax.lax.scan(
-                body, (x3b, v3b, ab), None, length=n_substeps
+            (xf, vf, af, sf), _ = jax.lax.scan(
+                body, (x3b, v3b, ab, sb), None, length=n_substeps
             )
-            return (xf, vf, af) if tearing else (xf, vf)
+            return ((xf, vf) + ((af,) if tearing else ())
+                    + ((sf,) if plastic else ()))
 
         args = [x3, v3, inv_mass3, plane_height]
         specs = [spec, spec, spec, P()]
@@ -701,7 +781,11 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if tearing:
             args.append(alive3)
             specs.append(spec)
-            outs = (spec, spec, spec)
+            outs = outs + (spec,)
+        if plastic:
+            args.append(scale3)
+            specs.append(spec)
+            outs = outs + (spec,)
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)

@@ -262,3 +262,52 @@ def test_checkpoint_roundtrip_with_plasticity(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_array_equal(np.asarray(a.rest_scale),
                                   np.asarray(b.rest_scale))
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+@pytest.mark.parametrize("with_tear", [False, True])
+def test_halo_plasticity_matches_single_device(solver, with_tear):
+    """Multi-chip plasticity: row-sharded rest-scale planes (exchanged
+    with the state each substep, updated with one extra post-substep
+    exchange, optionally composed with tear liveness planes) equal the
+    single-device stencil path — identical scale planes included."""
+    from jax.sharding import Mesh
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.parallel import halo
+
+    host, cfg = _scene(solver, nx=12, ny=16)
+    if with_tear:
+        cfg = cfg.replace(tear=TearParams(enabled=True, strain_limit=0.12))
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    state = api.ensure_plastic_state(top, cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    shard_planes, unshard_planes = halo.tear_plane_shard_maps(top, cfg, mesh)
+    scale3 = shard_planes(state.rest_scale)
+    alive3 = shard_planes(state.edge_alive) if with_tear else None
+    if solver == Solver.SEMI_IMPLICIT_EULER:
+        make = halo.make_halo_step
+    elif solver == Solver.VERLET:
+        make = halo.make_halo_verlet_step
+    else:
+        make = halo.make_halo_xpbd_step
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    second = v3 if solver != Solver.VERLET else x3  # verlet carries (x, xp)
+    out = sharded(x3, second, im3, ph, cfg.dt, 48, alive3=alive3,
+                  scale3=scale3)
+    got = halo.unshard_to_state(out[0], out[1], cfg.dt)
+    got_scale = unshard_planes(out[-1])
+    ref = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 48))
+    want = ref(top, state)
+    np.testing.assert_allclose(
+        np.asarray(got_scale), np.asarray(want.rest_scale), atol=1e-6
+    )
+    assert float(np.asarray(want.rest_scale).max()) > 1.001, "no flow"
+    if with_tear:
+        np.testing.assert_array_equal(
+            np.asarray(unshard_planes(out[2])), np.asarray(want.edge_alive)
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
+    )
