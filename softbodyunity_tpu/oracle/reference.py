@@ -471,6 +471,12 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     if cfg.wind.enabled:
         # external forces enter XPBD through the velocity predict
         accel = accel + wind_forces(top, cfg, x, v) * top.inv_mass[:, None]
+    if cfg.self_collision.enabled:
+        # self-collision repulsion is an external force too (the XPBD
+        # constraints only cover springs/volume); same predict-stage entry
+        accel = accel + self_collision_forces(
+            x, cfg.self_collision.radius, cfg.self_collision.stiffness
+        ) * top.inv_mass[:, None]
     v = (v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = np.where(movable[:, None], v, 0.0)
     x_prev = x

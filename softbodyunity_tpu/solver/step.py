@@ -80,37 +80,37 @@ def total_forces(top: Topology, cfg: SimConfig, x, v, alive=None,
         f = forces.spring_forces_gather(top, x, v, cfg, alive=alive,
                                         rest_scale=rest_scale)
     if cfg.self_collision.enabled:
-        if cfg.self_collision.method == "dense":
-            f = f + forces.self_collision_forces_dense(
-                x, cfg.self_collision.radius, cfg.self_collision.stiffness
-            )
-        elif cfg.self_collision.method == "dense_mxu":
-            f = f + forces.self_collision_forces_dense_mxu(
-                x, cfg.self_collision.radius, cfg.self_collision.stiffness
-            )
-        elif cfg.self_collision.method == "block":
-            backend = cfg.backend
-            if backend == "auto":
-                backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-            if backend == "pallas":
-                from ..kernels.pallas_blocks import (
-                    self_collision_forces_block_pallas,
-                )
-
-                f = f + self_collision_forces_block_pallas(
-                    x, cfg.self_collision
-                )
-            else:
-                from . import blocksparse
-
-                f = f + blocksparse.self_collision_forces_block(
-                    x, cfg.self_collision
-                )
-        else:
-            f = f + hashgrid.self_collision_forces_hash(x, cfg.self_collision)
+        f = f + self_collision_force(cfg, x)
     if cfg.wind.enabled:
         f = f + wind_forces(top, cfg, x, v)
     return f
+
+
+def self_collision_force(cfg: SimConfig, x):
+    """Method-dispatched self-collision repulsion (oracle
+    self_collision_forces semantics for every method)."""
+    if cfg.self_collision.method == "dense":
+        return forces.self_collision_forces_dense(
+            x, cfg.self_collision.radius, cfg.self_collision.stiffness
+        )
+    if cfg.self_collision.method == "dense_mxu":
+        return forces.self_collision_forces_dense_mxu(
+            x, cfg.self_collision.radius, cfg.self_collision.stiffness
+        )
+    if cfg.self_collision.method == "block":
+        backend = cfg.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if backend == "pallas":
+            from ..kernels.pallas_blocks import (
+                self_collision_forces_block_pallas,
+            )
+
+            return self_collision_forces_block_pallas(x, cfg.self_collision)
+        from . import blocksparse
+
+        return blocksparse.self_collision_forces_block(x, cfg.self_collision)
+    return hashgrid.self_collision_forces_hash(x, cfg.self_collision)
 
 
 def _volume_projection(top: Topology, x, stiffness: float):
@@ -201,6 +201,10 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     if cfg.wind.enabled:
         # external forces enter XPBD through the velocity predict (oracle)
         accel = accel + wind_forces(top, cfg, s.x, s.v) * top.inv_mass[:, None]
+    if cfg.self_collision.enabled:
+        # self-collision repulsion enters the predict too (oracle
+        # substep_xpbd; the constraints only cover springs/volume)
+        accel = accel + self_collision_force(cfg, s.x) * top.inv_mass[:, None]
     v = (s.v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = jnp.where(movable[:, None], v, 0.0)
     x_prev = s.x

@@ -148,3 +148,52 @@ def test_hash_points_far_outside_grid_stay_finite(rng):
     far = np.linalg.norm(x[:, None] - x[None, :], axis=-1) + np.eye(64) * 1e9
     if far.min() > p.radius:
         np.testing.assert_array_equal(np.asarray(f), 0.0)
+
+
+def test_xpbd_self_collision_enters_predict():
+    """Self-collision repulsion is an external force in XPBD (enters the
+    velocity predict like wind — oracle substep_xpbd): f64 exact parity,
+    and the repulsion actually separates crowded vertices (disabling it
+    changes the trajectory)."""
+    import dataclasses
+    from softbodyunity_tpu.core.config import Solver, SpringParams, XPBDParams
+
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = SimConfig(
+            solver=Solver.XPBD,
+            springs=SpringParams(),
+            xpbd=XPBDParams(compliance_distance=3e-4, n_iterations=4),
+            self_collision=SelfCollisionParams(
+                enabled=True, method="dense", radius=0.06, stiffness=30.0
+            ),
+            global_damping=0.2,
+        )
+        # fold the cloth so vertices crowd within the repulsion radius
+        host = cloth_grid(
+            6, 10, spacing=0.04, shear=True, bend=True, pinned=("tl", "tr"),
+            springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+            orientation="xy",
+        )
+        top, state = api.init(host, dtype=jnp.float64)
+        x = host.positions0.copy()
+        v = np.zeros_like(x)
+        xp = x.copy()
+        s = state
+        for _ in range(30):
+            x, v, xp = oracle.step(host, cfg, x, v, xp)
+            s = api.step(top, cfg, s)
+        drift = np.max(np.abs(np.asarray(s.x) - x))
+        assert drift < 1e-6, f"xpbd+self-collision f64 drift {drift:.3e}"
+        # the force is live: turning it off diverges the trajectory
+        cfg_off = cfg.replace(
+            self_collision=dataclasses.replace(cfg.self_collision,
+                                               enabled=False)
+        )
+        s_off = api.init(host, dtype=jnp.float64)[1]
+        for _ in range(30):
+            s_off = api.step(top, cfg_off, s_off)
+        assert np.max(np.abs(np.asarray(s.x) - np.asarray(s_off.x))) > 1e-4
+    finally:
+        jax.config.update("jax_enable_x64", prev)
