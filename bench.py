@@ -246,13 +246,17 @@ _PARTS = {
 def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
     last_err = ""
     for i in range(attempts):
+        # escalate the budget on retries: a cold Mosaic compile of a 64k
+        # fused kernel can exceed 480s over the tunnel (the persistent
+        # cache makes warm attempts fast, so the first try stays short)
+        t = timeout * (1 + i)
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--part", part],
-                capture_output=True, text=True, timeout=timeout,
+                capture_output=True, text=True, timeout=t,
             )
         except subprocess.TimeoutExpired:
-            last_err = f"timeout after {timeout}s"
+            last_err = f"timeout after {t}s"
             _log(f"bench part {part} attempt {i+1}: {last_err}; retrying")
             time.sleep(10.0)
             continue

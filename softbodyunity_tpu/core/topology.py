@@ -213,6 +213,22 @@ def add_colliders(
     defaults to identity = axis-aligned).  Enable resolution with
     ``CollisionParams(enable_capsules=True)`` / ``enable_boxes=True``.
     """
+    caps_args = (capsule_p0, capsule_p1, capsule_radii)
+    if any(a is not None for a in caps_args) and any(
+            a is None for a in caps_args):
+        # a partial capsule spec silently attaching nothing means the cloth
+        # falls straight through where the user placed a collider
+        raise ValueError(
+            "capsules need all of capsule_p0, capsule_p1, capsule_radii"
+        )
+    if (box_half_extents is not None or box_rotations is not None) \
+            and box_centers is None:
+        raise ValueError(
+            "boxes need box_centers (with box_half_extents; box_rotations "
+            "defaults to identity)"
+        )
+    if box_centers is not None and box_half_extents is None:
+        raise ValueError("boxes need box_half_extents")
     if capsule_radii is not None:
         host.capsule_p0 = np.asarray(capsule_p0, np.float64).reshape(-1, 3)
         host.capsule_p1 = np.asarray(capsule_p1, np.float64).reshape(-1, 3)

@@ -46,6 +46,7 @@ from .pallas_substep import (
     _pack_boxes,
     _pack_capsules,
     _project_capsules_boxes_smem,
+    _project_spheres_positions,
     _resolve_capsules_boxes_smem,
     _resolve_spheres_velocity,
 )
@@ -662,7 +663,11 @@ def make_lattice_xpbd_step(top: Topology, cfg: SimConfig,
         )
         x = xo.reshape(3, -1).T[:n]
         v = vo.reshape(3, -1).T[:n]
-        return State(x=x, v=v, x_prev=x - dt * v)
+        # preserve dormant per-edge feature state (tearing/plasticity
+        # are config-gated off on this path but the arrays persist)
+        return State(x=x, v=v, x_prev=x - dt * v,
+                     edge_alive=state.edge_alive,
+                     rest_scale=state.rest_scale)
 
     return fn
 
@@ -701,6 +706,10 @@ def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         )
         x = xo.reshape(3, -1).T[:n]
         v = vo.reshape(3, -1).T[:n]
-        return State(x=x, v=v, x_prev=x - dt * v)
+        # preserve dormant per-edge feature state (tearing/plasticity
+        # are config-gated off on this path but the arrays persist)
+        return State(x=x, v=v, x_prev=x - dt * v,
+                     edge_alive=state.edge_alive,
+                     rest_scale=state.rest_scale)
 
     return fn

@@ -468,18 +468,36 @@ def tear_plane_maps(top: Topology, offsets, ny: int, nx: int):
     scatter + one gather per FRAME, not per substep).  Offset (di,dj)
     order is identical in _offsets and _xpbd_offsets, so one mapping
     serves all solvers; the fused Pallas kernels reuse it too."""
+    import numpy as np
+
     offs_dij = [(o[0], o[1]) for o in offsets]
-    a_idx = top.edges[:, 0]
-    b_idx = top.edges[:, 1]
+    if isinstance(top.edges, jax.core.Tracer):
+        # called at trace time (dispatch inside api's jitted step): the
+        # index math stays symbolic — no value fetch happens
+        xp = jnp
+        a_idx = top.edges[:, 0]
+        b_idx = top.edges[:, 1]
+    else:
+        # called with a concrete Topology (maker used directly, fn jitted
+        # afterwards): do the pure index arithmetic HOST-side — a device
+        # plane_idx would be captured as a jit closure constant, and
+        # trace-time value fetches stall minutes over the remote tunnel
+        # (repo CLAUDE.md rule)
+        xp = np
+        edges_h = np.asarray(top.edges)
+        a_idx = edges_h[:, 0]
+        b_idx = edges_h[:, 1]
     di_e = b_idx // nx - a_idx // nx
     dj_e = b_idx % nx - a_idx % nx
-    o_e = jnp.zeros_like(a_idx)
+    o_e = xp.zeros_like(a_idx)
     owner = a_idx
     for o, (di, dj) in enumerate(offs_dij):
         fwd = (di_e == di) & (dj_e == dj)
         rev = (di_e == -di) & (dj_e == -dj)
-        o_e = jnp.where(fwd | rev, o, o_e)
-        owner = jnp.where(rev, b_idx, owner)
+        o_e = xp.where(fwd | rev, o, o_e)
+        owner = xp.where(rev, b_idx, owner)
+    # concrete case: plane_idx stays a HOST numpy array — closing over it
+    # embeds the values at lowering with no device fetch
     plane_idx = o_e * (ny * nx) + owner
     n_off = len(offsets)
 

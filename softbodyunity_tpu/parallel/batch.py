@@ -144,6 +144,7 @@ def step_batched_hetero(
     resize obstacles per scene without recompiling."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    states = _ensure_tear_batched(top, cfg, states)
     return _compiled_hetero_step(cfg, dt, n)(
         top, states, jnp.asarray(sphere_centers, jnp.float32),
         jnp.asarray(sphere_radii, jnp.float32),
@@ -196,4 +197,5 @@ def step_batched_colliders(
     )
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    states = _ensure_tear_batched(top, cfg, states)
     return _compiled_collider_step(cfg, dt, n, names)(top, states, *arrays)

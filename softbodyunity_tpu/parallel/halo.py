@@ -232,35 +232,29 @@ def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):
     equivalence argument."""
     ny_local = x3_new.shape[-2]
     xne = _exchange_halo(x3_new, axis_name)
-    lengths = []
-    for off in offsets:
-        di, dj = off[0], off[1]
-        d = st._shift(xne, di, dj) - xne
-        lengths.append(
-            jnp.sqrt(jnp.sum(d * d, axis=0))[HALO : HALO + ny_local, :]
-        )
+
+    def pad(planes):
+        # extend local planes with inert halo rows (NO comms — the padded
+        # rows feed only the helper's halo outputs, which are sliced away)
+        z = jnp.ones((planes.shape[0], HALO, planes.shape[-1]),
+                     planes.dtype)
+        return jnp.concatenate([z, planes, z], axis=1)
+
+    def local(planes):
+        return planes[:, HALO : HALO + ny_local, :]
+
     if scale is not None:
-        pp = cfg.plasticity
-        new_scale = []
-        for o, off in enumerate(offsets):
-            rest_eff = jnp.maximum(off[3] * scale[o], 1e-12)
-            strain = (lengths[o] - rest_eff) / rest_eff
-            excess = jnp.sign(strain) * jnp.maximum(
-                jnp.abs(strain) - pp.yield_strain, 0.0
-            )
-            new_scale.append(jnp.clip(scale[o] * (1.0 + pp.creep * excess),
-                                      pp.min_scale, pp.max_scale))
-        scale = jnp.stack(new_scale)
+        scale = local(st.plastic_update_grid(
+            xne, offsets, pad(scale), cfg.plasticity
+        ))
     if alive is not None:
-        lim = cfg.tear.strain_limit
-        new_alive = []
-        for o, off in enumerate(offsets):
-            rest_eff = off[3] if scale is None else off[3] * scale[o]
-            new_alive.append(
-                alive[o]
-                * (lengths[o] <= rest_eff * (1.0 + lim)).astype(x3_new.dtype)
-            )
-        alive = jnp.stack(new_alive)
+        se = pad(scale) if scale is not None else None
+        ok = st.tear_ok_planes(xne, offsets, cfg.tear.strain_limit,
+                               rest_scale=se)
+        alive = jnp.stack([
+            alive[o] * ok[o][HALO : HALO + ny_local, :]
+            for o in range(len(offsets))
+        ])
     return alive, scale
 
 

@@ -95,9 +95,17 @@ class BatchedClothEnv:
         """On-device rollout: ``policy_fn(obs) -> actions`` traced into one
         jitted scan (zero host round-trips inside the rollout,
         BASELINE.json:5).  Compiled once per (policy_fn, n_frames) and
-        reused across calls."""
+        reused across calls — pass a STABLE function object (a module-level
+        fn or a held reference, with params flowing through ``obs`` or
+        closure); a fresh lambda per call defeats the cache and re-compiles
+        the full scan every rollout (the repeated-large-compile pattern
+        that wedges this image's remote compile helper)."""
         run = self._rollouts.get((policy_fn, n_frames))
         if run is None:
+            if len(self._rollouts) >= 16:
+                # bounded: evict the oldest executable rather than leak one
+                # compiled scan per novel (policy, length) pair
+                self._rollouts.pop(next(iter(self._rollouts)))
 
             @jax.jit
             def run(top, states, obs0):

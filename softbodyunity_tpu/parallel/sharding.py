@@ -54,15 +54,22 @@ def replicate_topology(top: Topology, mesh: Mesh) -> Topology:
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_sharded_step(cfg: SimConfig, dt: float, n_substeps: int, mesh: Mesh):
+def _compiled_sharded_step(cfg: SimConfig, dt: float, n_substeps: int,
+                           mesh: Mesh, has_alive: bool, has_scale: bool):
     """SPMD batched step: with batch-sharded inputs XLA partitions the vmap
     over chips automatically; out_shardings pin the result layout so no
-    resharding collective ever appears."""
+    resharding collective ever appears.  Per-edge feature planes
+    (tearing liveness / plastic rest scales) shard on the batch axis
+    like the vertex arrays."""
     state_sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     @functools.partial(
         jax.jit,
-        out_shardings=State(x=state_sharding, v=state_sharding, x_prev=state_sharding),
+        out_shardings=State(
+            x=state_sharding, v=state_sharding, x_prev=state_sharding,
+            edge_alive=state_sharding if has_alive else None,
+            rest_scale=state_sharding if has_scale else None,
+        ),
     )
     def impl(top: Topology, states: State) -> State:
         fn = lambda s: _step_mod.step_scan(top, cfg, s, dt, n_substeps)
@@ -80,6 +87,17 @@ def step_sharded(
     n_substeps: Optional[int] = None,
 ) -> State:
     """Advance a batch-sharded ``State[B, N, 3]`` one frame on every chip."""
+    from .batch import _ensure_tear_batched
+
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
-    return _compiled_sharded_step(cfg, dt, n, mesh)(top, states)
+    before = (states.edge_alive is not None, states.rest_scale is not None)
+    states = _ensure_tear_batched(top, cfg, states)
+    if (states.edge_alive is not None,
+            states.rest_scale is not None) != before:
+        # lazily-created feature planes: place them like the rest
+        states = shard_batched_state(states, mesh)
+    return _compiled_sharded_step(
+        cfg, dt, n, mesh,
+        states.edge_alive is not None, states.rest_scale is not None,
+    )(top, states)

@@ -70,3 +70,47 @@ def test_heterogeneous_sphere_colliders_per_scene():
     # contact scenes keep vertices outside their sphere
     d = np.linalg.norm(x[0] - np.asarray(top.sphere_centers)[0], axis=1)
     assert d.min() >= float(top.sphere_radii[0]) - 1e-5
+
+
+def test_step_sharded_carries_feature_state():
+    """Batch-sharded stepping with tearing + plasticity: the per-edge
+    feature planes shard on the batch axis and the result matches the
+    unsharded batched step (previously the pinned out_shardings pytree
+    had no feature fields, so sharded tearing batches broke)."""
+    import jax
+    from softbodyunity_tpu.core.config import (
+        PlasticityParams, SimConfig, SpringParams, TearParams,
+    )
+    from softbodyunity_tpu.core.topology import cloth_grid
+    from softbodyunity_tpu.parallel import sharding
+
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=300.0, k_shear=150.0,
+                             k_bend=60.0, damping=0.3),
+        tear=TearParams(enabled=True, strain_limit=0.03),
+        plasticity=PlasticityParams(enabled=True, yield_strain=0.02,
+                                    creep=0.1),
+        global_damping=0.1,
+    )
+    host = cloth_grid(
+        8, 12, spacing=0.05, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    mesh = sharding.make_mesh(jax.devices()[:4])
+    states_s = sharding.shard_batched_state(batch.batch_state(state, 8), mesh)
+    top_r = sharding.replicate_topology(top, mesh)
+    states_u = batch.batch_state(state, 8)
+    for _ in range(40):
+        states_s = sharding.step_sharded(top_r, cfg, states_s, mesh)
+        states_u = batch.step_batched(top, cfg, states_u)
+    assert states_s.edge_alive is not None
+    assert states_s.rest_scale is not None
+    assert float(jnp.sum(states_s.edge_alive[0])) < host.edges.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(states_s.x), np.asarray(states_u.x), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(states_s.edge_alive), np.asarray(states_u.edge_alive)
+    )

@@ -152,3 +152,37 @@ def test_lattice_xpbd_dispatch_routes():
     assert fn is not None
     jaxpr = str(jax.make_jaxpr(lambda t, s: fn(s, cfg.dt, 2))(top, state))
     assert "pallas_call" in jaxpr
+
+
+def test_lattice_xpbd_sphere_collider_matches():
+    """XPBD lattice + sphere collider (the combination that exposed a
+    missing kernel import): interpret-mode twin equality with real
+    sphere contact."""
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_xpbd_applicable,
+        make_lattice_xpbd_step,
+    )
+
+    host, cfg = _scene(n=6, plane_height=-5.0, origin_y=0.3)
+    host.sphere_centers = np.array([[0.2, -0.02, 0.2]])
+    host.sphere_radii = np.array([0.3])
+    cfg = cfg.replace(
+        solver=Solver.XPBD,
+        xpbd=XPBDParams(compliance_distance=1e-6, compliance_volume=1e-7,
+                        n_iterations=4, relaxation=1.0),
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True),
+    )
+    top, state = api.init(host)
+    assert lattice_xpbd_applicable(top, cfg)
+    pal = make_lattice_xpbd_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 64))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x),
+                               atol=2e-5)
+    # the cube actually rests on the sphere
+    d = np.linalg.norm(
+        np.asarray(s_ref.x) - np.array([0.2, -0.02, 0.2]), axis=1
+    )
+    assert d.min() < 0.31

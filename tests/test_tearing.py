@@ -439,3 +439,29 @@ def test_halo_tearing_with_spheres_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(want.x), atol=2e-5
     )
+
+
+def test_batched_collider_steppers_populate_tear_state():
+    """step_batched_colliders / step_batched_hetero must lazily populate
+    edge_alive exactly like step_batched — a tearing config through these
+    entry points previously tore nothing, silently."""
+    from softbodyunity_tpu.parallel import batch
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    states = batch.batch_state(state, 2)
+    for _ in range(60):
+        states = batch.step_batched_colliders(
+            top, cfg, states, plane_height=np.array([-5.0, -5.0])
+        )
+    assert states.edge_alive is not None
+    assert float(jnp.sum(states.edge_alive[0])) < host.edges.shape[0], \
+        "nothing tore through step_batched_colliders"
+    states2 = batch.batch_state(state, 2)
+    for _ in range(60):
+        states2 = batch.step_batched_hetero(
+            top, cfg, states2,
+            np.zeros((2, 1, 3)), np.full((2, 1), 1e-6),
+        )
+    assert states2.edge_alive is not None
+    assert float(jnp.sum(states2.edge_alive[0])) < host.edges.shape[0]
