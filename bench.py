@@ -52,14 +52,25 @@ def _best_time(run, args, repeats: int = 5) -> float:
 
 
 def _marginal_throughput(make_run, args, small: int, big: int, unit_per_frame: int):
-    """Units/sec from the marginal time between two scan lengths."""
-    run_s, run_b = make_run(small), make_run(big)
+    """Units/sec from the marginal time between two scan lengths.
+
+    Guard: a marginal delta inside the ~20-30 ms tunnel dispatch noise
+    produces garbage (a 0.4 ms delta once reported 2.3M substeps/s), so
+    the big workload auto-widens until the delta clears ~8 ms."""
+    run_s = make_run(small)
     float(run_s(*args))  # compile + warm
-    float(run_b(*args))
     t_s = _best_time(run_s, args)
-    t_b = _best_time(run_b, args)
-    d = (t_b - t_s) / ((big - small) * unit_per_frame)
-    return 1.0 / d
+    for _ in range(4):
+        run_b = make_run(big)
+        float(run_b(*args))
+        t_b = _best_time(run_b, args)
+        if t_b - t_s >= 0.008:
+            d = (t_b - t_s) / ((big - small) * unit_per_frame)
+            return 1.0 / d
+        _log(f"marginal delta {1e3 * (t_b - t_s):.1f} ms inside dispatch "
+             f"noise; widening workload {big} -> {small + 4 * (big - small)}")
+        big = small + 4 * (big - small)
+    raise RuntimeError("marginal time never cleared the dispatch noise")
 
 
 def bench_64k_cloth():
@@ -197,21 +208,22 @@ def bench_selfcollide_16k():
 
 
 def bench_tearing_64k():
-    """Substeps/sec, 64k tearing cloth (per-offset liveness planes on the
-    stencil path; the flat<->plane conversion runs once per frame)."""
-    return _bench_preset_substeps("cloth_tearing_64k", 8, 160)
+    """Substeps/sec, 64k tearing cloth (per-offset liveness planes in the
+    fused kernel carry).  Wide spread: ~100k substeps/s needs >800
+    marginal substeps to clear the dispatch noise."""
+    return _bench_preset_substeps("cloth_tearing_64k", 8, 1208)
 
 
 def bench_plastic_64k():
-    """Substeps/sec, 64k plastically-deforming cloth (rest-scale planes on
-    the stencil path)."""
-    return _bench_preset_substeps("cloth_plastic_64k", 8, 104)
+    """Substeps/sec, 64k plastically-deforming cloth (rest-scale planes in
+    the fused kernel carry)."""
+    return _bench_preset_substeps("cloth_plastic_64k", 8, 808)
 
 
 def bench_tearing_262k():
     """Substeps/sec, 262k tearing cloth past the whole-VMEM cap: the
     row-tiled kernel DMA-refreshes the liveness planes across tiles."""
-    return _bench_preset_substeps("cloth_tearing_262k", 8, 80)
+    return _bench_preset_substeps("cloth_tearing_262k", 8, 520)
 
 
 def bench_wind_64k():

@@ -405,8 +405,8 @@ def cloth_tearing_64k():
 def cloth_plastic_64k():
     """64k-vertex awning that sags permanently under load (PlasticityParams):
     rest-length scales ride as per-offset planes through the fused Pallas
-    kernel's VMEM-resident substep loop — 54k substeps/s on one v5e core
-    (XLA stencil twin: 44k)."""
+    kernel's VMEM-resident substep loop — 77k substeps/s on one v5e core
+    (XLA stencil twin: ~44k)."""
     from ..core.config import PlasticityParams
 
     cfg = SimConfig(

@@ -68,3 +68,9 @@ def test_example_mouse_grab():
 def test_example_plastic_deformation():
     smax = _load("10_plastic_deformation.py").main(n_frames=25, nx=8, ny=10)
     assert smax > 1.001
+
+
+def test_example_two_cloths():
+    import math
+    gap = _load("11_two_cloths.py").main(n_frames=40, n=8)
+    assert math.isfinite(gap)
