@@ -195,6 +195,11 @@ def bench_1m():
     return _bench_preset_substeps("cloth_bench_1m", 8, 64)
 
 
+def bench_262k():
+    """Substeps/sec, 512^2 cloth (row-tiled Pallas kernel, no tearing)."""
+    return _bench_preset_substeps("cloth_bench_262k", 8, 520)
+
+
 def bench_cube_xpbd_64k():
     """Substeps/sec, 64k tet cube XPBD (8 Jacobi iters, fused lattice
     kernel)."""
@@ -245,6 +250,7 @@ _PARTS = {
     "xpbd64k": bench_xpbd_64k,
     "verlet64k": bench_verlet_64k,
     "1m": bench_1m,
+    "262k": bench_262k,
     "sc16k": bench_selfcollide_16k,
     "sc64k": bench_selfcollide_64k,
     "cubexpbd": bench_cube_xpbd_64k,
@@ -296,6 +302,7 @@ def main():
         ("xpbd64k", "substeps_per_sec_64k_xpbd"),
         ("verlet64k", "substeps_per_sec_64k_verlet"),
         ("1m", "substeps_per_sec_1m_cloth"),
+        ("262k", "substeps_per_sec_262k_cloth"),
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),

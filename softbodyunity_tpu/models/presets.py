@@ -359,14 +359,20 @@ def softbody_cube_64k_xpbd():
 @register("cloth_bench_1m")
 def cloth_bench_1m():
     """Scaling showcase: 1024x1024 = 1,048,576-vertex curtain (6.3M springs).
-    Runs on the row-tiled Pallas kernel (kernels/pallas_tiled.py) at ~7.1k
-    substeps/s on one v5e core — 16x the headline scene's vertex count at
-    near-constant Gverts/s."""
+    Runs on the row-tiled Pallas kernel (kernels/pallas_tiled.py) —
+    16x the headline scene's vertex count at near-constant Gverts/s.
+
+    dt = 1/1920 (32 substeps/frame): explicit integration needs dt to
+    shrink with the spacing (half the 64k preset's spacing and mass
+    doubles the spring frequency; the 64k dt of 1/960 is past the
+    stability edge here — the curtain NaN'd by frame 12 before this)."""
     cfg = SimConfig(
         solver=Solver.SEMI_IMPLICIT_EULER,
         springs=SpringParams(k_structural=800.0, k_shear=400.0, k_bend=150.0, damping=0.8),
         collision=CollisionParams(enable_plane=True, friction=0.2),
         global_damping=2.0,
+        dt=1.0 / 60.0 / 32.0,
+        n_substeps=32,
         backend="auto",
     )
     top = cloth_grid(
@@ -374,6 +380,31 @@ def cloth_bench_1m():
         pinned=("top",),
         springs=cfg.springs, xpbd=cfg.xpbd,
         plane_height=-30.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
+@register("cloth_bench_262k")
+def cloth_bench_262k():
+    """512x512 = 262,144-vertex curtain — the first stop past the
+    whole-VMEM kernel's 128k cap, on the row-tiled Pallas kernel
+    (kernels/pallas_tiled.py).  dt = 1/1920: see cloth_bench_1m (same
+    spacing; the 64k dt is unstable at this resolution)."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0, k_bend=150.0,
+                             damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=2.0,
+        dt=1.0 / 60.0 / 32.0,
+        n_substeps=32,
+        backend="auto",
+    )
+    top = cloth_grid(
+        512, 512, spacing=0.005, mass=0.005, shear=True, bend=True,
+        pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-15.0, origin=(0.0, 0.0, 0.0), orientation="xy",
     )
     return top, cfg
 

@@ -259,3 +259,22 @@ def test_move_pins_kinematic_attachment(solver):
     assert np.isfinite(x).all()
     # the free cloth was dragged along (+x) by the moving pins
     assert x[:, 0].mean() > np.asarray(host.positions0)[:, 0].mean() + 0.05
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "preset", ["cloth_bench_64k", "cloth_bench_262k", "cloth_bench_1m",
+               "softbody_cube_64k"]
+)
+def test_big_presets_stay_finite(preset):
+    """Integrator stability of the scale presets: the benchmark harness
+    only runs a few frames, and the 1M preset shipped NaN'ing at frame 12
+    (dt must shrink with the grid spacing for explicit integration) —
+    run 20 frames and require finite state."""
+    from softbodyunity_tpu.models import presets as _presets
+
+    host, cfg = _presets.build(preset)
+    top, state = api.init(host)
+    for _ in range(20):
+        state = api.step(top, cfg, state)
+    assert bool(jnp.isfinite(state.x).all()), f"{preset} went non-finite"
