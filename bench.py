@@ -297,22 +297,49 @@ def main():
     env_steps = _run_part_subprocess("batch")
     _log(f"bench: batch done ({env_steps:,.0f} env-steps/s); 64k tet cube ...")
     secondary = {"env_steps_per_sec_per_chip_1024_scenes": round(env_steps, 1)}
+    # Soft deadline: the remote compile helper sometimes degrades to
+    # ~8-12 min compiles per part; the run must ALWAYS emit its JSON line
+    # rather than be killed mid-part with no output.  Parts past the
+    # deadline record null (ordered most-informative-first below).
+    import os
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_SECS", 2700.0)
+    )
+    # ordered by information value: if the budget runs out, the parts
+    # recorded first carry the coverage story (volumetric, XPBD, scale,
+    # solvers, features; the 262k variants are corroborating)
     for part, key in [
         ("cube", "substeps_per_sec_64k_tet_cube"),
         ("xpbd64k", "substeps_per_sec_64k_xpbd"),
-        ("verlet64k", "substeps_per_sec_64k_verlet"),
         ("1m", "substeps_per_sec_1m_cloth"),
-        ("262k", "substeps_per_sec_262k_cloth"),
+        ("verlet64k", "substeps_per_sec_64k_verlet"),
+        ("tear64k", "substeps_per_sec_64k_tearing"),
+        ("plastic64k", "substeps_per_sec_64k_plastic"),
+        ("wind64k", "substeps_per_sec_64k_wind"),
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
-        ("tear64k", "substeps_per_sec_64k_tearing"),
+        ("262k", "substeps_per_sec_262k_cloth"),
         ("tear262k", "substeps_per_sec_262k_tearing"),
-        ("plastic64k", "substeps_per_sec_64k_plastic"),
-        ("wind64k", "substeps_per_sec_64k_wind"),
     ]:
+        remaining = deadline - time.monotonic()
+        if remaining < 120.0:
+            secondary[key] = None
+            _log(f"bench: {part} SKIPPED (deadline)")
+            continue
+        # heavy Mosaic programs (lattice / 8-iteration XPBD / row-tiled)
+        # can take 8-12 min to compile when the remote helper misses its
+        # cache; give them the full budget up front instead of burning a
+        # doomed 480 s first attempt.  Never let one attempt outlive the
+        # global deadline.
+        heavy = part in ("cube", "cubexpbd", "xpbd64k", "1m", "262k",
+                         "tear262k")
+        base = min(900.0 if heavy else 480.0, remaining - 60.0)
+        # the retry runs at 2x base: only allow it when the deadline can
+        # absorb both attempts
+        attempts = 2 if remaining > 3 * base + 120.0 else 1
         try:
-            val = _run_part_subprocess(part)
+            val = _run_part_subprocess(part, timeout=base, attempts=attempts)
             secondary[key] = round(val, 1)
             _log(f"bench: {part} done ({val:,.0f} substeps/s)")
         except RuntimeError as e:
