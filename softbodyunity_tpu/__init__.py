@@ -8,6 +8,7 @@ contract.
 """
 
 from .api import (
+    apply_impulse,
     init,
     move_colliders,
     move_pins,
@@ -39,13 +40,18 @@ from .core.topology import (
     tet_cube,
 )
 from .models import presets
-from .utils.profiling import contact_impulses, diagnostics
+from .utils.profiling import (
+    contact_impulses,
+    contact_impulses_batched,
+    diagnostics,
+)
 
 __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "move_pins",
     "add_colliders", "raycast", "pick_vertex",
-    "diagnostics", "contact_impulses",
+    "diagnostics", "contact_impulses", "contact_impulses_batched",
+    "apply_impulse",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams", "PlasticityParams",
     "CollisionParams", "SelfCollisionParams",

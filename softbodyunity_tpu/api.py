@@ -208,6 +208,37 @@ def raycast(top: Topology, state: State, origin, direction):
     )
 
 
+def apply_impulse(top: Topology, state: State, delta_v, indices=None,
+                  center=None, radius: float = 0.0) -> State:
+    """Instantaneous velocity impulse — the projectile-hit / explosion
+    interaction (Unity ``AddForce(..., ForceMode.VelocityChange)``).
+
+    Two forms:
+
+    * ``indices`` i32[K] + ``delta_v`` f32[K, 3] (or [3], broadcast):
+      targeted kick on specific vertices.
+    * ``center`` [3] + ``radius`` + ``delta_v`` [3]: radial blast — every
+      vertex within ``radius`` of ``center`` receives ``delta_v`` scaled
+      by ``1 - dist/radius`` (linear falloff).
+
+    Pinned vertices (inv_mass == 0) never move.  Pure function of State —
+    jit/vmap-friendly, static shapes.
+    """
+    dv = jnp.asarray(delta_v, dtype=state.v.dtype)
+    movable = (top.inv_mass > 0.0)[:, None]
+    if center is not None:
+        c = jnp.asarray(center, dtype=state.x.dtype)
+        dist = jnp.linalg.norm(state.x - c[None, :], axis=1)
+        w = jnp.maximum(1.0 - dist / radius, 0.0)[:, None]
+        v = state.v + jnp.where(movable, w * dv[None, :], 0.0)
+    else:
+        idx = jnp.asarray(indices, dtype=jnp.int32)
+        upd = jnp.where(movable[idx], jnp.broadcast_to(dv, (idx.shape[0], 3)),
+                        0.0)
+        v = state.v.at[idx].add(upd)
+    return state.replace(v=v)
+
+
 def pick_vertex(top: Topology, state: State, origin, direction) -> jax.Array:
     """Vertex id to grab along a ray (i32, -1 on miss) — feed into
     :func:`move_pins` for mouse-drag interactions."""

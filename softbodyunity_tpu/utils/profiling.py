@@ -194,6 +194,15 @@ def contact_impulses(top: Topology, cfg: SimConfig, state: State,
                              float(cfg.dt if dt is None else dt))
 
 
+def contact_impulses_batched(top: Topology, cfg: SimConfig, states: State,
+                             dt=None) -> Dict[str, jax.Array]:
+    """Per-scene :func:`contact_impulses` over a batched ``State[B, N, 3]``
+    (RL coupling: feed each scene's ``-J/dt`` to its own rigidbodies).
+    Keys as in contact_impulses with a leading batch axis."""
+    d = float(cfg.dt if dt is None else dt)
+    return jax.vmap(lambda s: _contact_impulses(top, cfg, s, d))(states)
+
+
 def checked_step(top: Topology, cfg: SimConfig, state: State,
                  dt=None, n_substeps=None) -> State:
     """Step with checkify NaN/Inf guards: raises on the first non-finite

@@ -147,3 +147,32 @@ def test_capsule_box_impulses_present_and_finite():
     assert np.isfinite(np.asarray(imp["boxes"])).all()
     # something is resting on the capsule: upward support impulse
     assert float(np.asarray(imp["capsules"])[0, 1]) > 0.0
+
+
+def test_contact_impulses_batched_matches_per_scene():
+    from softbodyunity_tpu.parallel import batch
+    from softbodyunity_tpu.utils.profiling import contact_impulses_batched
+
+    cfg = SimConfig(
+        springs=SpringParams(damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=1.0,
+    )
+    host = cloth_grid(
+        6, 6, spacing=0.05, mass=0.25, shear=True, bend=True,
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=0.0,
+        origin=(0.0, 0.001, 0.0), orientation="xz",
+    )
+    top, state = api.init(host)
+    for _ in range(60):
+        state = api.step(top, cfg, state)
+    states = batch.batch_state(state, 3)
+    # batch_state zeroes velocities; rebuild with the settled state's v
+    states = states.replace(v=jnp.broadcast_to(state.v[None], states.v.shape))
+    got = contact_impulses_batched(top, cfg, states)
+    want = contact_impulses(top, cfg, state)
+    assert got["plane"].shape == (3, 3)
+    for b in range(3):
+        np.testing.assert_allclose(
+            np.asarray(got["plane"][b]), np.asarray(want["plane"]), atol=1e-6
+        )

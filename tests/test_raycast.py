@@ -126,3 +126,30 @@ def test_pick_and_drag_composition():
     # the grabbed vertex's neighbours moved toward it
     moved = np.abs(np.asarray(state.x)[:, 2] - x_before[:, 2])
     assert moved.max() > 0.05
+
+
+def test_apply_impulse_targeted_and_radial():
+    """apply_impulse: targeted kicks change exactly the chosen movable
+    vertices; radial blasts fall off linearly and never move pins."""
+    host, cfg = _scene()
+    top, state = api.init(host)
+    # targeted: vertex 27 gets +z velocity; pinned vertex 0 must not
+    s1 = api.apply_impulse(top, state, [0.0, 0.0, 2.0],
+                           indices=np.array([27, 0]))
+    v1 = np.asarray(s1.v)
+    assert v1[27, 2] == pytest.approx(2.0)
+    np.testing.assert_array_equal(v1[0], 0.0)   # pinned (tl)
+    assert np.abs(v1).sum() == pytest.approx(2.0)  # nothing else moved
+    # radial: falloff from the blast center
+    c = np.asarray(state.x)[27]
+    s2 = api.apply_impulse(top, state, [0.0, 0.0, 3.0], center=c,
+                           radius=0.15)
+    v2 = np.asarray(s2.v)
+    assert v2[27, 2] == pytest.approx(3.0)      # at the center: full kick
+    d = np.linalg.norm(np.asarray(state.x) - c, axis=1)
+    inside = (d < 0.15) & (np.asarray(host.inv_mass) > 0)
+    assert (v2[inside, 2] > 0).all()
+    assert (v2[~inside] == 0).all()
+    # the kick then propagates through the springs
+    s2 = api.step(top, cfg, s2)
+    assert np.abs(np.asarray(s2.x)[:, 2]).max() > 1e-4
