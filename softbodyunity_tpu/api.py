@@ -79,6 +79,12 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
         ),
         box_rotations=f32(host.box_rotations if host.box_rotations is not None
                           else np.zeros((0, 3, 3))),
+        sdf_grids=(f32(host.sdf_grids) if host.sdf_grids is not None
+                   else None),
+        sdf_origins=(f32(host.sdf_origins) if host.sdf_origins is not None
+                     else None),
+        sdf_spacings=(f32(host.sdf_spacings)
+                      if host.sdf_spacings is not None else None),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
@@ -281,6 +287,7 @@ def move_colliders(
     box_centers=None,
     box_half_extents=None,
     box_rotations=None,
+    sdf_origins=None,
 ) -> Topology:
     """Animated colliders (the Unity moving-Collider analogue): collider
     geometry is *array data* on Topology, so replacing it between frames
@@ -301,6 +308,7 @@ def move_colliders(
         ("box_centers", box_centers),
         ("box_half_extents", box_half_extents),
         ("box_rotations", box_rotations),
+        ("sdf_origins", sdf_origins),
     ):
         if val is not None:
             kw[name] = jnp.asarray(val, f32)

@@ -166,6 +166,9 @@ class CollisionParams:
     # BoxCollider); geometry lives on Topology like the spheres.
     enable_capsules: bool = False
     enable_boxes: bool = False
+    # mesh colliders via baked signed-distance grids (Unity MeshCollider
+    # analogue; bake with core.sdf.sdf_from_mesh, attach via add_colliders)
+    enable_sdf: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,6 +77,11 @@ class Topology:
     box_half_extents: jax.Array = None  # f32[B, 3] half sizes along local axes
     box_rotations: jax.Array = None   # f32[B, 3, 3] world-from-local (columns
     #                                   = the box's local axes in world space)
+    # --- mesh (SDF) colliders: baked signed-distance grids (core/sdf.py);
+    #     grids are static bakes, origins are movable array data ----------
+    sdf_grids: jax.Array = None       # f32[Sg, gx, gy, gz]
+    sdf_origins: jax.Array = None     # f32[Sg, 3] world position of voxel 0
+    sdf_spacings: jax.Array = None    # f32[Sg]    cubic voxel edge length
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -108,6 +113,10 @@ class Topology:
     @property
     def n_boxes(self) -> int:
         return 0 if self.box_centers is None else self.box_centers.shape[0]
+
+    @property
+    def n_sdfs(self) -> int:
+        return 0 if self.sdf_grids is None else self.sdf_grids.shape[0]
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -192,6 +201,10 @@ class HostTopology:
     box_centers: Optional[np.ndarray] = None      # f64[B, 3]
     box_half_extents: Optional[np.ndarray] = None  # f64[B, 3]
     box_rotations: Optional[np.ndarray] = None    # f64[B, 3, 3]
+    # mesh (SDF) colliders (None = none; see add_colliders / core/sdf.py)
+    sdf_grids: Optional[np.ndarray] = None        # f64[Sg, gx, gy, gz]
+    sdf_origins: Optional[np.ndarray] = None      # f64[Sg, 3]
+    sdf_spacings: Optional[np.ndarray] = None     # f64[Sg]
 
 
 def add_colliders(
@@ -203,15 +216,23 @@ def add_colliders(
     box_centers=None,
     box_half_extents=None,
     box_rotations=None,
+    sdf_grids=None,
+    sdf_origins=None,
+    sdf_spacings=None,
 ) -> HostTopology:
-    """Attach capsule / box colliders to any built topology (the analogue of
-    adding a Unity CapsuleCollider / BoxCollider to the scene).
+    """Attach capsule / box / mesh(SDF) colliders to any built topology (the
+    analogue of adding a Unity CapsuleCollider / BoxCollider / MeshCollider
+    to the scene).
 
     Capsules are segments ``p0 -> p1`` with a radius; boxes are oriented
     boxes given by center, per-axis half extents, and a world-from-local
     rotation matrix (columns = the box's local axes in world space;
-    defaults to identity = axis-aligned).  Enable resolution with
-    ``CollisionParams(enable_capsules=True)`` / ``enable_boxes=True``.
+    defaults to identity = axis-aligned).  Mesh colliders are baked signed
+    distance grids from :func:`softbodyunity_tpu.core.sdf.sdf_from_mesh`:
+    pass one or more ``(grid, origin, spacing)`` bakes as stacked arrays
+    (all grids in a scene must share voxel dimensions).  Enable resolution
+    with ``CollisionParams(enable_capsules=True)`` / ``enable_boxes=True``
+    / ``enable_sdf=True``.
     """
     caps_args = (capsule_p0, capsule_p1, capsule_radii)
     if any(a is not None for a in caps_args) and any(
@@ -247,6 +268,26 @@ def add_colliders(
             host.box_rotations = np.asarray(
                 box_rotations, np.float64
             ).reshape(-1, 3, 3)
+    if sdf_grids is not None:
+        g = np.asarray(sdf_grids, np.float64)
+        if g.ndim == 3:
+            g = g[None]
+        if g.ndim != 4:
+            raise ValueError("sdf_grids must be [gx,gy,gz] or [S,gx,gy,gz]")
+        if sdf_origins is None or sdf_spacings is None:
+            raise ValueError(
+                "sdf colliders need all of sdf_grids, sdf_origins, "
+                "sdf_spacings (from core.sdf.sdf_from_mesh)"
+            )
+        host.sdf_grids = g
+        host.sdf_origins = np.asarray(
+            sdf_origins, np.float64).reshape(-1, 3)
+        host.sdf_spacings = np.asarray(
+            sdf_spacings, np.float64).reshape(-1)
+        if not (host.sdf_origins.shape[0] == g.shape[0]
+                == host.sdf_spacings.shape[0]):
+            raise ValueError("sdf_grids / sdf_origins / sdf_spacings "
+                             "leading dimensions disagree")
     return host
 
 

@@ -87,6 +87,9 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     if cfg.self_collision.enabled:
         return False
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        # sdf (mesh) colliders resolve on the banded jnp path
+        return False
     if cfg.tear.enabled:
         # lattice tearing runs on the jnp gather path (per-edge masks)
         return False
@@ -354,6 +357,9 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
     if cfg.solver != Solver.XPBD:
         return False
     if cfg.self_collision.enabled:
+        return False
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        # sdf (mesh) colliders resolve on the banded jnp path
         return False
     if cfg.tear.enabled:
         # lattice tearing runs on the jnp gather path (per-edge masks)

@@ -414,6 +414,11 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
     recompiling.  Tearing (TearParams) carries per-offset liveness planes
     through the VMEM-resident substep loop.
     """
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape
@@ -640,6 +645,11 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
     colliders are position-only projected, mirroring kernels/stencil.py
     verlet_substep_grid).  Tearing (liveness) and plasticity (rest-scale)
     carry per-offset planes."""
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape

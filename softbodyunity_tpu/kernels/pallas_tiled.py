@@ -361,6 +361,11 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     post-substep x — which reproduces the oracle's end-of-substep update
     exactly; a first-launch flag skips the spurious initial tear and the
     frame wrapper applies the final end-of-frame tear in XLA."""
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape
@@ -676,6 +681,11 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
                            interpret: bool = False):
     """Row-tiled fused Verlet for grids beyond the whole-VMEM gate (same
     sizing rules as make_tiled_step)."""
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape
@@ -1055,6 +1065,11 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
     Halo rows per side = spring reach x n_iterations (rounded up to the
     8-row DMA alignment); requires ``tile >= halo`` so neighbour DMAs stay
     in range and ``ny % tile == 0``."""
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps, tear_update_grid
 
     ny, nx = top.grid_shape

@@ -283,6 +283,11 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
     are position-projected inside the Jacobi loop (geometry via SMEM).
     Tearing carries per-offset liveness planes; torn edges leave both the
     projection and the per-substep Jacobi count."""
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        raise ValueError(
+            "sdf (mesh) colliders are not supported in the fused kernels; "
+            "the stencil/jnp paths resolve them"
+        )
     from .stencil import tear_plane_maps
 
     ny, nx = top.grid_shape

@@ -271,6 +271,12 @@ def euler_substep_grid(
         )
         x3 = jnp.stack(xz)
         v3 = jnp.stack(vz)
+    if top is not None and collide._needs_sdf(top, cfg):
+        xz, vz = collide.resolve_sdfs_components(
+            top, cfg, [x3[0], x3[1], x3[2]], [v3[0], v3[1], v3[2]], movable[0]
+        )
+        x3 = jnp.stack(xz)
+        v3 = jnp.stack(vz)
     if scale is not None:
         scale = plastic_update_grid(x3, offsets, scale, cfg.plasticity)
     if alive is not None:
@@ -323,6 +329,11 @@ def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers,
             x3 = x3 + jnp.where(contact, pen, 0.0) * n
     if top is not None and collide._needs_capsule_box(top, cfg):
         xz = collide.project_capsules_boxes_components(
+            top, cfg, [x3[0], x3[1], x3[2]], movable[0]
+        )
+        x3 = jnp.stack(xz)
+    if top is not None and collide._needs_sdf(top, cfg):
+        xz = collide.project_sdfs_components(
             top, cfg, [x3[0], x3[1], x3[2]], movable[0]
         )
         x3 = jnp.stack(xz)
@@ -442,6 +453,12 @@ def xpbd_substep_grid(
         if top is not None and collide._needs_capsule_box(top, cfg):
             xe = x_prev + delta
             xz = collide.project_capsules_boxes_components(
+                top, cfg, [xe[0], xe[1], xe[2]], movable[0]
+            )
+            delta = delta + (jnp.stack(xz) - xe)
+        if top is not None and collide._needs_sdf(top, cfg):
+            xe = x_prev + delta
+            xz = collide.project_sdfs_components(
                 top, cfg, [xe[0], xe[1], xe[2]], movable[0]
             )
             delta = delta + (jnp.stack(xz) - xe)

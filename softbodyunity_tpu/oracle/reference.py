@@ -241,6 +241,72 @@ def resolve_boxes(x, v, centers, half_extents, rotations, restitution,
     return x, v
 
 
+def _sdf_sample_grad(grid, origin, spacing, x):
+    """Trilinear SDF sample + analytic gradient at points ``x`` [N,3].
+
+    The binding sampling semantics for mesh (SDF) colliders, mirrored
+    exactly by ``solver/collide.py`` ``sdf_sample_grad_components``:
+    cell index floor-clamped to the interior, fractional coordinate
+    clamped to [0,1] (border values extend outward — the grid is built
+    with a positive-distance pad so clamped regions are never in
+    contact), value = trilinear blend of the 8 cell corners, gradient =
+    the trilinear interpolant's own derivative (bilinear blends of
+    corner differences / spacing).  Returns (phi[N], grad[N,3])."""
+    gx, gy, gz = grid.shape
+    u = (x - origin[None, :]) / spacing
+    i = np.clip(np.floor(u).astype(np.int64), 0,
+                np.array([gx - 2, gy - 2, gz - 2]))
+    f = np.clip(u - i, 0.0, 1.0)
+    i0, j0, k0 = i[:, 0], i[:, 1], i[:, 2]
+    c = [[[grid[i0 + a, j0 + b, k0 + cc] for cc in (0, 1)] for b in (0, 1)]
+         for a in (0, 1)]
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    # interpolate z, then y, then x; keep the y-collapsed planes for ddx/ddy
+    cz = [[c[a][b][0] * (1 - fz) + c[a][b][1] * fz for b in (0, 1)]
+          for a in (0, 1)]
+    cy = [cz[a][0] * (1 - fy) + cz[a][1] * fy for a in (0, 1)]
+    phi = cy[0] * (1 - fx) + cy[1] * fx
+    ddx = (cy[1] - cy[0]) / spacing
+    ddy = ((cz[0][1] - cz[0][0]) * (1 - fx)
+           + (cz[1][1] - cz[1][0]) * fx) / spacing
+    dz = [[c[a][b][1] - c[a][b][0] for b in (0, 1)] for a in (0, 1)]
+    ddz = ((dz[0][0] * (1 - fy) + dz[0][1] * fy) * (1 - fx)
+           + (dz[1][0] * (1 - fy) + dz[1][1] * fy) * fx) / spacing
+    return phi, np.stack([ddx, ddy, ddz], axis=1)
+
+
+def resolve_sdfs(x, v, grids, origins, spacings, restitution, friction,
+                 movable):
+    """Mesh-collider (SDF) resolve: vertices with phi < 0 are pushed out
+    along the normalized SDF gradient by -phi; velocity response as for
+    plane/sphere (restitution on the inward normal component, friction on
+    the tangent)."""
+    x = x.copy()
+    v = v.copy()
+    for s in range(grids.shape[0]):
+        phi, grad = _sdf_sample_grad(grids[s], origins[s], spacings[s], x)
+        pen = -phi
+        contact = (pen > 0.0) & movable
+        gn = np.linalg.norm(grad, axis=1)
+        n = grad / np.maximum(gn, 1e-12)[:, None]
+        x = x + np.where(contact, pen, 0.0)[:, None] * n
+        vn = np.einsum("ij,ij->i", v, n)
+        inward = contact & (vn < 0.0)
+        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
+        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
+        vt = v - vn2
+        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+    return x, v
+
+
+def _has_sdfs(top: HostTopology, cfg: SimConfig) -> bool:
+    return (
+        cfg.collision.enable_sdf
+        and getattr(top, "sdf_grids", None) is not None
+        and top.sdf_grids.shape[0] > 0
+    )
+
+
 def _has_capsules(top: HostTopology, cfg: SimConfig) -> bool:
     return (
         cfg.collision.enable_capsules
@@ -288,6 +354,17 @@ def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
             )
             contact = inside & movable
             x = x + np.where(contact, push, 0.0)[:, None] * n
+    if _has_sdfs(top, cfg):
+        for s in range(top.sdf_grids.shape[0]):
+            phi, grad = _sdf_sample_grad(
+                top.sdf_grids[s], top.sdf_origins[s], top.sdf_spacings[s], x
+            )
+            pen = -phi
+            contact = (pen > 0.0) & movable
+            n = grad / np.maximum(
+                np.linalg.norm(grad, axis=1), 1e-12
+            )[:, None]
+            x = x + np.where(contact, pen, 0.0)[:, None] * n
     return x
 
 
@@ -377,6 +454,11 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     if _has_boxes(top, cfg):
         x, v = resolve_boxes(
             x, v, top.box_centers, top.box_half_extents, top.box_rotations,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+        )
+    if _has_sdfs(top, cfg):
+        x, v = resolve_sdfs(
+            x, v, top.sdf_grids, top.sdf_origins, top.sdf_spacings,
             cfg.collision.restitution, cfg.collision.friction, movable,
         )
     if scale is not None:

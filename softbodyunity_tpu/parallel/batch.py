@@ -155,6 +155,9 @@ _COLLIDER_FIELDS = (
     "plane_height", "sphere_centers", "sphere_radii",
     "capsule_p0", "capsule_p1", "capsule_radii",
     "box_centers", "box_half_extents", "box_rotations",
+    # per-scene mesh (SDF) collider placement: the baked grid is shared
+    # from top, each scene translates it via its own origins
+    "sdf_origins",
 )
 
 
@@ -184,8 +187,10 @@ def step_batched_colliders(
     """Generalized per-scene collider batching: pass any subset of
     ``plane_height`` (f32[B]), ``sphere_centers``/``sphere_radii``,
     ``capsule_p0``/``capsule_p1``/``capsule_radii``,
-    ``box_centers``/``box_half_extents``/``box_rotations`` with a leading
-    batch axis; unlisted geometry is shared from ``top``.  One compiled
+    ``box_centers``/``box_half_extents``/``box_rotations``, or
+    ``sdf_origins`` (per-scene placement of the shared baked SDF grids)
+    with a leading batch axis; unlisted geometry is shared from ``top``.
+    One compiled
     executable per (cfg, field-set) — moving geometry between calls never
     retraces."""
     bad = set(collider_arrays) - set(_COLLIDER_FIELDS)

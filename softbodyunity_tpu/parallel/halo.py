@@ -195,8 +195,16 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
     cloth paths run capsule/box colliders through the shared component
     primitives with geometry as replicated inputs ("components"); lattice
     paths reject ("none")."""
-    from ..solver.collide import _needs_capsule_box
+    from ..solver.collide import _needs_capsule_box, _needs_sdf
 
+    if _needs_sdf(top, cfg):
+        # SDF grids would be cheap replicated inputs, but none of the halo
+        # substeps plumb them yet; reject loudly rather than silently
+        # dropping the mesh collider (same contract as the other gates)
+        raise NotImplementedError(
+            "sdf (mesh) colliders are not supported in the halo-sharded "
+            "paths; use the single-device step or batch sharding"
+        )
     if caps == "none" and _needs_capsule_box(top, cfg):
         raise NotImplementedError(
             "capsule/box colliders are not supported in the halo-sharded "

@@ -1,4 +1,5 @@
-"""Plane / sphere / capsule / box collision resolve — branchless jnp ops.
+"""Plane / sphere / capsule / box / mesh(SDF) collision resolve — branchless
+jnp ops.
 
 The reference resolves collisions with per-vertex ``if`` tests inline in the
 substep loop ("plane/sphere collision resolve", BASELINE.json:5; capsules
@@ -123,6 +124,93 @@ def box_resolve_components(xz, vz, movable, center, half, rot,
                                      restitution, friction)
 
 
+def sdf_sample_grad_components(xz, grid, origin, spacing):
+    """Trilinear SDF sample + analytic gradient (oracle ``_sdf_sample_grad``
+    twin, exactly): ``xz`` component arrays of any shape, ``grid``
+    f32[gx,gy,gz], ``origin`` length-3 scalars, ``spacing`` scalar.
+    Returns (phi, [gx, gy, gz]) with phi/components shaped like xz[0].
+
+    TPU cost model: 8 gathers of one scalar plane per vertex — O(N), not
+    O(E) — into a grid that XLA keeps resident; this is the cheap
+    formulation of mesh contact (core/sdf.py module docstring)."""
+    gx, gy, gz = grid.shape
+    u = [(xz[c] - origin[c]) / spacing for c in range(3)]
+    dims = (gx, gy, gz)
+    i = [jnp.clip(jnp.floor(u[c]).astype(jnp.int32), 0, dims[c] - 2)
+         for c in range(3)]
+    f = [jnp.clip(u[c] - i[c], 0.0, 1.0) for c in range(3)]
+    c8 = [[[grid[i[0] + a, i[1] + b, i[2] + cc] for cc in (0, 1)]
+           for b in (0, 1)] for a in (0, 1)]
+    fx, fy, fz = f
+    cz = [[c8[a][b][0] * (1 - fz) + c8[a][b][1] * fz for b in (0, 1)]
+          for a in (0, 1)]
+    cy = [cz[a][0] * (1 - fy) + cz[a][1] * fy for a in (0, 1)]
+    phi = cy[0] * (1 - fx) + cy[1] * fx
+    ddx = (cy[1] - cy[0]) / spacing
+    ddy = ((cz[0][1] - cz[0][0]) * (1 - fx)
+           + (cz[1][1] - cz[1][0]) * fx) / spacing
+    dz = [[c8[a][b][1] - c8[a][b][0] for b in (0, 1)] for a in (0, 1)]
+    ddz = ((dz[0][0] * (1 - fy) + dz[0][1] * fy) * (1 - fx)
+           + (dz[1][0] * (1 - fy) + dz[1][1] * fy) * fx) / spacing
+    return phi, [ddx, ddy, ddz]
+
+
+def _sdf_pen_normal(xz, grid, origin, spacing):
+    """(pen, n) of an SDF collider: penetration depth -phi and outward
+    unit normal = normalized SDF gradient."""
+    phi, grad = sdf_sample_grad_components(xz, grid, origin, spacing)
+    gn = jnp.sqrt(grad[0] * grad[0] + grad[1] * grad[1]
+                  + grad[2] * grad[2])
+    inv = 1.0 / jnp.maximum(gn, 1e-12)
+    return -phi, [grad[c] * inv for c in range(3)]
+
+
+def sdf_project_components(xz, movable, grid, origin, spacing):
+    """Position-only SDF push-out (oracle project_positions_only twin)."""
+    pen, n = _sdf_pen_normal(xz, grid, origin, spacing)
+    contact = (pen > 0.0) & movable
+    pen_pos = jnp.where(contact, pen, 0.0)
+    return [xz[c] + pen_pos * n[c] for c in range(3)]
+
+
+def sdf_resolve_components(xz, vz, movable, grid, origin, spacing,
+                           restitution, friction):
+    """Velocity-level SDF resolve (oracle resolve_sdfs twin)."""
+    pen, n = _sdf_pen_normal(xz, grid, origin, spacing)
+    contact = (pen > 0.0) & movable
+    return _normal_velocity_response(xz, vz, contact, pen, n,
+                                     restitution, friction)
+
+
+def _sdf_scalars(top: Topology, s: int):
+    return (
+        top.sdf_grids[s],
+        [top.sdf_origins[s, c] for c in range(3)],
+        top.sdf_spacings[s],
+    )
+
+
+def resolve_sdfs_components(top, cfg, xz, vz, movable):
+    """All enabled SDF colliders, velocity level, sequential order."""
+    r, f = cfg.collision.restitution, cfg.collision.friction
+    for s in range(top.n_sdfs):
+        g, o, h = _sdf_scalars(top, s)
+        xz, vz = sdf_resolve_components(xz, vz, movable, g, o, h, r, f)
+    return xz, vz
+
+
+def project_sdfs_components(top, cfg, xz, movable):
+    """All enabled SDF colliders, position only."""
+    for s in range(top.n_sdfs):
+        g, o, h = _sdf_scalars(top, s)
+        xz = sdf_project_components(xz, movable, g, o, h)
+    return xz
+
+
+def _needs_sdf(top: Topology, cfg: SimConfig) -> bool:
+    return cfg.collision.enable_sdf and top.n_sdfs > 0
+
+
 def _capsule_scalars(top: Topology, s: int):
     return (
         [top.capsule_p0[s, c] for c in range(3)],
@@ -229,6 +317,13 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
         )
         x = jnp.stack(xz, axis=1)
         v = jnp.stack(vz, axis=1)
+    if _needs_sdf(top, cfg):
+        xz, vz = resolve_sdfs_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
+            [v[:, 0], v[:, 1], v[:, 2]], movable,
+        )
+        x = jnp.stack(xz, axis=1)
+        v = jnp.stack(vz, axis=1)
     return x, v
 
 
@@ -263,6 +358,12 @@ def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,
             top, cfg, [xe[:, 0], xe[:, 1], xe[:, 2]], movable
         )
         delta = delta + (jnp.stack(xz, axis=1) - xe)
+    if _needs_sdf(top, cfg):
+        xe = x_prev + delta
+        xz = project_sdfs_components(
+            top, cfg, [xe[:, 0], xe[:, 1], xe[:, 2]], movable
+        )
+        delta = delta + (jnp.stack(xz, axis=1) - xe)
     return delta
 
 
@@ -281,6 +382,11 @@ def project_positions_only(top: Topology, cfg: SimConfig, x, movable):
             x = x + jnp.where(contact, pen, 0.0)[:, None] * n
     if _needs_capsule_box(top, cfg):
         xz = project_capsules_boxes_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable
+        )
+        x = jnp.stack(xz, axis=1)
+    if _needs_sdf(top, cfg):
+        xz = project_sdfs_components(
             top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable
         )
         x = jnp.stack(xz, axis=1)

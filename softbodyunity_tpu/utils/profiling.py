@@ -110,9 +110,11 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
         _box_scalars,
         _capsule_scalars,
         _resolve_one_sphere,
+        _sdf_scalars,
         box_resolve_components,
         capsule_resolve_components,
         resolve_plane,
+        sdf_resolve_components,
     )
 
     movable = top.inv_mass > 0.0
@@ -167,6 +169,15 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
             js.append(imp_c(vz, vz1))
             xz, vz = xz1, vz1
         out["boxes"] = jnp.stack(js)
+    if cfg.collision.enable_sdf and top.n_sdfs > 0:
+        js = []
+        for s in range(top.n_sdfs):
+            gr, o, h = _sdf_scalars(top, s)
+            xz1, vz1 = sdf_resolve_components(xz, vz, movable, gr, o, h,
+                                              r, f)
+            js.append(imp_c(vz, vz1))
+            xz, vz = xz1, vz1
+        out["sdfs"] = jnp.stack(js)
     return out
 
 

@@ -74,3 +74,9 @@ def test_example_two_cloths():
     import math
     gap = _load("11_two_cloths.py").main(n_frames=40, n=8)
     assert math.isfinite(gap)
+
+
+def test_example_mesh_collider():
+    ymax = _load("12_mesh_collider.py").main(n_frames=60, n=10,
+                                             resolution=20)
+    assert ymax > -0.05
