@@ -65,7 +65,8 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
-                  alive=None, scale=None, capsules=None, boxes=None):
+                  alive=None, scale=None, capsules=None, boxes=None,
+                  sdfs=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
     state) subsumes the static ownership masks; ``scale`` (plastic
@@ -105,7 +106,7 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
     x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
-                                capsules, boxes)
+                                capsules, boxes, sdfs)
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x3, alive, scale, offsets, cfg,
                                             axis_name)
@@ -113,11 +114,14 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
 
 
 def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
-                       capsules=None, boxes=None):
+                       capsules=None, boxes=None, sdfs=None):
     """Velocity-level collider resolve on plane-layout blocks (the
     collider geometry is global, so sharding needs no special handling).
     ``capsules`` [C,7] / ``boxes`` [B,15] are the packed rows the fused
-    kernels use; the shared component primitives run unchanged here."""
+    kernels use; ``sdfs`` is ``(grids, origins, spacings)`` from
+    :func:`pack_sdf_geometry`; the shared component primitives run
+    unchanged here (single-device resolve order: plane, spheres,
+    capsules, boxes, sdfs)."""
     if cfg.collision.enable_plane:
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
@@ -156,7 +160,49 @@ def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
         )
         x3 = jnp.stack(xz)
         v3 = jnp.stack(vz)
+    if sdfs is not None:
+        x3, v3 = _resolve_sdfs_planes(x3, v3, movable, cfg, sdfs)
     return x3, v3
+
+
+def pack_sdf_geometry(top: Topology):
+    """(grids [S,gx,gy,gz], origins [S,3], spacings [S]) for the halo
+    makers: SDF sampling is per-vertex (no neighbour reads), so the baked
+    grids ride as replicated shard_map inputs, never closure constants."""
+    return top.sdf_grids, top.sdf_origins, top.sdf_spacings
+
+
+def _resolve_sdfs_planes(x3, v3, movable, cfg, sdfs):
+    """Velocity-level SDF resolve on plane-layout blocks (shared component
+    primitives from solver/collide.py)."""
+    from ..solver.collide import sdf_resolve_components
+
+    grids, origins, spacings = sdfs
+    xz = [x3[0], x3[1], x3[2]]
+    vz = [v3[0], v3[1], v3[2]]
+    for s in range(grids.shape[0]):
+        xz, vz = sdf_resolve_components(
+            xz, vz, movable[0], grids[s],
+            [origins[s, 0], origins[s, 1], origins[s, 2]], spacings[s],
+            cfg.collision.restitution, cfg.collision.friction,
+        )
+    return jnp.stack(xz), jnp.stack(vz)
+
+
+def _project_sdfs_planes(x3, movable, sdfs):
+    """Position-only SDF push-out on plane-layout blocks (Verlet/XPBD)."""
+    from ..solver.collide import sdf_project_components
+
+    if sdfs is None:
+        return x3
+    grids, origins, spacings = sdfs
+    xz = [x3[0], x3[1], x3[2]]
+    for s in range(grids.shape[0]):
+        xz = sdf_project_components(
+            xz, movable[0], grids[s],
+            [origins[s, 0], origins[s, 1], origins[s, 2]], spacings[s],
+        )
+    return jnp.stack(xz)
 
 
 def pack_capsule_box_geometry(top: Topology):
@@ -185,7 +231,8 @@ def _project_capsules_boxes(x3, movable, capsules, boxes):
 
 def _check_halo_colliders(top: Topology, cfg: SimConfig,
                           wind: str = "full", tear: str = "planes",
-                          caps: str = "components") -> None:
+                          caps: str = "components",
+                          sdf: str = "components") -> None:
     """What each halo-sharded path supports, enforced loudly.  ``wind``:
     cloth paths take drag + lift ("full"), lattice paths drag only ("drag"
     — lift needs surface triangles, which the banded single-device path
@@ -194,16 +241,18 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
     ("none" — the knob covers the two dynamic-plane features).  ``caps``:
     cloth paths run capsule/box colliders through the shared component
     primitives with geometry as replicated inputs ("components"); lattice
-    paths reject ("none")."""
+    paths reject ("none").  ``sdf``: same split for mesh (SDF) colliders —
+    cloth paths sample the replicated baked grids per vertex, lattice
+    paths reject."""
     from ..solver.collide import _needs_capsule_box, _needs_sdf
 
-    if _needs_sdf(top, cfg):
-        # SDF grids would be cheap replicated inputs, but none of the halo
-        # substeps plumb them yet; reject loudly rather than silently
+    if sdf == "none" and _needs_sdf(top, cfg):
+        # cloth paths take the baked grids as replicated inputs
+        # ("components"); lattice paths reject loudly rather than silently
         # dropping the mesh collider (same contract as the other gates)
         raise NotImplementedError(
             "sdf (mesh) colliders are not supported in the halo-sharded "
-            "paths; use the single-device step or batch sharding"
+            "lattice paths; use the single-device step or batch sharding"
         )
     if caps == "none" and _needs_capsule_box(top, cfg):
         raise NotImplementedError(
@@ -292,8 +341,9 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
-    from ..solver.collide import _needs_capsule_box
+    from ..solver.collide import _needs_capsule_box, _needs_sdf
     caps_on = _needs_capsule_box(top, cfg)
+    sdf_on = _needs_sdf(top, cfg)
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
     n_dev = mesh.shape[ROWS_AXIS]
@@ -306,7 +356,8 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None, scale3=None):
+                      capsules=None, boxes=None, scale3=None,
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
         # collider geometry and liveness/rest-scale planes arrive as
         # shard_map INPUTS (replicated / sharded respectively), never jit
         # closure constants (trace-time value fetches stall on this
@@ -325,6 +376,11 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 "cfg enables capsules/boxes: pass capsules/boxes "
                 "(pack_capsule_box_geometry(top))"
             )
+        if sdf_on and sdf_grids is None:
+            raise ValueError(
+                "cfg enables sdf colliders: pass sdf_grids/sdf_origins/"
+                "sdf_spacings (pack_sdf_geometry(top))"
+            )
 
         def local(x3b, v3b, imb, ph, *rest):
             i = 0
@@ -340,13 +396,17 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if tearing:
                 ab = rest[i]
                 i += 1
-            sb = rest[i] if plastic else None
+            sb = None
+            if plastic:
+                sb = rest[i]
+                i += 1
+            sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
 
             def body(carry, _):
                 out = _halo_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
-                    scale=carry[3], capsules=cb[0], boxes=cb[1],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
                 )
                 return out, None
 
@@ -378,6 +438,9 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             args.append(scale3)
             specs.append(spec)
             outs = outs + (spec,)
+        if sdf_on:
+            args += [sdf_grids, sdf_origins, sdf_spacings]
+            specs += [P(), P(), P()]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -430,7 +493,7 @@ def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv,
                        spheres=None, alive=None, scale=None, capsules=None,
-                       boxes=None):
+                       boxes=None, sdfs=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -522,6 +585,12 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             xev = x_prev + delta
             xproj = _project_capsules_boxes(xev, movable, capsules, boxes)
             delta = delta + (xproj - xev)
+        if sdfs is not None:
+            # SDF projection inside the loop, delta-rebased (same ordering
+            # as the stencil XPBD twin: after capsules/boxes)
+            xev = x_prev + delta
+            xproj = _project_sdfs_planes(xev, movable, sdfs)
+            delta = delta + (xproj - xev)
         return (delta, tuple(new_lams)), None
 
     # derive zeros from the sharded input so the scan carry keeps the
@@ -540,7 +609,8 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                          plane_height, ny_global, axis_name, spheres=None,
-                         alive=None, scale=None, capsules=None, boxes=None):
+                         alive=None, scale=None, capsules=None, boxes=None,
+                         sdfs=None):
     """One position-Verlet substep on a row-sharded block (oracle
     substep_verlet semantics; halo forces as in _halo_substep).  Returns
     ``(x_new, x3, alive, scale)`` with Nones preserved."""
@@ -590,6 +660,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
             n = d / jnp.maximum(dist, 1e-12)
             x_new = x_new + jnp.where(contact, pen, 0.0) * n
     x_new = _project_capsules_boxes(x_new, movable, capsules, boxes)
+    x_new = _project_sdfs_planes(x_new, movable, sdfs)
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x_new, alive, scale, offsets,
                                             cfg, axis_name)
@@ -602,8 +673,9 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     _check_halo_colliders(top, cfg)
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
-    from ..solver.collide import _needs_capsule_box
+    from ..solver.collide import _needs_capsule_box, _needs_sdf
     caps_on = _needs_capsule_box(top, cfg)
+    sdf_on = _needs_sdf(top, cfg)
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -616,7 +688,8 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None, scale3=None):
+                      capsules=None, boxes=None, scale3=None,
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
@@ -629,6 +702,11 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             raise ValueError(
                 "cfg enables capsules/boxes: pass capsules/boxes "
                 "(pack_capsule_box_geometry(top))"
+            )
+        if sdf_on and sdf_grids is None:
+            raise ValueError(
+                "cfg enables sdf colliders: pass sdf_grids/sdf_origins/"
+                "sdf_spacings (pack_sdf_geometry(top))"
             )
 
         def local(x3b, xp3b, imb, ph, *rest):
@@ -645,13 +723,17 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if tearing:
                 ab = rest[i]
                 i += 1
-            sb = rest[i] if plastic else None
+            sb = None
+            if plastic:
+                sb = rest[i]
+                i += 1
+            sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
 
             def body(carry, _):
                 out = _halo_verlet_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
-                    scale=carry[3], capsules=cb[0], boxes=cb[1],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
                 )
                 return out, None
 
@@ -681,6 +763,9 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             args.append(scale3)
             specs.append(spec)
             outs = outs + (spec,)
+        if sdf_on:
+            args += [sdf_grids, sdf_origins, sdf_spacings]
+            specs += [P(), P(), P()]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -695,8 +780,9 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
-    from ..solver.collide import _needs_capsule_box
+    from ..solver.collide import _needs_capsule_box, _needs_sdf
     caps_on = _needs_capsule_box(top, cfg)
+    sdf_on = _needs_sdf(top, cfg)
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -710,7 +796,8 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
-                      capsules=None, boxes=None, scale3=None):
+                      capsules=None, boxes=None, scale3=None,
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
@@ -723,6 +810,11 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             raise ValueError(
                 "cfg enables capsules/boxes: pass capsules/boxes "
                 "(pack_capsule_box_geometry(top))"
+            )
+        if sdf_on and sdf_grids is None:
+            raise ValueError(
+                "cfg enables sdf colliders: pass sdf_grids/sdf_origins/"
+                "sdf_spacings (pack_sdf_geometry(top))"
             )
 
         def local(x3b, v3b, imb, ph, *rest):
@@ -739,7 +831,11 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if tearing:
                 ab = rest[i]
                 i += 1
-            sb = rest[i] if plastic else None
+            sb = None
+            if plastic:
+                sb = rest[i]
+                i += 1
+            sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
             if tearing:
@@ -759,7 +855,7 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 out = _halo_xpbd_substep(
                     carry[0], carry[1], imb, xoffsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, cnt_inv, spheres=spheres, alive=carry[2],
-                    scale=carry[3], capsules=cb[0], boxes=cb[1],
+                    scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
                 )
                 return out, None
 
@@ -788,6 +884,9 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             args.append(scale3)
             specs.append(spec)
             outs = outs + (spec,)
+        if sdf_on:
+            args += [sdf_grids, sdf_origins, sdf_spacings]
+            specs += [P(), P(), P()]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -880,7 +979,8 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
     :func:`shard_lattice_state`.  Semantics mirror solver/step.py
     substep_euler on the banded path (tested vs single device)."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
+                          sdf="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1037,7 +1137,8 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None) -> (x, v)``."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
+                          sdf="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1189,7 +1290,8 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
     substep_xpbd banded twin)."""
-    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none")
+    _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
+                          sdf="none")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))

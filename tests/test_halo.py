@@ -354,3 +354,58 @@ def test_halo_capsule_box_matches_single_device(solver):
     # the drape actually touched the capsule (contact is exercised)
     x = np.asarray(got.x)
     assert np.isfinite(x).all()
+
+
+@pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
+def test_halo_sdf_matches_single_device(solver):
+    """Mesh (SDF) colliders on the row-sharded cloth paths: the baked grid
+    rides as a replicated shard_map input and per-vertex trilinear sampling
+    needs no halo reads, so the sharded step must equal the single-device
+    stencil path exactly, with real contact."""
+    from softbodyunity_tpu.core.config import Solver, XPBDParams
+    from softbodyunity_tpu.core.sdf import sdf_from_sphere
+    from softbodyunity_tpu.core.topology import add_colliders
+
+    sv = {"euler": Solver.SEMI_IMPLICIT_EULER, "verlet": Solver.VERLET,
+          "xpbd": Solver.XPBD}[solver]
+    cfg = SimConfig(
+        solver=sv,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0,
+                             k_bend=100.0, damping=0.5),
+        xpbd=XPBDParams(compliance_distance=1e-5, compliance_bend=5e-4,
+                        n_iterations=4),
+        collision=CollisionParams(enable_plane=True, enable_sdf=True,
+                                  restitution=0.1, friction=0.3),
+        global_damping=0.3,
+    )
+    host = cloth_grid(
+        12, 16, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-3.0,
+        orientation="xy",
+    )
+    grid, origin, h = sdf_from_sphere([0.3, -0.45, 0.0], 0.2, resolution=20)
+    host = add_colliders(host, sdf_grids=grid, sdf_origins=[origin],
+                         sdf_spacings=[h])
+    top, state = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    make = {"euler": halo.make_halo_step, "verlet": halo.make_halo_verlet_step,
+            "xpbd": halo.make_halo_xpbd_step}[solver]
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    grids, origins, spacings = halo.pack_sdf_geometry(top)
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    second = v3 if solver != "verlet" else x3
+    xf, vf = sharded(x3, second, im3, ph, cfg.dt, 64,
+                     sdf_grids=grids, sdf_origins=origins,
+                     sdf_spacings=spacings)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+    want = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 64))(
+        top, state
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(want.x), atol=2e-5
+    )
+    # the drape actually touched the sphere SDF (contact exercised)
+    x = np.asarray(got.x)
+    assert np.isfinite(x).all()
+    d = np.linalg.norm(x - np.array([0.3, -0.45, 0.0]), axis=1)
+    assert d.min() < 0.25

@@ -271,12 +271,13 @@ def test_contact_impulses_report_sdf_support():
     assert float(np.asarray(imp["sdfs"])[0, 1]) > 0.0
 
 
-def test_halo_gate_rejects_sdf():
-    """The halo-sharded paths reject SDF colliders loudly (not silently
-    dropping the mesh)."""
+def test_halo_lattice_gate_rejects_sdf():
+    """The halo-sharded LATTICE paths reject SDF colliders loudly (the
+    cloth paths accept them — equality test in tests/test_halo.py)."""
     from softbodyunity_tpu.parallel.halo import _check_halo_colliders
 
     host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
     top, _ = api.init(host)
     with pytest.raises(NotImplementedError, match="sdf"):
-        _check_halo_colliders(top, cfg)
+        _check_halo_colliders(top, cfg, sdf="none")
+    _check_halo_colliders(top, cfg)  # cloth gate accepts
