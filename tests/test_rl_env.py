@@ -2,6 +2,7 @@
 determinism, action effectiveness, and meshio render handoff."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -66,3 +67,66 @@ def test_meshio_obj_and_rollout(tmp_path):
     assert "\nf " in text and "\nvn " in text
     data = np.load(tmp_path / "anim.npz")
     assert data["triangles"].shape[1] == 3
+
+
+def test_load_obj_roundtrip_and_forms(tmp_path):
+    """load_obj: write_obj round-trip, quad fan triangulation, v/vt/vn
+    index forms, negative (relative) indices, comments/garbage skipped."""
+    host, cfg = presets.build("cloth_32_euler")
+    top, state = api.init(host)
+    obj = tmp_path / "rt.obj"
+    meshio.write_obj(str(obj), top, state)
+    v, f = meshio.load_obj(str(obj))
+    np.testing.assert_allclose(v, np.asarray(state.x), atol=1e-6)
+    np.testing.assert_array_equal(f, np.asarray(top.triangles))
+
+    quad = tmp_path / "quad.obj"
+    quad.write_text(
+        "# a textured quad plus a relative-index triangle\n"
+        "mtllib none.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvn 0 0 1\n"
+        "f 1/1/1 2/1/1 3/1/1 4/1/1\n"
+        "f -4//1 -2//1 -1//1\n"
+    )
+    v, f = meshio.load_obj(str(quad))
+    assert v.shape == (4, 3)
+    np.testing.assert_array_equal(
+        f, [[0, 1, 2], [0, 2, 3], [0, 2, 3]]
+    )
+
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nf 1 2 3\n")
+    with pytest.raises(ValueError, match="out of range"):
+        meshio.load_obj(str(bad))
+
+
+def test_load_obj_to_softbody_and_collider(tmp_path):
+    """The asset pipeline end-to-end: an OBJ becomes (a) a simulated soft
+    body via from_triangle_mesh and (b) a static collider via
+    sdf_from_mesh."""
+    from softbodyunity_tpu.core.sdf import sdf_from_mesh
+    from softbodyunity_tpu.core.topology import from_triangle_mesh
+    from softbodyunity_tpu.oracle.reference import _sdf_sample_grad
+
+    cube = tmp_path / "cube.obj"
+    cube.write_text(
+        "v -1 -1 -1\nv 1 -1 -1\nv 1 1 -1\nv -1 1 -1\n"
+        "v -1 -1 1\nv 1 -1 1\nv 1 1 1\nv -1 1 1\n"
+        "f 1 3 2\nf 1 4 3\nf 5 6 7\nf 5 7 8\n"
+        "f 1 2 6\nf 1 6 5\nf 2 3 7\nf 2 7 6\n"
+        "f 3 4 8\nf 3 8 7\nf 4 1 5\nf 4 5 8\n"
+    )
+    v, f = meshio.load_obj(str(cube))
+    cfg = presets.build("cloth_32_euler")[1]
+    host = from_triangle_mesh(v, f, mass=1.0, pinned_ids=(0,),
+                              springs=cfg.springs, xpbd=cfg.xpbd)
+    top, state = api.init(host)
+    for _ in range(3):
+        state = api.step(top, cfg, state)
+    assert np.isfinite(np.asarray(state.x)).all()
+
+    grid, origin, h = sdf_from_mesh(v, f, resolution=12)
+    phi, _ = _sdf_sample_grad(grid, origin, np.float64(h),
+                              np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.1]]))
+    assert phi[0] < -0.8 and phi[1] > 0.05
