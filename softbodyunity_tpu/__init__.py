@@ -37,6 +37,8 @@ from .core.topology import (
     cloth_grid,
     from_tet_mesh,
     from_triangle_mesh,
+    merge_bodies,
+    stitch,
     tet_cube,
 )
 from .models import presets
@@ -56,5 +58,6 @@ __all__ = [
     "TearParams", "PlasticityParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
-    "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh", "presets",
+    "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh",
+    "merge_bodies", "stitch", "presets",
 ]

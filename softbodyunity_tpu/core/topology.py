@@ -319,10 +319,10 @@ def cloth_grid(
       * shear: diagonals (i,j)-(i+1,j+1) and (i,j+1)-(i+1,j)
       * bend: 2-apart (i,j)-(i,j+2) and (i,j)-(i+2,j)
 
-    ``pinned`` is a subset of {"tl","tr","bl","br","top","bottom","left",
-    "right","corners"} marking
+    ``pinned`` mixes named anchors {"tl","tr","bl","br","top","bottom",
+    "left","right","corners"} and integer vertex ids, marking
     vertices with inv_mass = 0 ("pinned mask", BASELINE.json:5) — the
-    branch-free pinning mechanism (SURVEY.md C10).
+    branch-free pinning mechanism (SURVEY.md C10).  Unknown names raise.
     """
     from .config import SpringParams, XPBDParams
 
@@ -367,7 +367,19 @@ def cloth_grid(
 
     inv_mass = np.full(n, 1.0 / mass, dtype=np.float64)  # mass is per-vertex
     pin_ids: set[int] = set()
+    known = {"tl", "tr", "bl", "br", "top", "bottom", "left", "right",
+             "corners"}
     for p in pinned:
+        if isinstance(p, (int, np.integer)):
+            if not 0 <= int(p) < n:
+                raise ValueError(f"pinned vertex id {p} out of range [0, {n})")
+            pin_ids.add(int(p))
+            continue
+        if p not in known:
+            # a typo here means the cloth the user believes is anchored
+            # silently free-falls
+            raise ValueError(f"unknown pin spec {p!r}; use one of {sorted(known)} "
+                             "or an integer vertex id")
         if p == "tl" or p == "corners":
             pin_ids.add(vid(0, 0))
         if p == "tr" or p == "corners":
@@ -808,4 +820,184 @@ def from_tet_mesh(
         grid_shape=None,
         grid_spacing=None,
         edge_classes_present=tuple(sorted(set(int(c) for c in cls))) or (0,),
+    )
+
+
+def _none_concat(arrays, empty_shape):
+    """Concatenate optional per-body collider arrays; None if ALL are None."""
+    if all(a is None for a in arrays):
+        return None
+    return np.concatenate([
+        np.asarray(a, np.float64) if a is not None
+        else np.zeros(empty_shape, np.float64)
+        for a in arrays
+    ])
+
+
+def merge_bodies(*hosts: HostTopology) -> HostTopology:
+    """Concatenate several built topologies into ONE multi-body scene — the
+    analogue of placing several soft-body GameObjects in the same Unity
+    scene.  Vertex/edge/tet/triangle indices are offset per body; bodies
+    interact through self-collision (body-body contact,
+    ``SelfCollisionParams``) and, after :func:`stitch`, through attachment
+    springs.
+
+    Collider geometry (spheres/capsules/boxes/SDF bakes) is the union of
+    every body's; the ground plane is the FIRST body's ``plane_height``
+    (one scene, one floor — assign ``host.plane_height`` afterwards to
+    override).  The merged scene is general topology: ``grid_shape`` is
+    dropped, so stepping uses the banded/gather paths, not the grid
+    stencil kernels.
+    """
+    if not hosts:
+        raise ValueError("merge_bodies needs at least one body")
+    if len(hosts) == 1:
+        return hosts[0]
+    offs = np.cumsum([0] + [h.positions0.shape[0] for h in hosts])[:-1]
+    pos = np.concatenate([h.positions0 for h in hosts])
+    edges = np.concatenate([h.edges.astype(np.int64) + o
+                            for h, o in zip(hosts, offs)])
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges = edges[order]
+    cat = lambda f: np.concatenate([f(h) for h in hosts])
+    rest = cat(lambda h: h.rest_length)[order]
+    cls = cat(lambda h: h.edge_class)[order]
+    k = cat(lambda h: h.edge_stiffness)[order]
+    alpha = cat(lambda h: h.edge_compliance)[order]
+    tets = np.concatenate([h.tets.astype(np.int64) + o
+                           for h, o in zip(hosts, offs)])
+    tris = np.concatenate([h.triangles.astype(np.int64) + o
+                           for h, o in zip(hosts, offs)])
+    incident, sign = _build_incidence(pos.shape[0], edges)
+
+    sdf_grids = [h.sdf_grids for h in hosts if h.sdf_grids is not None]
+    if sdf_grids:
+        dims = {g.shape[1:] for g in sdf_grids}
+        if len(dims) > 1:
+            # Topology stacks all scene SDF bakes in one [Sg,gx,gy,gz]
+            # array; mixed voxel dims cannot stack (re-bake at a common
+            # resolution instead of silently resampling physics geometry)
+            raise ValueError(
+                f"all SDF collider grids must share voxel dims, got {dims}"
+            )
+    return HostTopology(
+        positions0=pos,
+        edges=edges.astype(np.int32),
+        rest_length=rest,
+        edge_class=cls.astype(np.int32),
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=cat(lambda h: h.inv_mass),
+        incident=incident,
+        incident_sign=sign,
+        tets=tets.astype(np.int32),
+        rest_volume=cat(lambda h: h.rest_volume),
+        triangles=tris.astype(np.int32),
+        plane_height=float(hosts[0].plane_height),
+        sphere_centers=cat(lambda h: h.sphere_centers),
+        sphere_radii=cat(lambda h: h.sphere_radii),
+        grid_shape=None,
+        grid_spacing=None,
+        edge_classes_present=tuple(sorted(
+            set().union(*(h.edge_classes_present for h in hosts)))),
+        capsule_p0=_none_concat([h.capsule_p0 for h in hosts], (0, 3)),
+        capsule_p1=_none_concat([h.capsule_p1 for h in hosts], (0, 3)),
+        capsule_radii=_none_concat([h.capsule_radii for h in hosts], (0,)),
+        box_centers=_none_concat([h.box_centers for h in hosts], (0, 3)),
+        box_half_extents=_none_concat(
+            [h.box_half_extents for h in hosts], (0, 3)),
+        box_rotations=_none_concat(
+            [h.box_rotations for h in hosts], (0, 3, 3)),
+        sdf_grids=(np.concatenate(sdf_grids) if sdf_grids else None),
+        sdf_origins=_none_concat([h.sdf_origins for h in hosts], (0, 3)),
+        sdf_spacings=_none_concat([h.sdf_spacings for h in hosts], (0,)),
+    )
+
+
+def stitch(
+    host: HostTopology,
+    ids_a,
+    ids_b,
+    *,
+    stiffness: Optional[float] = None,
+    compliance: Optional[float] = None,
+    rest_length=None,
+) -> HostTopology:
+    """Sew vertex pairs together with springs — attachment constraints
+    between (or within) soft bodies: a seam joining two cloth panels, a
+    flag laced to a rope, a handle strapped to a soft cube.
+
+    ``ids_a[i]`` is connected to ``ids_b[i]`` by a structural spring.
+    ``rest_length`` defaults to the pairs' CURRENT distances (a rigid
+    lacing); pass ``0.0`` for a sewing seam that pulls the pairs flush, or
+    an array for per-pair lengths.  ``stiffness``/``compliance`` default
+    to the mean of the host's structural springs (force solvers read
+    stiffness, XPBD reads compliance).
+
+    Returns a new :class:`HostTopology`; the input is not modified.  Like
+    :func:`merge_bodies`, the result is general topology (``grid_shape``
+    dropped) so the stitches are seen by every solver path.
+    """
+    ids_a = np.asarray(ids_a, np.int64).reshape(-1)
+    ids_b = np.asarray(ids_b, np.int64).reshape(-1)
+    if ids_a.shape != ids_b.shape:
+        raise ValueError("ids_a and ids_b must pair up 1:1")
+    n = host.positions0.shape[0]
+    if ids_a.size == 0:
+        return host
+    if ((ids_a < 0) | (ids_a >= n) | (ids_b < 0) | (ids_b >= n)).any():
+        raise ValueError(f"stitch vertex id out of range [0, {n})")
+    if (ids_a == ids_b).any():
+        raise ValueError("cannot stitch a vertex to itself")
+    new = np.stack([np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)],
+                   axis=1)
+    existing = {tuple(e) for e in host.edges.tolist()}
+    dup = [tuple(e) for e in new.tolist()
+           if tuple(e) in existing]
+    if dup:
+        # a duplicate edge silently DOUBLES that spring's stiffness
+        raise ValueError(f"stitch pairs already have springs: {dup[:4]}")
+    if len({tuple(e) for e in new.tolist()}) != len(new):
+        raise ValueError("duplicate stitch pairs")
+
+    struct = host.edge_class == EDGE_STRUCTURAL
+    if stiffness is None:
+        if not struct.any():
+            raise ValueError(
+                "no structural springs to default from; pass stiffness=")
+        stiffness = float(host.edge_stiffness[struct].mean())
+    if compliance is None:
+        compliance = (float(host.edge_compliance[struct].mean())
+                      if struct.any() else 0.0)
+    if rest_length is None:
+        rest_length = np.linalg.norm(
+            host.positions0[new[:, 1]] - host.positions0[new[:, 0]], axis=1)
+    rest_new = np.broadcast_to(
+        np.asarray(rest_length, np.float64), (len(new),)).copy()
+
+    edges = np.concatenate([host.edges.astype(np.int64), new])
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    app = lambda a, v: np.concatenate(
+        [np.asarray(a, np.float64), np.full(len(new), v, np.float64)])
+    rest = np.concatenate([host.rest_length, rest_new])[order]
+    cls = np.concatenate(
+        [host.edge_class.astype(np.int64),
+         np.full(len(new), EDGE_STRUCTURAL, np.int64)])[order]
+    k = app(host.edge_stiffness, stiffness)[order]
+    alpha = app(host.edge_compliance, compliance)[order]
+    edges = edges[order]
+    incident, sign = _build_incidence(n, edges)
+    return dataclasses.replace(
+        host,
+        edges=edges.astype(np.int32),
+        rest_length=rest,
+        edge_class=cls.astype(np.int32),
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        incident=incident,
+        incident_sign=sign,
+        grid_shape=None,
+        grid_spacing=None,
+        edge_classes_present=tuple(sorted(
+            set(host.edge_classes_present) | {EDGE_STRUCTURAL})),
     )

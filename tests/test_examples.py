@@ -76,6 +76,11 @@ def test_example_two_cloths():
     assert math.isfinite(gap)
 
 
+def test_example_stitched_bodies():
+    gap = _load("13_stitched_bodies.py").main(n_frames=30, n=6)
+    assert gap < 0.1
+
+
 def test_example_mesh_collider():
     ymax = _load("12_mesh_collider.py").main(n_frames=60, n=10,
                                              resolution=20)

@@ -1,0 +1,176 @@
+"""merge_bodies + stitch: multi-body scene assembly and attachment
+springs (the 'several soft-body GameObjects, sewn together' analogue).
+Validation: structural invariants, f64 oracle parity, and the physical
+outcome (a stitched body HANGS from its partner instead of falling)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import softbodyunity_tpu as sb
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, Solver
+from softbodyunity_tpu.core.topology import (
+    EDGE_STRUCTURAL,
+    cloth_grid,
+    merge_bodies,
+    stitch,
+)
+from softbodyunity_tpu.oracle import reference as oracle
+
+
+def _two_cloths(cfg, n=6, spacing=0.1):
+    """A hanging sheet pinned along its top row, and a free sheet just
+    below its hem (both vertical, "xy" orientation)."""
+    top_sheet = cloth_grid(
+        n, n, spacing=spacing, shear=True, bend=False,
+        pinned=("top",), springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-10.0, orientation="xy",
+    )
+    bottom = cloth_grid(
+        n, n, spacing=spacing, shear=True, bend=False, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-10.0,
+        orientation="xy", origin=(0.0, -n * spacing, 0.0),
+    )
+    merged = merge_bodies(top_sheet, bottom)
+    n_v = n * n
+    seam_a = [(n - 1) * n + j for j in range(n)]          # top sheet, last row
+    seam_b = [n_v + j for j in range(n)]                   # free sheet, first row
+    return merged, seam_a, seam_b, n_v
+
+
+def test_merge_counts_and_offsets():
+    cfg = SimConfig()
+    a = cloth_grid(4, 4, spacing=0.1, pinned=("tl",), springs=cfg.springs,
+                   xpbd=cfg.xpbd)
+    b = cloth_grid(3, 5, spacing=0.1, pinned=(), springs=cfg.springs,
+                   xpbd=cfg.xpbd,
+                   sphere_centers=[[0.0, -1.0, 0.0]], sphere_radii=[0.3])
+    m = merge_bodies(a, b)
+    assert m.positions0.shape[0] == 16 + 15
+    assert m.edges.shape[0] == a.edges.shape[0] + b.edges.shape[0]
+    assert m.triangles.shape[0] == a.triangles.shape[0] + b.triangles.shape[0]
+    # second body's indices are offset past the first body's vertices
+    b_edges = m.edges[(m.edges >= 16).all(axis=1)]
+    assert b_edges.shape[0] == b.edges.shape[0]
+    assert m.inv_mass[0] == 0.0 and (m.inv_mass[16:] > 0).all()
+    assert m.sphere_centers.shape == (1, 3)
+    assert m.grid_shape is None
+    # one scene, one floor: first body's plane
+    assert m.plane_height == a.plane_height
+    # edges stay sorted (lexsort by endpoint) after the merge
+    assert (np.lexsort((m.edges[:, 1], m.edges[:, 0]))
+            == np.arange(m.edges.shape[0])).all()
+
+
+def test_merge_sdf_dim_mismatch_raises():
+    from softbodyunity_tpu.core.topology import add_colliders
+    cfg = SimConfig()
+    a = cloth_grid(3, 3, spacing=0.1, springs=cfg.springs, xpbd=cfg.xpbd)
+    b = cloth_grid(3, 3, spacing=0.1, springs=cfg.springs, xpbd=cfg.xpbd)
+    a = add_colliders(a, sdf_grids=np.zeros((1, 4, 4, 4)),
+                      sdf_origins=[[0.0, 0, 0]], sdf_spacings=[0.1])
+    b = add_colliders(b, sdf_grids=np.zeros((1, 5, 5, 5)),
+                      sdf_origins=[[0.0, 0, 0]], sdf_spacings=[0.1])
+    with pytest.raises(ValueError, match="voxel dims"):
+        merge_bodies(a, b)
+
+
+def test_stitch_validation_and_defaults():
+    cfg = SimConfig()
+    host = cloth_grid(4, 4, spacing=0.1, springs=cfg.springs, xpbd=cfg.xpbd)
+    e0 = host.edges.shape[0]
+    out = stitch(host, [0, 1], [12, 13])
+    assert out.edges.shape[0] == e0 + 2
+    assert host.edges.shape[0] == e0, "input must not be modified"
+    struct = host.edge_class == EDGE_STRUCTURAL
+    new_mask = np.ones(out.edges.shape[0], bool)
+    old = {tuple(e) for e in host.edges.tolist()}
+    for i, e in enumerate(out.edges.tolist()):
+        if tuple(e) in old:
+            new_mask[i] = False
+    # defaults: mean structural stiffness/compliance, current-distance rest
+    np.testing.assert_allclose(
+        out.edge_stiffness[new_mask],
+        host.edge_stiffness[struct].mean())
+    d = np.linalg.norm(host.positions0[12] - host.positions0[0])
+    assert np.any(np.isclose(out.rest_length[new_mask], d))
+    # sewing seam: rest 0
+    seam = stitch(host, [0], [12], rest_length=0.0)
+    new_e = [tuple(e) for e in seam.edges.tolist() if tuple(e) not in old]
+    assert new_e == [(0, 12)]
+    # incidence was rebuilt to include the stitches
+    assert seam.incident.shape != host.incident.shape or not np.array_equal(
+        seam.incident, host.incident)
+
+    with pytest.raises(ValueError, match="itself"):
+        stitch(host, [3], [3])
+    with pytest.raises(ValueError, match="out of range"):
+        stitch(host, [0], [99])
+    with pytest.raises(ValueError, match="already have springs"):
+        stitch(host, [0], [1])
+    with pytest.raises(ValueError, match="duplicate"):
+        stitch(host, [0, 12], [12, 0])
+
+
+def test_stitched_cloth_hangs_not_falls():
+    """The physical point of attachments: a free sheet sewn to a pinned
+    sheet's hem hangs from it; unstitched, it falls away."""
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True),
+                    global_damping=0.5)
+    merged, seam_a, seam_b, n_v = _two_cloths(cfg)
+    loose_top, loose_state = api.init(merged)
+    # stiff seam: six stitches carry the whole lower sheet's weight, so
+    # default (mean-structural) stiffness would sag visibly
+    sewn = stitch(merged, seam_a, seam_b, rest_length=0.0, stiffness=5e3)
+    top, state = api.init(sewn)
+    for _ in range(120):
+        state = api.step(top, cfg, state)
+        loose_state = api.step(loose_top, cfg, loose_state)
+    x = np.asarray(state.x)
+    xl = np.asarray(loose_state.x)
+    assert np.isfinite(x).all()
+    # stitched pairs stay flush (sewn seam)
+    gap = np.linalg.norm(x[seam_a] - x[seam_b], axis=1)
+    assert gap.max() < 0.05, f"seam opened: {gap.max():.3f}"
+    # the sewn sheet hangs well above where the loose sheet fell
+    assert x[n_v:, 1].min() > xl[n_v:, 1].min() + 0.3
+
+
+@pytest.mark.parametrize("solver", [Solver.SEMI_IMPLICIT_EULER, Solver.XPBD])
+def test_stitched_oracle_parity_f64(solver):
+    """Stitches are ordinary edges to every path: f64 device trajectory
+    must match the binding oracle exactly (<1e-6 over 40 steps)."""
+    cfg = SimConfig(solver=solver,
+                    collision=CollisionParams(enable_plane=True))
+    merged, seam_a, seam_b, _ = _two_cloths(cfg, n=4)
+    host = stitch(merged, seam_a, seam_b)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        top, s = api.init(host, dtype=jnp.float64)
+        x = host.positions0.copy()
+        v = np.zeros_like(x)
+        xp = host.positions0.copy()
+        for _ in range(40):
+            x, v, xp = oracle.step(host, cfg, x, v, xp)
+            s = api.step(top, cfg, s)
+        drift = np.max(np.abs(np.asarray(s.x) - x))
+        assert drift < 1e-6, f"stitched {solver} f64 drift {drift:.2e}"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_merged_bodies_batch_and_grad():
+    """Merged/stitched scenes flow through the batched stepping surface."""
+    from softbodyunity_tpu.parallel.batch import batch_state, step_batched
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True))
+    merged, seam_a, seam_b, _ = _two_cloths(cfg, n=4)
+    host = stitch(merged, seam_a, seam_b)
+    top, state = api.init(host)
+    jitter = 0.01 * jax.random.normal(jax.random.PRNGKey(0), (3, 3))
+    states = batch_state(state, 3, jitter=jitter)
+    states = step_batched(top, cfg, states)
+    assert np.isfinite(np.asarray(states.x)).all()
+    assert np.asarray(states.x).shape[0] == 3
