@@ -25,6 +25,7 @@ Build pipeline (float64 NumPy, vectorized over voxels x triangle chunks):
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -135,6 +136,18 @@ def sdf_from_mesh(
     spacing = float((hi - lo).max()) / max(resolution - 1, 1)
     if spacing <= 0.0:
         raise ValueError("degenerate mesh: zero extent")
+    thin = float((hi - lo).min())
+    if thin < 2.0 * spacing:
+        # a feature thinner than ~2 voxels barely registers as "inside"
+        # after trilinear sampling — cloth falls straight through the
+        # collider with no error anywhere downstream
+        warnings.warn(
+            f"sdf_from_mesh: thinnest mesh extent {thin:.4g} is under 2 "
+            f"voxels at spacing {spacing:.4g}; contacts may tunnel. Raise "
+            f"resolution to >= {int(np.ceil(2 * (hi - lo).max() / max(thin, 1e-12))) + 1} "
+            "or thicken the geometry.",
+            stacklevel=2,
+        )
     if padding is None:
         padding = spacing
     pad_cells = max(int(np.ceil(padding / spacing)), 1)

@@ -281,3 +281,23 @@ def test_halo_lattice_gate_rejects_sdf():
     with pytest.raises(NotImplementedError, match="sdf"):
         _check_halo_colliders(top, cfg, sdf="none")
     _check_halo_colliders(top, cfg)  # cloth gate accepts
+
+
+def test_sdf_bake_warns_on_thin_features():
+    """A mesh thinner than ~2 voxels can't register 'inside' after
+    trilinear sampling (cloth tunnels with no error downstream) — the
+    bake must warn and suggest a resolution."""
+    import warnings as _w
+    from softbodyunity_tpu.core.sdf import sdf_from_mesh
+
+    # 10 x 0.4 x 10 slab at resolution 24 -> spacing ~0.43 > thickness/2
+    v = np.array([[x, y, z] for x in (-5.0, 5.0) for y in (-1.0, -0.6)
+                  for z in (-5.0, 5.0)])
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    with pytest.warns(UserWarning, match="tunnel"):
+        sdf_from_mesh(v, f, resolution=24)
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # well-resolved bake: no warning
+        sdf_from_mesh(v, f, resolution=64)
