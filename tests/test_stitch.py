@@ -174,3 +174,59 @@ def test_merged_bodies_batch_and_grad():
     states = step_batched(top, cfg, states)
     assert np.isfinite(np.asarray(states.x)).all()
     assert np.asarray(states.x).shape[0] == 3
+
+
+def test_merge_volumetric_and_cloth():
+    """merge_bodies offsets TET indices too: a soft cube and a cloth in
+    one scene, volume preservation still acting on the cube's tets."""
+    from softbodyunity_tpu.core.topology import tet_cube
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True))
+    cube = tet_cube(3, spacing=0.1, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=-1.0, origin=(0.0, 0.3, 0.0))
+    cloth = cloth_grid(4, 4, spacing=0.1, pinned=("top",),
+                       springs=cfg.springs, xpbd=cfg.xpbd,
+                       orientation="xy", origin=(1.0, 0.0, 0.0))
+    m = merge_bodies(cube, cloth)
+    n_cube = cube.positions0.shape[0]
+    assert m.tets.shape[0] == cube.tets.shape[0]
+    assert m.tets.max() < n_cube, "tet ids must stay inside the cube body"
+    np.testing.assert_allclose(m.rest_volume, cube.rest_volume)
+    # cloth-second ordering ALSO works reversed (tets get offset)
+    m2 = merge_bodies(cloth, cube)
+    assert m2.tets.min() >= cloth.positions0.shape[0]
+
+    top, state = api.init(m)
+    for _ in range(20):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # the cube kept its volume (PBD projection active through the merge);
+    # V = det/6 per tet, same formula as oracle.volume_projection
+    xf = x.astype(np.float64)
+    t = m.tets
+    p0, p1, p2, p3 = xf[t[:, 0]], xf[t[:, 1]], xf[t[:, 2]], xf[t[:, 3]]
+    vols = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+    assert abs(vols.sum() / cube.rest_volume.sum() - 1.0) < 0.05
+
+
+def test_stitched_seam_tears():
+    """Composition: stitches are ordinary edges, so TearParams rips an
+    overloaded seam — the sewn sheet breaks away and falls."""
+    from softbodyunity_tpu.core.config import TearParams
+    cfg = SimConfig(collision=CollisionParams(enable_plane=True),
+                    tear=TearParams(enabled=True, strain_limit=0.03),
+                    global_damping=0.2)
+    merged, seam_a, seam_b, n_v = _two_cloths(cfg)
+    # heavy lower sheet on a weak sparse seam: two stitches only
+    host = stitch(merged, seam_a[:2], seam_b[:2], stiffness=50.0)
+    host.inv_mass[n_v:] = 1.0 / 5.0     # 5 kg per lower-sheet vertex
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    for _ in range(150):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    alive = np.asarray(state.edge_alive)
+    assert alive.sum() < alive.shape[0], "seam never tore"
+    # the lower sheet broke away toward the floor
+    assert x[n_v:, 1].min() < -2.0
