@@ -21,7 +21,13 @@ from ..core.config import (
     SpringParams,
     XPBDParams,
 )
-from ..core.topology import HostTopology, cloth_grid, tet_cube
+from ..core.topology import (
+    HostTopology,
+    cloth_grid,
+    merge_bodies,
+    stitch,
+    tet_cube,
+)
 
 _REGISTRY: Dict[str, Callable[[], Tuple[HostTopology, SimConfig]]] = {}
 
@@ -157,6 +163,41 @@ def cloth_batch_rl():
         plane_height=-1.0, origin=(0.0, 0.0, 0.0), orientation="xy",
     )
     return top, cfg
+
+
+@register("curtain_stitched")
+def curtain_stitched():
+    """Composed scene exercising the attachment pipeline (SURVEY.md C1/C14
+    composition; BASELINE.json:5 spring accumulation extended to inter-body
+    edges): two 16x16 cloth panels placed in one scene with
+    :func:`merge_bodies`, the lower panel hanging from six rest-zero
+    :func:`stitch` seams on the upper panel's hem.  Smooth (no contact),
+    so the golden-replay tolerance is tight; also in the f64 exact-parity
+    whitelist — this is the preset that pins down merged-topology + stitch
+    semantics against the oracle."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=600.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=0.4,
+    )
+    n, spacing = 16, 0.05
+    upper = cloth_grid(
+        n, n, spacing=spacing, mass=0.05, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-10.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    lower = cloth_grid(
+        n, n, spacing=spacing, mass=0.05, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-10.0, origin=(0.0, -n * spacing, 0.0),
+        orientation="xy",
+    )
+    scene = merge_bodies(upper, lower)
+    hem = [(n - 1) * n + j for j in range(0, n, 3)]   # upper panel, last row
+    brim = [n * n + j for j in range(0, n, 3)]        # lower panel, first row
+    scene = stitch(scene, hem, brim, rest_length=0.0, stiffness=5e3)
+    return scene, cfg
 
 
 @register("cloth_bench_64k")

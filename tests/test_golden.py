@@ -25,6 +25,7 @@ TOLERANCES = {
     "cloth_xpbd": 2e-3,
     "cloth_hanging_sphere": 5e-2,   # sphere-contact chaos over 100 frames
     "cloth_batch_rl": 5e-2,         # self-collision contact chaos
+    "curtain_stitched": 1e-4,       # merged bodies + stitch seams, smooth
 }
 
 

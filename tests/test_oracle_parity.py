@@ -38,6 +38,8 @@ PRESETS = [
     "cloth_xpbd",
     "softbody_cube",
     "cloth_batch_rl",
+    # merged-topology + stitch semantics (curtain of two sewn panels)
+    "curtain_stitched",
 ]
 assert set(PRESETS) <= set(presets.names())
 
