@@ -85,6 +85,28 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                      else None),
         sdf_spacings=(f32(host.sdf_spacings)
                       if host.sdf_spacings is not None else None),
+        plane_velocity=f32(host.plane_velocity
+                           if host.plane_velocity is not None
+                           else np.zeros(3)),
+        sphere_velocities=f32(
+            host.sphere_velocities if host.sphere_velocities is not None
+            else np.zeros((np.asarray(host.sphere_radii).shape[0], 3))
+        ),
+        capsule_velocities=f32(
+            host.capsule_velocities if host.capsule_velocities is not None
+            else np.zeros((np.asarray(host.capsule_radii).shape[0]
+                           if host.capsule_radii is not None else 0, 3))
+        ),
+        box_velocities=f32(
+            host.box_velocities if host.box_velocities is not None
+            else np.zeros((np.asarray(host.box_centers).shape[0]
+                           if host.box_centers is not None else 0, 3))
+        ),
+        sdf_velocities=(
+            f32(host.sdf_velocities if host.sdf_velocities is not None
+                else np.zeros((np.asarray(host.sdf_spacings).shape[0], 3)))
+            if host.sdf_spacings is not None else None
+        ),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
@@ -288,12 +310,26 @@ def move_colliders(
     box_half_extents=None,
     box_rotations=None,
     sdf_origins=None,
+    plane_velocity=None,
+    sphere_velocities=None,
+    capsule_velocities=None,
+    box_velocities=None,
+    sdf_velocities=None,
 ) -> Topology:
     """Animated colliders (the Unity moving-Collider analogue): collider
     geometry is *array data* on Topology, so replacing it between frames
     changes the scene without recompiling ``step`` (shapes unchanged =>
     same executable).  Works under vmap/sharding too: batched scenes may
-    each carry their own sphere positions."""
+    each carry their own sphere positions.
+
+    The ``*_velocities`` arrays are the colliders' kinematic velocities:
+    the velocity-level (Euler) contact response runs relative to them, so
+    a dragged sphere carries the cloth with friction and a
+    ``plane_velocity`` makes the ground a conveyor belt.  When animating
+    geometry between frames, also set the matching velocity
+    (``(new - old) / frame_dt``) for physically consistent contact;
+    Verlet/XPBD get moving-collider response implicitly from the position
+    projection and ignore these."""
     import dataclasses
 
     f32 = top.plane_height.dtype
@@ -309,6 +345,11 @@ def move_colliders(
         ("box_half_extents", box_half_extents),
         ("box_rotations", box_rotations),
         ("sdf_origins", sdf_origins),
+        ("plane_velocity", plane_velocity),
+        ("sphere_velocities", sphere_velocities),
+        ("capsule_velocities", capsule_velocities),
+        ("box_velocities", box_velocities),
+        ("sdf_velocities", sdf_velocities),
     ):
         if val is not None:
             kw[name] = jnp.asarray(val, f32)

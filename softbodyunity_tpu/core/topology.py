@@ -82,6 +82,14 @@ class Topology:
     sdf_grids: jax.Array = None       # f32[Sg, gx, gy, gz]
     sdf_origins: jax.Array = None     # f32[Sg, 3] world position of voxel 0
     sdf_spacings: jax.Array = None    # f32[Sg]    cubic voxel edge length
+    # --- kinematic collider velocities (always materialized — zeros when
+    #     static — so animating them never changes the pytree structure and
+    #     never recompiles; contact response is relative to these) --------
+    plane_velocity: jax.Array = None      # f32[3] plane SURFACE velocity
+    sphere_velocities: jax.Array = None   # f32[S, 3]
+    capsule_velocities: jax.Array = None  # f32[C, 3]
+    box_velocities: jax.Array = None      # f32[B, 3]
+    sdf_velocities: jax.Array = None      # f32[Sg, 3]
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -205,6 +213,17 @@ class HostTopology:
     sdf_grids: Optional[np.ndarray] = None        # f64[Sg, gx, gy, gz]
     sdf_origins: Optional[np.ndarray] = None      # f64[Sg, 3]
     sdf_spacings: Optional[np.ndarray] = None     # f64[Sg]
+    # kinematic collider velocities (None = static; see set_collider_velocities):
+    # contact friction/restitution act on the velocity RELATIVE to the
+    # collider, so a dragged sphere carries the cloth and a plane with a
+    # surface velocity is a conveyor belt.  Geometry itself is animated
+    # separately (api.move_colliders) — these only shape the contact
+    # response on the velocity-level (Euler) paths.
+    plane_velocity: Optional[np.ndarray] = None       # f64[3] surface velocity
+    sphere_velocities: Optional[np.ndarray] = None    # f64[S, 3]
+    capsule_velocities: Optional[np.ndarray] = None   # f64[C, 3]
+    box_velocities: Optional[np.ndarray] = None       # f64[B, 3]
+    sdf_velocities: Optional[np.ndarray] = None       # f64[Sg, 3]
 
 
 def add_colliders(
@@ -219,6 +238,11 @@ def add_colliders(
     sdf_grids=None,
     sdf_origins=None,
     sdf_spacings=None,
+    plane_velocity=None,
+    sphere_velocities=None,
+    capsule_velocities=None,
+    box_velocities=None,
+    sdf_velocities=None,
 ) -> HostTopology:
     """Attach capsule / box / mesh(SDF) colliders to any built topology (the
     analogue of adding a Unity CapsuleCollider / BoxCollider / MeshCollider
@@ -288,6 +312,29 @@ def add_colliders(
                 == host.sdf_spacings.shape[0]):
             raise ValueError("sdf_grids / sdf_origins / sdf_spacings "
                              "leading dimensions disagree")
+    # kinematic collider velocities: contact friction/restitution act on
+    # the velocity RELATIVE to the collider (see Topology *_velocities)
+    if plane_velocity is not None:
+        host.plane_velocity = np.asarray(
+            plane_velocity, np.float64).reshape(3)
+    for name, vel, count in (
+        ("sphere_velocities", sphere_velocities,
+         np.asarray(host.sphere_radii).shape[0]),
+        ("capsule_velocities", capsule_velocities,
+         0 if host.capsule_radii is None else host.capsule_radii.shape[0]),
+        ("box_velocities", box_velocities,
+         0 if host.box_centers is None else host.box_centers.shape[0]),
+        ("sdf_velocities", sdf_velocities,
+         0 if host.sdf_spacings is None else host.sdf_spacings.shape[0]),
+    ):
+        if vel is not None:
+            v = np.asarray(vel, np.float64).reshape(-1, 3)
+            if v.shape[0] != count:
+                raise ValueError(
+                    f"{name} rows ({v.shape[0]}) must match the collider "
+                    f"count ({count})"
+                )
+            setattr(host, name, v)
     return host
 
 
@@ -834,6 +881,20 @@ def _none_concat(arrays, empty_shape):
     ])
 
 
+def _vel_concat(hosts, get_vel, get_count):
+    """Concatenate per-body kinematic collider velocities: None if EVERY
+    body is static; otherwise static bodies contribute zero rows matching
+    their collider counts."""
+    vels = [get_vel(h) for h in hosts]
+    if all(v is None for v in vels):
+        return None
+    return np.concatenate([
+        np.asarray(v, np.float64).reshape(-1, 3) if v is not None
+        else np.zeros((get_count(h), 3))
+        for v, h in zip(vels, hosts)
+    ])
+
+
 def merge_bodies(*hosts: HostTopology) -> HostTopology:
     """Concatenate several built topologies into ONE multi-body scene — the
     analogue of placing several soft-body GameObjects in the same Unity
@@ -911,6 +972,21 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
         sdf_grids=(np.concatenate(sdf_grids) if sdf_grids else None),
         sdf_origins=_none_concat([h.sdf_origins for h in hosts], (0, 3)),
         sdf_spacings=_none_concat([h.sdf_spacings for h in hosts], (0,)),
+        plane_velocity=hosts[0].plane_velocity,
+        sphere_velocities=_vel_concat(
+            hosts, lambda h: h.sphere_velocities,
+            lambda h: np.asarray(h.sphere_radii).shape[0]),
+        capsule_velocities=_vel_concat(
+            hosts, lambda h: h.capsule_velocities,
+            lambda h: (0 if h.capsule_radii is None
+                       else h.capsule_radii.shape[0])),
+        box_velocities=_vel_concat(
+            hosts, lambda h: h.box_velocities,
+            lambda h: 0 if h.box_centers is None else h.box_centers.shape[0]),
+        sdf_velocities=_vel_concat(
+            hosts, lambda h: h.sdf_velocities,
+            lambda h: (0 if h.sdf_spacings is None
+                       else h.sdf_spacings.shape[0])),
     )
 
 

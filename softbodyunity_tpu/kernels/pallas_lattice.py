@@ -45,6 +45,8 @@ from ..core.topology import Topology
 from .pallas_substep import (
     _pack_boxes,
     _pack_capsules,
+    _pack_plane,
+    _pack_spheres,
     _project_capsules_boxes_smem,
     _project_spheres_positions,
     _resolve_capsules_boxes_smem,
@@ -251,15 +253,20 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     xz[c] = xz[c] + dxc
                     vz[c] = vz[c] + dxc * (1.0 / dt)
             if plane_on:
+                wp = [plane_ref[0, 1 + c] for c in range(3)]
                 contact = (xz[1] < plane_y) & movable
                 xz[1] = jnp.where(contact, plane_y, xz[1])
                 vy = vz[1]
+                uy = vy - wp[1]
                 vz[1] = jnp.where(
-                    contact, jnp.where(vy < 0.0, -restitution * vy, vy), vy
+                    contact,
+                    jnp.where(uy < 0.0, wp[1] - restitution * uy, vy), vy
                 )
                 fr = 1.0 - friction
-                vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
-                vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+                vz[0] = jnp.where(contact,
+                                  wp[0] + (vz[0] - wp[0]) * fr, vz[0])
+                vz[2] = jnp.where(contact,
+                                  wp[2] + (vz[2] - wp[2]) * fr, vz[2])
             if spheres_on:
                 xz, vz = _resolve_spheres_velocity(
                     xz, vz, movable, sph_ref, n_spheres, restitution, friction
@@ -298,9 +305,9 @@ def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
     n_boxes = boxes.shape[0]
     kernel = _make_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
                           n_spheres, n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
     n_el = s_dim * LANES
     flops_per_sub = 3 * n_el * (len(egroups) * 30 + len(tgroups) * 70)
     xo, vo = pl.pallas_call(
@@ -335,7 +342,7 @@ def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, im2, emask, tmask)
+    )(plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3, im2, emask, tmask)
     return xo, vo
 
 
@@ -595,9 +602,9 @@ def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
     n_boxes = boxes.shape[0]
     kernel = _make_xpbd_kernel(cfg, egroups, tgroups, s_dim, dt, n_substeps,
                                n_spheres, n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
     n_el = s_dim * LANES
     xo, vo = pl.pallas_call(
         kernel,
@@ -631,7 +638,7 @@ def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, im2, emask, tmask)
+    )(plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3, im2, emask, tmask)
     return xo, vo
 
 
@@ -659,11 +666,9 @@ def make_lattice_xpbd_step(top: Topology, cfg: SimConfig,
         emask = _fold(g.mask, s_dim)
         tmask = (_fold(t.mask, s_dim) if len(t.deltas) > 0
                  else jnp.zeros((1, s_dim, LANES), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, vo = _pallas_lattice_xpbd_substeps(
-            x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            x3, v3, im2, emask, tmask, _pack_plane(top), spheres,
             _pack_capsules(top), _pack_boxes(top),
             cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
         )
@@ -702,11 +707,9 @@ def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         emask = _fold(g.mask, s_dim)
         tmask = (_fold(t.mask, s_dim) if use_volume
                  else jnp.zeros((1, s_dim, LANES), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, vo = _pallas_lattice_substeps(
-            x3, v3, im2, emask, tmask, top.plane_height, spheres,
+            x3, v3, im2, emask, tmask, _pack_plane(top), spheres,
             _pack_capsules(top), _pack_boxes(top),
             cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
         )

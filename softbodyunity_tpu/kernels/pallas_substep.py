@@ -128,35 +128,68 @@ def _resolve_spheres_velocity(xz, vz, movable, sph_ref, n_spheres,
         nrm = [d[c] * inv_dist for c in range(3)]
         pen_pos = jnp.where(contact, pen, 0.0)
         xz = [xz[c] + pen_pos * nrm[c] for c in range(3)]
-        vn = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
-        inward = contact & (vn < 0.0)
-        rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+        w = [sph_ref[si, 4 + c] for c in range(3)]
+        uz = [vz[c] - w[c] for c in range(3)]
+        un = uz[0] * nrm[0] + uz[1] * nrm[1] + uz[2] * nrm[2]
+        inward = contact & (un < 0.0)
+        rem = jnp.where(inward, (1.0 + restitution) * un, 0.0)
         vz = [vz[c] - rem * nrm[c] for c in range(3)]
-        vn2 = vz[0] * nrm[0] + vz[1] * nrm[1] + vz[2] * nrm[2]
+        uz = [vz[c] - w[c] for c in range(3)]
+        un2 = uz[0] * nrm[0] + uz[1] * nrm[1] + uz[2] * nrm[2]
         fr = 1.0 - friction
         vz = [
-            jnp.where(contact, vn2 * nrm[c] + (vz[c] - vn2 * nrm[c]) * fr, vz[c])
+            jnp.where(contact,
+                      w[c] + un2 * nrm[c] + (uz[c] - un2 * nrm[c]) * fr, vz[c])
             for c in range(3)
         ]
     return xz, vz
 
 
-def _pack_capsules(top: Topology) -> jax.Array:
-    """[C, 7] SMEM rows: p0 (3), p1 (3), radius (C may be 0)."""
-    if top.n_capsules == 0:
+def _zero_vel(vel, n) -> jax.Array:
+    """Kinematic velocity rows, zeros when the topology carries none."""
+    if vel is None:
+        return jnp.zeros((n, 3), jnp.float32)
+    return vel
+
+
+def _pack_plane(top: Topology) -> jax.Array:
+    """[1, 4] SMEM row: plane height, plane surface (conveyor) velocity."""
+    pv = (jnp.zeros(3, jnp.float32) if top.plane_velocity is None
+          else top.plane_velocity)
+    return jnp.concatenate(
+        [top.plane_height.reshape(1), pv.reshape(3)]
+    ).astype(jnp.float32).reshape(1, 4)
+
+
+def _pack_spheres(top: Topology) -> jax.Array:
+    """[S, 7] SMEM rows: center (3), radius, kinematic velocity (3)."""
+    if top.n_spheres == 0:
         return jnp.zeros((0, 7), jnp.float32)
     return jnp.concatenate(
-        [top.capsule_p0, top.capsule_p1, top.capsule_radii[:, None]], axis=1
+        [top.sphere_centers, top.sphere_radii[:, None],
+         _zero_vel(top.sphere_velocities, top.n_spheres)], axis=1
+    ).astype(jnp.float32)
+
+
+def _pack_capsules(top: Topology) -> jax.Array:
+    """[C, 10] SMEM rows: p0 (3), p1 (3), radius, kinematic velocity (3)."""
+    if top.n_capsules == 0:
+        return jnp.zeros((0, 10), jnp.float32)
+    return jnp.concatenate(
+        [top.capsule_p0, top.capsule_p1, top.capsule_radii[:, None],
+         _zero_vel(top.capsule_velocities, top.n_capsules)], axis=1
     ).astype(jnp.float32)
 
 
 def _pack_boxes(top: Topology) -> jax.Array:
-    """[B, 15] SMEM rows: center (3), half extents (3), R row-major (9)."""
+    """[B, 18] SMEM rows: center (3), half extents (3), R row-major (9),
+    kinematic velocity (3)."""
     if top.n_boxes == 0:
-        return jnp.zeros((0, 15), jnp.float32)
+        return jnp.zeros((0, 18), jnp.float32)
     return jnp.concatenate(
         [top.box_centers, top.box_half_extents,
-         top.box_rotations.reshape(-1, 9)], axis=1
+         top.box_rotations.reshape(-1, 9),
+         _zero_vel(top.box_velocities, top.n_boxes)], axis=1
     ).astype(jnp.float32)
 
 
@@ -173,15 +206,18 @@ def _resolve_capsules_boxes_smem(xz, vz, movable, cap_ref, n_capsules,
     for s in range(n_capsules):
         p0 = [cap_ref[s, c] for c in range(3)]
         p1 = [cap_ref[s, 3 + c] for c in range(3)]
+        w = [cap_ref[s, 7 + c] for c in range(3)]
         xz, vz = capsule_resolve_components(
-            xz, vz, movable, p0, p1, cap_ref[s, 6], restitution, friction
+            xz, vz, movable, p0, p1, cap_ref[s, 6], restitution, friction,
+            w=w,
         )
     for s in range(n_boxes):
         ce = [box_ref[s, c] for c in range(3)]
         hf = [box_ref[s, 3 + c] for c in range(3)]
         rot = [[box_ref[s, 6 + 3 * c + i] for i in range(3)] for c in range(3)]
+        w = [box_ref[s, 15 + c] for c in range(3)]
         xz, vz = box_resolve_components(
-            xz, vz, movable, ce, hf, rot, restitution, friction
+            xz, vz, movable, ce, hf, rot, restitution, friction, w=w,
         )
     return xz, vz
 
@@ -280,17 +316,19 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 vz.append(jnp.where(movable, vc, 0.0))
             xz = [xs[c] + dt * vz[c] for c in range(3)]
             if plane_on:
+                wp = [plane_ref[0, 1 + c] for c in range(3)]
                 contact = (xz[1] < plane_y) & movable
                 xz[1] = jnp.where(contact, plane_y, xz[1])
                 vy = vz[1]
+                uy = vy - wp[1]
                 vz[1] = jnp.where(
                     contact,
-                    jnp.where(vy < 0.0, -restitution * vy, vy),
+                    jnp.where(uy < 0.0, wp[1] - restitution * uy, vy),
                     vy,
                 )
                 fr = 1.0 - friction
-                vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
-                vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+                vz[0] = jnp.where(contact, wp[0] + (vz[0] - wp[0]) * fr, vz[0])
+                vz[2] = jnp.where(contact, wp[2] + (vz[2] - wp[2]) * fr, vz[2])
             if spheres_on:
                 xz, vz = _resolve_spheres_velocity(
                     xz, vz, movable, sph_ref, n_spheres, restitution, friction
@@ -353,14 +391,14 @@ def _pallas_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h, spheres,
     plastic = cfg.plasticity.enabled
     kernel = _make_kernel(cfg, offsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     out_shape = (state_shape, state_shape)
     in_specs = [
-        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
@@ -372,7 +410,7 @@ def _pallas_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h, spheres,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d]
+    args = [plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3, inv_mass2d]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(alive3)
@@ -448,11 +486,8 @@ def make_pallas_step(top: Topology, cfg: SimConfig, interpret: bool = False):
               else jnp.zeros((1, 1, 1), jnp.float32))
         s3 = (alive_to_planes(state.rest_scale) if plastic
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
         xo, vo, ao, so = _pallas_substeps(
-            x3, v3, im, a3, s3, top.plane_height, spheres,
+            x3, v3, im, a3, s3, _pack_plane(top), _pack_spheres(top),
             _pack_capsules(top), _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )
@@ -587,14 +622,14 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, scale3, plane_h,
     plastic = cfg.plasticity.enabled
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, dt, n_substeps,
                                  n_spheres, n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
     flops_per_sub = 3 * ny * nx * len(offsets) * 30
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     out_shape = (state_shape, state_shape)
     in_specs = [
-        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
@@ -606,7 +641,7 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, scale3, plane_h,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3, inv_mass2d]
+    args = [plane_h.reshape(1, 4), sph, capsules, boxes, x3, xp3, inv_mass2d]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(alive3)
@@ -679,11 +714,8 @@ def make_pallas_verlet_step(top: Topology, cfg: SimConfig,
               else jnp.zeros((1, 1, 1), jnp.float32))
         s3 = (alive_to_planes(state.rest_scale) if plastic
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
         xo, xpo, ao, so = _pallas_verlet_substeps(
-            x3, xp3, im, a3, s3, top.plane_height, spheres,
+            x3, xp3, im, a3, s3, _pack_plane(top), _pack_spheres(top),
             _pack_capsules(top), _pack_boxes(top), cfg, offsets, float(dt),
             int(n_substeps), interpret,
         )

@@ -31,6 +31,8 @@ from .pallas_substep import (
     _kroll,
     _pack_boxes,
     _pack_capsules,
+    _pack_plane,
+    _pack_spheres,
     _project_capsules_boxes_smem,
     _project_spheres_positions,
     _resolve_capsules_boxes_smem,
@@ -227,15 +229,17 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             vz.append(jnp.where(movable, vc, 0.0))
         xz = [sl(xw[c]) + dt * vz[c] for c in range(3)]
         if plane_on:
+            wp = [plane_ref[0, 1 + c] for c in range(3)]
             contact = (xz[1] < plane_y) & movable
             xz[1] = jnp.where(contact, plane_y, xz[1])
             vy = vz[1]
+            uy = vy - wp[1]
             vz[1] = jnp.where(
-                contact, jnp.where(vy < 0.0, -restitution * vy, vy), vy
+                contact, jnp.where(uy < 0.0, wp[1] - restitution * uy, vy), vy
             )
             fr = 1.0 - friction
-            vz[0] = jnp.where(contact, vz[0] * fr, vz[0])
-            vz[2] = jnp.where(contact, vz[2] * fr, vz[2])
+            vz[0] = jnp.where(contact, wp[0] + (vz[0] - wp[0]) * fr, vz[0])
+            vz[2] = jnp.where(contact, wp[2] + (vz[2] - wp[2]) * fr, vz[2])
         if spheres_on:
             xz, vz = _resolve_spheres_velocity(
                 xz, vz, movable, sph_ref, n_spheres, restitution, friction
@@ -270,18 +274,18 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
     n_off = len(offsets)
     kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                           n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
 
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # plane height (1,1)
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,4]
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # plane row (1,4): y, conveyor velocity
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # spheres [S,7]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
@@ -328,7 +332,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
         def body(carry, k):
             x3, v3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
-            xo, vo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+            xo, vo, ao = call(plane_h.reshape(1, 4), sph, capsules, boxes,
                               first, x3, v3, inv_mass2d, a3)
             return (xo, vo, ao), None
 
@@ -339,7 +343,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
 
     def body(carry, _):
         x3, v3 = carry
-        xo, vo = call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
+        xo, vo = call(plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3,
                       inv_mass2d)
         return (xo, vo), None
 
@@ -397,11 +401,9 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, vo, ao = _tiled_substeps(
-            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
+            x3, v3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
@@ -602,9 +604,9 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
     n_off = len(offsets)
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                                  n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
 
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
@@ -612,8 +614,8 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
@@ -659,7 +661,7 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
         def body(carry, k):
             x3, xp3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
-            xo, xpo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+            xo, xpo, ao = call(plane_h.reshape(1, 4), sph, capsules, boxes,
                                first, x3, xp3, inv_mass2d, a3)
             return (xo, xpo, ao), None
 
@@ -670,7 +672,7 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
 
     def body(carry, _):
         x3, xp3 = carry
-        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, xp3,
+        return call(plane_h.reshape(1, 4), sph, capsules, boxes, x3, xp3,
                     inv_mass2d), None
 
     (xo, xpo), _ = jax.lax.scan(body, (x3, xp3), None, length=n_substeps)
@@ -717,11 +719,9 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, xpo, ao = _tiled_verlet_substeps(
-            x3, xp3, im, a3, top.plane_height, spheres, _pack_capsules(top),
+            x3, xp3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, offsets, int(tile),
             float(dt), int(n_substeps), interpret,
         )
@@ -985,9 +985,9 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
     n_off = len(xoffsets)
     kernel = _make_xpbd_tiled_kernel(cfg, xoffsets, ny, nx, tile, xh, dt,
                                      n_spheres, n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
 
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     state_spec = pl.BlockSpec((3, tile, nx), lambda i: (0, i, 0),
@@ -995,8 +995,8 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,7]
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,15]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
@@ -1040,7 +1040,7 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
         def body(carry, k):
             x3, v3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
-            xo, vo, ao = call(plane_h.reshape(1, 1), sph, capsules, boxes,
+            xo, vo, ao = call(plane_h.reshape(1, 4), sph, capsules, boxes,
                               first, x3, v3, inv_mass2d, a3)
             return (xo, vo, ao), None
 
@@ -1051,7 +1051,7 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
 
     def body(carry, _):
         x3, v3 = carry
-        return call(plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3,
+        return call(plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3,
                     inv_mass2d), None
 
     (xo, vo), _ = jax.lax.scan(body, (x3, v3), None, length=n_substeps)
@@ -1111,11 +1111,9 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
         im = top.inv_mass.reshape(ny, nx)
         a3 = (alive_to_planes(state.edge_alive) if tearing
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, vo, ao = _tiled_xpbd_substeps(
-            x3, v3, im, a3, top.plane_height, spheres, _pack_capsules(top),
+            x3, v3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
             _pack_boxes(top), cfg, xoffsets, int(tile),
             int(xh), float(dt), int(n_substeps), interpret,
         )

@@ -31,6 +31,8 @@ from .pallas_substep import (
     _kroll,
     _pack_boxes,
     _pack_capsules,
+    _pack_plane,
+    _pack_spheres,
     _project_capsules_boxes_smem,
     _project_spheres_positions,
 )
@@ -226,9 +228,9 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h,
     plastic = cfg.plasticity.enabled
     kernel = _make_kernel(cfg, xoffsets, ny, nx, dt, n_substeps, n_spheres,
                           n_capsules, n_boxes)
-    sph = spheres if n_spheres > 0 else jnp.zeros((1, 4), jnp.float32)
-    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 7), jnp.float32)
-    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 15), jnp.float32)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     out_shape = (state_shape, state_shape)
     in_specs = [
@@ -244,7 +246,7 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    args = [plane_h.reshape(1, 1), sph, capsules, boxes, x3, v3, inv_mass2d]
+    args = [plane_h.reshape(1, 4), sph, capsules, boxes, x3, v3, inv_mass2d]
     if tearing:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(alive3)
@@ -317,11 +319,9 @@ def make_pallas_xpbd_step(top: Topology, cfg: SimConfig, interpret: bool = False
               else jnp.zeros((1, 1, 1), jnp.float32))
         s3 = (alive_to_planes(state.rest_scale) if plastic
               else jnp.zeros((1, 1, 1), jnp.float32))
-        spheres = jnp.concatenate(
-            [top.sphere_centers, top.sphere_radii[:, None]], axis=1
-        ).astype(jnp.float32)
+        spheres = _pack_spheres(top)
         xo, vo, ao, so = _pallas_xpbd_substeps(
-            x3, v3, im, a3, s3, top.plane_height, spheres,
+            x3, v3, im, a3, s3, _pack_plane(top), spheres,
             _pack_capsules(top), _pack_boxes(top), cfg, xoffsets, float(dt),
             int(n_substeps), interpret,
         )

@@ -237,34 +237,43 @@ def euler_substep_grid(
     x3 = x3 + dt * v3
 
     if cfg.collision.enable_plane:
+        # plane surface (conveyor) velocity: response relative to wp
+        wp = [0.0, 0.0, 0.0]
+        if top is not None and top.plane_velocity is not None:
+            wp = [top.plane_velocity[c] for c in range(3)]
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
         vy = v3[1]
+        uy = vy - wp[1]
         vy = jnp.where(
             contact,
-            jnp.where(vy < 0.0, -cfg.collision.restitution * vy, vy),
+            jnp.where(uy < 0.0, wp[1] - cfg.collision.restitution * uy, vy),
             vy,
         )
         fr = 1.0 - cfg.collision.friction
         v3 = jnp.stack(
-            [jnp.where(contact, v3[0] * fr, v3[0]), vy,
-             jnp.where(contact, v3[2] * fr, v3[2])]
+            [jnp.where(contact, wp[0] + (v3[0] - wp[0]) * fr, v3[0]), vy,
+             jnp.where(contact, wp[2] + (v3[2] - wp[2]) * fr, v3[2])]
         )
     if cfg.collision.enable_spheres and sphere_radii.shape[0] > 0:
         for s in range(sphere_radii.shape[0]):
             c = sphere_centers[s].reshape(3, 1, 1)
+            w = 0.0
+            if top is not None and top.sphere_velocities is not None:
+                w = top.sphere_velocities[s].reshape(3, 1, 1)
             d = x3 - c
             dist = jnp.sqrt(jnp.sum(d * d, axis=0))
             pen = sphere_radii[s] - dist
             contact = (pen > 0.0) & movable[0]
             n = d / jnp.maximum(dist, 1e-12)
             x3 = x3 + jnp.where(contact, pen, 0.0) * n
-            vn = jnp.sum(v3 * n, axis=0)
-            inward = contact & (vn < 0.0)
-            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * vn, 0.0) * n
-            vn2 = jnp.sum(v3 * n, axis=0) * n
-            vt = v3 - vn2
-            v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
+            un = jnp.sum((v3 - w) * n, axis=0)
+            inward = contact & (un < 0.0)
+            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * un, 0.0) * n
+            u2 = v3 - w
+            un2 = jnp.sum(u2 * n, axis=0) * n
+            ut = u2 - un2
+            v3 = jnp.where(contact, w + un2 + ut * (1.0 - cfg.collision.friction), v3)
     if top is not None and collide._needs_capsule_box(top, cfg):
         xz, vz = collide.resolve_capsules_boxes_components(
             top, cfg, [x3[0], x3[1], x3[2]], [v3[0], v3[1], v3[2]], movable[0]

@@ -131,24 +131,66 @@ def volume_projection(
     return np.where((top.inv_mass > 0.0)[:, None], dx, 0.0)
 
 
-def resolve_plane(x, v, plane_y, restitution, friction, movable):
+def _collider_velocity(velocities, s):
+    """Kinematic linear velocity of collider ``s`` (zeros = static, the
+    default; see HostTopology *_velocities)."""
+    if velocities is None:
+        return np.zeros(3)
+    return np.asarray(velocities, np.float64)[s]
+
+
+def _contact_velocity_response(v, n, w, contact, restitution, friction):
+    """Binding contact response in the collider's rest frame: with relative
+    velocity u = v - w (``w`` the collider's kinematic velocity), remove the
+    inward normal component of u (scaled by 1+restitution) and damp the
+    tangential component of u by (1-friction) on contact.  With w = 0 this
+    is exactly the classic static-collider response; with w != 0 friction
+    drags vertices toward the collider's motion (a conveyor/carried cloth)
+    and restitution bounces off the moving surface."""
+    u = v - w[None, :]
+    un = np.einsum("ij,ij->i", u, n)
+    inward = contact & (un < 0.0)
+    v = v - np.where(inward, (1.0 + restitution) * un, 0.0)[:, None] * n
+    u2 = v - w[None, :]
+    un2 = np.einsum("ij,ij->i", u2, n)[:, None] * n
+    ut = u2 - un2
+    return np.where(contact[:, None],
+                    w[None, :] + un2 + ut * (1.0 - friction), v)
+
+
+def resolve_plane(x, v, plane_y, restitution, friction, movable,
+                  velocity=None):
     """Ground-plane resolve: project up to the plane, reflect inward normal
-    velocity by -restitution, damp tangential velocity by (1-friction)."""
+    velocity by -restitution, damp tangential velocity by (1-friction).
+
+    ``velocity`` (length-3, default zeros) is the plane's kinematic SURFACE
+    velocity — the geometry stays at ``plane_y`` (a conveyor belt): friction
+    drags contacting vertices toward it and restitution reflects the
+    relative vertical velocity."""
+    w = np.zeros(3) if velocity is None else np.asarray(velocity, np.float64)
     contact = (x[:, 1] < plane_y) & movable
     x = x.copy()
     v = v.copy()
     x[:, 1] = np.where(contact, plane_y, x[:, 1])
-    vy = v[:, 1]
-    v[:, 1] = np.where(contact, np.where(vy < 0.0, -restitution * vy, vy), vy)
+    uy = v[:, 1] - w[1]
+    v[:, 1] = np.where(
+        contact, np.where(uy < 0.0, w[1] - restitution * uy, v[:, 1]),
+        v[:, 1],
+    )
     for ax in (0, 2):
-        v[:, ax] = np.where(contact, v[:, ax] * (1.0 - friction), v[:, ax])
+        v[:, ax] = np.where(
+            contact, w[ax] + (v[:, ax] - w[ax]) * (1.0 - friction), v[:, ax]
+        )
     return x, v
 
 
-def resolve_spheres(x, v, centers, radii, restitution, friction, movable):
+def resolve_spheres(x, v, centers, radii, restitution, friction, movable,
+                    velocities=None):
     """Push vertices out of each sphere along the radial normal; remove the
-    inward normal velocity component (scaled by 1+restitution) and damp the
-    tangential component by (1-friction) on contact."""
+    inward RELATIVE normal velocity component (scaled by 1+restitution) and
+    damp the relative tangential component by (1-friction) on contact.
+    ``velocities`` [S,3] are per-sphere kinematic velocities (None =
+    static)."""
     x = x.copy()
     v = v.copy()
     for s in range(centers.shape[0]):
@@ -158,13 +200,10 @@ def resolve_spheres(x, v, centers, radii, restitution, friction, movable):
         contact = (pen > 0.0) & movable
         n = d / np.maximum(dist, 1e-12)[:, None]
         x = x + np.where(contact, pen, 0.0)[:, None] * n
-        vn = np.einsum("ij,ij->i", v, n)
-        inward = contact & (vn < 0.0)
-        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
-        # friction on the tangential component while in contact
-        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
-        vt = v - vn2
-        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+        v = _contact_velocity_response(
+            v, n, _collider_velocity(velocities, s), contact,
+            restitution, friction,
+        )
     return x, v
 
 
@@ -176,11 +215,13 @@ def _capsule_closest(x, p0, p1):
     return p0 + t[:, None] * axis
 
 
-def resolve_capsules(x, v, p0s, p1s, radii, restitution, friction, movable):
+def resolve_capsules(x, v, p0s, p1s, radii, restitution, friction, movable,
+                     velocities=None):
     """Capsule resolve (Unity CapsuleCollider analogue): sphere semantics
     around the closest point on the core segment — push out along the
-    radial normal, reflect the inward normal velocity by (1+restitution),
-    damp the tangential component by (1-friction) on contact."""
+    radial normal, reflect the inward relative normal velocity by
+    (1+restitution), damp the relative tangential component by (1-friction)
+    on contact.  ``velocities`` [C,3] per-capsule kinematic velocities."""
     x = x.copy()
     v = v.copy()
     for s in range(radii.shape[0]):
@@ -191,12 +232,10 @@ def resolve_capsules(x, v, p0s, p1s, radii, restitution, friction, movable):
         contact = (pen > 0.0) & movable
         n = d / np.maximum(dist, 1e-12)[:, None]
         x = x + np.where(contact, pen, 0.0)[:, None] * n
-        vn = np.einsum("ij,ij->i", v, n)
-        inward = contact & (vn < 0.0)
-        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
-        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
-        vt = v - vn2
-        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+        v = _contact_velocity_response(
+            v, n, _collider_velocity(velocities, s), contact,
+            restitution, friction,
+        )
     return x, v
 
 
@@ -219,11 +258,12 @@ def _box_face_push(x, center, half, rot):
 
 
 def resolve_boxes(x, v, centers, half_extents, rotations, restitution,
-                  friction, movable):
+                  friction, movable, velocities=None):
     """Oriented-box resolve (Unity BoxCollider analogue): vertices inside
     the box are pushed out through the nearest face; velocity response as
-    for plane/sphere (restitution on the inward normal component, friction
-    on the tangent)."""
+    for plane/sphere (restitution on the inward relative normal component,
+    friction on the relative tangent).  ``velocities`` [B,3] per-box
+    kinematic velocities."""
     x = x.copy()
     v = v.copy()
     for s in range(centers.shape[0]):
@@ -232,12 +272,10 @@ def resolve_boxes(x, v, centers, half_extents, rotations, restitution,
         )
         contact = inside & movable
         x = x + np.where(contact, push, 0.0)[:, None] * n
-        vn = np.einsum("ij,ij->i", v, n)
-        inward = contact & (vn < 0.0)
-        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
-        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
-        vt = v - vn2
-        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+        v = _contact_velocity_response(
+            v, n, _collider_velocity(velocities, s), contact,
+            restitution, friction,
+        )
     return x, v
 
 
@@ -276,11 +314,13 @@ def _sdf_sample_grad(grid, origin, spacing, x):
 
 
 def resolve_sdfs(x, v, grids, origins, spacings, restitution, friction,
-                 movable):
+                 movable, velocities=None):
     """Mesh-collider (SDF) resolve: vertices with phi < 0 are pushed out
     along the normalized SDF gradient by -phi; velocity response as for
-    plane/sphere (restitution on the inward normal component, friction on
-    the tangent)."""
+    plane/sphere (restitution on the inward relative normal component,
+    friction on the relative tangent).  ``velocities`` [Sg,3] per-bake
+    kinematic velocities (animate placement with move_colliders and set
+    the matching velocity for correct contact drag)."""
     x = x.copy()
     v = v.copy()
     for s in range(grids.shape[0]):
@@ -290,12 +330,10 @@ def resolve_sdfs(x, v, grids, origins, spacings, restitution, friction,
         gn = np.linalg.norm(grad, axis=1)
         n = grad / np.maximum(gn, 1e-12)[:, None]
         x = x + np.where(contact, pen, 0.0)[:, None] * n
-        vn = np.einsum("ij,ij->i", v, n)
-        inward = contact & (vn < 0.0)
-        v = v - np.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
-        vn2 = np.einsum("ij,ij->i", v, n)[:, None] * n
-        vt = v - vn2
-        v = np.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+        v = _contact_velocity_response(
+            v, n, _collider_velocity(velocities, s), contact,
+            restitution, friction,
+        )
     return x, v
 
 
@@ -440,26 +478,31 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         x, v = resolve_plane(
             x, v, top.plane_height, cfg.collision.restitution,
             cfg.collision.friction, movable,
+            velocity=getattr(top, "plane_velocity", None),
         )
     if cfg.collision.enable_spheres:
         x, v = resolve_spheres(
             x, v, top.sphere_centers, top.sphere_radii,
             cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "sphere_velocities", None),
         )
     if _has_capsules(top, cfg):
         x, v = resolve_capsules(
             x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
             cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "capsule_velocities", None),
         )
     if _has_boxes(top, cfg):
         x, v = resolve_boxes(
             x, v, top.box_centers, top.box_half_extents, top.box_rotations,
             cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "box_velocities", None),
         )
     if _has_sdfs(top, cfg):
         x, v = resolve_sdfs(
             x, v, top.sdf_grids, top.sdf_origins, top.sdf_spacings,
             cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "sdf_velocities", None),
         )
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)

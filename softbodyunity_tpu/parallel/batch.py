@@ -158,6 +158,9 @@ _COLLIDER_FIELDS = (
     # per-scene mesh (SDF) collider placement: the baked grid is shared
     # from top, each scene translates it via its own origins
     "sdf_origins",
+    # per-scene kinematic collider velocities (relative-frame contact)
+    "plane_velocity", "sphere_velocities", "capsule_velocities",
+    "box_velocities", "sdf_velocities",
 )
 
 

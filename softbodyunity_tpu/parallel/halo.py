@@ -66,7 +66,7 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
                   alive=None, scale=None, capsules=None, boxes=None,
-                  sdfs=None):
+                  sdfs=None, plane_velocity=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
     state) subsumes the static ownership masks; ``scale`` (plastic
@@ -106,7 +106,8 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
     x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
-                                capsules, boxes, sdfs)
+                                capsules, boxes, sdfs,
+                                plane_velocity=plane_velocity)
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x3, alive, scale, offsets, cfg,
                                             axis_name)
@@ -114,40 +115,52 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
 
 
 def _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
-                       capsules=None, boxes=None, sdfs=None):
+                       capsules=None, boxes=None, sdfs=None,
+                       plane_velocity=None):
     """Velocity-level collider resolve on plane-layout blocks (the
     collider geometry is global, so sharding needs no special handling).
-    ``capsules`` [C,7] / ``boxes`` [B,15] are the packed rows the fused
-    kernels use; ``sdfs`` is ``(grids, origins, spacings)`` from
-    :func:`pack_sdf_geometry`; the shared component primitives run
-    unchanged here (single-device resolve order: plane, spheres,
-    capsules, boxes, sdfs)."""
+    ``capsules`` [C,10] / ``boxes`` [B,18] are the packed rows the fused
+    kernels use (kinematic velocity in the tail); ``spheres`` is
+    ``(centers, radii)`` or ``(centers, radii, velocities)``; ``sdfs`` is
+    ``(grids, origins, spacings[, velocities])`` from
+    :func:`pack_sdf_geometry`; ``plane_velocity`` [3] is the conveyor
+    surface velocity.  The shared component primitives run unchanged here
+    (single-device resolve order: plane, spheres, capsules, boxes, sdfs)."""
     if cfg.collision.enable_plane:
+        wp = ([0.0, 0.0, 0.0] if plane_velocity is None
+              else [plane_velocity[c] for c in range(3)])
         contact = (x3[1] < plane_height) & movable[0]
         x3 = x3.at[1].set(jnp.where(contact, plane_height, x3[1]))
         vy = v3[1]
-        vy = jnp.where(contact, jnp.where(vy < 0.0, -cfg.collision.restitution * vy, vy), vy)
+        uy = vy - wp[1]
+        vy = jnp.where(
+            contact,
+            jnp.where(uy < 0.0, wp[1] - cfg.collision.restitution * uy, vy),
+            vy)
         fr = 1.0 - cfg.collision.friction
         v3 = jnp.stack(
-            [jnp.where(contact, v3[0] * fr, v3[0]), vy,
-             jnp.where(contact, v3[2] * fr, v3[2])]
+            [jnp.where(contact, wp[0] + (v3[0] - wp[0]) * fr, v3[0]), vy,
+             jnp.where(contact, wp[2] + (v3[2] - wp[2]) * fr, v3[2])]
         )
     if cfg.collision.enable_spheres and spheres is not None:
-        centers, radii = spheres
+        centers, radii = spheres[0], spheres[1]
+        svel = spheres[2] if len(spheres) > 2 else None
         for si in range(radii.shape[0]):
             c = centers[si].reshape(3, 1, 1)
+            w = 0.0 if svel is None else svel[si].reshape(3, 1, 1)
             d = x3 - c
             dist = jnp.sqrt(jnp.sum(d * d, axis=0))
             pen = radii[si] - dist
             contact = (pen > 0.0) & movable[0]
             n = d / jnp.maximum(dist, 1e-12)
             x3 = x3 + jnp.where(contact, pen, 0.0) * n
-            vn = jnp.sum(v3 * n, axis=0)
-            inward = contact & (vn < 0.0)
-            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * vn, 0.0) * n
-            vn2 = jnp.sum(v3 * n, axis=0) * n
-            vt = v3 - vn2
-            v3 = jnp.where(contact, vn2 + vt * (1.0 - cfg.collision.friction), v3)
+            un = jnp.sum((v3 - w) * n, axis=0)
+            inward = contact & (un < 0.0)
+            v3 = v3 - jnp.where(inward, (1.0 + cfg.collision.restitution) * un, 0.0) * n
+            u2 = v3 - w
+            un2 = jnp.sum(u2 * n, axis=0) * n
+            ut = u2 - un2
+            v3 = jnp.where(contact, w + un2 + ut * (1.0 - cfg.collision.friction), v3)
     n_caps = capsules.shape[0] if capsules is not None else 0
     n_boxes = boxes.shape[0] if boxes is not None else 0
     if n_caps or n_boxes:
@@ -177,7 +190,8 @@ def _resolve_sdfs_planes(x3, v3, movable, cfg, sdfs):
     primitives from solver/collide.py)."""
     from ..solver.collide import sdf_resolve_components
 
-    grids, origins, spacings = sdfs
+    grids, origins, spacings = sdfs[0], sdfs[1], sdfs[2]
+    svel = sdfs[3] if len(sdfs) > 3 else None
     xz = [x3[0], x3[1], x3[2]]
     vz = [v3[0], v3[1], v3[2]]
     for s in range(grids.shape[0]):
@@ -185,6 +199,7 @@ def _resolve_sdfs_planes(x3, v3, movable, cfg, sdfs):
             xz, vz, movable[0], grids[s],
             [origins[s, 0], origins[s, 1], origins[s, 2]], spacings[s],
             cfg.collision.restitution, cfg.collision.friction,
+            w=(None if svel is None else [svel[s, c] for c in range(3)]),
         )
     return jnp.stack(xz), jnp.stack(vz)
 
@@ -195,7 +210,7 @@ def _project_sdfs_planes(x3, movable, sdfs):
 
     if sdfs is None:
         return x3
-    grids, origins, spacings = sdfs
+    grids, origins, spacings = sdfs[0], sdfs[1], sdfs[2]
     xz = [x3[0], x3[1], x3[2]]
     for s in range(grids.shape[0]):
         xz = sdf_project_components(
@@ -206,7 +221,8 @@ def _project_sdfs_planes(x3, movable, sdfs):
 
 
 def pack_capsule_box_geometry(top: Topology):
-    """(capsules [C,7], boxes [B,15]) packed rows for the halo makers —
+    """(capsules [C,10], boxes [B,18]) packed rows for the halo makers —
+    kinematic collider velocities ride in the row tails —
     the same packing the fused kernels use; pass them as replicated
     inputs, never closure constants."""
     from ..kernels.pallas_substep import _pack_boxes, _pack_capsules
@@ -354,10 +370,14 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     spec = P(None, ROWS_AXIS, None)
 
+    plane_on = cfg.collision.enable_plane
+
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
                       capsules=None, boxes=None, scale3=None,
-                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None,
+                      plane_velocity=None, sphere_velocities=None,
+                      sdf_velocities=None):
         # collider geometry and liveness/rest-scale planes arrive as
         # shard_map INPUTS (replicated / sharded respectively), never jit
         # closure constants (trace-time value fetches stall on this
@@ -401,12 +421,26 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 sb = rest[i]
                 i += 1
             sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
+            if sdf_on:
+                i += 3
+            # kinematic collider velocities (replicated tail inputs)
+            pv = None
+            if plane_on:
+                pv = rest[i]
+                i += 1
+            if spheres_on:
+                spheres = spheres + (rest[i],)
+                i += 1
+            if sdf_on:
+                sd = sd + (rest[i],)
+                i += 1
 
             def body(carry, _):
                 out = _halo_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
+                    plane_velocity=pv,
                 )
                 return out, None
 
@@ -441,6 +475,18 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if sdf_on:
             args += [sdf_grids, sdf_origins, sdf_spacings]
             specs += [P(), P(), P()]
+        if plane_on:
+            args.append(jnp.zeros(3, jnp.float32) if plane_velocity is None
+                        else plane_velocity)
+            specs.append(P())
+        if spheres_on:
+            args.append(jnp.zeros_like(sphere_centers)
+                        if sphere_velocities is None else sphere_velocities)
+            specs.append(P())
+        if sdf_on:
+            args.append(jnp.zeros((sdf_spacings.shape[0], 3), jnp.float32)
+                        if sdf_velocities is None else sdf_velocities)
+            specs.append(P())
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -798,6 +844,8 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                       sphere_centers=None, sphere_radii=None, alive3=None,
                       capsules=None, boxes=None, scale3=None,
                       sdf_grids=None, sdf_origins=None, sdf_spacings=None):
+        # XPBD contact is position-projection (oracle project_positions_only)
+        # — kinematic collider velocities do not enter this solver.
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"

@@ -56,32 +56,42 @@ def capsule_project_components(xz, movable, p0, p1, radius):
     return [xz[c] + pen_pos * n[c] for c in range(3)]
 
 
-def _normal_velocity_response(xz, vz, contact, pen, n, restitution, friction):
+def _normal_velocity_response(xz, vz, contact, pen, n, restitution, friction,
+                              w=None):
     """Shared contact response: push out by ``pen`` along ``n``, reflect the
-    inward normal velocity by (1+restitution), damp tangent by (1-friction)."""
+    inward relative normal velocity by (1+restitution), damp the relative
+    tangent by (1-friction).  ``w`` (length-3 scalars, default static) is
+    the collider's kinematic velocity: the response runs in the collider's
+    rest frame (oracle ``_contact_velocity_response`` twin, exactly)."""
+    if w is None:
+        w = (0.0, 0.0, 0.0)
     pen_pos = jnp.where(contact, pen, 0.0)
     xz = [xz[c] + pen_pos * n[c] for c in range(3)]
-    vn = vz[0] * n[0] + vz[1] * n[1] + vz[2] * n[2]
-    inward = contact & (vn < 0.0)
-    rem = jnp.where(inward, (1.0 + restitution) * vn, 0.0)
+    uz = [vz[c] - w[c] for c in range(3)]
+    un = uz[0] * n[0] + uz[1] * n[1] + uz[2] * n[2]
+    inward = contact & (un < 0.0)
+    rem = jnp.where(inward, (1.0 + restitution) * un, 0.0)
     vz = [vz[c] - rem * n[c] for c in range(3)]
-    vn2 = vz[0] * n[0] + vz[1] * n[1] + vz[2] * n[2]
+    uz = [vz[c] - w[c] for c in range(3)]
+    un2 = uz[0] * n[0] + uz[1] * n[1] + uz[2] * n[2]
     fr = 1.0 - friction
     vz = [
-        jnp.where(contact, vn2 * n[c] + (vz[c] - vn2 * n[c]) * fr, vz[c])
+        jnp.where(contact,
+                  w[c] + un2 * n[c] + (uz[c] - un2 * n[c]) * fr, vz[c])
         for c in range(3)
     ]
     return xz, vz
 
 
 def capsule_resolve_components(xz, vz, movable, p0, p1, radius,
-                               restitution, friction):
-    """Velocity-level capsule resolve (oracle resolve_capsules twin)."""
+                               restitution, friction, w=None):
+    """Velocity-level capsule resolve (oracle resolve_capsules twin);
+    ``w`` = the capsule's kinematic velocity (length-3 scalars)."""
     cpt = _capsule_closest_components(xz, p0, p1)
     pen, n = _radial_pen_normal(xz, cpt, radius)
     contact = (pen > 0.0) & movable
     return _normal_velocity_response(xz, vz, contact, pen, n,
-                                     restitution, friction)
+                                     restitution, friction, w=w)
 
 
 def box_face_push_components(xz, center, half, rot):
@@ -116,12 +126,13 @@ def box_project_components(xz, movable, center, half, rot):
 
 
 def box_resolve_components(xz, vz, movable, center, half, rot,
-                           restitution, friction):
-    """Velocity-level box resolve (oracle resolve_boxes twin)."""
+                           restitution, friction, w=None):
+    """Velocity-level box resolve (oracle resolve_boxes twin); ``w`` = the
+    box's kinematic velocity (length-3 scalars)."""
     inside, push, n = box_face_push_components(xz, center, half, rot)
     contact = inside & movable
     return _normal_velocity_response(xz, vz, contact, push, n,
-                                     restitution, friction)
+                                     restitution, friction, w=w)
 
 
 def sdf_sample_grad_components(xz, grid, origin, spacing):
@@ -174,12 +185,13 @@ def sdf_project_components(xz, movable, grid, origin, spacing):
 
 
 def sdf_resolve_components(xz, vz, movable, grid, origin, spacing,
-                           restitution, friction):
-    """Velocity-level SDF resolve (oracle resolve_sdfs twin)."""
+                           restitution, friction, w=None):
+    """Velocity-level SDF resolve (oracle resolve_sdfs twin); ``w`` = the
+    bake's kinematic velocity (length-3 scalars)."""
     pen, n = _sdf_pen_normal(xz, grid, origin, spacing)
     contact = (pen > 0.0) & movable
     return _normal_velocity_response(xz, vz, contact, pen, n,
-                                     restitution, friction)
+                                     restitution, friction, w=w)
 
 
 def _sdf_scalars(top: Topology, s: int):
@@ -190,12 +202,22 @@ def _sdf_scalars(top: Topology, s: int):
     )
 
 
+def _velocity_scalars(velocities, s):
+    """Length-3 scalar list for collider ``s`` of a [K,3] kinematic-velocity
+    array; None (static) when the scene carries no velocities."""
+    if velocities is None:
+        return None
+    return [velocities[s, c] for c in range(3)]
+
+
 def resolve_sdfs_components(top, cfg, xz, vz, movable):
     """All enabled SDF colliders, velocity level, sequential order."""
     r, f = cfg.collision.restitution, cfg.collision.friction
     for s in range(top.n_sdfs):
         g, o, h = _sdf_scalars(top, s)
-        xz, vz = sdf_resolve_components(xz, vz, movable, g, o, h, r, f)
+        xz, vz = sdf_resolve_components(
+            xz, vz, movable, g, o, h, r, f,
+            w=_velocity_scalars(top.sdf_velocities, s))
     return xz, vz
 
 
@@ -234,11 +256,15 @@ def resolve_capsules_boxes_components(top, cfg, xz, vz, movable):
     if cfg.collision.enable_capsules and top.n_capsules > 0:
         for s in range(top.n_capsules):
             p0, p1, rad = _capsule_scalars(top, s)
-            xz, vz = capsule_resolve_components(xz, vz, movable, p0, p1, rad, r, f)
+            xz, vz = capsule_resolve_components(
+                xz, vz, movable, p0, p1, rad, r, f,
+                w=_velocity_scalars(top.capsule_velocities, s))
     if cfg.collision.enable_boxes and top.n_boxes > 0:
         for s in range(top.n_boxes):
             c, h, rot = _box_scalars(top, s)
-            xz, vz = box_resolve_components(xz, vz, movable, c, h, rot, r, f)
+            xz, vz = box_resolve_components(
+                xz, vz, movable, c, h, rot, r, f,
+                w=_velocity_scalars(top.box_velocities, s))
     return xz, vz
 
 
@@ -261,39 +287,55 @@ def _needs_capsule_box(top: Topology, cfg: SimConfig) -> bool:
     )
 
 
-def resolve_plane(x, v, plane_y, restitution, friction, movable):
+def resolve_plane(x, v, plane_y, restitution, friction, movable, w=None):
+    """``w`` = plane SURFACE velocity (conveyor; oracle resolve_plane twin:
+    geometry stays at plane_y, the response runs relative to w)."""
+    if w is None:
+        w = (0.0, 0.0, 0.0)
     contact = (x[:, 1] < plane_y) & movable
     y = jnp.where(contact, plane_y, x[:, 1])
     x = x.at[:, 1].set(y)
     vy = v[:, 1]
-    vy_new = jnp.where(contact, jnp.where(vy < 0.0, -restitution * vy, vy), vy)
-    vx = jnp.where(contact, v[:, 0] * (1.0 - friction), v[:, 0])
-    vz = jnp.where(contact, v[:, 2] * (1.0 - friction), v[:, 2])
+    uy = vy - w[1]
+    vy_new = jnp.where(
+        contact, jnp.where(uy < 0.0, w[1] - restitution * uy, vy), vy)
+    vx = jnp.where(
+        contact, w[0] + (v[:, 0] - w[0]) * (1.0 - friction), v[:, 0])
+    vz = jnp.where(
+        contact, w[2] + (v[:, 2] - w[2]) * (1.0 - friction), v[:, 2])
     return x, jnp.stack([vx, vy_new, vz], axis=1)
 
 
-def _resolve_one_sphere(x, v, center, radius, restitution, friction, movable):
+def _resolve_one_sphere(x, v, center, radius, restitution, friction, movable,
+                        w=None):
+    if w is None:
+        w = jnp.zeros(3, dtype=v.dtype)
     d = x - center
     dist = jnp.linalg.norm(d, axis=1)
     pen = radius - dist
     contact = (pen > 0.0) & movable
     n = d / jnp.maximum(dist, 1e-12)[:, None]
     x = x + jnp.where(contact, pen, 0.0)[:, None] * n
-    vn = jnp.einsum("ij,ij->i", v, n)
-    inward = contact & (vn < 0.0)
-    v = v - jnp.where(inward, (1.0 + restitution) * vn, 0.0)[:, None] * n
-    vn2 = jnp.einsum("ij,ij->i", v, n)[:, None] * n
-    vt = v - vn2
-    v = jnp.where(contact[:, None], vn2 + vt * (1.0 - friction), v)
+    u = v - w[None, :]
+    un = jnp.einsum("ij,ij->i", u, n)
+    inward = contact & (un < 0.0)
+    v = v - jnp.where(inward, (1.0 + restitution) * un, 0.0)[:, None] * n
+    u2 = v - w[None, :]
+    un2 = jnp.einsum("ij,ij->i", u2, n)[:, None] * n
+    ut = u2 - un2
+    v = jnp.where(contact[:, None],
+                  w[None, :] + un2 + ut * (1.0 - friction), v)
     return x, v
 
 
-def resolve_spheres(x, v, centers, radii, restitution, friction, movable):
+def resolve_spheres(x, v, centers, radii, restitution, friction, movable,
+                    velocities=None):
     # S is small and static; a Python loop unrolls into the jitted graph,
     # matching the oracle's sequential per-sphere resolve order.
     for s in range(radii.shape[0]):
         x, v = _resolve_one_sphere(
-            x, v, centers[s], radii[s], restitution, friction, movable
+            x, v, centers[s], radii[s], restitution, friction, movable,
+            w=None if velocities is None else velocities[s],
         )
     return x, v
 
@@ -304,11 +346,14 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
         x, v = resolve_plane(
             x, v, top.plane_height, cfg.collision.restitution,
             cfg.collision.friction, movable,
+            w=(None if top.plane_velocity is None
+               else [top.plane_velocity[c] for c in range(3)]),
         )
     if cfg.collision.enable_spheres and top.n_spheres > 0:
         x, v = resolve_spheres(
             x, v, top.sphere_centers, top.sphere_radii,
             cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=top.sphere_velocities,
         )
     if _needs_capsule_box(top, cfg):
         xz, vz = resolve_capsules_boxes_components(

@@ -111,6 +111,7 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
         _capsule_scalars,
         _resolve_one_sphere,
         _sdf_scalars,
+        _velocity_scalars,
         box_resolve_components,
         capsule_resolve_components,
         resolve_plane,
@@ -132,7 +133,10 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
 
     out = {}
     if cfg.collision.enable_plane:
-        x1, v1 = resolve_plane(x, v, top.plane_height, r, f, movable)
+        x1, v1 = resolve_plane(
+            x, v, top.plane_height, r, f, movable,
+            w=(None if top.plane_velocity is None
+               else [top.plane_velocity[c] for c in range(3)]))
         out["plane"] = imp(v, v1)
         x, v = x1, v1
     if cfg.collision.enable_spheres and top.n_spheres > 0:
@@ -141,6 +145,8 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
             x1, v1 = _resolve_one_sphere(
                 x, v, top.sphere_centers[s], top.sphere_radii[s], r, f,
                 movable,
+                w=(None if top.sphere_velocities is None
+                   else top.sphere_velocities[s]),
             )
             js.append(imp(v, v1))
             x, v = x1, v1
@@ -155,8 +161,9 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
         js = []
         for s in range(top.n_capsules):
             p0, p1, rad = _capsule_scalars(top, s)
-            xz1, vz1 = capsule_resolve_components(xz, vz, movable, p0, p1,
-                                                  rad, r, f)
+            xz1, vz1 = capsule_resolve_components(
+                xz, vz, movable, p0, p1, rad, r, f,
+                w=_velocity_scalars(top.capsule_velocities, s))
             js.append(imp_c(vz, vz1))
             xz, vz = xz1, vz1
         out["capsules"] = jnp.stack(js)
@@ -164,8 +171,9 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
         js = []
         for s in range(top.n_boxes):
             c3, h, rot = _box_scalars(top, s)
-            xz1, vz1 = box_resolve_components(xz, vz, movable, c3, h, rot,
-                                              r, f)
+            xz1, vz1 = box_resolve_components(
+                xz, vz, movable, c3, h, rot, r, f,
+                w=_velocity_scalars(top.box_velocities, s))
             js.append(imp_c(vz, vz1))
             xz, vz = xz1, vz1
         out["boxes"] = jnp.stack(js)
@@ -173,8 +181,9 @@ def _contact_impulses(top: Topology, cfg: SimConfig, state: State, dt: float):
         js = []
         for s in range(top.n_sdfs):
             gr, o, h = _sdf_scalars(top, s)
-            xz1, vz1 = sdf_resolve_components(xz, vz, movable, gr, o, h,
-                                              r, f)
+            xz1, vz1 = sdf_resolve_components(
+                xz, vz, movable, gr, o, h, r, f,
+                w=_velocity_scalars(top.sdf_velocities, s))
             js.append(imp_c(vz, vz1))
             xz, vz = xz1, vz1
         out["sdfs"] = jnp.stack(js)

@@ -85,3 +85,8 @@ def test_example_mesh_collider():
     ymax = _load("12_mesh_collider.py").main(n_frames=60, n=10,
                                              resolution=20)
     assert ymax > -0.05
+
+
+def test_example_conveyor_belt():
+    mean_vx = _load("14_conveyor_belt.py").main(n_frames=60, n=8)
+    assert mean_vx > 0.3
