@@ -21,6 +21,7 @@ from .api import (
 from .core.config import (
     CollisionParams,
     PlasticityParams,
+    PressureParams,
     SelfCollisionParams,
     SimConfig,
     Solver,
@@ -35,8 +36,10 @@ from .core.topology import (
     Topology,
     add_colliders,
     cloth_grid,
+    enable_pressure,
     from_tet_mesh,
     from_triangle_mesh,
+    icosphere_mesh,
     merge_bodies,
     stitch,
     tet_cube,
@@ -55,9 +58,10 @@ __all__ = [
     "diagnostics", "contact_impulses", "contact_impulses_batched",
     "apply_impulse",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
-    "TearParams", "PlasticityParams",
+    "TearParams", "PlasticityParams", "PressureParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
+    "enable_pressure", "icosphere_mesh",
 ]

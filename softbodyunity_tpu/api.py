@@ -79,6 +79,12 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
         ),
         box_rotations=f32(host.box_rotations if host.box_rotations is not None
                           else np.zeros((0, 3, 3))),
+        tri_body=(i32(host.tri_body) if host.tri_body is not None
+                  else None),
+        pressure_rest_volume=(
+            f32(host.pressure_rest_volume)
+            if host.pressure_rest_volume is not None else None
+        ),
         sdf_grids=(f32(host.sdf_grids) if host.sdf_grids is not None
                    else None),
         sdf_origins=(f32(host.sdf_origins) if host.sdf_origins is not None

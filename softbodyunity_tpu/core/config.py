@@ -151,6 +151,38 @@ class PlasticityParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class PressureParams:
+    """Closed-shell gas pressure — the classic Unity "inflatable" /
+    balloon soft body: a closed triangle shell (or a tet body's surface)
+    encloses a gas whose pressure resists volume change.
+
+    Semantics (oracle/reference.py::pressure_forces is binding).  Per
+    pressure body ``b`` (see :func:`core.topology.enable_pressure`;
+    triangles carry a body id, so merged scenes hold several independent
+    gas volumes)::
+
+        V_b = sum_{t in b} dot(x_a, cross(x_b, x_c)) / 6     # signed volume
+        P_b = stiffness * (inflation * V0_b / max(V_b, eps) - 1)
+        f_i += sum_{t incident to i, t in b} P_b * cross_t / 6
+
+    ``cross_t = (x_b - x_a) x (x_c - x_a)`` is twice the outward area
+    vector, so each corner receives ``P * A * n_hat / 3`` — the discrete
+    pressure force on the face, split between its vertices.  The ideal-gas
+    form ``P ~ 1/V`` stiffens under compression and the net force on a
+    closed shell is EXACTLY zero (divergence theorem holds discretely:
+    the cross products telescope over a closed mesh), so pressure never
+    injects momentum.  ``inflation`` scales the target volume: > 1 pumps
+    the balloon up, < 1 deflates it.  Winding is canonicalized outward at
+    :func:`enable_pressure` time.
+    """
+
+    enabled: bool = False
+    stiffness: float = 50.0     # gas stiffness (force per unit relative
+    #                             volume error, spread over the surface)
+    inflation: float = 1.0      # target volume multiplier vs rest volume
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -193,6 +225,13 @@ class SelfCollisionParams:
     grid_dim: int = 64          # cells per axis (grid_dim**3 virtual cells)
     max_per_cell: int = 4       # candidate cap per neighbour cell (static shapes)
     block_partners: int = 8     # method="block": candidate-tile budget per tile
+    # method="block": vertices per Morton tile.  256 measured best at
+    # 16k-64k: 128 halves the per-pair plane work but doubles the tile
+    # count and partner-loop trips, saturates the partner budget sooner,
+    # and lost ~5% end-to-end (64k preset, v5e).  Never go below 128 —
+    # tile vertices sit on the 128 VPU lanes and a smaller minor dim
+    # idles lanes.
+    block_size: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +254,7 @@ class SimConfig:
     wind: WindParams = WindParams()
     tear: TearParams = TearParams()
     plasticity: PlasticityParams = PlasticityParams()
+    pressure: PressureParams = PressureParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

@@ -82,6 +82,11 @@ class Topology:
     sdf_grids: jax.Array = None       # f32[Sg, gx, gy, gz]
     sdf_origins: jax.Array = None     # f32[Sg, 3] world position of voxel 0
     sdf_spacings: jax.Array = None    # f32[Sg]    cubic voxel edge length
+    # --- pressure bodies (closed-shell gas volumes; None = no pressure;
+    #     see enable_pressure / PressureParams) ---------------------------
+    tri_body: jax.Array = None            # i32[F] pressure-body id per
+    #                                       triangle (-1 = not enclosed)
+    pressure_rest_volume: jax.Array = None  # f32[P] rest gas volume per body
     # --- kinematic collider velocities (always materialized — zeros when
     #     static — so animating them never changes the pytree structure and
     #     never recompiles; contact response is relative to these) --------
@@ -125,6 +130,11 @@ class Topology:
     @property
     def n_sdfs(self) -> int:
         return 0 if self.sdf_grids is None else self.sdf_grids.shape[0]
+
+    @property
+    def n_pressure_bodies(self) -> int:
+        return (0 if self.pressure_rest_volume is None
+                else self.pressure_rest_volume.shape[0])
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -213,6 +223,10 @@ class HostTopology:
     sdf_grids: Optional[np.ndarray] = None        # f64[Sg, gx, gy, gz]
     sdf_origins: Optional[np.ndarray] = None      # f64[Sg, 3]
     sdf_spacings: Optional[np.ndarray] = None     # f64[Sg]
+    # pressure bodies (None = none; see enable_pressure): per-triangle
+    # body id (-1 = triangle encloses no gas) + per-body rest volume
+    tri_body: Optional[np.ndarray] = None             # i64[F]
+    pressure_rest_volume: Optional[np.ndarray] = None  # f64[P]
     # kinematic collider velocities (None = static; see set_collider_velocities):
     # contact friction/restitution act on the velocity RELATIVE to the
     # collider, so a dragged sphere carries the cloth and a plane with a
@@ -336,6 +350,120 @@ def add_colliders(
                 )
             setattr(host, name, v)
     return host
+
+
+def _signed_volume(positions: np.ndarray, tris: np.ndarray) -> float:
+    """Signed enclosed volume of a triangle soup (divergence theorem)."""
+    if tris.shape[0] == 0:
+        return 0.0
+    a = positions[tris[:, 0]]
+    b = positions[tris[:, 1]]
+    c = positions[tris[:, 2]]
+    return float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0)
+
+
+def enable_pressure(host: HostTopology, triangle_ids=None) -> HostTopology:
+    """Turn a closed triangle shell into a gas-filled pressure body (the
+    Unity "inflatable" / balloon soft body; behaviour set by
+    :class:`~softbodyunity_tpu.core.config.PressureParams`).
+
+    ``triangle_ids`` selects the shell (default: every triangle — the
+    whole body).  The shell must be CLOSED (every undirected edge shared
+    by exactly two of the selected triangles): the enclosed volume and
+    the zero-net-force property only exist for closed surfaces.  Winding
+    is canonicalized so the enclosed volume is positive (outward normals)
+    — flipped triangles are rewound in ``host.triangles`` itself, which
+    also fixes rendering normals.
+
+    Call once per body BEFORE :func:`merge_bodies`; merging offsets the
+    body ids, so each balloon in a multi-body scene keeps its own
+    independent gas volume.  Enable the force with
+    ``SimConfig(pressure=PressureParams(enabled=True, ...))``.
+    """
+    tris = np.asarray(host.triangles, np.int64)
+    f = tris.shape[0]
+    sel = (np.arange(f) if triangle_ids is None
+           else np.asarray(triangle_ids, np.int64).reshape(-1))
+    if sel.size == 0:
+        raise ValueError("enable_pressure: empty triangle selection")
+    # closedness: every undirected edge of the shell on exactly 2 faces
+    shell = tris[sel]
+    cnt: dict = {}
+    for a, b, c in shell:
+        for u, v in ((a, b), (b, c), (c, a)):
+            key = (min(u, v), max(u, v))
+            cnt[key] = cnt.get(key, 0) + 1
+    bad = sum(1 for v in cnt.values() if v != 2)
+    if bad:
+        raise ValueError(
+            f"enable_pressure: shell is not closed ({bad} edges not shared "
+            "by exactly 2 triangles) — an open surface encloses no volume"
+        )
+    v0 = _signed_volume(host.positions0, shell)
+    if abs(v0) < 1e-12:
+        raise ValueError("enable_pressure: shell encloses zero volume")
+    if v0 < 0.0:
+        # inward winding: flip the shell (also fixes rendering normals)
+        tris = tris.copy()
+        tris[sel] = tris[sel][:, [0, 2, 1]]
+        host.triangles = tris.astype(host.triangles.dtype)
+        v0 = -v0
+    body = (np.full(f, -1, np.int64) if host.tri_body is None
+            else np.asarray(host.tri_body, np.int64).copy())
+    if (body[sel] >= 0).any():
+        raise ValueError("enable_pressure: selection overlaps an existing "
+                         "pressure body")
+    vols = (np.zeros((0,), np.float64) if host.pressure_rest_volume is None
+            else np.asarray(host.pressure_rest_volume, np.float64))
+    body[sel] = vols.shape[0]
+    host.tri_body = body
+    host.pressure_rest_volume = np.concatenate([vols, [v0]])
+    return host
+
+
+def icosphere_mesh(radius: float = 0.5, subdivisions: int = 2,
+                   center=(0.0, 0.0, 0.0)):
+    """Closed icosphere shell ``(positions f64[N,3], triangles i64[F,3])``
+    with outward winding — the standard balloon / inflatable geometry.
+    Feed to :func:`from_triangle_mesh` + :func:`enable_pressure`.
+    subdivisions 0/1/2/3 -> 12/42/162/642 vertices."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        (-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+        (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+        (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1),
+    ], np.float64)
+    verts /= np.linalg.norm(verts[0])
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    for _ in range(subdivisions):
+        mid: dict = {}
+        vlist = list(verts)
+
+        def midpoint(u, v):
+            key = (min(u, v), max(u, v))
+            if key not in mid:
+                m = vlist[u] + vlist[v]
+                vlist.append(m / np.linalg.norm(m))
+                mid[key] = len(vlist) - 1
+            return mid[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc),
+                          (ab, bc, ca)]
+        faces = new_faces
+        verts = np.asarray(vlist)
+    pos = verts * radius + np.asarray(center, np.float64)[None, :]
+    tris = np.asarray(faces, np.int64)
+    if _signed_volume(pos, tris) < 0:
+        tris = tris[:, [0, 2, 1]]
+    return pos, tris
 
 
 def cloth_grid(
@@ -931,6 +1059,28 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
                            for h, o in zip(hosts, offs)])
     incident, sign = _build_incidence(pos.shape[0], edges)
 
+    # pressure bodies: offset each host's body ids by the bodies before it
+    # (triangles with no enclosed gas stay -1), concat the rest volumes
+    if any(h.pressure_rest_volume is not None for h in hosts):
+        body_off = 0
+        tri_body_parts = []
+        vol_parts = []
+        for h in hosts:
+            nf = h.triangles.shape[0]
+            if h.pressure_rest_volume is None:
+                tri_body_parts.append(np.full(nf, -1, np.int64))
+            else:
+                tb = np.asarray(h.tri_body, np.int64)
+                tri_body_parts.append(np.where(tb >= 0, tb + body_off, -1))
+                vol_parts.append(np.asarray(h.pressure_rest_volume,
+                                            np.float64))
+                body_off += h.pressure_rest_volume.shape[0]
+        tri_body = np.concatenate(tri_body_parts)
+        pressure_rest_volume = np.concatenate(vol_parts)
+    else:
+        tri_body = None
+        pressure_rest_volume = None
+
     sdf_grids = [h.sdf_grids for h in hosts if h.sdf_grids is not None]
     if sdf_grids:
         dims = {g.shape[1:] for g in sdf_grids}
@@ -969,6 +1119,8 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
             [h.box_half_extents for h in hosts], (0, 3)),
         box_rotations=_none_concat(
             [h.box_rotations for h in hosts], (0, 3, 3)),
+        tri_body=tri_body,
+        pressure_rest_volume=pressure_rest_volume,
         sdf_grids=(np.concatenate(sdf_grids) if sdf_grids else None),
         sdf_origins=_none_concat([h.sdf_origins for h in hosts], (0, 3)),
         sdf_spacings=_none_concat([h.sdf_spacings for h in hosts], (0,)),

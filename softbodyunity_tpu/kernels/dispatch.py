@@ -23,6 +23,17 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if cfg.pressure.enabled and top.n_pressure_bodies > 0:
+        # pressure bodies are irregular closed shells (never grids or
+        # regular lattices in practice); the exact jnp path is the
+        # implementation — any fast path here would be a silent no-pressure
+        if backend == "pallas":
+            _warn_once(
+                ("pressure", top.n_vertices, cfg.solver),
+                "pallas requested but pressure bodies route to the jnp "
+                "gather path",
+            )
+        return None
     if cfg.plasticity.enabled and (
         top.grid_shape is None or top.grid_spacing is None
         or top.n_tets > 0 or cfg.self_collision.enabled

@@ -419,6 +419,42 @@ def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     return f
 
 
+def pressure_forces(top: HostTopology, cfg: SimConfig, x) -> np.ndarray:
+    """Closed-shell gas pressure (PressureParams semantics, binding).
+
+    Per pressure body b (tri_body/pressure_rest_volume, set by
+    core.topology.enable_pressure): signed enclosed volume V_b, ideal-gas
+    style pressure P_b = stiffness * (inflation * V0_b / V_b - 1), and a
+    per-face force P_b * A * n_hat distributed equally to the face's three
+    vertices (cross/6 per corner, cross = twice the outward area vector).
+    The net force over a closed shell is exactly zero (the corner crosses
+    telescope), so pressure never injects momentum."""
+    pp = cfg.pressure
+    f = np.zeros_like(x)
+    if top.pressure_rest_volume is None:
+        return f
+    body = np.asarray(top.tri_body, np.int64)
+    sel = body >= 0
+    if not sel.any():
+        return f
+    tris = np.asarray(top.triangles, np.int64)[sel]
+    b_ids = body[sel]
+    n_bodies = top.pressure_rest_volume.shape[0]
+    pa, pb, pc = x[tris[:, 0]], x[tris[:, 1]], x[tris[:, 2]]
+    contrib = np.einsum("ij,ij->i", pa, np.cross(pb, pc)) / 6.0
+    vol = np.zeros(n_bodies)
+    np.add.at(vol, b_ids, contrib)
+    v0 = np.asarray(top.pressure_rest_volume)
+    p_body = pp.stiffness * (
+        pp.inflation * v0 / np.maximum(vol, 1e-9 * v0) - 1.0
+    )
+    cross = np.cross(pb - pa, pc - pa)
+    f_corner = p_body[b_ids][:, None] * cross / 6.0
+    for col in range(3):
+        np.add.at(f, tris[:, col], f_corner)
+    return f
+
+
 def tear_update(top: HostTopology, cfg: SimConfig, x, alive,
                 rest_scale=None):
     """End-of-substep tear check (TearParams semantics, binding): an edge
@@ -458,6 +494,8 @@ def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
         )
     if cfg.wind.enabled:
         f = f + wind_forces(top, cfg, x, v)
+    if cfg.pressure.enabled:
+        f = f + pressure_forces(top, cfg, x)
     return f
 
 
@@ -602,6 +640,10 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         accel = accel + self_collision_forces(
             x, cfg.self_collision.radius, cfg.self_collision.stiffness
         ) * top.inv_mass[:, None]
+    if cfg.pressure.enabled:
+        # gas pressure is an external force (not a constraint): same
+        # predict-stage entry as wind / self-collision
+        accel = accel + pressure_forces(top, cfg, x) * top.inv_mass[:, None]
     v = (v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = np.where(movable[:, None], v, 0.0)
     x_prev = x

@@ -83,6 +83,10 @@ def total_forces(top: Topology, cfg: SimConfig, x, v, alive=None,
         f = f + self_collision_force(cfg, x)
     if cfg.wind.enabled:
         f = f + wind_forces(top, cfg, x, v)
+    if cfg.pressure.enabled and top.n_pressure_bodies > 0:
+        from .pressure import pressure_forces
+
+        f = f + pressure_forces(top, cfg, x)
     return f
 
 
@@ -205,6 +209,11 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         # self-collision repulsion enters the predict too (oracle
         # substep_xpbd; the constraints only cover springs/volume)
         accel = accel + self_collision_force(cfg, s.x) * top.inv_mass[:, None]
+    if cfg.pressure.enabled and top.n_pressure_bodies > 0:
+        # gas pressure is an external force: predict-stage entry (oracle)
+        from .pressure import pressure_forces
+
+        accel = accel + pressure_forces(top, cfg, s.x) * top.inv_mass[:, None]
     v = (s.v + dt * accel) * (1.0 - cfg.global_damping * dt)
     v = jnp.where(movable[:, None], v, 0.0)
     x_prev = s.x

@@ -90,3 +90,8 @@ def test_example_mesh_collider():
 def test_example_conveyor_belt():
     mean_vx = _load("14_conveyor_belt.py").main(n_frames=60, n=8)
     assert mean_vx > 0.3
+
+
+def test_example_balloon():
+    v_ratio = _load("15_balloon.py").main(n_frames=60, subdivisions=1)
+    assert v_ratio > 0.7
