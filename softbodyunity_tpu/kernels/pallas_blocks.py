@@ -32,13 +32,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import SelfCollisionParams
-from ..solver.blocksparse import BLOCK, _sorted_tiles, _tile_partners
+from ..solver.blocksparse import _sorted_tiles, _tile_partners
 
 
-def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
+def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
+                 blk: int):
     def kernel(partners_ref, nvalid_ref, pvalid_ref, x_ref, v_ref, fo_ref):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
         eye = rows == cols
         big = 1e18
 
@@ -50,7 +51,7 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
             mx = jnp.max(jnp.where(vi_on, xi, -big), axis=1)
             ctr = 0.5 * (mn + mx)
             xci = xi - ctr[:, None]
-            vcol = vif.reshape(BLOCK, 1)
+            vcol = vif.reshape(blk, 1)
 
             def k_body(k, fi):
                 # layout: rows = NEIGHBOUR j (sublanes), cols = SELF i
@@ -72,7 +73,7 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
                 w = jnp.where(
                     (d2 * inv_d < radius) & not_self,
                     stiffness * (radius * inv_d - 1.0), 0.0,
-                ) * (vjf.reshape(BLOCK, 1) * vcol.reshape(1, BLOCK)) * pv
+                ) * (vjf.reshape(blk, 1) * vcol.reshape(1, blk)) * pv
                 # f_i = sum_j w_ij (x_i - x_j): sublane reductions
                 return (
                     fi
@@ -88,7 +89,7 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int):
             # mean is ~K/3 for cloth scenes — a ~2-3x saving)
             fi = jax.lax.fori_loop(
                 0, nvalid_ref[i], k_body,
-                jnp.zeros((3, BLOCK), jnp.float32), unroll=1,
+                jnp.zeros((3, blk), jnp.float32), unroll=1,
             )
             fo_ref[i] = fi
             return carry
@@ -105,12 +106,12 @@ def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
                         k_budget, interpret=False):
     """x_tiles f32[B, 3, BLOCK], valid f32[B, 1, BLOCK], partners i32[B, K],
     pvalid f32[B, K] -> forces f32[B, 3, BLOCK] (sorted-tile space)."""
-    b = x_tiles.shape[0]
-    kernel = _make_kernel(radius, stiffness, b, k_budget)
+    b, _, blk = x_tiles.shape
+    kernel = _make_kernel(radius, stiffness, b, k_budget, blk)
     nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)   # [B]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, 3, BLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3, blk), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [B, K]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # nvalid   [B]
@@ -120,9 +121,9 @@ def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=b * k_budget * BLOCK * BLOCK * 25,
-            bytes_accessed=2 * b * 3 * BLOCK * 4,
-            transcendentals=b * k_budget * BLOCK * BLOCK,
+            flops=b * k_budget * blk * blk * 25,
+            bytes_accessed=2 * b * 3 * blk * 4,
+            transcendentals=b * k_budget * blk * blk,
         ),
         interpret=interpret,
     )(partners, nvalid, pvalid, x_tiles, valid)
@@ -133,7 +134,7 @@ def self_collision_forces_block_pallas(
 ) -> jax.Array:
     """Pallas-tiled twin of blocksparse.self_collision_forces_block."""
     n = x.shape[0]
-    xb, valid, order, b = _sorted_tiles(x, p.cell_size)
+    xb, valid, order, b = _sorted_tiles(x, p.cell_size, p.block_size)
     k = min(p.block_partners, b)
     partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
     x_tiles = jnp.swapaxes(xb, 1, 2)                  # [B, 3, BLOCK]

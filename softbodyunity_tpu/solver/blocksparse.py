@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 from ..core.config import SelfCollisionParams
 
-BLOCK = 256           # vertices per tile: 2 VPU lane groups, MXU-friendly
+BLOCK = 256           # default vertices per tile (SelfCollisionParams.
+#                       block_size); pair work is LINEAR in the tile size
+#                       when radius << tile span (each tile has ~9 geometric
+#                       neighbours regardless), so 128 halves the VPU work —
+#                       but never go below 128: the pair planes put tile
+#                       vertices on the 128 VPU lanes, and a smaller minor
+#                       dim idles lanes and pads every vreg
 _MORTON_BITS = 10     # 1024^3 virtual grid
 
 
@@ -58,18 +64,18 @@ def morton_ids(x: jax.Array, origin: jax.Array, cell_size: float) -> jax.Array:
     )
 
 
-def _sorted_tiles(x: jax.Array, cell_size: float):
-    """Morton-sort and fold into [B, BLOCK] tiles (zero-padded, masked)."""
+def _sorted_tiles(x: jax.Array, cell_size: float, blk: int = BLOCK):
+    """Morton-sort and fold into [B, blk] tiles (zero-padded, masked)."""
     n = x.shape[0]
-    b = -(-n // BLOCK)
-    npad = b * BLOCK
+    b = -(-n // blk)
+    npad = b * blk
     origin = jnp.min(x, axis=0) - 0.5 * cell_size
     order = jnp.argsort(morton_ids(x, origin, cell_size))
     xs = x[order]
     if npad != n:
         xs = jnp.pad(xs, ((0, npad - n), (0, 0)))
-    valid = (jnp.arange(npad) < n).reshape(b, BLOCK)
-    xb = xs.reshape(b, BLOCK, 3)
+    valid = (jnp.arange(npad) < n).reshape(b, blk)
+    xb = xs.reshape(b, blk, 3)
     return xb, valid, order, b
 
 
@@ -111,7 +117,7 @@ def _block_forces_sorted(xb, valid, partners, pvalid, radius: float,
     xci = xb - ctr[:, None, :]
     sqi = jnp.sum(xci * xci, axis=-1)                             # [B,BLOCK]
     iblk = jnp.arange(b)
-    eye = jnp.eye(BLOCK, dtype=bool)
+    eye = jnp.eye(xb.shape[1], dtype=bool)
     f = jnp.zeros_like(xb)
     for kk in range(k):
         pk = partners[:, kk]                                      # [B]
@@ -150,7 +156,7 @@ def self_collision_forces_block(x: jax.Array, p: SelfCollisionParams) -> jax.Arr
     the partner budget suffices — check with
     :func:`self_collision_block_diagnostics`)."""
     n = x.shape[0]
-    xb, valid, order, b = _sorted_tiles(x, p.cell_size)
+    xb, valid, order, b = _sorted_tiles(x, p.cell_size, p.block_size)
     k = min(p.block_partners, b)
     partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
     f_sorted = _block_forces_sorted(
@@ -162,7 +168,7 @@ def self_collision_forces_block(x: jax.Array, p: SelfCollisionParams) -> jax.Arr
 def self_collision_block_diagnostics(x: jax.Array, p: SelfCollisionParams):
     """{'candidate_pairs', 'dropped_pairs'} — dropped_pairs == 0 proves the
     force is exactly the dense rule for this configuration."""
-    xb, valid, _, b = _sorted_tiles(x, p.cell_size)
+    xb, valid, _, b = _sorted_tiles(x, p.cell_size, p.block_size)
     k = min(p.block_partners, b)
     _, pvalid, overflow = _tile_partners(xb, valid, p.radius, k)
     return {

@@ -27,13 +27,16 @@ def _params(**kw):
     return SelfCollisionParams(**base)
 
 
-# 500 / 1000: non-multiples of BLOCK exercise tile padding; 2048: multi-tile
-@pytest.mark.parametrize("n", [100, 500, 1000, 2048])
-def test_block_matches_dense_random_cloud(n):
+# 500 / 1000: non-multiples of the tile size exercise padding; 2048:
+# multi-tile; block_size=128 covers the tunable tile size
+@pytest.mark.parametrize("n,blk", [(100, BLOCK), (500, BLOCK),
+                                   (1000, BLOCK), (2048, BLOCK),
+                                   (1000, 128), (2048, 128)])
+def test_block_matches_dense_random_cloud(n, blk):
     rng = np.random.default_rng(n)
     # a dense-ish cloud with plenty of contacts
     x = jnp.asarray(rng.uniform(0, 0.5, (n, 3)).astype(np.float32))
-    p = _params(block_partners=-(-n // BLOCK))  # full budget: exact
+    p = _params(block_partners=-(-n // blk), block_size=blk)  # full budget
     diag = self_collision_block_diagnostics(x, p)
     assert int(diag["dropped_pairs"]) == 0
     f_blk = self_collision_forces_block(x, p)
