@@ -35,6 +35,7 @@ from .core.topology import (
     HostTopology,
     Topology,
     add_colliders,
+    anchor,
     cloth_grid,
     enable_pressure,
     from_tet_mesh,
@@ -63,5 +64,5 @@ __all__ = [
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
-    "enable_pressure", "icosphere_mesh",
+    "enable_pressure", "icosphere_mesh", "anchor",
 ]

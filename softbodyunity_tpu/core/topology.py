@@ -1229,3 +1229,56 @@ def stitch(
         edge_classes_present=tuple(sorted(
             set(host.edge_classes_present) | {EDGE_STRUCTURAL})),
     )
+
+
+def anchor(
+    host: HostTopology,
+    ids,
+    points=None,
+    *,
+    stiffness: Optional[float] = None,
+    compliance: Optional[float] = None,
+    rest_length=None,
+) -> HostTopology:
+    """Elastic world anchors — the Unity SpringJoint-to-a-fixed-point
+    analogue: tie vertices to world-space points with springs.
+
+    For each ``ids[i]`` one PINNED phantom vertex is appended at
+    ``points[i]`` (default: the vertex's own rest position) and connected
+    by a structural spring, so anchors reuse the ordinary spring/XPBD
+    semantics on every solver and device path — no new physics.
+    ``rest_length`` defaults to the current vertex↔point distance (a slack
+    tether); ``0.0`` pulls the vertex onto the point.  ``stiffness`` /
+    ``compliance`` default like :func:`stitch` (mean structural).
+
+    The phantom vertices are pins: animate them with
+    :func:`softbodyunity_tpu.api.move_pins` for an elastic drag handle
+    (vs the rigid grab of pinning the vertex itself).  Returns a new
+    HostTopology with N + len(ids) vertices; the anchors' vertex ids are
+    ``range(N, N + len(ids))`` in order.
+    """
+    ids = np.asarray(ids, np.int64).reshape(-1)
+    n = host.positions0.shape[0]
+    if ids.size == 0:
+        return host
+    if ((ids < 0) | (ids >= n)).any():
+        raise ValueError(f"anchor vertex id out of range [0, {n})")
+    if points is None:
+        points = host.positions0[ids]
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    if points.shape[0] != ids.size:
+        raise ValueError("points must pair 1:1 with ids")
+    if rest_length is None:
+        rest_length = np.linalg.norm(host.positions0[ids] - points, axis=1)
+
+    phantom_ids = np.arange(n, n + ids.size, dtype=np.int64)
+    out = dataclasses.replace(
+        host,
+        positions0=np.concatenate([host.positions0, points]),
+        inv_mass=np.concatenate([host.inv_mass, np.zeros(ids.size)]),
+    )
+    # incidence for the enlarged vertex set is rebuilt by stitch below
+    return stitch(
+        out, ids, phantom_ids,
+        stiffness=stiffness, compliance=compliance, rest_length=rest_length,
+    )

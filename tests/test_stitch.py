@@ -230,3 +230,72 @@ def test_stitched_seam_tears():
     assert alive.sum() < alive.shape[0], "seam never tore"
     # the lower sheet broke away toward the floor
     assert x[n_v:, 1].min() < -2.0
+
+
+def test_anchor_hangs_cloth_elastically():
+    """anchor(): a free cloth hung from two world anchors sags to the
+    spring equilibrium instead of falling; anchors are pinned phantoms."""
+    from softbodyunity_tpu.core.topology import anchor
+
+    cfg = SimConfig(global_damping=2.0)
+    n = 6
+    host = cloth_grid(
+        n, n, spacing=0.1, mass=0.05, shear=True, bend=False, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-10.0,
+        orientation="xy",
+    )
+    corners = [(n - 1) * n, n * n - 1]        # top row ends
+    pts = host.positions0[corners] + [0.0, 0.2, 0.0]   # anchors above
+    n0 = host.positions0.shape[0]
+    host = anchor(host, corners, pts, stiffness=400.0, rest_length=0.0)
+    assert host.positions0.shape[0] == n0 + 2
+    assert (host.inv_mass[n0:] == 0.0).all()
+
+    top, state = api.init(host)
+    for _ in range(150):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # anchors never move
+    np.testing.assert_array_equal(x[n0:], np.asarray(state.x_prev)[n0:])
+    # the cloth hangs near the anchors (rest-0 tether stretches by
+    # weight/k, far above the floor at -10)
+    assert x[:n0, 1].min() > -2.0
+    gap = np.linalg.norm(x[corners] - np.asarray(pts), axis=1).max()
+    assert gap < 0.1
+
+
+def test_anchor_moves_with_move_pins():
+    """Elastic drag handle: moving the phantom anchor drags the cloth
+    along through the tether spring (vs teleporting the vertex itself)."""
+    from softbodyunity_tpu.core.topology import anchor
+
+    cfg = SimConfig(global_damping=2.0, gravity=(0.0, 0.0, 0.0))
+    n = 6
+    host = cloth_grid(
+        n, n, spacing=0.1, mass=0.05, shear=True, bend=False, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-10.0,
+        orientation="xy",
+    )
+    n0 = host.positions0.shape[0]
+    host = anchor(host, [0], stiffness=400.0)   # anchored at its own spot
+    top, state = api.init(host)
+    target = np.array([[1.0, 0.5, 0.0]], np.float32)
+    for _ in range(120):
+        state = api.move_pins(top, state, target, [n0])
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    # the whole cloth followed the dragged anchor toward +x
+    assert x[:n0, 0].mean() > 0.4
+
+
+def test_anchor_validation():
+    from softbodyunity_tpu.core.topology import anchor
+
+    host = cloth_grid(4, 4, spacing=0.1)
+    with pytest.raises(ValueError, match="out of range"):
+        anchor(host, [999])
+    with pytest.raises(ValueError, match="pair 1:1"):
+        anchor(host, [0, 1], [[0.0, 0.0, 0.0]])
+    assert anchor(host, []) is host
