@@ -15,6 +15,7 @@ import numpy as np
 
 from ..core.config import (
     CollisionParams,
+    PressureParams,
     SelfCollisionParams,
     SimConfig,
     Solver,
@@ -24,6 +25,9 @@ from ..core.config import (
 from ..core.topology import (
     HostTopology,
     cloth_grid,
+    enable_pressure,
+    from_triangle_mesh,
+    icosphere_mesh,
     merge_bodies,
     stitch,
     tet_cube,
@@ -198,6 +202,30 @@ def curtain_stitched():
     brim = [n * n + j for j in range(0, n, 3)]        # lower panel, first row
     scene = stitch(scene, hem, brim, rest_length=0.0, stiffness=5e3)
     return scene, cfg
+
+
+@register("balloon_drop")
+def balloon_drop():
+    """Pressure soft body (the Unity "inflatable" demo): a 162-vertex
+    icosphere balloon dropped on the ground plane — squashes on impact,
+    the enclosed gas pushes back, re-inflates (PressureParams semantics;
+    oracle pressure_forces is binding).  In the golden and f64
+    exact-parity tiers: this is the preset that pins down the
+    closed-shell volume + per-face force semantics against the oracle."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        pressure=PressureParams(enabled=True, stiffness=400.0,
+                                inflation=1.1),
+        springs=SpringParams(k_structural=200.0, k_shear=100.0,
+                             k_bend=40.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=1.0,
+    )
+    pos, tris = icosphere_mesh(radius=0.25, subdivisions=2,
+                               center=(0.0, 0.6, 0.0))
+    host = from_triangle_mesh(pos, tris, mass=0.02, springs=cfg.springs,
+                              xpbd=cfg.xpbd, plane_height=0.0)
+    return enable_pressure(host), cfg
 
 
 @register("cloth_bench_64k")

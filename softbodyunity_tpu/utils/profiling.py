@@ -98,6 +98,15 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
             out["self_collision_cell_overflows"] = int(
                 hash_overflow_count(state.x, p)
             )
+    if cfg.pressure.enabled and top.n_pressure_bodies > 0:
+        from ..solver.pressure import body_volumes
+
+        vols = body_volumes(top, state.x)
+        ratio = vols / top.pressure_rest_volume
+        # V/V0 per gas body: 1.0 = rest; << 1 = crushed (or an inverted
+        # shell if it goes negative — a real finding)
+        out["pressure_volume_ratio_min"] = float(jnp.min(ratio))
+        out["pressure_volume_ratio_max"] = float(jnp.max(ratio))
     return out
 
 

@@ -26,6 +26,7 @@ TOLERANCES = {
     "cloth_hanging_sphere": 5e-2,   # sphere-contact chaos over 100 frames
     "cloth_batch_rl": 5e-2,         # self-collision contact chaos
     "curtain_stitched": 1e-4,       # merged bodies + stitch seams, smooth
+    "balloon_drop": 5e-2,           # pressure body; plane-impact chaos
 }
 
 

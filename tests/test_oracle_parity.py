@@ -40,6 +40,8 @@ PRESETS = [
     "cloth_batch_rl",
     # merged-topology + stitch semantics (curtain of two sewn panels)
     "curtain_stitched",
+    # closed-shell gas volume + per-face pressure force semantics
+    "balloon_drop",
 ]
 assert set(PRESETS) <= set(presets.names())
 

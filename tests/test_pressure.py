@@ -243,3 +243,21 @@ def test_pressure_is_differentiable():
     g = jax.grad(loss)(state.x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_diagnostics_reports_volume_ratio():
+    from softbodyunity_tpu import diagnostics
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    d = diagnostics(top, cfg, state)
+    assert 0.95 < d["pressure_volume_ratio_min"] <= 1.01
+    assert d["pressure_volume_ratio_max"] <= 1.01
+
+
+def test_balloon_preset_registered():
+    from softbodyunity_tpu.models import presets
+
+    host, cfg = presets.build("balloon_drop")
+    assert cfg.pressure.enabled
+    assert host.pressure_rest_volume.shape == (1,)
