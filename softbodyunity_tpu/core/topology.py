@@ -141,33 +141,52 @@ def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]
     """Vertex -> incident-edge table, padded to the max degree.
 
     Padding entries point at edge id E (one past the end); callers append a
-    zero "ghost" force row so padded gathers contribute nothing.
+    zero "ghost" force row so padded gathers contribute nothing.  Fully
+    vectorized (a python-loop version took 7 s alone at 262k vertices);
+    per-vertex entries are ordered by edge id, exactly the order the loop
+    formulation produced.
     """
     e = edges.shape[0]
-    lists: list[list[Tuple[int, float]]] = [[] for _ in range(n)]
-    for ei, (a, b) in enumerate(edges):
-        lists[int(a)].append((ei, +1.0))
-        lists[int(b)].append((ei, -1.0))
-    d = max((len(l) for l in lists), default=1)
-    d = max(d, 1)
+    if e == 0 or n == 0:
+        return (np.full((n, 1), e, dtype=np.int32),
+                np.zeros((n, 1), dtype=np.float64))
+    ends = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int64)
+    eids = np.concatenate([np.arange(e), np.arange(e)])
+    signs = np.concatenate([np.ones(e), -np.ones(e)])
+    order = np.lexsort((eids, ends))          # by vertex, then edge id
+    ends_s, eids_s, signs_s = ends[order], eids[order], signs[order]
+    counts = np.bincount(ends, minlength=n)
+    d = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(2 * e) - starts[ends_s]  # position within the group
     incident = np.full((n, d), e, dtype=np.int32)
     sign = np.zeros((n, d), dtype=np.float64)
-    for vi, l in enumerate(lists):
-        for j, (ei, s) in enumerate(l):
-            incident[vi, j] = ei
-            sign[vi, j] = s
+    incident[ends_s, slot] = eids_s
+    sign[ends_s, slot] = signs_s
     return incident, sign
 
 
 def _edge_arrays(
-    edge_list: list[Tuple[int, int, int]],
+    edge_list,
     positions: np.ndarray,
     springs,
     xpbd,
 ) -> Tuple[np.ndarray, ...]:
-    """Pack (a, b, class) triples into sorted topology arrays."""
-    edges = np.array([(a, b) for a, b, _ in edge_list], dtype=np.int64)
-    cls = np.array([c for _, _, c in edge_list], dtype=np.int64)
+    """Pack (a, b, class) triples — a list of tuples or an i64[E, 3]
+    array — into sorted topology arrays."""
+    if isinstance(edge_list, np.ndarray):
+        triples = edge_list.astype(np.int64, copy=False)
+    else:
+        # np.array() on millions of tuples is pathologically slow;
+        # fromiter over the flattened stream is ~10x faster
+        import itertools
+
+        triples = np.fromiter(
+            itertools.chain.from_iterable(edge_list), np.int64,
+            count=3 * len(edge_list),
+        ).reshape(-1, 3)
+    edges = triples[:, :2]
+    cls = triples[:, 2]
     # sort by first endpoint for contiguous segment_sum fallback
     order = np.lexsort((edges[:, 1], edges[:, 0]))
     edges, cls = edges[order], cls[order]
@@ -522,22 +541,33 @@ def cloth_grid(
         raise ValueError(f"unknown orientation {orientation!r}")
     pos += np.asarray(origin, dtype=np.float64)
 
-    edge_list: list[Tuple[int, int, int]] = []
-    for i in range(ny):
-        for j in range(nx):
-            if j + 1 < nx:
-                edge_list.append((vid(i, j), vid(i, j + 1), EDGE_STRUCTURAL))
-            if i + 1 < ny:
-                edge_list.append((vid(i, j), vid(i + 1, j), EDGE_STRUCTURAL))
-            if shear and i + 1 < ny and j + 1 < nx:
-                edge_list.append((vid(i, j), vid(i + 1, j + 1), EDGE_SHEAR))
-                edge_list.append((vid(i, j + 1), vid(i + 1, j), EDGE_SHEAR))
-            if bend and j + 2 < nx:
-                edge_list.append((vid(i, j), vid(i, j + 2), EDGE_BEND))
-            if bend and i + 2 < ny:
-                edge_list.append((vid(i, j), vid(i + 2, j), EDGE_BEND))
+    # vectorized edge enumeration (the loop formulation took ~30 s at 262k
+    # vertices); _edge_arrays lexsorts, so only the (a, b, class) triple
+    # SET and orientations matter, and these match the loop exactly
+    ids = np.arange(n, dtype=np.int64).reshape(ny, nx)
 
-    edges, rest, cls, k, alpha = _edge_arrays(edge_list, pos, springs, xpbd)
+    def _pairs(a, b, c):
+        t = np.empty((a.size, 3), np.int64)
+        t[:, 0] = a.ravel()
+        t[:, 1] = b.ravel()
+        t[:, 2] = c
+        return t
+
+    parts = [
+        _pairs(ids[:, :-1], ids[:, 1:], EDGE_STRUCTURAL),     # (i,j)-(i,j+1)
+        _pairs(ids[:-1, :], ids[1:, :], EDGE_STRUCTURAL),     # (i,j)-(i+1,j)
+    ]
+    if shear:
+        parts.append(_pairs(ids[:-1, :-1], ids[1:, 1:], EDGE_SHEAR))
+        parts.append(_pairs(ids[:-1, 1:], ids[1:, :-1], EDGE_SHEAR))
+    if bend:
+        if nx > 2:
+            parts.append(_pairs(ids[:, :-2], ids[:, 2:], EDGE_BEND))
+        if ny > 2:
+            parts.append(_pairs(ids[:-2, :], ids[2:, :], EDGE_BEND))
+    edge_triples = np.concatenate(parts)
+
+    edges, rest, cls, k, alpha = _edge_arrays(edge_triples, pos, springs, xpbd)
     incident, sign = _build_incidence(n, edges)
 
     inv_mass = np.full(n, 1.0 / mass, dtype=np.float64)  # mass is per-vertex
@@ -574,12 +604,19 @@ def cloth_grid(
     for v in pin_ids:
         inv_mass[v] = 0.0
 
-    tris = []
-    for i in range(ny - 1):
-        for j in range(nx - 1):
-            tris.append((vid(i, j), vid(i + 1, j), vid(i, j + 1)))
-            tris.append((vid(i, j + 1), vid(i + 1, j), vid(i + 1, j + 1)))
-    triangles = np.array(tris, dtype=np.int32) if tris else np.zeros((0, 3), np.int32)
+    # two triangles per quad, row-major, preserving the loop emission order
+    if nx > 1 and ny > 1:
+        q00 = ids[:-1, :-1]
+        q01 = ids[:-1, 1:]
+        q10 = ids[1:, :-1]
+        q11 = ids[1:, 1:]
+        tri2 = np.stack([
+            np.stack([q00, q10, q01], axis=-1),
+            np.stack([q01, q10, q11], axis=-1),
+        ], axis=2)                              # [ny-1, nx-1, 2, 3]
+        triangles = tri2.reshape(-1, 3).astype(np.int32)
+    else:
+        triangles = np.zeros((0, 3), np.int32)
 
     sc = (
         np.asarray(sphere_centers, dtype=np.float64).reshape(-1, 3)
