@@ -95,3 +95,10 @@ def test_example_conveyor_belt():
 def test_example_balloon():
     v_ratio = _load("15_balloon.py").main(n_frames=60, subdivisions=1)
     assert v_ratio > 0.7
+
+
+def test_example_trampoline_coupling():
+    ratio = _load("16_trampoline_coupling.py").main(
+        n_substeps=700, n=12, check_settle=False
+    )
+    assert ratio == ratio  # finite, not NaN
