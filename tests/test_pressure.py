@@ -261,3 +261,27 @@ def test_balloon_preset_registered():
     host, cfg = presets.build("balloon_drop")
     assert cfg.pressure.enabled
     assert host.pressure_rest_volume.shape == (1,)
+
+
+def test_sharded_balloons_match_single():
+    """Batch-sharded balloons on the 8-device mesh == single-scene step
+    (pressure flows through the dp sharding path like every force)."""
+    from softbodyunity_tpu.parallel.batch import batch_state
+    from softbodyunity_tpu.parallel.sharding import (
+        make_mesh,
+        replicate_topology,
+        shard_batched_state,
+        step_sharded,
+    )
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    mesh = make_mesh()
+    tops = replicate_topology(top, mesh)
+    states = shard_batched_state(batch_state(state, 8), mesh)
+    single = api.step(top, cfg, state)
+    multi = step_sharded(tops, cfg, states, mesh)
+    for b in range(8):
+        np.testing.assert_allclose(
+            np.asarray(multi.x[b]), np.asarray(single.x), atol=1e-6
+        )
