@@ -43,6 +43,7 @@ from .core.topology import (
     icosphere_mesh,
     merge_bodies,
     stitch,
+    terrain_mesh,
     tet_cube,
 )
 from .models import presets
@@ -51,6 +52,7 @@ from .utils.profiling import (
     contact_impulses_batched,
     diagnostics,
 )
+from .utils.render import render_frame, render_rollout
 
 __version__ = "0.1.0"
 __all__ = [
@@ -64,5 +66,6 @@ __all__ = [
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
-    "enable_pressure", "icosphere_mesh", "anchor",
+    "enable_pressure", "icosphere_mesh", "anchor", "terrain_mesh",
+    "render_frame", "render_rollout",
 ]

@@ -485,6 +485,58 @@ def icosphere_mesh(radius: float = 0.5, subdivisions: int = 2,
     return pos, tris
 
 
+def terrain_mesh(heights, spacing: float = 1.0, origin=(0.0, 0.0, 0.0),
+                 base_depth: Optional[float] = None):
+    """Closed terrain block from a heightfield — the Unity Terrain-collider
+    analogue: ``(positions f64[2HW,3], triangles i64[F,3])``, watertight
+    (top surface + skirt walls + flat bottom) with outward winding, ready
+    for :func:`softbodyunity_tpu.core.sdf.sdf_from_mesh` (collision) or
+    :func:`from_triangle_mesh` (a deformable terrain sheet from the top
+    half).  ``heights`` is f64[H, W] of y values sampled on an xz grid of
+    pitch ``spacing``; the bottom sits ``base_depth`` below the lowest
+    sample (default: one grid pitch)."""
+    h = np.asarray(heights, np.float64)
+    if h.ndim != 2 or h.shape[0] < 2 or h.shape[1] < 2:
+        raise ValueError("heights must be [H>=2, W>=2]")
+    hh, ww = h.shape
+    if base_depth is None:
+        base_depth = spacing
+    base_y = float(h.min()) - float(base_depth)
+    ii, jj = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+    xs = jj.ravel() * spacing
+    zs = ii.ravel() * spacing
+    top_v = np.stack([xs, h.ravel(), zs], axis=1)
+    bot_v = np.stack([xs, np.full(hh * ww, base_y), zs], axis=1)
+    pos = np.concatenate([top_v, bot_v]) + np.asarray(origin, np.float64)
+
+    ids = np.arange(hh * ww, dtype=np.int64).reshape(hh, ww)
+    q00, q01 = ids[:-1, :-1], ids[:-1, 1:]
+    q10, q11 = ids[1:, :-1], ids[1:, 1:]
+    # top faces wound upward (+y out; +x east = columns, +z south = rows)
+    top_t = np.concatenate([
+        np.stack([q00, q10, q01], axis=-1).reshape(-1, 3),
+        np.stack([q01, q10, q11], axis=-1).reshape(-1, 3),
+    ])
+    off = hh * ww
+    bot_t = top_t[:, [0, 2, 1]] + off          # bottom wound downward
+    walls = []
+    for edge, flip in (
+        (ids[0, :], False),     # north rim (z = 0): outward is -z
+        (ids[-1, :], True),     # south rim: outward is +z
+        (ids[:, 0], True),      # west rim: outward is -x
+        (ids[:, -1], False),    # east rim: outward is +x
+    ):
+        a, b = edge[:-1], edge[1:]
+        t1 = np.stack([a, b, a + off], axis=-1)
+        t2 = np.stack([b, b + off, a + off], axis=-1)
+        w = np.concatenate([t1, t2])
+        walls.append(w[:, [0, 2, 1]] if flip else w)
+    tris = np.concatenate([top_t, bot_t] + walls)
+    if _signed_volume(pos, tris) < 0:
+        tris = tris[:, [0, 2, 1]]
+    return pos, tris
+
+
 def cloth_grid(
     nx: int,
     ny: int,

@@ -102,3 +102,10 @@ def test_example_trampoline_coupling():
         n_substeps=700, n=12, check_settle=False
     )
     assert ratio == ratio  # finite, not NaN
+
+
+def test_example_terrain_render(tmp_path):
+    written = _load("17_terrain_render.py").main(
+        out_dir=str(tmp_path), n_frames=8, n=10, resolution=16
+    )
+    assert written >= 1
