@@ -17,7 +17,9 @@ from .api import (
     raycast,
     rollout,
     step,
+    step_coupled,
 )
+from .solver.rigid import RigidState, make_rigid_state
 from .core.config import (
     CollisionParams,
     PlasticityParams,
@@ -68,4 +70,5 @@ __all__ = [
     "merge_bodies", "stitch", "presets",
     "enable_pressure", "icosphere_mesh", "anchor", "terrain_mesh",
     "render_frame", "render_rollout",
+    "step_coupled", "RigidState", "make_rigid_state",
 ]

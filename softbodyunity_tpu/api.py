@@ -221,6 +221,33 @@ def rollout(
     return _compiled_rollout(cfg, dt, n, int(n_steps))(top, state)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_coupled_step(cfg: SimConfig, dt: float, n_substeps: int):
+    from .solver.rigid import step_coupled_scan
+
+    def impl(top, state, rigid):
+        return step_coupled_scan(top, cfg, state, rigid, dt, n_substeps)
+
+    return jax.jit(impl)
+
+
+def step_coupled(top: Topology, cfg: SimConfig, state: State, rigid,
+                 dt: Optional[float] = None,
+                 n_substeps: Optional[int] = None):
+    """Advance cloth AND dynamic rigid spheres one frame, two-way coupled
+    on-device (oracle ``substep_euler_coupled`` semantics: momentum
+    exchange inside every substep, zero host round-trips).
+
+    ``rigid`` is a :class:`~softbodyunity_tpu.solver.rigid.RigidState`
+    (build with :func:`~softbodyunity_tpu.solver.rigid.make_rigid_state`);
+    returns ``(state, rigid)``.  Euler solver only."""
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    state = ensure_tear_state(top, cfg, state)
+    state = ensure_plastic_state(top, cfg, state)
+    return _compiled_coupled_step(cfg, dt, n)(top, state, rigid)
+
+
 def normals(top: Topology, state: State) -> jax.Array:
     """Vertex normals for rendering (Unity RecalculateNormals analogue)."""
     return jax.jit(_vertex_normals)(top.triangles, state.x)

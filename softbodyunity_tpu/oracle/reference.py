@@ -549,6 +549,110 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     return x, v, x_prev, alive, scale
 
 
+def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
+                          rc, rv, r_inv_mass, dt, alive=None, scale=None):
+    """Two-way coupled Euler substep (binding): the scene's spheres are
+    DYNAMIC rigid bodies (centers ``rc`` f64[S,3], velocities ``rv``,
+    inverse masses ``r_inv_mass``; 0 = kinematic) exchanging momentum
+    with the cloth inside the substep — no host loop, no force fudge.
+
+    Order per substep:
+
+    1. rigid predict: ``rv += dt*g`` (dynamic spheres), ``rc += dt*rv``;
+    2. the ordinary Euler cloth substep with sphere geometry at ``rc``
+       moving at ``rv`` (contact response relative to the moving
+       surface), measuring per-sphere ``J_s = sum_i m_i dv_i`` across
+       that sphere's resolve;
+    3. reaction: ``rv -= J_s * r_inv_mass`` — contact exchanges momentum
+       exactly (cloth gains J, sphere loses J);
+    4. rigid-plane: a dynamic sphere bounces on the ground plane with the
+       same restitution/friction rule as cloth vertices.
+
+    Sphere-sphere contact is not modelled (document: spawn spheres
+    apart).  Plane/capsule/box/SDF colliders stay static scenery.
+    """
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    g = np.asarray(cfg.gravity)
+    dyn = (r_inv_mass > 0.0)[:, None]
+    rv = np.where(dyn, rv + dt * g[None, :], rv)
+    rc = rc + dt * rv
+
+    f = _total_forces(top, cfg, x, v, alive=alive, rest_scale=scale)
+    v = (v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
+    v = np.where(movable[:, None], v, 0.0)
+    x_prev = x
+    x = x + dt * v
+    dx = volume_projection(top, x, cfg.volume_stiffness)
+    x = x + dx
+    v = v + dx / dt
+    if cfg.collision.enable_plane:
+        x, v = resolve_plane(
+            x, v, top.plane_height, cfg.collision.restitution,
+            cfg.collision.friction, movable,
+            velocity=getattr(top, "plane_velocity", None),
+        )
+    m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
+    for s in range(rc.shape[0]):
+        v0 = v
+        x, v = resolve_spheres(
+            x, v, rc[s:s + 1], top.sphere_radii[s:s + 1],
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=rv[s:s + 1],
+        )
+        j = (m[:, None] * (v - v0)).sum(axis=0)
+        rv[s] = rv[s] - j * r_inv_mass[s]
+    if _has_capsules(top, cfg):
+        x, v = resolve_capsules(
+            x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "capsule_velocities", None),
+        )
+    if _has_boxes(top, cfg):
+        x, v = resolve_boxes(
+            x, v, top.box_centers, top.box_half_extents, top.box_rotations,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "box_velocities", None),
+        )
+    if _has_sdfs(top, cfg):
+        x, v = resolve_sdfs(
+            x, v, top.sdf_grids, top.sdf_origins, top.sdf_spacings,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "sdf_velocities", None),
+        )
+    if cfg.collision.enable_plane:
+        # dynamic sphere vs ground plane (cloth contact rule, radius shifted)
+        pen = top.plane_height - (rc[:, 1] - top.sphere_radii)
+        hit = (pen > 0.0) & (r_inv_mass > 0.0)
+        rc[:, 1] = np.where(hit, top.plane_height + top.sphere_radii,
+                            rc[:, 1])
+        vy = rv[:, 1]
+        rv[:, 1] = np.where(hit & (vy < 0.0),
+                            -cfg.collision.restitution * vy, vy)
+        fr = 1.0 - cfg.collision.friction
+        rv[:, 0] = np.where(hit, rv[:, 0] * fr, rv[:, 0])
+        rv[:, 2] = np.where(hit, rv[:, 2] * fr, rv[:, 2])
+    if scale is not None:
+        scale = plastic_update(top, cfg, x, scale)
+    if alive is not None:
+        alive = tear_update(top, cfg, x, alive, rest_scale=scale)
+    return x, v, x_prev, rc, rv, alive, scale
+
+
+def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
+                 r_inv_mass, dt=None, n_substeps=None):
+    """n_substeps coupled Euler substeps; returns (x, v, x_prev, rc, rv)."""
+    dt = cfg.dt if dt is None else dt
+    n = cfg.n_substeps if n_substeps is None else n_substeps
+    rc = np.array(rc, np.float64)
+    rv = np.array(rv, np.float64)
+    for _ in range(n):
+        x, v, x_prev, rc, rv, _, _ = substep_euler_coupled(
+            top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt
+        )
+    return x, v, x_prev, rc, rv
+
+
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
                    alive=None, scale=None):
     w = top.inv_mass[:, None]

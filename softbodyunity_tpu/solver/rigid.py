@@ -1,0 +1,175 @@
+"""On-device two-way rigid-soft coupling — dynamic rigid spheres exchange
+momentum with the cloth INSIDE the jitted substep loop.
+
+The observable-tier coupling (`utils.profiling.contact_impulses` + a host
+loop, examples/16) costs one host round-trip per substep; here the rigid
+bodies are state (`RigidState`) carried through ``lax.scan``, so a
+coupled scene runs at full substep rate with zero host traffic — and
+vmaps over batched scenes.  Semantics are the oracle's
+``substep_euler_coupled`` (binding): rigid predict -> cloth substep with
+per-sphere impulse measurement -> momentum reaction -> rigid-plane
+bounce.  Euler only (Verlet/XPBD resolve contacts as position
+projections, which have no velocity-level impulse to exchange; their
+coupled variants would need a different estimator).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig, Solver
+from ..core.state import State
+from ..core.topology import Topology
+from . import collide, step as _step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RigidState:
+    """Dynamic rigid spheres: pytree state for the coupled step.
+
+    ``inv_mass`` 0 marks a KINEMATIC sphere (scripted scenery: it still
+    moves with ``velocities`` and pushes the cloth, but takes no
+    reaction) — the dynamic superset of ``move_colliders``-animated
+    geometry.
+    """
+
+    centers: jax.Array      # f32[S, 3]
+    velocities: jax.Array   # f32[S, 3]
+    inv_mass: jax.Array     # f32[S]; 0 = kinematic
+
+    def replace(self, **kw) -> "RigidState":
+        return dataclasses.replace(self, **kw)
+
+
+def make_rigid_state(top: Topology, masses, velocities=None) -> RigidState:
+    """Promote the scene's spheres to dynamic rigid bodies.  ``masses``
+    f32[S] (``inf``/``0`` => kinematic); initial centers come from the
+    topology's sphere geometry."""
+    c = jnp.asarray(top.sphere_centers)
+    m = np.asarray(masses, np.float64).reshape(-1)
+    if m.shape[0] != c.shape[0]:
+        raise ValueError(
+            f"masses ({m.shape[0]}) must match the scene's sphere count "
+            f"({c.shape[0]})"
+        )
+    with np.errstate(divide="ignore"):
+        im = np.where(np.isfinite(m) & (m > 0.0), 1.0 / m, 0.0)
+    v = (jnp.zeros_like(c) if velocities is None
+         else jnp.asarray(velocities, c.dtype).reshape(-1, 3))
+    return RigidState(centers=c, velocities=v,
+                      inv_mass=jnp.asarray(im, c.dtype))
+
+
+def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
+                          r: RigidState, dt: float
+                          ) -> Tuple[State, RigidState]:
+    """Oracle substep_euler_coupled twin (f64 exact-parity tested)."""
+    w = top.inv_mass[:, None]
+    movable = top.inv_mass > 0.0
+    alive = _step._tear_alive(cfg, s)
+    scale = _step._plastic_scale(cfg, s)
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+
+    # 1. rigid predict
+    dyn = (r.inv_mass > 0.0)[:, None]
+    rv = jnp.where(dyn, r.velocities + dt * g[None, :], r.velocities)
+    rc = r.centers + dt * rv
+
+    # 2. cloth substep (forces, integrate, plane) ...
+    f = _step.total_forces(top, cfg, s.x, s.v, alive=alive, rest_scale=scale)
+    v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
+    v = jnp.where(movable[:, None], v, 0.0)
+    x_prev = s.x
+    x = s.x + dt * v
+    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
+        dxv = _step._volume_projection(top, x, cfg.volume_stiffness)
+        x = x + dxv
+        v = v + dxv / dt
+    if cfg.collision.enable_plane:
+        x, v = collide.resolve_plane(
+            x, v, top.plane_height, cfg.collision.restitution,
+            cfg.collision.friction, movable,
+            w=(None if top.plane_velocity is None
+               else [top.plane_velocity[c] for c in range(3)]),
+        )
+    # ... spheres at the rigid centers, measuring per-sphere impulses
+    m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
+    jlist = []
+    for si in range(top.n_spheres):
+        v0 = v
+        x, v = collide._resolve_one_sphere(
+            x, v, rc[si], top.sphere_radii[si],
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            w=rv[si],
+        )
+        jlist.append(jnp.sum(m[:, None] * (v - v0), axis=0))
+    if collide._needs_capsule_box(top, cfg):
+        xz, vz = collide.resolve_capsules_boxes_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
+            [v[:, 0], v[:, 1], v[:, 2]], movable,
+        )
+        x = jnp.stack(xz, axis=1)
+        v = jnp.stack(vz, axis=1)
+    if collide._needs_sdf(top, cfg):
+        xz, vz = collide.resolve_sdfs_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
+            [v[:, 0], v[:, 1], v[:, 2]], movable,
+        )
+        x = jnp.stack(xz, axis=1)
+        v = jnp.stack(vz, axis=1)
+
+    # 3. momentum reaction on the dynamic spheres
+    if jlist:
+        j = jnp.stack(jlist)                                    # [S, 3]
+        rv = rv - j * r.inv_mass[:, None]
+
+    # 4. dynamic sphere vs ground plane (cloth contact rule, radius offset)
+    if cfg.collision.enable_plane:
+        pen = top.plane_height - (rc[:, 1] - top.sphere_radii)
+        hit = (pen > 0.0) & (r.inv_mass > 0.0)
+        rc = rc.at[:, 1].set(
+            jnp.where(hit, top.plane_height + top.sphere_radii, rc[:, 1]))
+        vy = rv[:, 1]
+        fr = 1.0 - cfg.collision.friction
+        rv = jnp.stack([
+            jnp.where(hit, rv[:, 0] * fr, rv[:, 0]),
+            jnp.where(hit & (vy < 0.0), -cfg.collision.restitution * vy, vy),
+            jnp.where(hit, rv[:, 2] * fr, rv[:, 2]),
+        ], axis=1)
+
+    scale = (_step.plastic_update(top, cfg, x, scale)
+             if scale is not None else None)
+    alive = (_step.tear_update(top, cfg, x, alive, rest_scale=scale)
+             if alive is not None else s.edge_alive)
+    return (
+        State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
+              rest_scale=scale if scale is not None else s.rest_scale),
+        RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass),
+    )
+
+
+def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
+                      dt: float, n_substeps: int
+                      ) -> Tuple[State, RigidState]:
+    """``lax.scan`` over coupled substeps (the body of api.step_coupled)."""
+    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+        raise NotImplementedError(
+            "step_coupled is Euler-only: Verlet/XPBD resolve contacts as "
+            "position projections with no velocity-level impulse to "
+            "exchange"
+        )
+
+    def body(carry, _):
+        cs, cr = carry
+        return substep_euler_coupled(top, cfg, cs, cr, dt), None
+
+    (s, r), _ = jax.lax.scan(body, (s, r), None, length=n_substeps)
+    return s, r

@@ -1,0 +1,194 @@
+"""On-device two-way rigid-soft coupling (solver/rigid.py) — oracle
+``substep_euler_coupled`` is the binding semantics: rigid predict, cloth
+substep with per-sphere impulse measurement, momentum reaction,
+rigid-plane bounce."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import softbodyunity_tpu as sb
+from softbodyunity_tpu import api
+from softbodyunity_tpu.core.config import CollisionParams, SimConfig, Solver
+from softbodyunity_tpu.core.topology import cloth_grid
+from softbodyunity_tpu.oracle import reference as oracle
+from softbodyunity_tpu.solver.rigid import make_rigid_state
+
+
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    prev = jax.config.jax_enable_x64
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
+
+def _trampoline(n=10, plane=True, pinned=("top", "bottom", "left", "right")):
+    cfg = SimConfig(
+        springs=sb.SpringParams(k_structural=2000.0, k_shear=1000.0,
+                                k_bend=400.0, damping=1.5),
+        collision=CollisionParams(enable_plane=plane, enable_spheres=True,
+                                  friction=0.2),
+        global_damping=0.8,
+    )
+    host = cloth_grid(
+        n, n, spacing=1.0 / (n - 1), mass=0.08, pinned=pinned,
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
+        orientation="xz",
+        sphere_centers=[[0.5, 0.35, 0.5]], sphere_radii=[0.25],
+    )
+    return host, cfg
+
+
+def test_f64_exact_parity_coupled():
+    """Device coupled step == oracle step_coupled to f64 rounding, ball
+    trajectory included (through impact and settling)."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _trampoline()
+    top, state = api.init(host, dtype=jnp.float64)
+    rigid = make_rigid_state(top, [0.5])
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    rc = np.asarray(host.sphere_centers, np.float64)
+    rv = np.zeros_like(rc)
+    rim = np.asarray([2.0])
+    for _ in range(40):
+        x, v, xp, rc, rv = oracle.step_coupled(host, cfg, x, v, xp, rc, rv,
+                                               rim)
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    assert np.max(np.abs(np.asarray(state.x) - x)) < 1e-6
+    assert np.max(np.abs(np.asarray(rigid.centers) - rc)) < 1e-6
+    # velocity noise = position reorder noise / dt (960x): looser bound
+    assert np.max(np.abs(np.asarray(rigid.velocities) - rv)) < 2e-4
+
+
+def test_contact_conserves_momentum():
+    """With no plane/damping/pins, contact only EXCHANGES momentum: the
+    cloth+ball total equals the free-fall prediction exactly (f64)."""
+    jax.config.update("jax_enable_x64", True)
+    cfg = SimConfig(
+        springs=sb.SpringParams(k_structural=800.0, damping=0.5),
+        collision=CollisionParams(enable_plane=False, enable_spheres=True,
+                                  friction=0.3, restitution=0.2),
+        global_damping=0.0,
+    )
+    n = 8
+    host = cloth_grid(
+        n, n, spacing=0.1, mass=0.05, pinned=(), springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=-99.0, orientation="xz",
+        sphere_centers=[[0.35, 0.2, 0.35]], sphere_radii=[0.15],
+    )
+    top, state = api.init(host, dtype=jnp.float64)
+    m_ball = 0.7
+    rigid = make_rigid_state(top, [m_ball])
+    # give the ball an upward+sideways kick so it punches into the cloth
+    rigid = rigid.replace(velocities=jnp.asarray([[0.4, 2.0, 0.1]],
+                                                 jnp.float64))
+    m_cloth = 0.05 * n * n
+    p0 = m_ball * np.asarray([0.4, 2.0, 0.1])
+    t = 0.0
+    for _ in range(12):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+        t += cfg.dt * cfg.n_substeps
+    p_cloth = 0.05 * np.asarray(state.v).sum(axis=0)
+    p_ball = m_ball * np.asarray(rigid.velocities)[0]
+    expect = p0 + np.asarray(cfg.gravity) * (m_cloth + m_ball) * t
+    np.testing.assert_allclose(p_cloth + p_ball, expect, atol=1e-9)
+    # and contact actually happened (the cloth picked up ball momentum)
+    assert np.abs(p_cloth).max() > 1e-3
+
+
+def test_ball_rests_on_trampoline():
+    """The on-device coupled loop reproduces example 16's outcome: the
+    ball is caught, stays above the floor, and ends nearly at rest."""
+    host, cfg = _trampoline(n=16)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.5])
+    for _ in range(150):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    c = np.asarray(rigid.centers)[0]
+    vb = np.asarray(rigid.velocities)[0]
+    assert np.isfinite(np.asarray(state.x)).all()
+    assert c[1] > -0.8                       # caught, not on the floor
+    assert np.linalg.norm(vb) < 0.2          # settled
+    # cloth is dented below its rest plane under the ball
+    assert np.asarray(state.x)[:, 1].min() < -0.02
+
+
+def test_kinematic_sphere_matches_plain_step():
+    """inv_mass = 0 (kinematic, zero velocity) must reproduce the ordinary
+    step with static sphere geometry bit-for-bit."""
+    host, cfg = _trampoline()
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [np.inf])    # kinematic
+    s_plain = api.step(top, cfg, state)
+    s_coupled, r2 = api.step_coupled(top, cfg, state, rigid)
+    np.testing.assert_array_equal(np.asarray(s_coupled.x),
+                                  np.asarray(s_plain.x))
+    np.testing.assert_array_equal(np.asarray(r2.centers),
+                                  np.asarray(rigid.centers))
+
+
+def test_dynamic_sphere_bounces_on_plane():
+    """A dynamic sphere with no cloth contact falls and bounces on the
+    ground plane with the cloth's restitution rule."""
+    cfg = SimConfig(
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  restitution=0.5, friction=0.0),
+        global_damping=0.0,
+    )
+    host = cloth_grid(
+        4, 4, spacing=0.05, pinned=("corners",), springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0, orientation="xy",
+        origin=(5.0, 5.0, 5.0),                 # cloth far away
+        sphere_centers=[[0.0, 0.5, 0.0]], sphere_radii=[0.1],
+    )
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [1.0])
+    ys = []
+    for _ in range(60):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+        ys.append(float(rigid.centers[0, 1]))
+    ys = np.asarray(ys)
+    assert ys.min() >= 0.1 - 1e-5              # never below radius
+    # first impact frame, then an upward excursion within a few frames
+    # (restitution 0.5 bounces decay, so the TAIL settles at the radius —
+    # look right after first touch, not after the argmin)
+    i_hit = int(np.argmax(ys < 0.105))
+    assert ys[i_hit] < 0.105                   # it did reach the plane
+    assert ys[i_hit:i_hit + 8].max() > 0.112   # and bounced back up
+
+
+def test_coupled_vmaps():
+    """The coupled substep vmaps over batched scenes (RL with per-scene
+    dynamic props)."""
+    from softbodyunity_tpu.solver.rigid import step_coupled_scan
+
+    host, cfg = _trampoline(n=6)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.5])
+    B = 3
+    states = jax.tree.map(lambda a: jnp.stack([a] * B), state)
+    rigids = jax.tree.map(lambda a: jnp.stack([a] * B), rigid)
+    fn = jax.jit(jax.vmap(
+        lambda s, r: step_coupled_scan(top, cfg, s, r, cfg.dt, 8),
+        in_axes=(0, 0),
+    ))
+    ms, mr = fn(states, rigids)
+    s1, r1 = api.step_coupled(top, cfg, state, n_substeps=8, rigid=rigid)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(ms.x[b]), np.asarray(s1.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mr.centers[b]),
+                                   np.asarray(r1.centers), atol=1e-6)
+
+
+def test_coupled_rejects_non_euler():
+    host, cfg = _trampoline()
+    cfg = cfg.replace(solver=Solver.XPBD)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.5])
+    with pytest.raises(NotImplementedError, match="Euler-only"):
+        api.step_coupled(top, cfg, state, rigid)
