@@ -550,30 +550,44 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
 
 
 def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
-                          rc, rv, r_inv_mass, dt, alive=None, scale=None):
+                          rc, rv, r_inv_mass, dt, alive=None, scale=None,
+                          romega=None):
     """Two-way coupled Euler substep (binding): the scene's spheres are
     DYNAMIC rigid bodies (centers ``rc`` f64[S,3], velocities ``rv``,
-    inverse masses ``r_inv_mass``; 0 = kinematic) exchanging momentum
-    with the cloth inside the substep — no host loop, no force fudge.
+    angular velocities ``romega``, inverse masses ``r_inv_mass``;
+    0 = kinematic) exchanging momentum with the cloth inside the substep
+    — no host loop, no force fudge.
 
     Order per substep:
 
     1. rigid predict: ``rv += dt*g`` (dynamic spheres), ``rc += dt*rv``;
-    2. the ordinary Euler cloth substep with sphere geometry at ``rc``
-       moving at ``rv`` (contact response relative to the moving
-       surface), measuring per-sphere ``J_s = sum_i m_i dv_i`` across
+    2. the ordinary Euler cloth substep with sphere geometry at ``rc``;
+       each contacting vertex sees the sphere's SURFACE velocity at its
+       own contact point, ``w_i = rv + romega x (radius * n_i)`` (a
+       spinning ball drags the cloth); per-sphere linear impulse
+       ``J = sum_i m_i dv_i`` and contact torque impulse
+       ``L = sum_i (radius * n_i) x (m_i dv_i)`` are measured across
        that sphere's resolve;
-    3. reaction: ``rv -= J_s * r_inv_mass`` — contact exchanges momentum
-       exactly (cloth gains J, sphere loses J);
-    4. rigid-plane: a dynamic sphere bounces on the ground plane with the
-       same restitution/friction rule as cloth vertices.
+    3. reaction: ``rv -= J * inv_m``; ``romega -= L * inv_I`` with the
+       solid-sphere inertia ``I = (2/5) m r^2`` — contact exchanges
+       linear AND angular momentum exactly;
+    4. rigid-plane: the normal response bounces ``rv_y`` by restitution;
+       the tangential friction impulse acts on the CONTACT-POINT velocity
+       ``u = rv + romega x a`` (arm ``a = -r n``) with effective inverse
+       mass ``k = inv_m + r^2 inv_I``: ``P = -friction * u_t / k``,
+       ``rv += P inv_m``, ``romega += inv_I (a x P)`` — friction torque
+       makes the ball ROLL instead of skid.
 
-    Sphere-sphere contact is not modelled (document: spawn spheres
-    apart).  Plane/capsule/box/SDF colliders stay static scenery.
+    Sphere-sphere contact is not modelled (spawn spheres apart).
+    Plane/capsule/box/SDF colliders stay static scenery.
     """
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
+    if romega is None:
+        romega = np.zeros_like(rv)
+    radii = np.asarray(top.sphere_radii, np.float64)
+    inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
     dyn = (r_inv_mass > 0.0)[:, None]
     rv = np.where(dyn, rv + dt * g[None, :], rv)
     rc = rc + dt * rv
@@ -593,15 +607,34 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             velocity=getattr(top, "plane_velocity", None),
         )
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
+    romega = np.array(romega, np.float64)
     for s in range(rc.shape[0]):
-        v0 = v
-        x, v = resolve_spheres(
-            x, v, rc[s:s + 1], top.sphere_radii[s:s + 1],
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=rv[s:s + 1],
+        d = x - rc[s]
+        dist = np.linalg.norm(d, axis=1)
+        pen = radii[s] - dist
+        contact = (pen > 0.0) & movable
+        n = d / np.maximum(dist, 1e-12)[:, None]
+        x = x + np.where(contact, pen, 0.0)[:, None] * n
+        # per-vertex surface velocity: linear + spin at the contact point
+        arm = radii[s] * n
+        w_i = rv[s][None, :] + np.cross(
+            np.broadcast_to(romega[s], arm.shape), arm
         )
-        j = (m[:, None] * (v - v0)).sum(axis=0)
-        rv[s] = rv[s] - j * r_inv_mass[s]
+        v0 = v
+        u = v - w_i
+        un = np.einsum("ij,ij->i", u, n)
+        inward = contact & (un < 0.0)
+        v = v - np.where(
+            inward, (1.0 + cfg.collision.restitution) * un, 0.0
+        )[:, None] * n
+        u2 = v - w_i
+        un2 = np.einsum("ij,ij->i", u2, n)[:, None] * n
+        ut = u2 - un2
+        v = np.where(contact[:, None],
+                     w_i + un2 + ut * (1.0 - cfg.collision.friction), v)
+        dp = m[:, None] * (v - v0)
+        rv[s] = rv[s] - dp.sum(axis=0) * r_inv_mass[s]
+        romega[s] = romega[s] - np.cross(arm, dp).sum(axis=0) * inv_i[s]
     if _has_capsules(top, cfg):
         x, v = resolve_capsules(
             x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
@@ -621,36 +654,47 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             velocities=getattr(top, "sdf_velocities", None),
         )
     if cfg.collision.enable_plane:
-        # dynamic sphere vs ground plane (cloth contact rule, radius shifted)
-        pen = top.plane_height - (rc[:, 1] - top.sphere_radii)
+        # dynamic sphere vs ground plane: normal bounce on rv, tangential
+        # friction impulse at the contact point (arm a = -r n) so friction
+        # torque makes the ball roll
+        pen = top.plane_height - (rc[:, 1] - radii)
         hit = (pen > 0.0) & (r_inv_mass > 0.0)
-        rc[:, 1] = np.where(hit, top.plane_height + top.sphere_radii,
-                            rc[:, 1])
+        rc[:, 1] = np.where(hit, top.plane_height + radii, rc[:, 1])
         vy = rv[:, 1]
         rv[:, 1] = np.where(hit & (vy < 0.0),
                             -cfg.collision.restitution * vy, vy)
-        fr = 1.0 - cfg.collision.friction
-        rv[:, 0] = np.where(hit, rv[:, 0] * fr, rv[:, 0])
-        rv[:, 2] = np.where(hit, rv[:, 2] * fr, rv[:, 2])
+        arm = np.stack([np.zeros_like(radii), -radii,
+                        np.zeros_like(radii)], axis=1)
+        u = rv + np.cross(romega, arm)
+        ut = u.copy()
+        ut[:, 1] = 0.0
+        k = r_inv_mass + inv_i * radii * radii
+        p_t = -cfg.collision.friction * ut / np.maximum(k, 1e-12)[:, None]
+        p_t = np.where(hit[:, None], p_t, 0.0)
+        rv = rv + p_t * r_inv_mass[:, None]
+        romega = romega + np.cross(arm, p_t) * inv_i[:, None]
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
-    return x, v, x_prev, rc, rv, alive, scale
+    return x, v, x_prev, rc, rv, romega, alive, scale
 
 
 def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
-                 r_inv_mass, dt=None, n_substeps=None):
-    """n_substeps coupled Euler substeps; returns (x, v, x_prev, rc, rv)."""
+                 r_inv_mass, dt=None, n_substeps=None, romega=None):
+    """n_substeps coupled Euler substeps; returns
+    (x, v, x_prev, rc, rv, romega)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     rc = np.array(rc, np.float64)
     rv = np.array(rv, np.float64)
+    romega = (np.zeros_like(rv) if romega is None
+              else np.array(romega, np.float64))
     for _ in range(n):
-        x, v, x_prev, rc, rv, _, _ = substep_euler_coupled(
-            top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt
+        x, v, x_prev, rc, rv, romega, _, _ = substep_euler_coupled(
+            top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt, romega=romega
         )
-    return x, v, x_prev, rc, rv
+    return x, v, x_prev, rc, rv, romega
 
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,

@@ -44,15 +44,18 @@ class RigidState:
     centers: jax.Array      # f32[S, 3]
     velocities: jax.Array   # f32[S, 3]
     inv_mass: jax.Array     # f32[S]; 0 = kinematic
+    omega: jax.Array = None  # f32[S, 3] angular velocity (spin)
 
     def replace(self, **kw) -> "RigidState":
         return dataclasses.replace(self, **kw)
 
 
-def make_rigid_state(top: Topology, masses, velocities=None) -> RigidState:
+def make_rigid_state(top: Topology, masses, velocities=None,
+                     omega=None) -> RigidState:
     """Promote the scene's spheres to dynamic rigid bodies.  ``masses``
     f32[S] (``inf``/``0`` => kinematic); initial centers come from the
-    topology's sphere geometry."""
+    topology's sphere geometry.  ``omega`` f32[S,3] initial spin (solid
+    spheres, I = 2/5 m r^2)."""
     c = jnp.asarray(top.sphere_centers)
     m = np.asarray(masses, np.float64).reshape(-1)
     if m.shape[0] != c.shape[0]:
@@ -64,8 +67,10 @@ def make_rigid_state(top: Topology, masses, velocities=None) -> RigidState:
         im = np.where(np.isfinite(m) & (m > 0.0), 1.0 / m, 0.0)
     v = (jnp.zeros_like(c) if velocities is None
          else jnp.asarray(velocities, c.dtype).reshape(-1, 3))
+    om = (jnp.zeros_like(c) if omega is None
+          else jnp.asarray(omega, c.dtype).reshape(-1, 3))
     return RigidState(centers=c, velocities=v,
-                      inv_mass=jnp.asarray(im, c.dtype))
+                      inv_mass=jnp.asarray(im, c.dtype), omega=om)
 
 
 def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
@@ -82,6 +87,10 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     dyn = (r.inv_mass > 0.0)[:, None]
     rv = jnp.where(dyn, r.velocities + dt * g[None, :], r.velocities)
     rc = r.centers + dt * rv
+    romega = (r.omega if r.omega is not None
+              else jnp.zeros_like(r.velocities))
+    radii = top.sphere_radii
+    inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
 
     # 2. cloth substep (forces, integrate, plane) ...
     f = _step.total_forces(top, cfg, s.x, s.v, alive=alive, rest_scale=scale)
@@ -100,17 +109,38 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
             w=(None if top.plane_velocity is None
                else [top.plane_velocity[c] for c in range(3)]),
         )
-    # ... spheres at the rigid centers, measuring per-sphere impulses
+    # ... spheres at the rigid centers: each contacting vertex sees the
+    # sphere's SURFACE velocity at its own contact point (linear + spin),
+    # measuring the per-sphere linear impulse and contact torque
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     jlist = []
+    llist = []
     for si in range(top.n_spheres):
-        v0 = v
-        x, v = collide._resolve_one_sphere(
-            x, v, rc[si], top.sphere_radii[si],
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            w=rv[si],
+        d = x - rc[si]
+        dist = jnp.linalg.norm(d, axis=1)
+        pen = radii[si] - dist
+        contact = (pen > 0.0) & movable
+        n = d / jnp.maximum(dist, 1e-12)[:, None]
+        x = x + jnp.where(contact, pen, 0.0)[:, None] * n
+        arm = radii[si] * n
+        w_i = rv[si][None, :] + jnp.cross(
+            jnp.broadcast_to(romega[si], arm.shape), arm
         )
-        jlist.append(jnp.sum(m[:, None] * (v - v0), axis=0))
+        v0 = v
+        u = v - w_i
+        un = jnp.einsum("ij,ij->i", u, n)
+        inward = contact & (un < 0.0)
+        v = v - jnp.where(
+            inward, (1.0 + cfg.collision.restitution) * un, 0.0
+        )[:, None] * n
+        u2 = v - w_i
+        un2 = jnp.einsum("ij,ij->i", u2, n)[:, None] * n
+        ut = u2 - un2
+        v = jnp.where(contact[:, None],
+                      w_i + un2 + ut * (1.0 - cfg.collision.friction), v)
+        dp = m[:, None] * (v - v0)
+        jlist.append(jnp.sum(dp, axis=0))
+        llist.append(jnp.sum(jnp.cross(arm, dp), axis=0))
     if collide._needs_capsule_box(top, cfg):
         xz, vz = collide.resolve_capsules_boxes_components(
             top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
@@ -126,24 +156,32 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         x = jnp.stack(xz, axis=1)
         v = jnp.stack(vz, axis=1)
 
-    # 3. momentum reaction on the dynamic spheres
+    # 3. momentum + angular-momentum reaction on the dynamic spheres
     if jlist:
         j = jnp.stack(jlist)                                    # [S, 3]
         rv = rv - j * r.inv_mass[:, None]
+        romega = romega - jnp.stack(llist) * inv_i[:, None]
 
-    # 4. dynamic sphere vs ground plane (cloth contact rule, radius offset)
+    # 4. dynamic sphere vs ground plane: normal bounce + tangential
+    # friction impulse at the contact point (arm a = -r n) — friction
+    # torque makes the ball roll instead of skid
     if cfg.collision.enable_plane:
-        pen = top.plane_height - (rc[:, 1] - top.sphere_radii)
+        pen = top.plane_height - (rc[:, 1] - radii)
         hit = (pen > 0.0) & (r.inv_mass > 0.0)
         rc = rc.at[:, 1].set(
-            jnp.where(hit, top.plane_height + top.sphere_radii, rc[:, 1]))
+            jnp.where(hit, top.plane_height + radii, rc[:, 1]))
         vy = rv[:, 1]
-        fr = 1.0 - cfg.collision.friction
-        rv = jnp.stack([
-            jnp.where(hit, rv[:, 0] * fr, rv[:, 0]),
-            jnp.where(hit & (vy < 0.0), -cfg.collision.restitution * vy, vy),
-            jnp.where(hit, rv[:, 2] * fr, rv[:, 2]),
-        ], axis=1)
+        rv = rv.at[:, 1].set(
+            jnp.where(hit & (vy < 0.0), -cfg.collision.restitution * vy, vy))
+        arm = jnp.stack([jnp.zeros_like(radii), -radii,
+                         jnp.zeros_like(radii)], axis=1)
+        u = rv + jnp.cross(romega, arm)
+        ut = u.at[:, 1].set(0.0)
+        k = r.inv_mass + inv_i * radii * radii
+        p_t = -cfg.collision.friction * ut / jnp.maximum(k, 1e-12)[:, None]
+        p_t = jnp.where(hit[:, None], p_t, 0.0)
+        rv = rv + p_t * r.inv_mass[:, None]
+        romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
 
     scale = (_step.plastic_update(top, cfg, x, scale)
              if scale is not None else None)
@@ -152,7 +190,8 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     return (
         State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
               rest_scale=scale if scale is not None else s.rest_scale),
-        RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass),
+        RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
+                   omega=romega),
     )
 
 

@@ -53,15 +53,17 @@ def test_f64_exact_parity_coupled():
     xp = x.copy()
     rc = np.asarray(host.sphere_centers, np.float64)
     rv = np.zeros_like(rc)
+    rom = np.zeros_like(rc)
     rim = np.asarray([2.0])
     for _ in range(40):
-        x, v, xp, rc, rv = oracle.step_coupled(host, cfg, x, v, xp, rc, rv,
-                                               rim)
+        x, v, xp, rc, rv, rom = oracle.step_coupled(
+            host, cfg, x, v, xp, rc, rv, rim, romega=rom)
         state, rigid = api.step_coupled(top, cfg, state, rigid)
     assert np.max(np.abs(np.asarray(state.x) - x)) < 1e-6
     assert np.max(np.abs(np.asarray(rigid.centers) - rc)) < 1e-6
-    # velocity noise = position reorder noise / dt (960x): looser bound
+    # velocity noise = position reorder noise / dt (960x): looser bounds
     assert np.max(np.abs(np.asarray(rigid.velocities) - rv)) < 2e-4
+    assert np.max(np.abs(np.asarray(rigid.omega) - rom)) < 2e-3
 
 
 def test_contact_conserves_momentum():
@@ -183,6 +185,64 @@ def test_coupled_vmaps():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(mr.centers[b]),
                                    np.asarray(r1.centers), atol=1e-6)
+
+
+def test_friction_rolls_the_ball():
+    """A ball sliding +x on the ground plane with friction picks up spin
+    and converges to rolling without slipping (contact-point velocity
+    u = v + omega x a -> 0 while it keeps translating)."""
+    cfg = SimConfig(
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  restitution=0.0, friction=0.3),
+        global_damping=0.0,
+    )
+    host = cloth_grid(
+        4, 4, spacing=0.05, pinned=("corners",), springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0, orientation="xy",
+        origin=(9.0, 9.0, 9.0),                 # cloth far away
+        sphere_centers=[[0.0, 0.1, 0.0]], sphere_radii=[0.1],
+    )
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [1.0], velocities=[[2.0, 0.0, 0.0]])
+    for _ in range(40):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    v = np.asarray(rigid.velocities)[0]
+    om = np.asarray(rigid.omega)[0]
+    # spin developed about -z (rolling forward in +x)
+    assert om[2] < -1.0
+    # still translating...
+    assert v[0] > 0.5
+    # ...and the contact point has (nearly) stopped slipping: u = v + w x a
+    u = v + np.cross(om, [0.0, -0.1, 0.0])
+    assert abs(u[0]) < 0.05 * 2.0
+    # rolling-without-slipping ratio: v ~ omega * r
+    assert abs(v[0] - (-om[2]) * 0.1) < 0.1 * v[0]
+
+
+def test_spinning_ball_drags_cloth():
+    """Backspin vs topspin: a spinning ball resting on a free cloth drags
+    it sideways through the spin's surface velocity (the w_i term)."""
+    cfg = SimConfig(
+        collision=CollisionParams(enable_plane=False, enable_spheres=True,
+                                  friction=0.5),
+        global_damping=0.5,
+    )
+    n = 8
+    host = cloth_grid(
+        n, n, spacing=0.1, mass=0.05, pinned=(), springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=-99.0, orientation="xz",
+        sphere_centers=[[0.35, -0.08, 0.35]], sphere_radii=[0.15],
+    )
+    top, state = api.init(host)
+    # kinematic spinning ball (inv_mass 0): pure driver, like a roller
+    rigid = make_rigid_state(top, [np.inf], omega=[[0.0, 0.0, -8.0]])
+    for _ in range(30):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    vx = float(np.asarray(state.v)[:, 0].mean())
+    # omega_z < 0 with contact arm +y above the ball: surface velocity
+    # omega x arm = (-8 z) x (0.15 y-ish) -> +x: cloth dragged toward +x
+    assert np.isfinite(np.asarray(state.x)).all()
+    assert vx > 0.05
 
 
 def test_coupled_rejects_non_euler():
