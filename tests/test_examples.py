@@ -109,3 +109,8 @@ def test_example_terrain_render(tmp_path):
         out_dir=str(tmp_path), n_frames=8, n=10, resolution=16
     )
     assert written >= 1
+
+
+def test_example_bowling_spin():
+    travel = _load("18_bowling_spin.py").main(n_frames=50, n=8)
+    assert travel > 0.5
