@@ -147,6 +147,47 @@ def bench_batch_1024():
     return b / (cfg.n_substeps * per_substep_batch)
 
 
+def bench_coupled_batch():
+    """env-steps/sec/chip, 1024 vmapped COUPLED scenes: each cloth carries
+    its own dynamic rigid ball with spin (solver/rigid.py), momentum
+    exchanged in-substep on-device."""
+    jax = _setup_jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.models import presets
+    from softbodyunity_tpu.parallel import batch
+    from softbodyunity_tpu.solver.rigid import (
+        make_rigid_state,
+        step_coupled_scan,
+    )
+
+    host, cfg = presets.build("cloth_hanging_sphere")
+    top, state = api.init(host)
+    b = 1024
+    rng = np.random.default_rng(0)
+    jitter = (0.01 * rng.standard_normal((b, 3))).astype(np.float32)
+    states = batch.batch_state(state, b, jitter=jitter)
+    rigid = make_rigid_state(top, [0.5])
+    rigids = jax.tree.map(lambda a: jnp.stack([a] * b), rigid)
+
+    def make_run(n_substeps):
+        @jax.jit
+        def run(top, states, rigids):
+            fn = lambda s, r: step_coupled_scan(top, cfg, s, r, cfg.dt,
+                                                n_substeps)
+            ss, rr = jax.vmap(fn)(states, rigids)
+            return jnp.mean(ss.x) + jnp.mean(rr.centers)
+
+        return run
+
+    per_substep_batch = 1.0 / _marginal_throughput(
+        make_run, (top, states, rigids), cfg.n_substeps, 5 * cfg.n_substeps, 1
+    )
+    return b / (cfg.n_substeps * per_substep_batch)
+
+
 def _bench_preset_substeps(preset: str, small: int, big: int):
     """Substeps/sec of a preset through the production dispatch path (the
     same route api.step takes: fused Pallas kernels on TPU)."""
@@ -253,6 +294,7 @@ _PARTS = {
     "262k": bench_262k,
     "sc16k": bench_selfcollide_16k,
     "sc64k": bench_selfcollide_64k,
+    "coupled": bench_coupled_batch,
     "cubexpbd": bench_cube_xpbd_64k,
     "tear64k": bench_tearing_64k,
     "tear262k": bench_tearing_262k,
@@ -319,6 +361,7 @@ def main():
         ("sc16k", "substeps_per_sec_16k_selfcollide"),
         ("sc64k", "substeps_per_sec_64k_selfcollide"),
         ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
+        ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
         ("262k", "substeps_per_sec_262k_cloth"),
         ("tear262k", "substeps_per_sec_262k_tearing"),
     ]:

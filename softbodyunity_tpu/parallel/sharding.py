@@ -101,3 +101,49 @@ def step_sharded(
         cfg, dt, n, mesh,
         states.edge_alive is not None, states.rest_scale is not None,
     )(top, states)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_coupled_sharded(cfg: SimConfig, dt: float, n_substeps: int,
+                              mesh: Mesh):
+    """SPMD coupled step: cloth State AND RigidState batch-shard together
+    (rigid props are per-scene), zero inner-loop collectives."""
+    from ..solver.rigid import RigidState, step_coupled_scan
+
+    sh = NamedSharding(mesh, P(BATCH_AXIS))
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=(
+            State(x=sh, v=sh, x_prev=sh, edge_alive=None, rest_scale=None),
+            RigidState(centers=sh, velocities=sh, inv_mass=sh, omega=sh),
+        ),
+    )
+    def impl(top: Topology, states: State, rigids):
+        fn = lambda s, r: step_coupled_scan(top, cfg, s, r, dt, n_substeps)
+        return jax.vmap(fn)(states, rigids)
+
+    return impl
+
+
+def step_coupled_sharded(
+    top: Topology,
+    cfg: SimConfig,
+    states: State,
+    rigids,
+    mesh: Mesh,
+    dt: Optional[float] = None,
+    n_substeps: Optional[int] = None,
+):
+    """Advance batch-sharded coupled scenes (cloth + per-scene dynamic
+    rigid spheres) one frame on every chip; returns (states, rigids).
+    Tearing/plasticity feature planes are not supported on this entry
+    (coupled RL scenes are plain cloth; compose manually if needed)."""
+    if states.edge_alive is not None or states.rest_scale is not None:
+        raise NotImplementedError(
+            "step_coupled_sharded does not thread tearing/plasticity "
+            "planes; use step_sharded or the unsharded coupled path"
+        )
+    dt = cfg.dt if dt is None else float(dt)
+    n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    return _compiled_coupled_sharded(cfg, dt, n, mesh)(top, states, rigids)

@@ -252,3 +252,33 @@ def test_coupled_rejects_non_euler():
     rigid = make_rigid_state(top, [0.5])
     with pytest.raises(NotImplementedError, match="Euler-only"):
         api.step_coupled(top, cfg, state, rigid)
+
+
+def test_coupled_sharded_matches_single():
+    """Batch-sharded coupled scenes on the 8-device mesh == the
+    single-scene coupled step (dp with per-scene rigid props)."""
+    from softbodyunity_tpu.parallel.batch import batch_state
+    from softbodyunity_tpu.parallel.sharding import (
+        make_mesh,
+        replicate_topology,
+        shard_batched_state,
+        step_coupled_sharded,
+    )
+
+    host, cfg = _trampoline(n=6)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.5])
+    mesh = make_mesh()
+    tops = replicate_topology(top, mesh)
+    states = shard_batched_state(batch_state(state, 8), mesh)
+    rigids = shard_batched_state(
+        jax.tree.map(lambda a: jnp.stack([a] * 8), rigid), mesh)
+    s1, r1 = api.step_coupled(top, cfg, state, rigid)
+    ms, mr = step_coupled_sharded(tops, cfg, states, rigids, mesh)
+    for b in range(8):
+        np.testing.assert_allclose(np.asarray(ms.x[b]), np.asarray(s1.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mr.centers[b]),
+                                   np.asarray(r1.centers), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mr.omega[b]),
+                                   np.asarray(r1.omega), atol=1e-5)
