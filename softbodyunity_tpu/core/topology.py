@@ -405,18 +405,30 @@ def enable_pressure(host: HostTopology, triangle_ids=None) -> HostTopology:
            else np.asarray(triangle_ids, np.int64).reshape(-1))
     if sel.size == 0:
         raise ValueError("enable_pressure: empty triangle selection")
-    # closedness: every undirected edge of the shell on exactly 2 faces
+    # closedness AND consistent orientation: every DIRECTED edge of the
+    # shell must appear exactly once, with its reverse also present.  An
+    # undirected count would accept a shell with one face wound backwards
+    # — whose "enclosed volume" is wrong and whose net pressure force is
+    # NONZERO (the balloon would inject momentum and self-accelerate).
     shell = tris[sel]
-    cnt: dict = {}
-    for a, b, c in shell:
-        for u, v in ((a, b), (b, c), (c, a)):
-            key = (min(u, v), max(u, v))
-            cnt[key] = cnt.get(key, 0) + 1
-    bad = sum(1 for v in cnt.values() if v != 2)
-    if bad:
+    dir_edges = np.concatenate([shell[:, [0, 1]], shell[:, [1, 2]],
+                                shell[:, [2, 0]]])
+    n_all = int(dir_edges.max()) + 1
+    fwd = dir_edges[:, 0] * n_all + dir_edges[:, 1]
+    rev = dir_edges[:, 1] * n_all + dir_edges[:, 0]
+    uniq, counts = np.unique(fwd, return_counts=True)
+    if (counts != 1).any():
         raise ValueError(
-            f"enable_pressure: shell is not closed ({bad} edges not shared "
-            "by exactly 2 triangles) — an open surface encloses no volume"
+            "enable_pressure: shell is not a closed oriented surface "
+            f"({int((counts != 1).sum())} directed edges repeat — "
+            "non-manifold or doubled faces)"
+        )
+    missing = np.setdiff1d(rev, fwd, assume_unique=False)
+    if missing.size:
+        raise ValueError(
+            "enable_pressure: shell is not closed with consistent winding "
+            f"({missing.size} edges have no opposing twin — an open "
+            "boundary or a face wound backwards); fix the mesh orientation"
         )
     v0 = _signed_volume(host.positions0, shell)
     if abs(v0) < 1e-12:

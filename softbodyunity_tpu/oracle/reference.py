@@ -499,8 +499,10 @@ def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
     return f
 
 
-def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                  alive=None, scale=None):
+def _euler_integrate(top: HostTopology, cfg: SimConfig, x, v, dt,
+                     alive=None, scale=None):
+    """The Euler substep BEFORE contact resolve: forces, semi-implicit
+    update, volume projection (shared with substep_euler_coupled)."""
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
@@ -512,18 +514,22 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     dx = volume_projection(top, x, cfg.volume_stiffness)
     x = x + dx
     v = v + dx / dt
+    return x, v, x_prev, movable
+
+
+def _resolve_plane_stage(top: HostTopology, cfg: SimConfig, x, v, movable):
     if cfg.collision.enable_plane:
         x, v = resolve_plane(
             x, v, top.plane_height, cfg.collision.restitution,
             cfg.collision.friction, movable,
             velocity=getattr(top, "plane_velocity", None),
         )
-    if cfg.collision.enable_spheres:
-        x, v = resolve_spheres(
-            x, v, top.sphere_centers, top.sphere_radii,
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=getattr(top, "sphere_velocities", None),
-        )
+    return x, v
+
+
+def _resolve_after_spheres(top: HostTopology, cfg: SimConfig, x, v, movable):
+    """Capsules -> boxes -> SDFs (the resolve order after the spheres;
+    shared with substep_euler_coupled)."""
     if _has_capsules(top, cfg):
         x, v = resolve_capsules(
             x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
@@ -542,6 +548,21 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
             cfg.collision.restitution, cfg.collision.friction, movable,
             velocities=getattr(top, "sdf_velocities", None),
         )
+    return x, v
+
+
+def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
+                  alive=None, scale=None):
+    x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
+                                             alive=alive, scale=scale)
+    x, v = _resolve_plane_stage(top, cfg, x, v, movable)
+    if cfg.collision.enable_spheres:
+        x, v = resolve_spheres(
+            x, v, top.sphere_centers, top.sphere_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=getattr(top, "sphere_velocities", None),
+        )
+    x, v = _resolve_after_spheres(top, cfg, x, v, movable)
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
@@ -579,9 +600,10 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
        makes the ball ROLL instead of skid.
 
     Sphere-sphere contact is not modelled (spawn spheres apart).
-    Plane/capsule/box/SDF colliders stay static scenery.
+    Plane/capsule/box/SDF colliders stay static scenery.  The RigidState
+    spheres resolve unconditionally (they ARE the rigid bodies;
+    api.step_coupled rejects enable_spheres=False configs).
     """
-    w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     if romega is None:
@@ -592,20 +614,9 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     rv = np.where(dyn, rv + dt * g[None, :], rv)
     rc = rc + dt * rv
 
-    f = _total_forces(top, cfg, x, v, alive=alive, rest_scale=scale)
-    v = (v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
-    v = np.where(movable[:, None], v, 0.0)
-    x_prev = x
-    x = x + dt * v
-    dx = volume_projection(top, x, cfg.volume_stiffness)
-    x = x + dx
-    v = v + dx / dt
-    if cfg.collision.enable_plane:
-        x, v = resolve_plane(
-            x, v, top.plane_height, cfg.collision.restitution,
-            cfg.collision.friction, movable,
-            velocity=getattr(top, "plane_velocity", None),
-        )
+    x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
+                                             alive=alive, scale=scale)
+    x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     romega = np.array(romega, np.float64)
     for s in range(rc.shape[0]):
@@ -635,24 +646,7 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         dp = m[:, None] * (v - v0)
         rv[s] = rv[s] - dp.sum(axis=0) * r_inv_mass[s]
         romega[s] = romega[s] - np.cross(arm, dp).sum(axis=0) * inv_i[s]
-    if _has_capsules(top, cfg):
-        x, v = resolve_capsules(
-            x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=getattr(top, "capsule_velocities", None),
-        )
-    if _has_boxes(top, cfg):
-        x, v = resolve_boxes(
-            x, v, top.box_centers, top.box_half_extents, top.box_rotations,
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=getattr(top, "box_velocities", None),
-        )
-    if _has_sdfs(top, cfg):
-        x, v = resolve_sdfs(
-            x, v, top.sdf_grids, top.sdf_origins, top.sdf_spacings,
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=getattr(top, "sdf_velocities", None),
-        )
+    x, v = _resolve_after_spheres(top, cfg, x, v, movable)
     if cfg.collision.enable_plane:
         # dynamic sphere vs ground plane: normal bounce on rv, tangential
         # friction impulse at the contact point (arm a = -r n) so friction

@@ -340,8 +340,8 @@ def resolve_spheres(x, v, centers, radii, restitution, friction, movable,
     return x, v
 
 
-def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
-    """Euler-path resolve: position projection + velocity response."""
+def resolve_plane_stage(top: Topology, cfg: SimConfig, x, v, movable):
+    """First stage of the Euler resolve order (plane only)."""
     if cfg.collision.enable_plane:
         x, v = resolve_plane(
             x, v, top.plane_height, cfg.collision.restitution,
@@ -349,12 +349,12 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
             w=(None if top.plane_velocity is None
                else [top.plane_velocity[c] for c in range(3)]),
         )
-    if cfg.collision.enable_spheres and top.n_spheres > 0:
-        x, v = resolve_spheres(
-            x, v, top.sphere_centers, top.sphere_radii,
-            cfg.collision.restitution, cfg.collision.friction, movable,
-            velocities=top.sphere_velocities,
-        )
+    return x, v
+
+
+def resolve_after_spheres(top: Topology, cfg: SimConfig, x, v, movable):
+    """Last stage of the Euler resolve order: capsules/boxes, then SDFs
+    (everything sequenced after the spheres)."""
     if _needs_capsule_box(top, cfg):
         xz, vz = resolve_capsules_boxes_components(
             top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
@@ -370,6 +370,21 @@ def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
         x = jnp.stack(xz, axis=1)
         v = jnp.stack(vz, axis=1)
     return x, v
+
+
+def resolve_velocity_level(top: Topology, cfg: SimConfig, x, v, movable):
+    """Euler-path resolve: position projection + velocity response, in the
+    oracle's sequential order (plane -> spheres -> capsules/boxes -> SDFs).
+    The coupled path (solver/rigid.py) reuses the plane/after-spheres
+    stages around its impulse-instrumented sphere resolve."""
+    x, v = resolve_plane_stage(top, cfg, x, v, movable)
+    if cfg.collision.enable_spheres and top.n_spheres > 0:
+        x, v = resolve_spheres(
+            x, v, top.sphere_centers, top.sphere_radii,
+            cfg.collision.restitution, cfg.collision.friction, movable,
+            velocities=top.sphere_velocities,
+        )
+    return resolve_after_spheres(top, cfg, x, v, movable)
 
 
 def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,

@@ -76,9 +76,12 @@ def make_rigid_state(top: Topology, masses, velocities=None,
 def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
                           r: RigidState, dt: float
                           ) -> Tuple[State, RigidState]:
-    """Oracle substep_euler_coupled twin (f64 exact-parity tested)."""
-    w = top.inv_mass[:, None]
-    movable = top.inv_mass > 0.0
+    """Oracle substep_euler_coupled twin (f64 exact-parity tested).
+
+    The RigidState spheres are resolved unconditionally — they ARE the
+    rigid bodies (api.step_coupled rejects configs with
+    ``enable_spheres=False`` so the two entries never silently diverge).
+    """
     alive = _step._tear_alive(cfg, s)
     scale = _step._plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
@@ -92,23 +95,10 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     radii = top.sphere_radii
     inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
 
-    # 2. cloth substep (forces, integrate, plane) ...
-    f = _step.total_forces(top, cfg, s.x, s.v, alive=alive, rest_scale=scale)
-    v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
-    v = jnp.where(movable[:, None], v, 0.0)
-    x_prev = s.x
-    x = s.x + dt * v
-    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
-        dxv = _step._volume_projection(top, x, cfg.volume_stiffness)
-        x = x + dxv
-        v = v + dxv / dt
-    if cfg.collision.enable_plane:
-        x, v = collide.resolve_plane(
-            x, v, top.plane_height, cfg.collision.restitution,
-            cfg.collision.friction, movable,
-            w=(None if top.plane_velocity is None
-               else [top.plane_velocity[c] for c in range(3)]),
-        )
+    # 2. cloth substep: shared integrate + plane stage ...
+    x, v, x_prev, movable = _step.euler_integrate(top, cfg, s, dt, alive,
+                                                  scale)
+    x, v = collide.resolve_plane_stage(top, cfg, x, v, movable)
     # ... spheres at the rigid centers: each contacting vertex sees the
     # sphere's SURFACE velocity at its own contact point (linear + spin),
     # measuring the per-sphere linear impulse and contact torque
@@ -141,20 +131,7 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         dp = m[:, None] * (v - v0)
         jlist.append(jnp.sum(dp, axis=0))
         llist.append(jnp.sum(jnp.cross(arm, dp), axis=0))
-    if collide._needs_capsule_box(top, cfg):
-        xz, vz = collide.resolve_capsules_boxes_components(
-            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
-            [v[:, 0], v[:, 1], v[:, 2]], movable,
-        )
-        x = jnp.stack(xz, axis=1)
-        v = jnp.stack(vz, axis=1)
-    if collide._needs_sdf(top, cfg):
-        xz, vz = collide.resolve_sdfs_components(
-            top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
-            [v[:, 0], v[:, 1], v[:, 2]], movable,
-        )
-        x = jnp.stack(xz, axis=1)
-        v = jnp.stack(vz, axis=1)
+    x, v = collide.resolve_after_spheres(top, cfg, x, v, movable)
 
     # 3. momentum + angular-momentum reaction on the dynamic spheres
     if jlist:
@@ -183,13 +160,8 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         rv = rv + p_t * r.inv_mass[:, None]
         romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
 
-    scale = (_step.plastic_update(top, cfg, x, scale)
-             if scale is not None else None)
-    alive = (_step.tear_update(top, cfg, x, alive, rest_scale=scale)
-             if alive is not None else s.edge_alive)
     return (
-        State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
-              rest_scale=scale if scale is not None else s.rest_scale),
+        _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
                    omega=romega),
     )
@@ -205,6 +177,19 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
             "position projections with no velocity-level impulse to "
             "exchange"
         )
+    if not cfg.collision.enable_spheres:
+        # the coupled substep resolves the RigidState spheres
+        # unconditionally — accepting a config that sb.step would treat as
+        # sphere-free silently changes semantics between the two entries
+        raise ValueError(
+            "step_coupled needs CollisionParams(enable_spheres=True): the "
+            "rigid bodies ARE the scene's spheres"
+        )
+    if r.omega is None:
+        # a hand-built RigidState may leave the default; the substep
+        # returns omega as an array, and a None->array change would break
+        # the scan carry's pytree structure
+        r = r.replace(omega=jnp.zeros_like(r.velocities))
 
     def body(carry, _):
         cs, cr = carry

@@ -142,11 +142,13 @@ def _plastic_scale(cfg: SimConfig, s: State):
             if cfg.plasticity.enabled and s.rest_scale is not None else None)
 
 
-def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+def euler_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
+                    alive, scale):
+    """The Euler substep BEFORE contact resolve: spring/feature forces,
+    semi-implicit velocity+position update, tet volume projection.
+    Shared by substep_euler and the coupled substep (solver/rigid.py)."""
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
-    alive = _tear_alive(cfg, s)
-    scale = _plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     f = total_forces(top, cfg, s.x, s.v, alive=alive, rest_scale=scale)
     v = (s.v + dt * (g[None, :] + f * w)) * (1.0 - cfg.global_damping * dt)
@@ -157,12 +159,26 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         dx = _volume_projection(top, x, cfg.volume_stiffness)
         x = x + dx
         v = v + dx / dt
-    x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
+    return x, v, x_prev, movable
+
+
+def finish_euler_substep(top: Topology, cfg: SimConfig, s: State, x, v,
+                         x_prev, alive, scale) -> State:
+    """End-of-substep feature updates + State assembly (shared with the
+    coupled substep)."""
     scale = plastic_update(top, cfg, x, scale) if scale is not None else None
     alive = (tear_update(top, cfg, x, alive, rest_scale=scale)
              if alive is not None else s.edge_alive)
     return State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
                  rest_scale=scale if scale is not None else s.rest_scale)
+
+
+def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    alive = _tear_alive(cfg, s)
+    scale = _plastic_scale(cfg, s)
+    x, v, x_prev, movable = euler_integrate(top, cfg, s, dt, alive, scale)
+    x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
+    return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale)
 
 
 def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:

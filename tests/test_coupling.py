@@ -282,3 +282,30 @@ def test_coupled_sharded_matches_single():
                                    np.asarray(r1.centers), atol=1e-6)
         np.testing.assert_allclose(np.asarray(mr.omega[b]),
                                    np.asarray(r1.omega), atol=1e-5)
+
+
+def test_hand_built_rigidstate_without_omega():
+    """RigidState's omega default (None) must not break the scan carry —
+    step_coupled normalizes it to zeros."""
+    from softbodyunity_tpu.solver.rigid import RigidState
+
+    host, cfg = _trampoline(n=6)
+    top, state = api.init(host)
+    r = RigidState(
+        centers=top.sphere_centers,
+        velocities=jnp.zeros_like(top.sphere_centers),
+        inv_mass=jnp.asarray([2.0], jnp.float32),
+    )
+    s2, r2 = api.step_coupled(top, cfg, state, r)
+    assert np.isfinite(np.asarray(s2.x)).all()
+    assert r2.omega is not None
+
+
+def test_coupled_requires_enable_spheres():
+    host, cfg = _trampoline(n=6)
+    cfg = cfg.replace(collision=CollisionParams(enable_plane=True,
+                                                enable_spheres=False))
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.5])
+    with pytest.raises(ValueError, match="enable_spheres"):
+        api.step_coupled(top, cfg, state, rigid)

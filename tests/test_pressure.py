@@ -285,3 +285,16 @@ def test_sharded_balloons_match_single():
         np.testing.assert_allclose(
             np.asarray(multi.x[b]), np.asarray(single.x), atol=1e-6
         )
+
+
+def test_enable_pressure_rejects_mixed_winding():
+    """One backwards face in an otherwise closed shell must be REJECTED:
+    an undirected closedness check would accept it, store a wrong rest
+    volume, and the 'exact zero net force' invariant would break (the
+    balloon would inject momentum every substep)."""
+    pos, tris = icosphere_mesh(radius=0.25, subdivisions=1)
+    tris = np.asarray(tris).copy()
+    tris[0] = tris[0][[0, 2, 1]]              # flip a single face
+    host = from_triangle_mesh(pos, tris)
+    with pytest.raises(ValueError, match="winding|directed"):
+        enable_pressure(host)
