@@ -262,8 +262,3 @@ class SimConfig:
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
-
-
-def _tuple3(x) -> Tuple[float, float, float]:
-    a, b, c = x
-    return (float(a), float(b), float(c))

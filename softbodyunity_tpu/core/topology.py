@@ -246,6 +246,11 @@ class HostTopology:
     # body id (-1 = triangle encloses no gas) + per-body rest volume
     tri_body: Optional[np.ndarray] = None             # i64[F]
     pressure_rest_volume: Optional[np.ndarray] = None  # f64[P]
+    # BFS reorder bookkeeping (from_triangle_mesh / from_tet_mesh with
+    # reorder=True): new id of input vertex i is old_to_new[i]; None when
+    # the input ordering was kept.  Map caller-side ids (stitch, anchor,
+    # pins) through this before using them on the built topology.
+    old_to_new: Optional[np.ndarray] = None           # i64[N]
     # kinematic collider velocities (None = static; see set_collider_velocities):
     # contact friction/restitution act on the velocity RELATIVE to the
     # collider, so a dragged sphere carries the cloth and a plane with a
@@ -311,11 +316,27 @@ def add_colliders(
         host.capsule_p0 = np.asarray(capsule_p0, np.float64).reshape(-1, 3)
         host.capsule_p1 = np.asarray(capsule_p1, np.float64).reshape(-1, 3)
         host.capsule_radii = np.asarray(capsule_radii, np.float64).reshape(-1)
+        if not (host.capsule_p0.shape[0] == host.capsule_p1.shape[0]
+                == host.capsule_radii.shape[0]):
+            # on device a mismatched count silently CLAMPS out-of-range
+            # indices (jit gather semantics) => a phantom collider at the
+            # wrong geometry, with no error anywhere downstream
+            raise ValueError(
+                f"capsule_p0/p1/radii row counts disagree: "
+                f"{host.capsule_p0.shape[0]}/{host.capsule_p1.shape[0]}/"
+                f"{host.capsule_radii.shape[0]}"
+            )
     if box_centers is not None:
         host.box_centers = np.asarray(box_centers, np.float64).reshape(-1, 3)
         host.box_half_extents = np.asarray(
             box_half_extents, np.float64
         ).reshape(-1, 3)
+        if host.box_half_extents.shape[0] != host.box_centers.shape[0]:
+            raise ValueError(
+                f"box_centers/half_extents row counts disagree: "
+                f"{host.box_centers.shape[0]}/"
+                f"{host.box_half_extents.shape[0]}"
+            )
         nb = host.box_centers.shape[0]
         if box_rotations is None:
             host.box_rotations = np.broadcast_to(
@@ -325,6 +346,11 @@ def add_colliders(
             host.box_rotations = np.asarray(
                 box_rotations, np.float64
             ).reshape(-1, 3, 3)
+            if host.box_rotations.shape[0] != nb:
+                raise ValueError(
+                    f"box_rotations rows ({host.box_rotations.shape[0]}) "
+                    f"must match box_centers ({nb})"
+                )
     if sdf_grids is not None:
         g = np.asarray(sdf_grids, np.float64)
         if g.ndim == 3:
@@ -849,8 +875,10 @@ def from_triangle_mesh(
       (Cuthill-McKee style): physical meshes then concentrate their index
       deltas into few values, which is what lets the banded (gather-free)
       force path cover most of the edge list on TPU (solver/banded.py).
-      The returned topology is in the NEW vertex order; ``perm`` maps
-      old->new via ``positions0[perm_new_of_old]`` if callers need it.
+      The returned topology is in the NEW vertex order;
+      ``host.old_to_new`` (i64[N], None when the input order was kept)
+      maps input vertex ids to the new ids — remap caller-side ids
+      (``stitch``/``anchor`` targets, pins) through it.
     """
     from .config import SpringParams, XPBDParams
 
@@ -883,6 +911,11 @@ def from_triangle_mesh(
             tris = old_to_new[tris]
             pinned_ids = tuple(int(old_to_new[p]) for p in pinned_ids)
             edge_owner = remapped
+            perm_applied = old_to_new
+        else:
+            perm_applied = None
+    else:
+        perm_applied = None
 
     edge_list = [(int(u), int(v), EDGE_STRUCTURAL) for (u, v) in sorted(edge_owner)]
     if bend:
@@ -935,6 +968,7 @@ def from_triangle_mesh(
         grid_shape=None,
         grid_spacing=None,
         edge_classes_present=tuple(sorted(set(int(c) for c in cls))),
+        old_to_new=perm_applied,
     )
 
 
@@ -1000,7 +1034,9 @@ def from_tet_mesh(
       coverage on TPU — BFS rescues randomly-labeled meshes, while
       already-well-ordered lattices keep their perfect banding (BFS
       wavefronts would fragment them; measured 1.00 -> 0.52 on a 10^3
-      lattice).  Irregular leftovers take the exact gather path.
+      lattice).  Irregular leftovers take the exact gather path.  When a
+      relabel was applied, ``host.old_to_new`` maps input vertex ids to
+      the new ids (None otherwise).
     """
     from .config import SpringParams, XPBDParams
 
@@ -1039,6 +1075,11 @@ def from_tet_mesh(
             t = old_to_new[t] if t.shape[0] else t
             pinned_ids = tuple(int(old_to_new[p]) for p in pinned_ids)
             eset = eset_bfs
+            perm_applied = old_to_new
+        else:
+            perm_applied = None
+    else:
+        perm_applied = None
 
     rest_vol = np.array([signed_vol(tt) for tt in t], np.float64)
 
@@ -1096,6 +1137,7 @@ def from_tet_mesh(
         grid_shape=None,
         grid_spacing=None,
         edge_classes_present=tuple(sorted(set(int(c) for c in cls))) or (0,),
+        old_to_new=perm_applied,
     )
 
 

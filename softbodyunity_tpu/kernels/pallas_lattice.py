@@ -317,7 +317,7 @@ def _pallas_lattice_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
@@ -613,7 +613,7 @@ def _pallas_lattice_xpbd_substeps(x3, v3, im2, emask, tmask, plane_h, spheres,
             jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
             pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
             pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),

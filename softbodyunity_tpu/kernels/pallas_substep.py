@@ -435,6 +435,12 @@ def _pallas_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h, spheres,
             bytes_accessed=4 * 3 * ny * nx * 4,
             transcendentals=n_substeps * ny * nx * len(offsets),
         ),
+        # tearing/plastic feature planes push the 64k working set a few
+        # hundred KB past the 16 MB default scoped-vmem limit (v5e has
+        # 128 MB physical VMEM); same override as the lattice/tiled kernels
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*args)
     ao = out[2] if tearing else None
@@ -665,6 +671,12 @@ def _pallas_verlet_substeps(x3, xp3, inv_mass2d, alive3, scale3, plane_h,
             flops=n_substeps * flops_per_sub,
             bytes_accessed=4 * 3 * ny * nx * 4,
             transcendentals=n_substeps * ny * nx * len(offsets),
+        ),
+        # tearing/plastic feature planes push the 64k working set a few
+        # hundred KB past the 16 MB default scoped-vmem limit (v5e has
+        # 128 MB physical VMEM); same override as the lattice/tiled kernels
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

@@ -234,7 +234,7 @@ def _pallas_xpbd_substeps(x3, v3, inv_mass2d, alive3, scale3, plane_h,
     state_shape = jax.ShapeDtypeStruct((3, ny, nx), jnp.float32)
     out_shape = (state_shape, state_shape)
     in_specs = [
-        pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
         pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),

@@ -16,8 +16,7 @@ coupled variants would need a different estimator).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

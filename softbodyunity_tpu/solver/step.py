@@ -114,6 +114,13 @@ def self_collision_force(cfg: SimConfig, x):
         from . import blocksparse
 
         return blocksparse.self_collision_forces_block(x, cfg.self_collision)
+    if cfg.self_collision.method != "hash":
+        # a typo ("dense-mxu") silently running the hash path would be a
+        # different perf class AND a soft-truncated pair set with no error
+        raise ValueError(
+            f"unknown self-collision method {cfg.self_collision.method!r}; "
+            "use 'block', 'hash', 'dense_mxu', or 'dense'"
+        )
     return hashgrid.self_collision_forces_hash(x, cfg.self_collision)
 
 

@@ -340,3 +340,24 @@ def test_halo_lattice_rejects_capsules_loudly():
     mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
     with pytest.raises(NotImplementedError):
         halo.make_halo_lattice_step(ctop, cfg, mesh)
+
+
+def test_add_colliders_rejects_mismatched_counts():
+    """Mismatched collider array counts must raise at build time: on
+    device a short array silently CLAMPS out-of-range indices (jit gather
+    semantics) into a phantom collider at the wrong geometry."""
+    import pytest
+    from softbodyunity_tpu.core.topology import add_colliders, cloth_grid
+
+    host = cloth_grid(4, 4, spacing=0.1)
+    with pytest.raises(ValueError, match="disagree"):
+        add_colliders(host, capsule_p0=[[0, 0, 0]], capsule_p1=[[1, 0, 0]],
+                      capsule_radii=[0.1, 0.2])
+    with pytest.raises(ValueError, match="disagree"):
+        add_colliders(host, box_centers=[[0, 0, 0]],
+                      box_half_extents=[[0.1] * 3, [0.2] * 3])
+    import numpy as np
+    with pytest.raises(ValueError, match="box_rotations"):
+        add_colliders(host, box_centers=[[0, 0, 0]],
+                      box_half_extents=[[0.1] * 3],
+                      box_rotations=np.broadcast_to(np.eye(3), (2, 3, 3)))

@@ -197,3 +197,17 @@ def test_xpbd_self_collision_enters_predict():
         assert np.max(np.abs(np.asarray(s.x) - np.asarray(s_off.x))) > 1e-4
     finally:
         jax.config.update("jax_enable_x64", prev)
+
+
+def test_unknown_self_collision_method_raises():
+    import pytest
+    from softbodyunity_tpu.core.config import (
+        SelfCollisionParams,
+        SimConfig,
+    )
+    from softbodyunity_tpu.solver.step import self_collision_force
+
+    cfg = SimConfig(self_collision=SelfCollisionParams(
+        enabled=True, method="dense-mxu"))  # typo for dense_mxu
+    with pytest.raises(ValueError, match="unknown self-collision method"):
+        self_collision_force(cfg, jnp.zeros((8, 3)))

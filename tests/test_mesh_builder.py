@@ -273,3 +273,27 @@ def test_from_tet_mesh_ordering_is_best_of_identity_and_bfs():
     host_shuffled_off = from_tet_mesh(pos[perm], inv[tets], reorder=False)
     host_shuffled_on = from_tet_mesh(pos[perm], inv[tets], reorder=True)
     assert banded_frac(host_shuffled_on) > banded_frac(host_shuffled_off) + 0.3
+
+
+def test_old_to_new_mapping_exposed():
+    """from_triangle_mesh records the BFS relabel so caller-side ids
+    (stitch/anchor targets) can be remapped; None when order was kept."""
+    import numpy as np
+    from softbodyunity_tpu.core.topology import (
+        from_triangle_mesh,
+        icosphere_mesh,
+    )
+
+    pos, tris = icosphere_mesh(radius=0.3, subdivisions=1)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(pos.shape[0])        # scramble the labels
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(pos.shape[0])
+    host = from_triangle_mesh(pos[perm], tris.copy() if False else inv[tris])
+    if host.old_to_new is not None:
+        # input vertex i sits at new id old_to_new[i] with its position
+        np.testing.assert_allclose(
+            host.positions0[host.old_to_new], pos[perm], atol=0
+        )
+    host2 = from_triangle_mesh(pos, tris, reorder=False)
+    assert host2.old_to_new is None
