@@ -240,7 +240,11 @@ def step_coupled(top: Topology, cfg: SimConfig, state: State, rigid,
 
     ``rigid`` is a :class:`~softbodyunity_tpu.solver.rigid.RigidState`
     (build with :func:`~softbodyunity_tpu.solver.rigid.make_rigid_state`);
-    returns ``(state, rigid)``.  Euler solver only."""
+    returns ``(state, rigid)``.  All three solvers: Euler exchanges
+    velocity-level impulses (spin drags the cloth); Verlet/XPBD exchange
+    the position-projection impulses ``sum m_i dx_i / dt`` (XPBD
+    accumulated across its Jacobi iterations) — no spin-drag there, since
+    position projection carries no surface-velocity term."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)

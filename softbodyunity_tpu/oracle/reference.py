@@ -674,9 +674,207 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     return x, v, x_prev, rc, rv, romega, alive, scale
 
 
+def _rigid_predict(cfg, rc, rv, r_inv_mass, dt):
+    dyn = (r_inv_mass > 0.0)[:, None]
+    rv = np.where(dyn, rv + dt * np.asarray(cfg.gravity)[None, :], rv)
+    return rc + dt * rv, rv
+
+
+def _project_spheres_measured(x, movable, rc, radii):
+    """Position-only sphere projection at the rigid centers, measuring the
+    per-sphere summed push-out weighted later by mass: returns
+    (x, dxs[S] list of f64[N,3] per-vertex push)."""
+    pushes = []
+    for s in range(rc.shape[0]):
+        d = x - rc[s]
+        dist = np.linalg.norm(d, axis=1)
+        pen = radii[s] - dist
+        contact = (pen > 0.0) & movable
+        n = d / np.maximum(dist, 1e-12)[:, None]
+        dx = np.where(contact, pen, 0.0)[:, None] * n
+        x = x + dx
+        pushes.append((dx, n))
+    return x, pushes
+
+
+def _rigid_reaction_positional(top, rc, rv, romega, r_inv_mass, inv_i,
+                               pushes_m_dt):
+    """Apply -J reactions from position-projection momenta
+    (J_s = sum_i m_i dx_i / dt; torque arm = radius * n_i)."""
+    radii = np.asarray(top.sphere_radii, np.float64)
+    for s, (p_lin, p_ang) in enumerate(pushes_m_dt):
+        rv[s] = rv[s] - p_lin * r_inv_mass[s]
+        romega[s] = romega[s] - p_ang * inv_i[s]
+    return rv, romega
+
+
+def _rigid_plane_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
+    """Dynamic sphere vs ground plane: normal bounce + rolling friction
+    impulse at the contact point (shared by every coupled solver; the
+    ball's own state is always explicit)."""
+    if not cfg.collision.enable_plane:
+        return rc, rv, romega
+    pen = top.plane_height - (rc[:, 1] - radii)
+    hit = (pen > 0.0) & (r_inv_mass > 0.0)
+    rc[:, 1] = np.where(hit, top.plane_height + radii, rc[:, 1])
+    vy = rv[:, 1]
+    rv[:, 1] = np.where(hit & (vy < 0.0),
+                        -cfg.collision.restitution * vy, vy)
+    arm = np.stack([np.zeros_like(radii), -radii,
+                    np.zeros_like(radii)], axis=1)
+    u = rv + np.cross(romega, arm)
+    ut = u.copy()
+    ut[:, 1] = 0.0
+    k = r_inv_mass + inv_i * radii * radii
+    p_t = -cfg.collision.friction * ut / np.maximum(k, 1e-12)[:, None]
+    p_t = np.where(hit[:, None], p_t, 0.0)
+    rv = rv + p_t * r_inv_mass[:, None]
+    romega = romega + np.cross(arm, p_t) * inv_i[:, None]
+    return rc, rv, romega
+
+
+def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
+                           rc, rv, r_inv_mass, dt, romega=None):
+    """Coupled Verlet substep (binding): Verlet resolves contacts as
+    position projections, so the momentum the cloth receives from sphere
+    s is the projection impulse ``J_s = sum_i m_i dx_i / dt``; the
+    reaction ``-J_s`` (and torque from arms ``radius * n_i``) integrates
+    the ball.  Position projection carries no surface-velocity term, so a
+    SPINNING ball does not drag Verlet/XPBD cloth (consistent with how
+    these solvers treat kinematic collider velocities)."""
+    movable = top.inv_mass > 0.0
+    if romega is None:
+        romega = np.zeros_like(rv)
+    romega = np.array(romega, np.float64)
+    radii = np.asarray(top.sphere_radii, np.float64)
+    inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
+    rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
+
+    g = np.asarray(cfg.gravity)
+    w = top.inv_mass[:, None]
+    v_est = (x - x_prev) / dt
+    f = _total_forces(top, cfg, x, v_est)
+    accel = g[None, :] + f * w
+    x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = np.where(movable[:, None], x_new, x)
+    dxv = volume_projection(top, x_new, cfg.volume_stiffness)
+    x_new = x_new + dxv
+    # projection order mirrors project_positions_only: plane, spheres
+    # (measured, at the rigid centers), then the static rest
+    if cfg.collision.enable_plane:
+        contact = (x_new[:, 1] < top.plane_height) & movable
+        x_new[:, 1] = np.where(contact, top.plane_height, x_new[:, 1])
+    m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
+    x_new, pushes = _project_spheres_measured(x_new, movable, rc, radii)
+    reactions = []
+    for s, (dx, n) in enumerate(pushes):
+        mdx = m[:, None] * dx / dt
+        reactions.append((mdx.sum(axis=0),
+                          np.cross(radii[s] * n, mdx).sum(axis=0)))
+    rv, romega = _rigid_reaction_positional(top, rc, rv, romega, r_inv_mass,
+                                            inv_i, reactions)
+    x_new = _project_static_rest(top, cfg, x_new, movable)
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
+                                         r_inv_mass, inv_i, radii)
+    v_new = (x_new - x) / dt
+    return x_new, v_new, x, rc, rv, romega
+
+
+def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
+    """Position-only capsule/box/SDF projection (after the spheres)."""
+    if _has_capsules(top, cfg):
+        for s in range(top.capsule_radii.shape[0]):
+            c = _capsule_closest(x, top.capsule_p0[s], top.capsule_p1[s])
+            d = x - c
+            dist = np.linalg.norm(d, axis=1)
+            pen = top.capsule_radii[s] - dist
+            contact = (pen > 0.0) & movable
+            n = d / np.maximum(dist, 1e-12)[:, None]
+            x = x + np.where(contact, pen, 0.0)[:, None] * n
+    if _has_boxes(top, cfg):
+        for s in range(top.box_centers.shape[0]):
+            inside, push, n = _box_face_push(
+                x, top.box_centers[s], top.box_half_extents[s],
+                top.box_rotations[s])
+            contact = inside & movable
+            x = x + np.where(contact, push, 0.0)[:, None] * n
+    if _has_sdfs(top, cfg):
+        for s in range(top.sdf_grids.shape[0]):
+            phi, grad = _sdf_sample_grad(
+                top.sdf_grids[s], top.sdf_origins[s], top.sdf_spacings[s], x)
+            pen = -phi
+            contact = (pen > 0.0) & movable
+            n = grad / np.maximum(
+                np.linalg.norm(grad, axis=1), 1e-12)[:, None]
+            x = x + np.where(contact, pen, 0.0)[:, None] * n
+    return x
+
+
+def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
+                         rc, rv, r_inv_mass, dt, romega=None):
+    """Coupled XPBD substep (binding): contacts project inside the Jacobi
+    loop, so the per-sphere projection impulses accumulate across ALL
+    iterations: ``J_s = sum_iters sum_i m_i dx_i / dt``.  Reaction and
+    ball-plane handling as in the Verlet form; no spin-drag (position
+    projection has no surface-velocity term)."""
+    movable = top.inv_mass > 0.0
+    if romega is None:
+        romega = np.zeros_like(rv)
+    romega = np.array(romega, np.float64)
+    radii = np.asarray(top.sphere_radii, np.float64)
+    inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
+    rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
+
+    g = np.asarray(cfg.gravity)
+    accel = g[None, :]
+    if cfg.wind.enabled:
+        accel = accel + wind_forces(top, cfg, x, v) * top.inv_mass[:, None]
+    if cfg.self_collision.enabled:
+        accel = accel + self_collision_forces(
+            x, cfg.self_collision.radius, cfg.self_collision.stiffness
+        ) * top.inv_mass[:, None]
+    if cfg.pressure.enabled:
+        accel = accel + pressure_forces(top, cfg, x) * top.inv_mass[:, None]
+    v = (v + dt * accel) * (1.0 - cfg.global_damping * dt)
+    v = np.where(movable[:, None], v, 0.0)
+    x_prev = x
+    x = x + dt * v
+    m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
+    lam = np.zeros(top.edges.shape[0])
+    lam_vol = np.zeros(top.tets.shape[0])
+    j_lin = np.zeros_like(rc)
+    j_ang = np.zeros_like(rc)
+    for _ in range(cfg.xpbd.n_iterations):
+        x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        if cfg.collision.enable_plane:
+            contact = (x[:, 1] < top.plane_height) & movable
+            x[:, 1] = np.where(contact, top.plane_height, x[:, 1])
+        x, pushes = _project_spheres_measured(x, movable, rc, radii)
+        for s, (dx, n) in enumerate(pushes):
+            mdx = m[:, None] * dx / dt
+            j_lin[s] += mdx.sum(axis=0)
+            j_ang[s] += np.cross(radii[s] * n, mdx).sum(axis=0)
+        x = _project_static_rest(top, cfg, x, movable)
+    rv, romega = _rigid_reaction_positional(
+        top, rc, rv, romega, r_inv_mass, inv_i,
+        list(zip(j_lin, j_ang)))
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
+                                         r_inv_mass, inv_i, radii)
+    x = np.where(movable[:, None], x, x_prev)
+    v = (x - x_prev) / dt
+    return x, v, x_prev, rc, rv, romega
+
+
+_SUBSTEP_COUPLED = {
+    Solver.SEMI_IMPLICIT_EULER: None,  # handled below (extra feature args)
+    Solver.VERLET: substep_verlet_coupled,
+    Solver.XPBD: substep_xpbd_coupled,
+}
+
+
 def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
                  r_inv_mass, dt=None, n_substeps=None, romega=None):
-    """n_substeps coupled Euler substeps; returns
+    """n_substeps coupled substeps (solver from cfg); returns
     (x, v, x_prev, rc, rv, romega)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
@@ -685,9 +883,15 @@ def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
     romega = (np.zeros_like(rv) if romega is None
               else np.array(romega, np.float64))
     for _ in range(n):
-        x, v, x_prev, rc, rv, romega, _, _ = substep_euler_coupled(
-            top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt, romega=romega
-        )
+        if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
+            x, v, x_prev, rc, rv, romega, _, _ = substep_euler_coupled(
+                top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
+                romega=romega)
+        else:
+            fn = _SUBSTEP_COUPLED[cfg.solver]
+            x, v, x_prev, rc, rv, romega = fn(
+                top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
+                romega=romega)
     return x, v, x_prev, rc, rv, romega
 
 

@@ -83,16 +83,9 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     """
     alive = _step._tear_alive(cfg, s)
     scale = _step._plastic_scale(cfg, s)
-    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
 
     # 1. rigid predict
-    dyn = (r.inv_mass > 0.0)[:, None]
-    rv = jnp.where(dyn, r.velocities + dt * g[None, :], r.velocities)
-    rc = r.centers + dt * rv
-    romega = (r.omega if r.omega is not None
-              else jnp.zeros_like(r.velocities))
-    radii = top.sphere_radii
-    inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
+    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
 
     # 2. cloth substep: shared integrate + plane stage ...
     x, v, x_prev, movable = _step.euler_integrate(top, cfg, s, dt, alive,
@@ -138,26 +131,9 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         rv = rv - j * r.inv_mass[:, None]
         romega = romega - jnp.stack(llist) * inv_i[:, None]
 
-    # 4. dynamic sphere vs ground plane: normal bounce + tangential
-    # friction impulse at the contact point (arm a = -r n) — friction
-    # torque makes the ball roll instead of skid
-    if cfg.collision.enable_plane:
-        pen = top.plane_height - (rc[:, 1] - radii)
-        hit = (pen > 0.0) & (r.inv_mass > 0.0)
-        rc = rc.at[:, 1].set(
-            jnp.where(hit, top.plane_height + radii, rc[:, 1]))
-        vy = rv[:, 1]
-        rv = rv.at[:, 1].set(
-            jnp.where(hit & (vy < 0.0), -cfg.collision.restitution * vy, vy))
-        arm = jnp.stack([jnp.zeros_like(radii), -radii,
-                         jnp.zeros_like(radii)], axis=1)
-        u = rv + jnp.cross(romega, arm)
-        ut = u.at[:, 1].set(0.0)
-        k = r.inv_mass + inv_i * radii * radii
-        p_t = -cfg.collision.friction * ut / jnp.maximum(k, 1e-12)[:, None]
-        p_t = jnp.where(hit[:, None], p_t, 0.0)
-        rv = rv + p_t * r.inv_mass[:, None]
-        romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
+    # 4. dynamic sphere vs ground plane
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
+                                         radii, inv_i)
 
     return (
         _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
@@ -166,16 +142,199 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     )
 
 
+def _rigid_predict(top: Topology, cfg: SimConfig, r: RigidState, dt: float):
+    """Rigid gravity predict + derived quantities (shared by all coupled
+    substeps)."""
+    g = jnp.asarray(cfg.gravity, dtype=r.centers.dtype)
+    dyn = (r.inv_mass > 0.0)[:, None]
+    rv = jnp.where(dyn, r.velocities + dt * g[None, :], r.velocities)
+    rc = r.centers + dt * rv
+    romega = (r.omega if r.omega is not None
+              else jnp.zeros_like(r.velocities))
+    radii = top.sphere_radii
+    inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
+    return rc, rv, romega, radii, inv_i
+
+
+def _rigid_plane_bounce(top: Topology, cfg: SimConfig, r: RigidState,
+                        rc, rv, romega, radii, inv_i):
+    """Dynamic sphere vs ground plane: normal bounce + tangential friction
+    impulse at the contact point (arm a = -r n) — friction torque makes
+    the ball roll instead of skid.  Shared by all coupled substeps (the
+    ball's own state is always explicit)."""
+    if not cfg.collision.enable_plane:
+        return rc, rv, romega
+    pen = top.plane_height - (rc[:, 1] - radii)
+    hit = (pen > 0.0) & (r.inv_mass > 0.0)
+    rc = rc.at[:, 1].set(
+        jnp.where(hit, top.plane_height + radii, rc[:, 1]))
+    vy = rv[:, 1]
+    rv = rv.at[:, 1].set(
+        jnp.where(hit & (vy < 0.0), -cfg.collision.restitution * vy, vy))
+    arm = jnp.stack([jnp.zeros_like(radii), -radii,
+                     jnp.zeros_like(radii)], axis=1)
+    u = rv + jnp.cross(romega, arm)
+    ut = u.at[:, 1].set(0.0)
+    k = r.inv_mass + inv_i * radii * radii
+    p_t = -cfg.collision.friction * ut / jnp.maximum(k, 1e-12)[:, None]
+    p_t = jnp.where(hit[:, None], p_t, 0.0)
+    rv = rv + p_t * r.inv_mass[:, None]
+    romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
+    return rc, rv, romega
+
+
+def _project_spheres_measured(x, movable, m, rc, radii, dt):
+    """Position-only sphere projection at the rigid centers (oracle
+    _project_spheres_measured twin): returns (x, j_lin [S,3], j_ang [S,3])
+    — per-sphere projection momentum sum_i m_i dx_i / dt and its torque
+    about the center (arms radius * n_i)."""
+    j_lin, j_ang = [], []
+    for si in range(rc.shape[0]):
+        d = x - rc[si]
+        dist = jnp.linalg.norm(d, axis=1)
+        pen = radii[si] - dist
+        contact = (pen > 0.0) & movable
+        n = d / jnp.maximum(dist, 1e-12)[:, None]
+        dx = jnp.where(contact, pen, 0.0)[:, None] * n
+        x = x + dx
+        mdx = m[:, None] * dx / dt
+        j_lin.append(jnp.sum(mdx, axis=0))
+        j_ang.append(jnp.sum(jnp.cross(radii[si] * n, mdx), axis=0))
+    return x, jnp.stack(j_lin), jnp.stack(j_ang)
+
+
+def _project_plane_only(top, cfg, x, movable):
+    if cfg.collision.enable_plane:
+        contact = (x[:, 1] < top.plane_height) & movable
+        x = x.at[:, 1].set(jnp.where(contact, top.plane_height, x[:, 1]))
+    return x
+
+
+def _project_static_rest(top, cfg, x, movable):
+    """Position-only capsule/box/SDF projection (after the spheres)."""
+    if collide._needs_capsule_box(top, cfg):
+        xz = collide.project_capsules_boxes_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable)
+        x = jnp.stack(xz, axis=1)
+    if collide._needs_sdf(top, cfg):
+        xz = collide.project_sdfs_components(
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable)
+        x = jnp.stack(xz, axis=1)
+    return x
+
+
+def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
+                           r: RigidState, dt: float
+                           ) -> Tuple[State, RigidState]:
+    """Oracle substep_verlet_coupled twin: Verlet contacts are position
+    projections, so sphere s's reaction is the projection impulse
+    ``-sum_i m_i dx_i / dt`` (plus its torque).  No spin-drag (projection
+    carries no surface-velocity term)."""
+    movable = top.inv_mass > 0.0
+    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+    w = top.inv_mass[:, None]
+    v_est = (s.x - s.x_prev) / dt
+    f = _step.total_forces(top, cfg, s.x, v_est)
+    accel = g[None, :] + f * w
+    x_new = (s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt)
+             + accel * dt * dt)
+    x_new = jnp.where(movable[:, None], x_new, s.x)
+    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
+        x_new = x_new + _step._volume_projection(top, x_new,
+                                                 cfg.volume_stiffness)
+    m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
+    x_new = _project_plane_only(top, cfg, x_new, movable)
+    x_new, j_lin, j_ang = _project_spheres_measured(x_new, movable, m, rc,
+                                                    radii, dt)
+    rv = rv - j_lin * r.inv_mass[:, None]
+    romega = romega - j_ang * inv_i[:, None]
+    x_new = _project_static_rest(top, cfg, x_new, movable)
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
+                                         radii, inv_i)
+    v_new = (x_new - s.x) / dt
+    return (
+        State(x=x_new, v=v_new, x_prev=s.x, edge_alive=s.edge_alive,
+              rest_scale=s.rest_scale),
+        RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
+                   omega=romega),
+    )
+
+
+def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
+                         r: RigidState, dt: float
+                         ) -> Tuple[State, RigidState]:
+    """Oracle substep_xpbd_coupled twin: contacts project inside the
+    Jacobi loop, so the per-sphere projection impulses accumulate across
+    ALL iterations.  Delta-form accumulation as in solver/step.py
+    substep_xpbd (equal in real arithmetic to the oracle's plain form)."""
+    from . import xpbd
+
+    movable = top.inv_mass > 0.0
+    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
+    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
+    accel = g[None, :]
+    if cfg.wind.enabled:
+        accel = accel + _step.wind_forces(top, cfg, s.x, s.v) \
+            * top.inv_mass[:, None]
+    if cfg.self_collision.enabled:
+        accel = accel + _step.self_collision_force(cfg, s.x) \
+            * top.inv_mass[:, None]
+    if cfg.pressure.enabled and top.n_pressure_bodies > 0:
+        from .pressure import pressure_forces
+
+        accel = accel + pressure_forces(top, cfg, s.x) \
+            * top.inv_mass[:, None]
+    v = (s.v + dt * accel) * (1.0 - cfg.global_damping * dt)
+    v = jnp.where(movable[:, None], v, 0.0)
+    x_prev = s.x
+    m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
+    lam0 = jnp.zeros((top.n_edges,), s.x.dtype)
+    lam_vol0 = jnp.zeros((top.n_tets,), s.x.dtype)
+    jz = jnp.zeros_like(rc)
+
+    def body(carry, _):
+        delta, lam, lam_vol, j_lin, j_ang = carry
+        dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
+            top, cfg, x_prev + delta, lam, lam_vol, dt)
+        delta = delta + dx
+        # contact projection in delta form: plane exact, spheres measured
+        xe = x_prev + delta
+        xe2 = _project_plane_only(top, cfg, xe, movable)
+        xe3, jl, ja = _project_spheres_measured(xe2, movable, m, rc,
+                                                radii, dt)
+        xe4 = _project_static_rest(top, cfg, xe3, movable)
+        delta = delta + (xe4 - xe)
+        return (delta, lam, lam_vol, j_lin + jl, j_ang + ja), None
+
+    (delta, _, _, j_lin, j_ang), _ = jax.lax.scan(
+        body, (dt * v, lam0, lam_vol0, jz, jz), None,
+        length=cfg.xpbd.n_iterations)
+    rv = rv - j_lin * r.inv_mass[:, None]
+    romega = romega - j_ang * inv_i[:, None]
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
+                                         radii, inv_i)
+    delta = jnp.where(movable[:, None], delta, 0.0)
+    x = x_prev + delta
+    return (
+        State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=s.edge_alive,
+              rest_scale=s.rest_scale),
+        RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
+                   omega=romega),
+    )
+
+
+_SUBSTEP_COUPLED = {
+    Solver.SEMI_IMPLICIT_EULER: substep_euler_coupled,
+    Solver.VERLET: substep_verlet_coupled,
+    Solver.XPBD: substep_xpbd_coupled,
+}
+
+
 def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
                       dt: float, n_substeps: int
                       ) -> Tuple[State, RigidState]:
     """``lax.scan`` over coupled substeps (the body of api.step_coupled)."""
-    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
-        raise NotImplementedError(
-            "step_coupled is Euler-only: Verlet/XPBD resolve contacts as "
-            "position projections with no velocity-level impulse to "
-            "exchange"
-        )
     if not cfg.collision.enable_spheres:
         # the coupled substep resolves the RigidState spheres
         # unconditionally — accepting a config that sb.step would treat as
@@ -184,15 +343,21 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
             "step_coupled needs CollisionParams(enable_spheres=True): the "
             "rigid bodies ARE the scene's spheres"
         )
+    if cfg.solver != Solver.SEMI_IMPLICIT_EULER and (
+            cfg.tear.enabled or cfg.plasticity.enabled):
+        raise NotImplementedError(
+            "coupled Verlet/XPBD do not thread tearing/plasticity state"
+        )
     if r.omega is None:
         # a hand-built RigidState may leave the default; the substep
         # returns omega as an array, and a None->array change would break
         # the scan carry's pytree structure
         r = r.replace(omega=jnp.zeros_like(r.velocities))
+    fn = _SUBSTEP_COUPLED[cfg.solver]
 
     def body(carry, _):
         cs, cr = carry
-        return substep_euler_coupled(top, cfg, cs, cr, dt), None
+        return fn(top, cfg, cs, cr, dt), None
 
     (s, r), _ = jax.lax.scan(body, (s, r), None, length=n_substeps)
     return s, r
