@@ -36,12 +36,23 @@ class EnvSpec:
     obs_ids: Tuple[int, ...]      # vertices whose x/v form the observation
     batch: int = 1024
     jitter_scale: float = 0.01    # initial per-scene position jitter
+    # promote the scene's spheres to per-scene DYNAMIC rigid bodies
+    # (solver/rigid.py): the env state becomes (State, RigidState), steps
+    # run the coupled substeps, and the observation gains one [center,
+    # velocity] row per sphere — juggle/keepy-uppy style tasks
+    rigid_masses: Optional[Tuple[float, ...]] = None
 
 
 class BatchedClothEnv:
-    """vmapped multi-scene soft-body environment (one shared Topology)."""
+    """vmapped multi-scene soft-body environment (one shared Topology).
+
+    With ``EnvSpec.rigid_masses`` set, the env state handed through
+    ``reset``/``step``/``rollout`` is a ``(State, RigidState)`` pair and
+    observations append the rigid spheres' centers+velocities."""
 
     def __init__(self, top: Topology, cfg: SimConfig, rest: State, spec: EnvSpec):
+        from ..solver.rigid import make_rigid_state, step_coupled_scan
+
         self.top = top
         self.cfg = cfg
         self.rest = rest
@@ -49,29 +60,54 @@ class BatchedClothEnv:
         handle = jnp.asarray(spec.handle_ids, jnp.int32)
         obs = jnp.asarray(spec.obs_ids, jnp.int32)
         b = spec.batch
+        coupled = spec.rigid_masses is not None
+        self.coupled = coupled
+        rigid0 = (make_rigid_state(top, spec.rigid_masses)
+                  if coupled else None)
 
-        def _obs(states: State):
-            return jnp.concatenate(
+        def _split(env_state):
+            return env_state if coupled else (env_state, None)
+
+        def _join(states, rigids):
+            return (states, rigids) if coupled else states
+
+        def _obs(states: State, rigids=None):
+            o = jnp.concatenate(
                 [states.x[:, obs, :], states.v[:, obs, :]], axis=-1
             )  # [B, O, 6]
+            if coupled:
+                ball = jnp.concatenate(
+                    [rigids.centers, rigids.velocities], axis=-1
+                )  # [B, S, 6]
+                o = jnp.concatenate([o, ball], axis=1)
+            return o
 
         @jax.jit
         def _reset(key):
             jitter = spec.jitter_scale * jax.random.normal(key, (b, 3))
             states = _batch.batch_state(rest, b, jitter=jitter)
-            return states, _obs(states)
+            rigids = (jax.tree.map(lambda a: jnp.stack([a] * b), rigid0)
+                      if coupled else None)
+            return _join(states, rigids), _obs(states, rigids)
 
         @jax.jit
-        def _step(top, states: State, actions):
+        def _step(top, env_state, actions):
             # actions f32[B, H, 3]: velocity impulses (delta-v) applied
             # directly to the handle vertices before the frame's substeps
+            states, rigids = _split(env_state)
             dv = jnp.zeros_like(states.v)
             dv = dv.at[:, handle, :].set(actions)
             movable = (top.inv_mass > 0.0)[None, :, None]
             states = states.replace(v=jnp.where(movable, states.v + dv, 0.0))
-            fn = lambda s: _step_mod.step_scan(top, cfg, s, cfg.dt, cfg.n_substeps)
-            states = jax.vmap(fn)(states)
-            return states, _obs(states)
+            if coupled:
+                fn = lambda s, r: step_coupled_scan(
+                    top, cfg, s, r, cfg.dt, cfg.n_substeps)
+                states, rigids = jax.vmap(fn)(states, rigids)
+            else:
+                fn = lambda s: _step_mod.step_scan(
+                    top, cfg, s, cfg.dt, cfg.n_substeps)
+                states = jax.vmap(fn)(states)
+            return _join(states, rigids), _obs(states, rigids)
 
         self._reset = _reset
         self._step = _step
@@ -83,13 +119,17 @@ class BatchedClothEnv:
 
     @property
     def obs_shape(self):
-        return (self.spec.batch, len(self.spec.obs_ids), 6)
+        rows = len(self.spec.obs_ids) + (
+            len(self.spec.rigid_masses) if self.coupled else 0)
+        return (self.spec.batch, rows, 6)
 
-    def reset(self, key) -> Tuple[State, jax.Array]:
+    def reset(self, key):
+        """-> (env_state, obs); env_state is State, or (State, RigidState)
+        when the spec couples rigid bodies."""
         return self._reset(key)
 
-    def step(self, states: State, actions) -> Tuple[State, jax.Array]:
-        return self._step(self.top, states, actions)
+    def step(self, env_state, actions):
+        return self._step(self.top, env_state, actions)
 
     def rollout(self, key, policy_fn, n_frames: int) -> Tuple[State, jax.Array]:
         """On-device rollout: ``policy_fn(obs) -> actions`` traced into one

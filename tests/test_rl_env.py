@@ -130,3 +130,66 @@ def test_load_obj_to_softbody_and_collider(tmp_path):
     phi, _ = _sdf_sample_grad(grid, origin, np.float64(h),
                               np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.1]]))
     assert phi[0] < -0.8 and phi[1] > 0.05
+
+
+def _coupled_env(batch=4):
+    """A trampoline scene with a dynamic ball as a coupled RL env."""
+    import softbodyunity_tpu as sb
+    from softbodyunity_tpu.core.config import CollisionParams, SimConfig
+    from softbodyunity_tpu.core.topology import cloth_grid
+
+    cfg = SimConfig(
+        springs=sb.SpringParams(k_structural=2000.0, k_shear=1000.0,
+                                k_bend=400.0, damping=1.5),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  friction=0.2),
+        global_damping=0.8,
+    )
+    n = 8
+    host = cloth_grid(
+        n, n, spacing=1.0 / (n - 1), mass=0.08,
+        pinned=("top", "bottom", "left", "right"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
+        orientation="xz",
+        sphere_centers=[[0.5, 0.35, 0.5]], sphere_radii=[0.2],
+    )
+    top, rest = api.init(host)
+    # center vertices as handles (the pinned border can't move)
+    mid = (n // 2) * n + n // 2
+    spec = EnvSpec(handle_ids=(mid, mid + 1), obs_ids=(mid,), batch=batch,
+                   rigid_masses=(0.3,))
+    return BatchedClothEnv(top, cfg, rest, spec)
+
+
+def test_coupled_env_ball_in_obs_and_state():
+    """EnvSpec.rigid_masses promotes the scene's ball to per-scene dynamic
+    state: obs gains its [center, velocity] row and the env state is
+    (State, RigidState)."""
+    env = _coupled_env()
+    assert env.obs_shape == (4, 2, 6)          # 1 obs vertex + 1 ball
+    key = jax.random.PRNGKey(0)
+    env_state, obs = env.reset(key)
+    states, rigids = env_state
+    assert rigids.centers.shape == (4, 1, 3)
+    y0 = float(obs[0, -1, 1])                  # ball center y
+    for _ in range(20):
+        env_state, obs = env.step(env_state, jnp.zeros(env.action_shape))
+    states, rigids = env_state
+    assert np.isfinite(np.asarray(states.x)).all()
+    assert np.isfinite(np.asarray(rigids.centers)).all()
+    # the ball fell toward the cloth (observation row tracks it)
+    assert float(obs[0, -1, 1]) < y0
+    # and was caught (coupled contact), not dropped to the floor at -2
+    assert float(obs[0, -1, 1]) > -1.5
+
+
+def test_coupled_env_rollout():
+    env = _coupled_env()
+
+    def policy(obs):
+        return jnp.zeros(env.action_shape, obs.dtype)
+
+    env_state, obs = env.rollout(jax.random.PRNGKey(2), policy, 10)
+    states, rigids = env_state
+    assert np.isfinite(np.asarray(states.x)).all()
+    assert obs.shape == env.obs_shape
