@@ -170,7 +170,10 @@ def bench_coupled_batch():
     jitter = (0.01 * rng.standard_normal((b, 3))).astype(np.float32)
     states = batch.batch_state(state, b, jitter=jitter)
     rigid = make_rigid_state(top, [0.5])
-    rigids = jax.tree.map(lambda a: jnp.stack([a] * b), rigid)
+    # broadcast, not a 1024-operand stack (jaxpr bloat wedges the remote
+    # compile helper)
+    rigids = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (b,) + a.shape), rigid)
 
     def make_run(n_substeps):
         @jax.jit

@@ -680,11 +680,13 @@ def _rigid_predict(cfg, rc, rv, r_inv_mass, dt):
     return rc + dt * rv, rv
 
 
-def _project_spheres_measured(x, movable, rc, radii):
-    """Position-only sphere projection at the rigid centers, measuring the
-    per-sphere summed push-out weighted later by mass: returns
-    (x, dxs[S] list of f64[N,3] per-vertex push)."""
-    pushes = []
+def _project_spheres_measured(x, movable, m, rc, radii, dt):
+    """Position-only sphere projection at the rigid centers: returns
+    (x, j_lin f64[S,3]) — the per-sphere projection momentum
+    ``sum_i m_i dx_i / dt``.  The push is purely RADIAL (parallel to the
+    contact normal through the center), so it exerts exactly zero torque
+    — there is no angular term."""
+    j_lin = np.zeros((rc.shape[0], 3))
     for s in range(rc.shape[0]):
         d = x - rc[s]
         dist = np.linalg.norm(d, axis=1)
@@ -693,19 +695,8 @@ def _project_spheres_measured(x, movable, rc, radii):
         n = d / np.maximum(dist, 1e-12)[:, None]
         dx = np.where(contact, pen, 0.0)[:, None] * n
         x = x + dx
-        pushes.append((dx, n))
-    return x, pushes
-
-
-def _rigid_reaction_positional(top, rc, rv, romega, r_inv_mass, inv_i,
-                               pushes_m_dt):
-    """Apply -J reactions from position-projection momenta
-    (J_s = sum_i m_i dx_i / dt; torque arm = radius * n_i)."""
-    radii = np.asarray(top.sphere_radii, np.float64)
-    for s, (p_lin, p_ang) in enumerate(pushes_m_dt):
-        rv[s] = rv[s] - p_lin * r_inv_mass[s]
-        romega[s] = romega[s] - p_ang * inv_i[s]
-    return rv, romega
+        j_lin[s] = (m[:, None] * dx / dt).sum(axis=0)
+    return x, j_lin
 
 
 def _rigid_plane_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
@@ -733,16 +724,31 @@ def _rigid_plane_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     return rc, rv, romega
 
 
+def _verlet_integrate(top: HostTopology, cfg: SimConfig, x, x_prev, dt,
+                      alive=None, scale=None):
+    """The Verlet substep BEFORE contact projection (shared with
+    substep_verlet_coupled)."""
+    movable = top.inv_mass > 0.0
+    g = np.asarray(cfg.gravity)
+    w = top.inv_mass[:, None]
+    v_est = (x - x_prev) / dt
+    f = _total_forces(top, cfg, x, v_est, alive=alive, rest_scale=scale)
+    accel = g[None, :] + f * w
+    x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
+    x_new = np.where(movable[:, None], x_new, x)
+    x_new = x_new + volume_projection(top, x_new, cfg.volume_stiffness)
+    return x_new, movable
+
+
 def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                            rc, rv, r_inv_mass, dt, romega=None):
     """Coupled Verlet substep (binding): Verlet resolves contacts as
     position projections, so the momentum the cloth receives from sphere
-    s is the projection impulse ``J_s = sum_i m_i dx_i / dt``; the
-    reaction ``-J_s`` (and torque from arms ``radius * n_i``) integrates
-    the ball.  Position projection carries no surface-velocity term, so a
-    SPINNING ball does not drag Verlet/XPBD cloth (consistent with how
-    these solvers treat kinematic collider velocities)."""
-    movable = top.inv_mass > 0.0
+    s is the projection impulse ``J_s = sum_i m_i dx_i / dt`` and the
+    reaction is ``-J_s``.  The radial push exerts zero torque and carries
+    no surface-velocity term: a SPINNING ball neither drags Verlet/XPBD
+    cloth nor picks up spin from it (consistent with how these solvers
+    treat kinematic collider velocities)."""
     if romega is None:
         romega = np.zeros_like(rv)
     romega = np.array(romega, np.float64)
@@ -750,29 +756,16 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
     rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
 
-    g = np.asarray(cfg.gravity)
-    w = top.inv_mass[:, None]
-    v_est = (x - x_prev) / dt
-    f = _total_forces(top, cfg, x, v_est)
-    accel = g[None, :] + f * w
-    x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
-    x_new = np.where(movable[:, None], x_new, x)
-    dxv = volume_projection(top, x_new, cfg.volume_stiffness)
-    x_new = x_new + dxv
+    x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt)
     # projection order mirrors project_positions_only: plane, spheres
     # (measured, at the rigid centers), then the static rest
     if cfg.collision.enable_plane:
         contact = (x_new[:, 1] < top.plane_height) & movable
         x_new[:, 1] = np.where(contact, top.plane_height, x_new[:, 1])
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
-    x_new, pushes = _project_spheres_measured(x_new, movable, rc, radii)
-    reactions = []
-    for s, (dx, n) in enumerate(pushes):
-        mdx = m[:, None] * dx / dt
-        reactions.append((mdx.sum(axis=0),
-                          np.cross(radii[s] * n, mdx).sum(axis=0)))
-    rv, romega = _rigid_reaction_positional(top, rc, rv, romega, r_inv_mass,
-                                            inv_i, reactions)
+    x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc, radii,
+                                             dt)
+    rv = rv - j_lin * r_inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
@@ -843,21 +836,15 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     lam = np.zeros(top.edges.shape[0])
     lam_vol = np.zeros(top.tets.shape[0])
     j_lin = np.zeros_like(rc)
-    j_ang = np.zeros_like(rc)
     for _ in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
         if cfg.collision.enable_plane:
             contact = (x[:, 1] < top.plane_height) & movable
             x[:, 1] = np.where(contact, top.plane_height, x[:, 1])
-        x, pushes = _project_spheres_measured(x, movable, rc, radii)
-        for s, (dx, n) in enumerate(pushes):
-            mdx = m[:, None] * dx / dt
-            j_lin[s] += mdx.sum(axis=0)
-            j_ang[s] += np.cross(radii[s] * n, mdx).sum(axis=0)
+        x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt)
+        j_lin += jl
         x = _project_static_rest(top, cfg, x, movable)
-    rv, romega = _rigid_reaction_positional(
-        top, rc, rv, romega, r_inv_mass, inv_i,
-        list(zip(j_lin, j_ang)))
+    rv = rv - j_lin * r_inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     x = np.where(movable[:, None], x, x_prev)
@@ -897,16 +884,8 @@ def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
                    alive=None, scale=None):
-    w = top.inv_mass[:, None]
-    movable = top.inv_mass > 0.0
-    g = np.asarray(cfg.gravity)
-    v_est = (x - x_prev) / dt
-    f = _total_forces(top, cfg, x, v_est, alive=alive, rest_scale=scale)
-    accel = g[None, :] + f * w
-    x_new = x + (x - x_prev) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
-    x_new = np.where(movable[:, None], x_new, x)
-    dx = volume_projection(top, x_new, cfg.volume_stiffness)
-    x_new = x_new + dx
+    x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt,
+                                       alive=alive, scale=scale)
     x_new = project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - x) / dt
     if scale is not None:

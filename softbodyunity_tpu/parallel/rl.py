@@ -62,7 +62,10 @@ class BatchedClothEnv:
         b = spec.batch
         coupled = spec.rigid_masses is not None
         self.coupled = coupled
-        rigid0 = (make_rigid_state(top, spec.rigid_masses)
+        # keep the rest rigid state as HOST numpy: device arrays captured
+        # as jit closure constants fetch at lowering time (CLAUDE.md trap)
+        rigid0 = (jax.tree.map(np.asarray,
+                               make_rigid_state(top, spec.rigid_masses))
                   if coupled else None)
 
         def _split(env_state):
@@ -86,8 +89,9 @@ class BatchedClothEnv:
         def _reset(key):
             jitter = spec.jitter_scale * jax.random.normal(key, (b, 3))
             states = _batch.batch_state(rest, b, jitter=jitter)
-            rigids = (jax.tree.map(lambda a: jnp.stack([a] * b), rigid0)
-                      if coupled else None)
+            rigids = (jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (b,) + a.shape), rigid0)
+                if coupled else None)
             return _join(states, rigids), _obs(states, rigids)
 
         @jax.jit

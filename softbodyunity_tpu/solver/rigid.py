@@ -6,11 +6,17 @@ loop, examples/16) costs one host round-trip per substep; here the rigid
 bodies are state (`RigidState`) carried through ``lax.scan``, so a
 coupled scene runs at full substep rate with zero host traffic — and
 vmaps over batched scenes.  Semantics are the oracle's
-``substep_euler_coupled`` (binding): rigid predict -> cloth substep with
+``substep_*_coupled`` (binding): rigid predict -> cloth substep with
 per-sphere impulse measurement -> momentum reaction -> rigid-plane
-bounce.  Euler only (Verlet/XPBD resolve contacts as position
-projections, which have no velocity-level impulse to exchange; their
-coupled variants would need a different estimator).
+bounce.  Euler exchanges velocity-level impulses (with spin drag and
+reaction torque); Verlet/XPBD exchange the position-projection impulses
+``sum m_i dx_i / dt`` — purely radial pushes, so cloth contact exerts
+NO torque there (and no spin-drag: projection carries no
+surface-velocity term).  Note the coupled XPBD substep always runs the
+general gather-path constraint iteration, never the banded roll path —
+coupled scenes are small RL cloths where gathers are cheap; a banded
+coupled variant would need the projection measurement inside the
+transposed delta loop (solver/step.py substep_xpbd).
 """
 
 from __future__ import annotations
@@ -185,10 +191,11 @@ def _rigid_plane_bounce(top: Topology, cfg: SimConfig, r: RigidState,
 
 def _project_spheres_measured(x, movable, m, rc, radii, dt):
     """Position-only sphere projection at the rigid centers (oracle
-    _project_spheres_measured twin): returns (x, j_lin [S,3], j_ang [S,3])
-    — per-sphere projection momentum sum_i m_i dx_i / dt and its torque
-    about the center (arms radius * n_i)."""
-    j_lin, j_ang = [], []
+    _project_spheres_measured twin): returns (x, j_lin [S,3]) — the
+    per-sphere projection momentum sum_i m_i dx_i / dt.  The push is
+    purely RADIAL (dx parallel to the contact normal through the center),
+    so it exerts exactly zero torque — no angular term to measure."""
+    j_lin = []
     for si in range(rc.shape[0]):
         d = x - rc[si]
         dist = jnp.linalg.norm(d, axis=1)
@@ -197,10 +204,8 @@ def _project_spheres_measured(x, movable, m, rc, radii, dt):
         n = d / jnp.maximum(dist, 1e-12)[:, None]
         dx = jnp.where(contact, pen, 0.0)[:, None] * n
         x = x + dx
-        mdx = m[:, None] * dx / dt
-        j_lin.append(jnp.sum(mdx, axis=0))
-        j_ang.append(jnp.sum(jnp.cross(radii[si] * n, mdx), axis=0))
-    return x, jnp.stack(j_lin), jnp.stack(j_ang)
+        j_lin.append(jnp.sum(m[:, None] * dx / dt, axis=0))
+    return x, jnp.stack(j_lin)
 
 
 def _project_plane_only(top, cfg, x, movable):
@@ -228,27 +233,15 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
                            ) -> Tuple[State, RigidState]:
     """Oracle substep_verlet_coupled twin: Verlet contacts are position
     projections, so sphere s's reaction is the projection impulse
-    ``-sum_i m_i dx_i / dt`` (plus its torque).  No spin-drag (projection
-    carries no surface-velocity term)."""
-    movable = top.inv_mass > 0.0
+    ``-sum_i m_i dx_i / dt``.  The radial push exerts no torque and
+    carries no surface-velocity term: no spin-drag, no contact spin."""
     rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
-    g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
-    w = top.inv_mass[:, None]
-    v_est = (s.x - s.x_prev) / dt
-    f = _step.total_forces(top, cfg, s.x, v_est)
-    accel = g[None, :] + f * w
-    x_new = (s.x + (s.x - s.x_prev) * (1.0 - cfg.global_damping * dt)
-             + accel * dt * dt)
-    x_new = jnp.where(movable[:, None], x_new, s.x)
-    if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
-        x_new = x_new + _step._volume_projection(top, x_new,
-                                                 cfg.volume_stiffness)
+    x_new, movable = _step.verlet_integrate(top, cfg, s, dt, None, None)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     x_new = _project_plane_only(top, cfg, x_new, movable)
-    x_new, j_lin, j_ang = _project_spheres_measured(x_new, movable, m, rc,
-                                                    radii, dt)
+    x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc,
+                                             radii, dt)
     rv = rv - j_lin * r.inv_mass[:, None]
-    romega = romega - j_ang * inv_i[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
@@ -294,24 +287,22 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     jz = jnp.zeros_like(rc)
 
     def body(carry, _):
-        delta, lam, lam_vol, j_lin, j_ang = carry
+        delta, lam, lam_vol, j_lin = carry
         dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
             top, cfg, x_prev + delta, lam, lam_vol, dt)
         delta = delta + dx
         # contact projection in delta form: plane exact, spheres measured
         xe = x_prev + delta
         xe2 = _project_plane_only(top, cfg, xe, movable)
-        xe3, jl, ja = _project_spheres_measured(xe2, movable, m, rc,
-                                                radii, dt)
+        xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii, dt)
         xe4 = _project_static_rest(top, cfg, xe3, movable)
         delta = delta + (xe4 - xe)
-        return (delta, lam, lam_vol, j_lin + jl, j_ang + ja), None
+        return (delta, lam, lam_vol, j_lin + jl), None
 
-    (delta, _, _, j_lin, j_ang), _ = jax.lax.scan(
-        body, (dt * v, lam0, lam_vol0, jz, jz), None,
+    (delta, _, _, j_lin), _ = jax.lax.scan(
+        body, (dt * v, lam0, lam_vol0, jz), None,
         length=cfg.xpbd.n_iterations)
     rv = rv - j_lin * r.inv_mass[:, None]
-    romega = romega - j_ang * inv_i[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
     delta = jnp.where(movable[:, None], delta, 0.0)

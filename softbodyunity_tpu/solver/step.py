@@ -188,11 +188,13 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale)
 
 
-def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+def verlet_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
+                     alive, scale):
+    """The Verlet substep BEFORE contact projection: forces at the
+    velocity estimate, damped position update, tet volume projection.
+    Shared by substep_verlet and the coupled substep (solver/rigid.py)."""
     w = top.inv_mass[:, None]
     movable = top.inv_mass > 0.0
-    alive = _tear_alive(cfg, s)
-    scale = _plastic_scale(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     v_est = (s.x - s.x_prev) / dt
     f = total_forces(top, cfg, s.x, v_est, alive=alive, rest_scale=scale)
@@ -201,6 +203,13 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     x_new = jnp.where(movable[:, None], x_new, s.x)
     if top.n_tets > 0 and cfg.volume_stiffness != 0.0:
         x_new = x_new + _volume_projection(top, x_new, cfg.volume_stiffness)
+    return x_new, movable
+
+
+def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
+    alive = _tear_alive(cfg, s)
+    scale = _plastic_scale(cfg, s)
+    x_new, movable = verlet_integrate(top, cfg, s, dt, alive, scale)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)

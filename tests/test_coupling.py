@@ -79,9 +79,18 @@ def test_f64_exact_parity_coupled(solver, bound):
             assert np.max(np.abs(np.asarray(state.x) - x)) < 1e-6
     assert np.max(np.abs(np.asarray(state.x) - x)) < bound
     assert np.max(np.abs(np.asarray(rigid.centers) - rc)) < bound
-    # velocity noise = position reorder noise / dt (960x): looser bounds
-    assert np.max(np.abs(np.asarray(rigid.velocities) - rv)) < 960 * bound
-    assert np.max(np.abs(np.asarray(rigid.omega) - rom)) < 2e3 * bound
+    # velocity noise = position reorder noise / dt (960x)
+    v_bound = 2e-4 if solver == Solver.SEMI_IMPLICIT_EULER else 960 * bound
+    assert np.max(np.abs(np.asarray(rigid.velocities) - rv)) < v_bound
+    if solver == Solver.SEMI_IMPLICIT_EULER:
+        assert np.max(np.abs(np.asarray(rigid.omega) - rom)) < 2e-3
+    else:
+        # radial projection exerts NO torque and the ball never touches
+        # the plane in this scene: omega must stay exactly zero on both
+        # sides (a sign/scale error in a spurious angular term would
+        # show up here, not hide under a loose bound)
+        assert np.max(np.abs(np.asarray(rigid.omega))) == 0.0
+        assert np.max(np.abs(rom)) == 0.0
 
 
 def test_contact_conserves_momentum():

@@ -279,21 +279,25 @@ def test_old_to_new_mapping_exposed():
     """from_triangle_mesh records the BFS relabel so caller-side ids
     (stitch/anchor targets) can be remapped; None when order was kept."""
     import numpy as np
-    from softbodyunity_tpu.core.topology import (
-        from_triangle_mesh,
-        icosphere_mesh,
-    )
+    from softbodyunity_tpu.core.topology import cloth_grid, from_triangle_mesh
 
-    pos, tris = icosphere_mesh(radius=0.3, subdivisions=1)
+    # a scrambled GRID mesh: BFS provably recovers banded structure here
+    # (a 42-vertex icosphere never qualifies — no delta group reaches the
+    # 32-member banding floor, so its input order is legitimately kept)
+    g = cloth_grid(16, 16, spacing=0.05, shear=False, bend=False)
+    pos = np.asarray(g.positions0)
+    tris = np.asarray(g.triangles)
     rng = np.random.default_rng(3)
     perm = rng.permutation(pos.shape[0])        # scramble the labels
     inv = np.empty_like(perm)
     inv[perm] = np.arange(pos.shape[0])
-    host = from_triangle_mesh(pos[perm], tris.copy() if False else inv[tris])
-    if host.old_to_new is not None:
-        # input vertex i sits at new id old_to_new[i] with its position
-        np.testing.assert_allclose(
-            host.positions0[host.old_to_new], pos[perm], atol=0
-        )
+    host = from_triangle_mesh(pos[perm], inv[tris])
+    # scrambled grid labels MUST trigger the BFS relabel — a silent None
+    # here would mean the mapping stopped being recorded
+    assert host.old_to_new is not None
+    # input vertex i sits at new id old_to_new[i] with its position
+    np.testing.assert_allclose(
+        host.positions0[host.old_to_new], pos[perm], atol=0
+    )
     host2 = from_triangle_mesh(pos, tris, reorder=False)
     assert host2.old_to_new is None
