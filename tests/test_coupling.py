@@ -355,3 +355,23 @@ def test_coupled_requires_enable_spheres():
     rigid = make_rigid_state(top, [0.5])
     with pytest.raises(ValueError, match="enable_spheres"):
         api.step_coupled(top, cfg, state, rigid)
+
+
+@pytest.mark.slow
+def test_coupled_1k_frames_stable():
+    """Long-horizon f32 statement for the coupled path: 1000 frames of
+    ball-on-trampoline stay finite, the ball stays caught, and the
+    settled contact supports it (no slow energy pump from the
+    measure-then-react loop)."""
+    host, cfg = _trampoline(n=12)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.4])
+    for _ in range(1000):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    x = np.asarray(state.x)
+    c = np.asarray(rigid.centers)[0]
+    vb = np.asarray(rigid.velocities)[0]
+    assert np.isfinite(x).all() and np.isfinite(c).all()
+    assert c[1] > -0.8                      # still caught
+    assert np.linalg.norm(vb) < 0.05        # fully settled, not pumping
+    assert np.abs(np.asarray(rigid.omega)).max() < 1.0

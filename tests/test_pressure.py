@@ -298,3 +298,23 @@ def test_enable_pressure_rejects_mixed_winding():
     host = from_triangle_mesh(pos, tris)
     with pytest.raises(ValueError, match="winding|directed"):
         enable_pressure(host)
+
+
+@pytest.mark.slow
+def test_balloon_1k_frames_stable():
+    """Long-horizon f32 statement for pressure bodies: 1000 frames of the
+    balloon_drop preset stay finite with the gas volume inside sane
+    bounds (no slow inflation/collapse from f32 rounding)."""
+    from softbodyunity_tpu.models import presets
+    from softbodyunity_tpu.solver.pressure import body_volumes
+
+    host, cfg = presets.build("balloon_drop")
+    top, state = api.init(host)
+    v0 = float(np.asarray(host.pressure_rest_volume)[0])
+    for _ in range(1000):
+        state = api.step(top, cfg, state)
+    x = np.asarray(state.x)
+    v_end = float(body_volumes(top, state.x)[0])
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > -1e-3            # resting on the plane
+    assert 0.8 * v0 < v_end < 1.3 * v0      # gas volume stays bounded
