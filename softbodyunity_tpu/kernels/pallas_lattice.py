@@ -117,9 +117,12 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
     s_dim = pl.cdiv(n, LANES)
     n_groups = len(g.deltas) + (len(t.deltas) if use_volume else 0)
     # persistent: 6 state in + 6 out + masks + im + cnt + hoisted
-    # tet-corner w rolls; transient: stack
+    # tet-corner w rolls; transient: stack + reverse-scatter pending
+    # accumulators (3 planes per unique tet-corner delta)
     hoisted = 3 * len(t.deltas) if use_volume else 0
-    planes = 14 + n_groups + hoisted + _STACK_PLANES
+    pending = (3 * len({d for pat in t.deltas for d in pat})
+               if use_volume else 0)
+    planes = 14 + n_groups + hoisted + pending + _STACK_PLANES
     if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
         return False
     return True
@@ -195,6 +198,15 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     x_rolls[d] = _flat_roll(xst, d, s_dim)
                 return x_rolls[d]
 
+            # reverse-scatter dedup: rolls are linear, so corner
+            # contributions sharing a delta (30 rolls, 11 unique on the
+            # 5-tet lattice) are summed BEFORE the single roll per delta
+            pending = {}
+
+            def defer(d, contrib):
+                pending[d] = (pending[d] + contrib) if d in pending \
+                    else contrib
+
             dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
             for gi, ((d1, d2, d3), rest_vol) in enumerate(tgroups):
                 m = tm_ref[gi]
@@ -228,9 +240,11 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 )
                 s = m * (-c_val) / jnp.maximum(denom, 1e-12)
                 dx = dx + (im * s)[None] * g0
-                dx = dx + _flat_roll((w1 * s)[None] * g1, -d1, s_dim)
-                dx = dx + _flat_roll((w2 * s)[None] * g2, -d2, s_dim)
-                dx = dx + _flat_roll((w3 * s)[None] * g3, -d3, s_dim)
+                defer(d1, (w1 * s)[None] * g1)
+                defer(d2, (w2 * s)[None] * g2)
+                defer(d3, (w3 * s)[None] * g3)
+            for d, acc in pending.items():
+                dx = dx + _flat_roll(acc, -d, s_dim)
             return dx
 
         def substep(_, carry):
@@ -392,10 +406,13 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
     s_dim = pl.cdiv(n, LANES)
     # iteration carry: 3 delta + Ge lambda + Gt lambda planes, plus stack,
     # plus the hoisted loop-invariant planes (Ge inv_denom + Ge wn +
-    # 3*Gt tet-corner w rolls — w never changes across iterations)
+    # 3*Gt tet-corner w rolls — w never changes across iterations), plus
+    # the reverse-scatter pending accumulators (3 planes per unique
+    # edge/tet-corner delta)
     n_groups = len(g.deltas) + len(t.deltas)
     hoisted = 2 * len(g.deltas) + 3 * len(t.deltas)
-    planes = 14 + 2 * n_groups + 3 + hoisted + _STACK_PLANES
+    pending = 3 * len(set(g.deltas) | {d for pat in t.deltas for d in pat})
+    planes = 14 + 2 * n_groups + 3 + hoisted + pending + _STACK_PLANES
     if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
         return False
     return True
@@ -484,6 +501,16 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                         xe_rolls[d] = _flat_roll(xe, d, s_dim)
                     return xe_rolls[d]
 
+                # reverse-scatter dedup across BOTH constraint families:
+                # contributions sharing a reverse delta (9 edge + 30 tet
+                # rolls, 17 unique on the 5-tet lattice) are summed before
+                # the single roll per delta (rolls are linear)
+                pending = {}
+
+                def defer(d, contrib):
+                    pending[d] = (pending[d] + contrib) if d in pending \
+                        else contrib
+
                 dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
                 new_lams = []
                 for gi, (delta, rest, _a) in enumerate(egroups):
@@ -498,7 +525,8 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     new_lams.append(lams[gi] + dlam)
                     wdl_a = (w * dlam * inv_len)[None]
                     wdl_b = (wn * dlam * inv_len)[None]
-                    dx = dx - wdl_a * d + _flat_roll(wdl_b * d, -delta, s_dim)
+                    dx = dx - wdl_a * d
+                    defer(delta, wdl_b * d)
                 new_lamv = []
                 for gi, ((d1, d2_, d3), rest_vol) in enumerate(tgroups):
                     m = tm_ref[gi]
@@ -536,9 +564,11 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     ) * m
                     new_lamv.append(lamv[gi] + dlam_v)
                     dx = dx + (w * dlam_v)[None] * g0
-                    dx = dx + _flat_roll((w1 * dlam_v)[None] * g1, -d1, s_dim)
-                    dx = dx + _flat_roll((w2 * dlam_v)[None] * g2, -d2_, s_dim)
-                    dx = dx + _flat_roll((w3 * dlam_v)[None] * g3, -d3, s_dim)
+                    defer(d1, (w1 * dlam_v)[None] * g1)
+                    defer(d2_, (w2 * dlam_v)[None] * g2)
+                    defer(d3, (w3 * dlam_v)[None] * g3)
+                for d, acc in pending.items():
+                    dx = dx + _flat_roll(acc, -d, s_dim)
                 dl0 = dl0 + dx[0] * inv_cnt
                 dl1 = dl1 + dx[1] * inv_cnt
                 dl2 = dl2 + dx[2] * inv_cnt
