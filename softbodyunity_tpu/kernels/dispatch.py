@@ -68,13 +68,17 @@ def maybe_fast_step(top, cfg, backend):
         if backend == "pallas":
             from .pallas_lattice import (
                 lattice_applicable,
+                lattice_verlet_applicable,
                 lattice_xpbd_applicable,
                 make_lattice_step,
+                make_lattice_verlet_step,
                 make_lattice_xpbd_step,
             )
 
             if lattice_applicable(top, cfg):
                 return make_lattice_step(top, cfg)
+            if lattice_verlet_applicable(top, cfg):
+                return make_lattice_verlet_step(top, cfg)
             if lattice_xpbd_applicable(top, cfg):
                 return make_lattice_xpbd_step(top, cfg)
             _warn_once(

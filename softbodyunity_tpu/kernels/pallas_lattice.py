@@ -7,7 +7,11 @@ patterns (solver/banded.py groups them at build time).  This kernel fuses
 the whole Euler substep — banded spring forces, integration, banded PBD
 volume projection, plane/sphere collision — into ONE VMEM-resident Pallas
 program running all ``n_substeps``, exactly the transformation
-kernels/pallas_substep.py applies to grid cloth.
+kernels/pallas_substep.py applies to grid cloth.  Verlet
+(:func:`make_lattice_verlet_step`) and XPBD
+(:func:`make_lattice_xpbd_step`) variants share the banded spring /
+volume-projection machinery, closing the lattice column of the
+solver matrix.
 
 The state lives as ``[3, S, 128]`` planes (flat vertex axis folded to
 sublane x lane).  A *flat* roll by delta ``d`` decomposes into one lane
@@ -80,12 +84,120 @@ def _flat_roll(a: jax.Array, d: int, s_dim: int) -> jax.Array:
     return jnp.where(lanes < LANES - r, lo, hi)
 
 
-def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
-    """Static gate for the fused lattice kernel: fully banded topology with
-    uniform per-group parameters, Euler solver, VMEM-sized."""
+def _cross(a, b):
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _hoist_tet_invariants(tm_ref, im, tgroups, s_dim: int, vol_stiff: float):
+    """Loop-invariant volume-projection inputs, hoisted out of the substep
+    loop: per-vertex tet count (oracle count-averaging, pre-scaled by the
+    stiffness) and tet-corner inv-mass rolls (im never changes)."""
+    cnt = jnp.zeros((s_dim, LANES), jnp.float32)
+    for gi, ((d1, d2, d3), _) in enumerate(tgroups):
+        m = tm_ref[gi]
+        cnt = (cnt + m + _flat_roll(m, -d1, s_dim)
+               + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
+    inv_cnt_vs = vol_stiff / jnp.maximum(cnt, 1.0)
+    t_w = [
+        (_flat_roll(im, d1, s_dim), _flat_roll(im, d2, s_dim),
+         _flat_roll(im, d3, s_dim))
+        for (d1, d2, d3), _rv in tgroups
+    ]
+    return inv_cnt_vs, t_w
+
+
+def _spring_forces_planes(xst, vst, egroups, em_ref, damping: float,
+                          s_dim: int):
+    """Banded Hooke+damping spring forces on [3, S, 128] planes (twin:
+    solver/banded.py spring_forces_banded).  Shared by the Euler and
+    Verlet lattice kernels.
+
+    NB a merged [6, S, 128] x+v roll was measured SLOWER (14.1k vs 20.1k
+    substeps/s): the concat+slice costs more than the extra roll.  Keep
+    two stacked 3-plane rolls."""
+    f = jnp.zeros((3, s_dim, LANES), jnp.float32)
+    for gi, (delta, k, rest) in enumerate(egroups):
+        xb = _flat_roll(xst, delta, s_dim)
+        vb = _flat_roll(vst, delta, s_dim)
+        d = xb - xst
+        d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+        length = d2 * inv_len
+        n = d * inv_len[None]
+        dv = vb - vst
+        rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
+        fmag = (k * (length - rest) + damping * rel_v) * em_ref[gi]
+        fo = fmag[None] * n
+        f = f + fo - _flat_roll(fo, -delta, s_dim)
+    return f
+
+
+def _volume_dx(xst, tgroups, tm_ref, t_w, im, s_dim: int):
+    """Banded PBD volume projection (solver/banded.py twin) — the raw
+    correction sum, before count-averaging.  Shared by the Euler and
+    Verlet lattice kernels."""
+    x_rolls = {}
+
+    def xroll(d):
+        # corner deltas repeat across the 10 tet groups (~30 rolls,
+        # ~14 unique); Mosaic does not CSE the decomposed rolls
+        if d not in x_rolls:
+            x_rolls[d] = _flat_roll(xst, d, s_dim)
+        return x_rolls[d]
+
+    # reverse-scatter dedup: rolls are linear, so corner
+    # contributions sharing a delta (30 rolls, 11 unique on the
+    # 5-tet lattice) are summed BEFORE the single roll per delta
+    pending = {}
+
+    def defer(d, contrib):
+        pending[d] = (pending[d] + contrib) if d in pending \
+            else contrib
+
+    dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
+    for gi, ((d1, d2, d3), rest_vol) in enumerate(tgroups):
+        m = tm_ref[gi]
+        p1 = xroll(d1)
+        p2 = xroll(d2)
+        p3 = xroll(d3)
+        e1 = p1 - xst
+        e2 = p2 - xst
+        e3 = p3 - xst
+        c12 = _cross(e1, e2)
+        g1 = _cross(e2, e3) * (1.0 / 6.0)
+        g2 = _cross(e3, e1) * (1.0 / 6.0)
+        g3 = c12 * (1.0 / 6.0)
+        g0 = -(g1 + g2 + g3)
+        vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
+        c_val = vol - rest_vol
+        w1, w2, w3 = t_w[gi]
+        denom = (
+            im * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
+            + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
+            + w2 * (g2[0] * g2[0] + g2[1] * g2[1] + g2[2] * g2[2])
+            + w3 * (g3[0] * g3[0] + g3[1] * g3[1] + g3[2] * g3[2])
+        )
+        s = m * (-c_val) / jnp.maximum(denom, 1e-12)
+        dx = dx + (im * s)[None] * g0
+        defer(d1, (w1 * s)[None] * g1)
+        defer(d2, (w2 * s)[None] * g2)
+        defer(d3, (w3 * s)[None] * g3)
+    for d, acc in pending.items():
+        dx = dx + _flat_roll(acc, -d, s_dim)
+    return dx
+
+
+def _lattice_gate_common(top: Topology, cfg: SimConfig,
+                         solver: Solver) -> bool:
+    """Shared static gate for the fused Euler/Verlet lattice kernels:
+    fully banded topology with uniform per-group parameters, VMEM-sized."""
     g = top.offset_groups
     t = top.tet_groups
-    if cfg.solver != Solver.SEMI_IMPLICIT_EULER:
+    if cfg.solver != solver:
         return False
     if cfg.self_collision.enabled:
         return False
@@ -128,6 +240,18 @@ def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
     return True
 
 
+def lattice_applicable(top: Topology, cfg: SimConfig) -> bool:
+    """Static gate for the fused Euler lattice kernel."""
+    return _lattice_gate_common(top, cfg, Solver.SEMI_IMPLICIT_EULER)
+
+
+def lattice_verlet_applicable(top: Topology, cfg: SimConfig) -> bool:
+    """Static gate for the fused Verlet lattice kernel (same banded/
+    uniform/VMEM requirements; the carry is x + x_prev instead of x + v,
+    so the plane accounting is identical)."""
+    return _lattice_gate_common(top, cfg, Solver.VERLET)
+
+
 def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                  dt: float, n_substeps: int, n_spheres: int,
                  n_capsules: int = 0, n_boxes: int = 0):
@@ -152,106 +276,16 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
         movable = im > 0.0
         plane_y = plane_ref[0, 0]
 
-        # loop-invariant per-vertex tet count (oracle count-averaging) and
-        # tet-corner w rolls (im is constant across substeps)
         if use_volume:
-            cnt = jnp.zeros((s_dim, LANES), jnp.float32)
-            for gi, ((d1, d2, d3), _) in enumerate(tgroups):
-                m = tm_ref[gi]
-                cnt = (cnt + m + _flat_roll(m, -d1, s_dim)
-                       + _flat_roll(m, -d2, s_dim) + _flat_roll(m, -d3, s_dim))
-            inv_cnt_vs = vol_stiff / jnp.maximum(cnt, 1.0)
-            t_w = [
-                (_flat_roll(im, d1, s_dim), _flat_roll(im, d2, s_dim),
-                 _flat_roll(im, d3, s_dim))
-                for (d1, d2, d3), _rv in tgroups
-            ]
-
-        def spring_forces(xst, vst):
-            # NB a merged [6, S, 128] x+v roll was measured SLOWER (14.1k
-            # vs 20.1k substeps/s): the concat+slice costs more than the
-            # extra roll.  Keep two stacked 3-plane rolls.
-            f = jnp.zeros((3, s_dim, LANES), jnp.float32)
-            for gi, (delta, k, rest) in enumerate(egroups):
-                xb = _flat_roll(xst, delta, s_dim)
-                vb = _flat_roll(vst, delta, s_dim)
-                d = xb - xst
-                d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-                inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
-                length = d2 * inv_len
-                n = d * inv_len[None]
-                dv = vb - vst
-                rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
-                fmag = (k * (length - rest) + damping * rel_v) * em_ref[gi]
-                fo = fmag[None] * n
-                f = f + fo - _flat_roll(fo, -delta, s_dim)
-            return f
-
-        def volume_dx(xst):
-            """Banded PBD volume projection (solver/banded.py twin)."""
-            x_rolls = {}
-
-            def xroll(d):
-                # corner deltas repeat across the 10 tet groups (~30 rolls,
-                # ~14 unique); Mosaic does not CSE the decomposed rolls
-                if d not in x_rolls:
-                    x_rolls[d] = _flat_roll(xst, d, s_dim)
-                return x_rolls[d]
-
-            # reverse-scatter dedup: rolls are linear, so corner
-            # contributions sharing a delta (30 rolls, 11 unique on the
-            # 5-tet lattice) are summed BEFORE the single roll per delta
-            pending = {}
-
-            def defer(d, contrib):
-                pending[d] = (pending[d] + contrib) if d in pending \
-                    else contrib
-
-            dx = jnp.zeros((3, s_dim, LANES), jnp.float32)
-            for gi, ((d1, d2, d3), rest_vol) in enumerate(tgroups):
-                m = tm_ref[gi]
-                p1 = xroll(d1)
-                p2 = xroll(d2)
-                p3 = xroll(d3)
-                e1 = p1 - xst
-                e2 = p2 - xst
-                e3 = p3 - xst
-
-                def cross(a, b):
-                    return jnp.stack([
-                        a[1] * b[2] - a[2] * b[1],
-                        a[2] * b[0] - a[0] * b[2],
-                        a[0] * b[1] - a[1] * b[0],
-                    ])
-
-                c12 = cross(e1, e2)
-                g1 = cross(e2, e3) * (1.0 / 6.0)
-                g2 = cross(e3, e1) * (1.0 / 6.0)
-                g3 = c12 * (1.0 / 6.0)
-                g0 = -(g1 + g2 + g3)
-                vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
-                c_val = vol - rest_vol
-                w1, w2, w3 = t_w[gi]
-                denom = (
-                    im * (g0[0] * g0[0] + g0[1] * g0[1] + g0[2] * g0[2])
-                    + w1 * (g1[0] * g1[0] + g1[1] * g1[1] + g1[2] * g1[2])
-                    + w2 * (g2[0] * g2[0] + g2[1] * g2[1] + g2[2] * g2[2])
-                    + w3 * (g3[0] * g3[0] + g3[1] * g3[1] + g3[2] * g3[2])
-                )
-                s = m * (-c_val) / jnp.maximum(denom, 1e-12)
-                dx = dx + (im * s)[None] * g0
-                defer(d1, (w1 * s)[None] * g1)
-                defer(d2, (w2 * s)[None] * g2)
-                defer(d3, (w3 * s)[None] * g3)
-            for d, acc in pending.items():
-                dx = dx + _flat_roll(acc, -d, s_dim)
-            return dx
+            inv_cnt_vs, t_w = _hoist_tet_invariants(
+                tm_ref, im, tgroups, s_dim, vol_stiff
+            )
 
         def substep(_, carry):
             x0, x1, x2, v0, v1, v2 = carry
             xs = jnp.stack((x0, x1, x2))
             vs = jnp.stack((v0, v1, v2))
-            f = spring_forces(xs, vs)
+            f = _spring_forces_planes(xs, vs, egroups, em_ref, damping, s_dim)
             vz = []
             for c, gc in enumerate(g):
                 fc = f[c]
@@ -261,7 +295,8 @@ def _make_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 vz.append(jnp.where(movable, vc, 0.0))
             xz = [xs[c] + dt * vz[c] for c in range(3)]
             if use_volume:
-                dxs = volume_dx(jnp.stack(xz))
+                dxs = _volume_dx(jnp.stack(xz), tgroups, tm_ref, t_w, im,
+                                 s_dim)
                 for c in range(3):
                     dxc = jnp.where(movable, dxs[c] * inv_cnt_vs, 0.0)
                     xz[c] = xz[c] + dxc
@@ -536,17 +571,9 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     e1 = p1 - xe
                     e2 = p2 - xe
                     e3 = p3 - xe
-
-                    def cross(a, b):
-                        return jnp.stack([
-                            a[1] * b[2] - a[2] * b[1],
-                            a[2] * b[0] - a[0] * b[2],
-                            a[0] * b[1] - a[1] * b[0],
-                        ])
-
-                    c12 = cross(e1, e2)
-                    g1 = cross(e2, e3) * (1.0 / 6.0)
-                    g2 = cross(e3, e1) * (1.0 / 6.0)
+                    c12 = _cross(e1, e2)
+                    g1 = _cross(e2, e3) * (1.0 / 6.0)
+                    g2 = _cross(e3, e1) * (1.0 / 6.0)
                     g3 = c12 * (1.0 / 6.0)
                     g0 = -(g1 + g2 + g3)
                     vol = (c12[0] * e3[0] + c12[1] * e3[1] + c12[2] * e3[2]) / 6.0
@@ -707,6 +734,183 @@ def make_lattice_xpbd_step(top: Topology, cfg: SimConfig,
         # preserve dormant per-edge feature state (tearing/plasticity
         # are config-gated off on this path but the arrays persist)
         return State(x=x, v=v, x_prev=x - dt * v,
+                     edge_alive=state.edge_alive,
+                     rest_scale=state.rest_scale)
+
+    return fn
+
+
+def _make_verlet_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
+                        dt: float, n_substeps: int, n_spheres: int,
+                        n_capsules: int = 0, n_boxes: int = 0):
+    """Verlet variant of the fused lattice kernel: carries (x, x_prev),
+    damped position update, banded volume projection, position-only
+    contact projection.  Twin: solver/step.py substep_verlet on the
+    banded path."""
+    g = cfg.gravity
+    damping = cfg.springs.damping
+    gdamp = cfg.global_damping
+    plane_on = cfg.collision.enable_plane
+    spheres_on = cfg.collision.enable_spheres and n_spheres > 0
+    n_caps_on = n_capsules if cfg.collision.enable_capsules else 0
+    n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
+    drag = cfg.wind.drag
+    wvel = cfg.wind.velocity
+    vol_stiff = cfg.volume_stiffness
+    use_volume = len(tgroups) > 0 and vol_stiff != 0.0
+    inv_dt = 1.0 / dt
+
+    def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
+               em_ref, tm_ref, xo_ref, xpo_ref):
+        im = im_ref[:]
+        movable = im > 0.0
+        plane_y = plane_ref[0, 0]
+        if use_volume:
+            inv_cnt_vs, t_w = _hoist_tet_invariants(
+                tm_ref, im, tgroups, s_dim, vol_stiff
+            )
+
+        def substep(_, carry):
+            x0, x1, x2, p0, p1, p2 = carry
+            xs = jnp.stack((x0, x1, x2))
+            ps = (p0, p1, p2)
+            v_est = [(xs[c] - ps[c]) * inv_dt for c in range(3)]
+            f = _spring_forces_planes(
+                xs, jnp.stack(v_est), egroups, em_ref, damping, s_dim
+            )
+            xz = []
+            for c, gc in enumerate(g):
+                fc = f[c]
+                if drag != 0.0:   # isotropic wind drag (lift gated off)
+                    fc = fc + drag * (wvel[c] - v_est[c])
+                accel = gc + fc * im
+                xn = (xs[c] + (xs[c] - ps[c]) * (1.0 - gdamp * dt)
+                      + accel * (dt * dt))
+                xz.append(jnp.where(movable, xn, xs[c]))
+            if use_volume:
+                dxs = _volume_dx(jnp.stack(xz), tgroups, tm_ref, t_w, im,
+                                 s_dim)
+                for c in range(3):
+                    xz[c] = xz[c] + jnp.where(
+                        movable, dxs[c] * inv_cnt_vs, 0.0
+                    )
+            # position-only collide (solver/collide.py
+            # project_positions_only twin)
+            if plane_on:
+                contact = (xz[1] < plane_y) & movable
+                xz[1] = jnp.where(contact, plane_y, xz[1])
+            if spheres_on:
+                xz = _project_spheres_positions(
+                    xz, movable, sph_ref, n_spheres
+                )
+            if n_caps_on or n_boxes_on:
+                xz = _project_capsules_boxes_smem(
+                    xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
+                )
+            return (xz[0], xz[1], xz[2], x0, x1, x2)
+
+        init = (
+            x_ref[0], x_ref[1], x_ref[2],
+            xp_ref[0], xp_ref[1], xp_ref[2],
+        )
+        # unroll=1: Mosaic otherwise unrolls static trip counts and the
+        # per-iteration stack allocations exceed the 16M VMEM scope
+        out = jax.lax.fori_loop(0, n_substeps, substep, init, unroll=1)
+        xo_ref[0], xo_ref[1], xo_ref[2] = out[0], out[1], out[2]
+        xpo_ref[0], xpo_ref[1], xpo_ref[2] = out[3], out[4], out[5]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "egroups", "tgroups", "dt", "n_substeps", "interpret"),
+)
+def _pallas_lattice_verlet_substeps(x3, xp3, im2, emask, tmask, plane_h,
+                                    spheres, capsules, boxes,
+                                    cfg, egroups, tgroups, dt, n_substeps,
+                                    interpret=False):
+    s_dim = x3.shape[-2]
+    n_spheres = spheres.shape[0]
+    n_capsules = capsules.shape[0]
+    n_boxes = boxes.shape[0]
+    kernel = _make_verlet_kernel(cfg, egroups, tgroups, s_dim, dt,
+                                 n_substeps, n_spheres, n_capsules, n_boxes)
+    sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
+    capsules = capsules if n_capsules > 0 else jnp.zeros((1, 10), jnp.float32)
+    boxes = boxes if n_boxes > 0 else jnp.zeros((1, 18), jnp.float32)
+    n_el = s_dim * LANES
+    flops_per_sub = 3 * n_el * (len(egroups) * 30 + len(tgroups) * 70)
+    xo, xpo = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_dim, LANES), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(capsules.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_substeps * flops_per_sub,
+            bytes_accessed=4 * 3 * n_el * 4 + (emask.size + tmask.size) * 4,
+            transcendentals=n_substeps * n_el * len(egroups),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(plane_h.reshape(1, 4), sph, capsules, boxes, x3, xp3, im2, emask, tmask)
+    return xo, xpo
+
+
+def make_lattice_verlet_step(top: Topology, cfg: SimConfig,
+                             interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` for the fused Verlet
+    lattice kernel.  Callers gate on :func:`lattice_verlet_applicable`."""
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        (delta, k, rest)
+        for delta, (k, rest, _alpha) in zip(g.deltas, g.uniform)
+    )
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    tgroups = tuple(
+        (pattern, rv)
+        for pattern, rv in zip(t.deltas, t.uniform_rest_volume)
+    ) if use_volume else ()
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        x3 = _fold(state.x.T, s_dim)
+        xp3 = _fold(state.x_prev.T, s_dim)
+        im2 = _fold(top.inv_mass, s_dim)
+        emask = _fold(g.mask, s_dim)
+        tmask = (_fold(t.mask, s_dim) if use_volume
+                 else jnp.zeros((1, s_dim, LANES), jnp.float32))
+        spheres = _pack_spheres(top)
+        xo, xpo = _pallas_lattice_verlet_substeps(
+            x3, xp3, im2, emask, tmask, _pack_plane(top), spheres,
+            _pack_capsules(top), _pack_boxes(top),
+            cfg, egroups, tgroups, float(dt), int(n_substeps), interpret,
+        )
+        x = xo.reshape(3, -1).T[:n]
+        xp = xpo.reshape(3, -1).T[:n]
+        # preserve dormant per-edge feature state (tearing/plasticity
+        # are config-gated off on this path but the arrays persist)
+        return State(x=x, v=(x - xp) / dt, x_prev=xp,
                      edge_alive=state.edge_alive,
                      rest_scale=state.rest_scale)
 

@@ -402,6 +402,25 @@ def softbody_cube_64k():
     return top, cfg
 
 
+@register("softbody_cube_64k_verlet")
+def softbody_cube_64k_verlet():
+    """Verlet variant of the 64k tet cube: damped position update + banded
+    volume projection + position-only contact, fused Verlet lattice
+    kernel (kernels/pallas_lattice.py make_lattice_verlet_step)."""
+    cfg = SimConfig(
+        solver=Solver.VERLET,
+        springs=SpringParams(k_structural=500.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    top = tet_cube(
+        40, spacing=0.02, mass=0.01, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 1.0, 0.0),
+    )
+    return top, cfg
+
+
 @register("softbody_cube_64k_xpbd")
 def softbody_cube_64k_xpbd():
     """XPBD variant of the 64k tet cube: distance + volume compliance

@@ -23,7 +23,8 @@ def _lowers_to_pallas(preset_name):
 
 @pytest.mark.parametrize(
     "preset",
-    ["cloth_bench_64k", "softbody_cube_64k", "softbody_cube"],
+    ["cloth_bench_64k", "softbody_cube_64k", "softbody_cube",
+     "softbody_cube_64k_verlet"],
 )
 def test_presets_lower_to_pallas_call(preset):
     _lowers_to_pallas(preset)

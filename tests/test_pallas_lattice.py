@@ -113,6 +113,77 @@ def test_dispatch_routes_lattice():
     assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
 
 
+def test_lattice_verlet_matches_banded_jnp():
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_verlet_applicable,
+        make_lattice_verlet_step,
+    )
+
+    host, cfg = _scene(n=6)
+    cfg = cfg.replace(solver=Solver.VERLET)
+    top, state = api.init(host)
+    assert lattice_verlet_applicable(top, cfg)
+    pal = make_lattice_verlet_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 48)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.x_prev),
+                               np.asarray(s_ref.x_prev), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.v), np.asarray(s_ref.v), atol=2e-3)
+    # the cube actually reaches the ground plane in this scene
+    assert np.asarray(s_ref.x)[:, 1].min() <= 0.0 + 1e-6
+
+
+def test_lattice_verlet_sphere_pinned_matches():
+    """Verlet lattice + sphere contact + pinned vertices: interpret-mode
+    twin equality against the banded jnp path."""
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_verlet_applicable,
+        make_lattice_verlet_step,
+    )
+
+    host, cfg = _scene(n=6, plane_height=-5.0, origin_y=0.25)
+    host.sphere_centers = np.array([[0.2, -0.02, 0.2]])
+    host.sphere_radii = np.array([0.3])
+    host.inv_mass[:4] = 0.0
+    cfg = cfg.replace(
+        solver=Solver.VERLET,
+        collision=dataclasses.replace(cfg.collision, enable_spheres=True),
+    )
+    top, state = api.init(host)
+    assert lattice_verlet_applicable(top, cfg)
+    pal = make_lattice_verlet_step(top, cfg, interpret=True)
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))
+    s_ref = ref(top, state)
+    s_pal = pal(state, cfg.dt, 96)
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x),
+                               atol=5e-5)
+    np.testing.assert_array_equal(
+        np.asarray(s_pal.x)[:4], np.asarray(state.x)[:4]
+    )
+    # the cube actually rests on the sphere
+    d = np.linalg.norm(
+        np.asarray(s_ref.x) - np.array([0.2, -0.02, 0.2]), axis=1
+    )
+    assert d.min() < 0.35
+
+
+def test_lattice_verlet_dispatch_routes():
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _scene(n=6)
+    cfg = cfg.replace(solver=Solver.VERLET)
+    top, state = api.init(host)
+    fn = dispatch.maybe_fast_step(top, cfg, "pallas")
+    assert fn is not None
+    jaxpr = str(jax.make_jaxpr(lambda t, s: fn(s, cfg.dt, 2))(top, state))
+    assert "pallas_call" in jaxpr
+
+
 def test_lattice_xpbd_matches_banded_jnp():
     from softbodyunity_tpu.core.config import Solver, XPBDParams
     from softbodyunity_tpu.kernels.pallas_lattice import (
