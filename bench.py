@@ -312,6 +312,27 @@ _PARTS = {
 }
 
 
+# secondary parts ordered by information value: if the budget runs out,
+# the parts recorded first carry the coverage story (volumetric, XPBD,
+# scale, solvers, features; the 262k variants are corroborating)
+_SECONDARY_ORDER = [
+    ("cube", "substeps_per_sec_64k_tet_cube"),
+    ("xpbd64k", "substeps_per_sec_64k_xpbd"),
+    ("1m", "substeps_per_sec_1m_cloth"),
+    ("verlet64k", "substeps_per_sec_64k_verlet"),
+    ("tear64k", "substeps_per_sec_64k_tearing"),
+    ("plastic64k", "substeps_per_sec_64k_plastic"),
+    ("wind64k", "substeps_per_sec_64k_wind"),
+    ("sc16k", "substeps_per_sec_16k_selfcollide"),
+    ("sc64k", "substeps_per_sec_64k_selfcollide"),
+    ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
+    ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
+    ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
+    ("262k", "substeps_per_sec_262k_cloth"),
+    ("tear262k", "substeps_per_sec_262k_tearing"),
+]
+
+
 def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
     last_err = ""
     for i in range(attempts):
@@ -333,7 +354,10 @@ def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -
             return float(out.stdout.strip().splitlines()[-1])
         last_err = out.stderr[-2000:]
         _log(f"bench part {part} attempt {i+1} failed; retrying")
-        time.sleep(10.0)
+        # transient chip/tunnel wedges (FAILED_PRECONDITION at the first
+        # value fetch) outlive a short sleep: back-to-back retries hit the
+        # same wedge, the same part passes minutes later.  Cool down hard.
+        time.sleep(60.0 if "FAILED_PRECONDITION" in last_err else 10.0)
     raise RuntimeError(f"bench part {part} failed: {last_err}")
 
 
@@ -356,25 +380,7 @@ def main():
     deadline = time.monotonic() + float(
         os.environ.get("BENCH_DEADLINE_SECS", 2700.0)
     )
-    # ordered by information value: if the budget runs out, the parts
-    # recorded first carry the coverage story (volumetric, XPBD, scale,
-    # solvers, features; the 262k variants are corroborating)
-    for part, key in [
-        ("cube", "substeps_per_sec_64k_tet_cube"),
-        ("xpbd64k", "substeps_per_sec_64k_xpbd"),
-        ("1m", "substeps_per_sec_1m_cloth"),
-        ("verlet64k", "substeps_per_sec_64k_verlet"),
-        ("tear64k", "substeps_per_sec_64k_tearing"),
-        ("plastic64k", "substeps_per_sec_64k_plastic"),
-        ("wind64k", "substeps_per_sec_64k_wind"),
-        ("sc16k", "substeps_per_sec_16k_selfcollide"),
-        ("sc64k", "substeps_per_sec_64k_selfcollide"),
-        ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
-        ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
-        ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
-        ("262k", "substeps_per_sec_262k_cloth"),
-        ("tear262k", "substeps_per_sec_262k_tearing"),
-    ]:
+    for part, key in _SECONDARY_ORDER:
         remaining = deadline - time.monotonic()
         if remaining < 120.0:
             secondary[key] = None
@@ -398,6 +404,21 @@ def main():
         except RuntimeError as e:
             secondary[key] = None
             _log(f"bench: {part} FAILED ({e})")
+    # second chance: parts nulled by a transient chip wedge usually pass
+    # once the chip has turned over other programs — retry them with
+    # whatever deadline budget is left (compile caches are warm by now)
+    for part, key in [(p, k) for p, k in _SECONDARY_ORDER
+                      if secondary.get(k) is None]:
+        remaining = deadline - time.monotonic()
+        if remaining < 180.0:
+            break
+        try:
+            val = _run_part_subprocess(
+                part, timeout=min(600.0, remaining - 60.0), attempts=1)
+            secondary[key] = round(val, 1)
+            _log(f"bench: {part} recovered ({val:,.0f} substeps/s)")
+        except RuntimeError as e:
+            _log(f"bench: {part} FAILED again ({e})")
     print(
         json.dumps(
             {

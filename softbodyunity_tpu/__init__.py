@@ -32,6 +32,7 @@ from .core.config import (
     WindParams,
     XPBDParams,
 )
+from .core.embed import MeshEmbedding, embed_mesh, skin, skin_normals
 from .core.state import State, make_state
 from .core.topology import (
     HostTopology,
@@ -44,6 +45,7 @@ from .core.topology import (
     from_triangle_mesh,
     icosphere_mesh,
     merge_bodies,
+    rope,
     stitch,
     terrain_mesh,
     tet_cube,
@@ -66,9 +68,10 @@ __all__ = [
     "TearParams", "PlasticityParams", "PressureParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
-    "cloth_grid", "tet_cube", "from_triangle_mesh", "from_tet_mesh",
+    "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
     "enable_pressure", "icosphere_mesh", "anchor", "terrain_mesh",
     "render_frame", "render_rollout",
+    "MeshEmbedding", "embed_mesh", "skin", "skin_normals",
     "step_coupled", "RigidState", "make_rigid_state",
 ]

@@ -741,6 +741,98 @@ def cloth_grid(
     )
 
 
+def rope(
+    n: int,
+    *,
+    p0: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    p1: Optional[Tuple[float, float, float]] = None,
+    spacing: float = 0.05,
+    mass: float = 0.01,
+    bend: bool = True,
+    pinned: Tuple = ("start",),
+    springs=None,
+    xpbd=None,
+    plane_height: float = -1.0,
+) -> HostTopology:
+    """1D rope / rod: ``n`` vertices in a chain from ``p0`` toward ``p1``
+    (or along -y when ``p1`` is None — a hanging rope of ``(n-1)*spacing``
+    length).
+
+    Structural springs join consecutive vertices; bend springs join
+    2-apart vertices and resist folding (the mass-spring rod model — the
+    Unity analogue is a chain of spring joints; not present in the
+    reference snapshot, /root/reference/README.md:1).  ``pinned`` mixes
+    {"start", "end"} and integer vertex ids.  The chain's edge deltas are
+    {1, 2}, so the general banded fast path covers it with zero residual
+    edges — no dedicated kernel needed.
+    """
+    from .config import SpringParams, XPBDParams
+
+    springs = springs or SpringParams()
+    xpbd = xpbd or XPBDParams()
+    if n < 2:
+        raise ValueError(f"rope needs >= 2 vertices, got {n}")
+
+    a = np.asarray(p0, np.float64)
+    if p1 is None:
+        b = a + np.array([0.0, -(n - 1) * spacing, 0.0])
+    else:
+        b = np.asarray(p1, np.float64)
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    pos = a[None, :] * (1.0 - t) + b[None, :] * t
+
+    ids = np.arange(n, dtype=np.int64)
+
+    def _pairs(u, v, c):
+        out = np.empty((u.size, 3), np.int64)
+        out[:, 0] = u
+        out[:, 1] = v
+        out[:, 2] = c
+        return out
+
+    parts = [_pairs(ids[:-1], ids[1:], EDGE_STRUCTURAL)]
+    if bend and n > 2:
+        parts.append(_pairs(ids[:-2], ids[2:], EDGE_BEND))
+    edges, rest, cls, k, alpha = _edge_arrays(
+        np.concatenate(parts), pos, springs, xpbd)
+    incident, sign = _build_incidence(n, edges)
+
+    inv_mass = np.full(n, 1.0 / mass, dtype=np.float64)
+    for p in pinned:
+        if isinstance(p, (int, np.integer)):
+            if not 0 <= int(p) < n:
+                raise ValueError(f"pinned vertex id {p} out of range [0, {n})")
+            inv_mass[int(p)] = 0.0
+        elif p == "start":
+            inv_mass[0] = 0.0
+        elif p == "end":
+            inv_mass[n - 1] = 0.0
+        else:
+            raise ValueError(
+                f"unknown pin spec {p!r}; use 'start', 'end', or an integer")
+
+    return HostTopology(
+        positions0=pos,
+        edges=edges,
+        rest_length=rest,
+        edge_class=cls,
+        edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=inv_mass,
+        incident=incident,
+        incident_sign=sign,
+        tets=np.zeros((0, 4), np.int32),
+        rest_volume=np.zeros((0,), np.float64),
+        triangles=np.zeros((0, 3), np.int32),
+        plane_height=float(plane_height),
+        sphere_centers=np.zeros((0, 3), np.float64),
+        sphere_radii=np.zeros((0,), np.float64),
+        grid_shape=None,
+        grid_spacing=None,
+        edge_classes_present=tuple(sorted(set(int(c) for c in cls))),
+    )
+
+
 def tet_cube(
     n: int,
     *,

@@ -29,6 +29,7 @@ from ..core.topology import (
     from_triangle_mesh,
     icosphere_mesh,
     merge_bodies,
+    rope,
     stitch,
     tet_cube,
 )
@@ -66,6 +67,26 @@ def cloth_32_euler():
         32, 32, spacing=0.05, shear=False, bend=False,
         springs=cfg.springs, xpbd=cfg.xpbd,
         plane_height=-0.4, origin=(0.0, 0.0, 0.0), orientation="xz",
+    )
+    return top, cfg
+
+
+@register("rope_swing")
+def rope_swing():
+    """Horizontal rope pinned at one end, swinging down under gravity:
+    the 1D chain primitive (structural + bend springs, deltas {1,2} so
+    the banded path covers it with zero residual).  Not named by the
+    BASELINE configs; the Unity analogue is a chain of spring joints."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=900.0, k_bend=120.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=0.3,
+    )
+    top = rope(
+        48, p0=(0.0, 0.0, 0.0), p1=(1.88, 0.0, 0.0), mass=0.008,
+        pinned=("start",), springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-2.2,
     )
     return top, cfg
 

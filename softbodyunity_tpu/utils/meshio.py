@@ -98,16 +98,29 @@ def frame(top: Topology, state: State) -> Tuple[np.ndarray, np.ndarray]:
 def write_obj(path: str, top: Topology, state: State) -> None:
     """Wavefront OBJ snapshot with normals (1-indexed faces)."""
     v, n = frame(top, state)
-    tris = np.asarray(top.triangles)
+    write_obj_raw(path, v, np.asarray(top.triangles), n)
+
+
+def write_obj_raw(path: str, positions, triangles, normals=None) -> None:
+    """OBJ from raw arrays — e.g. a skinned render mesh
+    (:func:`softbodyunity_tpu.core.embed.skin`), which has its own
+    vertices/faces distinct from the simulation Topology."""
+    v = np.asarray(positions)
+    tris = np.asarray(triangles)
+    n = None if normals is None else np.asarray(normals)
     with open(path, "w") as f:
         f.write("# softbodyunity_tpu export\n")
         for p in v:
             f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        for p in n:
-            f.write(f"vn {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        if n is not None:
+            for p in n:
+                f.write(f"vn {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
         for t in tris:
             a, b, c = (int(i) + 1 for i in t)
-            f.write(f"f {a}//{a} {b}//{b} {c}//{c}\n")
+            if n is not None:
+                f.write(f"f {a}//{a} {b}//{b} {c}//{c}\n")
+            else:
+                f.write(f"f {a} {b} {c}\n")
 
 
 def record_rollout(

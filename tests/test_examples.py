@@ -114,3 +114,10 @@ def test_example_terrain_render(tmp_path):
 def test_example_bowling_spin():
     travel = _load("18_bowling_spin.py").main(n_frames=50, n=8)
     assert travel > 0.5
+
+
+def test_example_skinned_mesh(tmp_path):
+    _load("19_skinned_mesh.py").main(
+        out_dir=str(tmp_path), n_frames=4, subdivisions=1
+    )
+    assert (tmp_path / "ball_000.obj").exists()

@@ -42,6 +42,8 @@ PRESETS = [
     "curtain_stitched",
     # closed-shell gas volume + per-face pressure force semantics
     "balloon_drop",
+    # 1D chain primitive (structural+bend, fully banded)
+    "rope_swing",
 ]
 assert set(PRESETS) <= set(presets.names())
 
