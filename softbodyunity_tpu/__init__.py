@@ -44,6 +44,7 @@ from .core.topology import (
     from_tet_mesh,
     from_triangle_mesh,
     icosphere_mesh,
+    lattice_from_mesh,
     merge_bodies,
     rope,
     stitch,
@@ -71,6 +72,7 @@ __all__ = [
     "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
     "enable_pressure", "icosphere_mesh", "anchor", "terrain_mesh",
+    "lattice_from_mesh",
     "render_frame", "render_rollout",
     "MeshEmbedding", "embed_mesh", "skin", "skin_normals",
     "step_coupled", "RigidState", "make_rigid_state",

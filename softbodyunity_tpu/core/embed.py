@@ -104,8 +104,12 @@ def _tet_barycentric(p: np.ndarray, corners: np.ndarray) -> np.ndarray:
 
 
 def _embed_tets(pos: np.ndarray, tets: np.ndarray, pts: np.ndarray):
-    """Containing-tet barycentric bind; nearest tet (clamped + renormalized
-    weights) for points outside the lattice."""
+    """Containing-tet barycentric bind.  Points OUTSIDE every tet (a render
+    surface always protrudes past a center-sampled voxel lattice) keep the
+    UNCLAMPED barycentric coordinates of the least-extrapolating tet:
+    barycentric coords are affine, so the rest pose is reproduced exactly
+    everywhere and exterior points deform affinely with their nearest
+    tet instead of being flattened onto it."""
     corners = pos[tets]                                    # [T,4,3]
     lo = corners.min(axis=1)
     hi = corners.max(axis=1)
@@ -137,9 +141,13 @@ def _embed_tets(pos: np.ndarray, tets: np.ndarray, pts: np.ndarray):
         )
         best = int(np.argmax(bary.min(axis=1)))
         t = cand[best]
-        w = np.clip(bary[best], 0.0, None)
-        s = w.sum()
-        w = w / s if s > 0 else np.full(4, 0.25)
+        w = bary[best]
+        if not np.isfinite(w).all():         # all-degenerate candidates
+            w = np.full(4, 0.25)
+        elif w.min() > -1e-9:
+            # interior: clamp f64 rounding dust and renormalize
+            w = np.clip(w, 0.0, None)
+            w = w / w.sum()
         anchors[i] = tets[t]
         weights[i] = w
     return anchors, weights, np.zeros(m, np.float64)

@@ -741,6 +741,24 @@ def cloth_grid(
     )
 
 
+# 5-tet decomposition of a lattice cell, parity-alternated so the diagonals
+# of shared faces match between neighbouring cells.
+_FIVE = [
+    [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    [(1, 1, 0), (1, 0, 0), (0, 1, 0), (1, 1, 1)],
+    [(1, 0, 1), (1, 0, 0), (1, 1, 1), (0, 0, 1)],
+    [(0, 1, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
+    [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
+]
+_FIVE_ALT = [
+    [(1, 0, 0), (1, 1, 0), (0, 0, 0), (1, 0, 1)],
+    [(0, 1, 0), (1, 1, 0), (0, 0, 0), (0, 1, 1)],
+    [(0, 0, 1), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
+    [(1, 1, 1), (1, 1, 0), (1, 0, 1), (0, 1, 1)],
+    [(1, 1, 0), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
+]
+
+
 def rope(
     n: int,
     *,
@@ -865,21 +883,7 @@ def tet_cube(
                 pos[vid(i, j, k)] = (i * spacing, j * spacing, k * spacing)
     pos += np.asarray(origin, dtype=np.float64)
 
-    # 5-tet decomposition of each cell, parity-alternated so faces match.
-    FIVE = [
-        [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
-        [(1, 1, 0), (1, 0, 0), (0, 1, 0), (1, 1, 1)],
-        [(1, 0, 1), (1, 0, 0), (1, 1, 1), (0, 0, 1)],
-        [(0, 1, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
-        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)],
-    ]
-    FIVE_ALT = [
-        [(1, 0, 0), (1, 1, 0), (0, 0, 0), (1, 0, 1)],
-        [(0, 1, 0), (1, 1, 0), (0, 0, 0), (0, 1, 1)],
-        [(0, 0, 1), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
-        [(1, 1, 1), (1, 1, 0), (1, 0, 1), (0, 1, 1)],
-        [(1, 1, 0), (0, 0, 0), (1, 0, 1), (0, 1, 1)],
-    ]
+    FIVE, FIVE_ALT = _FIVE, _FIVE_ALT
     tets = []
     for i in range(n - 1):
         for j in range(n - 1):
@@ -929,6 +933,194 @@ def tet_cube(
         rest_length=rest,
         edge_class=cls,
         edge_stiffness=k,
+        edge_compliance=alpha,
+        inv_mass=inv_mass,
+        incident=incident,
+        incident_sign=sign,
+        tets=tets_arr,
+        rest_volume=rest_vol,
+        triangles=triangles,
+        plane_height=float(plane_height),
+        sphere_centers=np.zeros((0, 3), np.float64),
+        sphere_radii=np.zeros((0,), np.float64),
+        grid_shape=None,
+    )
+
+
+def _trilinear(grid: np.ndarray, origin: np.ndarray, spacing: float,
+               pts: np.ndarray) -> np.ndarray:
+    """Vectorized trilinear SDF sample (host-side f64 twin of the oracle's
+    ``_sdf_sample_grad`` value path)."""
+    q = (pts - origin) / spacing
+    dims = np.asarray(grid.shape)
+    q = np.clip(q, 0.0, dims - 1.000001)
+    i0 = np.floor(q).astype(np.int64)
+    f = q - i0
+    i1 = np.minimum(i0 + 1, dims - 1)
+    out = np.zeros(len(pts))
+    for dx, wx in ((0, 1 - f[:, 0]), (1, f[:, 0])):
+        ix = np.where(dx, i1[:, 0], i0[:, 0])
+        for dy, wy in ((0, 1 - f[:, 1]), (1, f[:, 1])):
+            iy = np.where(dy, i1[:, 1], i0[:, 1])
+            for dz, wz in ((0, 1 - f[:, 2]), (1, f[:, 2])):
+                iz = np.where(dz, i1[:, 2], i0[:, 2])
+                out += wx * wy * wz * grid[ix, iy, iz]
+    return out
+
+
+def lattice_from_mesh(
+    positions: np.ndarray,
+    triangles: np.ndarray,
+    *,
+    resolution: int = 12,
+    mass: float = 1.0,
+    margin: float = 0.0,
+    springs=None,
+    xpbd=None,
+    plane_height: float = -1.0,
+    pinned_ids: Tuple[int, ...] = (),
+    sdf_resolution: Optional[int] = None,
+) -> HostTopology:
+    """Voxelize ANY closed surface mesh into a volumetric soft-body lattice
+    — the Unity "proxy lattice" workflow (make any visual mesh a soft
+    body; not present in the reference snapshot,
+    /root/reference/README.md:1).
+
+    The mesh is baked to a signed distance grid
+    (:func:`softbodyunity_tpu.core.sdf.sdf_from_mesh`); lattice cells
+    whose center lies inside (``sdf <= margin``) are filled with the same
+    parity-alternated 5-tet split as :func:`tet_cube`.  Vertex ids keep
+    the FULL bounding-box raster order — unused "ghost" vertices stay in
+    the arrays with ``inv_mass = 0`` and no edges — so every tet/edge
+    delta is lattice-regular and the banded machinery groups them with
+    zero residual: the shape runs the **fused Pallas lattice kernels**,
+    exactly like a cube.  (Compacting the ids would break the strides and
+    drop the whole shape to the gather path — ghosts buy back a 10-100x
+    kernel speedup for ~2x plane footprint on typical shapes.)
+
+    ``resolution`` counts lattice cells across the largest extent.
+    ``margin`` > 0 dilates the fill (captures thin features), < 0 erodes.
+    Compose with :func:`softbodyunity_tpu.core.embed.embed_mesh` to skin
+    the original mesh back onto the simulated lattice.
+    """
+    from .config import SpringParams, XPBDParams
+    from .sdf import sdf_from_mesh
+
+    springs = springs or SpringParams()
+    xpbd = xpbd or XPBDParams()
+    verts = np.asarray(positions, np.float64).reshape(-1, 3)
+    if resolution < 2:
+        raise ValueError(f"resolution must be >= 2, got {resolution}")
+
+    grid, gorigin, gspacing = sdf_from_mesh(
+        verts, triangles,
+        resolution=sdf_resolution or max(2 * resolution, 24))
+
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    spacing = float((hi - lo).max()) / resolution
+    ncells = np.maximum(np.ceil((hi - lo) / spacing - 1e-9).astype(np.int64),
+                        1)                                   # cells per axis
+    nx, ny, nz = (int(c) + 1 for c in ncells)                # vertices/axis
+
+    # cell-center occupancy from the SDF
+    ci, cj, ck = np.meshgrid(np.arange(ncells[0]), np.arange(ncells[1]),
+                             np.arange(ncells[2]), indexing="ij")
+    centers = (np.stack([ci, cj, ck], axis=-1).reshape(-1, 3) + 0.5) \
+        * spacing + lo
+    occupied = (_trilinear(grid, gorigin, gspacing, centers)
+                <= margin).reshape(int(ncells[0]), int(ncells[1]),
+                                   int(ncells[2]))
+    if not occupied.any():
+        raise ValueError(
+            "no lattice cell center lies inside the mesh; raise "
+            "`resolution`, pass a positive `margin`, or check the mesh "
+            "is closed")
+
+    def vid(i: int, j: int, k: int) -> int:
+        return (i * ny + j) * nz + k
+
+    nv = nx * ny * nz
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    pos = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3) * spacing + lo
+
+    tets = []
+    for i, j, k in np.argwhere(occupied):
+        pat = _FIVE if (i + j + k) % 2 == 0 else _FIVE_ALT
+        for t in pat:
+            tets.append(tuple(vid(i + di, j + dj, k + dk)
+                              for di, dj, dk in t))
+
+    def tet_vol(t):
+        p = pos[np.asarray(t)]
+        return float(np.dot(np.cross(p[1] - p[0], p[2] - p[0]),
+                            p[3] - p[0]) / 6.0)
+
+    tets = [t if tet_vol(t) > 0 else (t[0], t[1], t[3], t[2]) for t in tets]
+    tets_arr = np.array(tets, dtype=np.int32)
+    rest_vol = np.array([tet_vol(t) for t in tets], dtype=np.float64)
+
+    eset = set()
+    for t in tets:
+        for a in range(4):
+            for b in range(a + 1, 4):
+                u, v = sorted((t[a], t[b]))
+                eset.add((u, v))
+    edge_list = [(a, b, EDGE_STRUCTURAL) for a, b in sorted(eset)]
+    edges, rest, cls, k_arr, alpha = _edge_arrays(edge_list, pos, springs,
+                                                  xpbd)
+    incident, sign = _build_incidence(nv, edges)
+
+    # ghost vertices (in no occupied cell) are frozen: inv_mass = 0 keeps
+    # them branch-free and motionless at their raster rest positions
+    used = np.zeros(nv, bool)
+    used[np.unique(tets_arr)] = True
+    inv_mass = np.where(used, 1.0 / mass, 0.0)
+    for p in pinned_ids:
+        if not 0 <= int(p) < nv:
+            raise ValueError(f"pinned vertex id {p} out of range [0, {nv})")
+        inv_mass[int(p)] = 0.0
+
+    # surface triangles: faces between an occupied cell and an unoccupied
+    # (or out-of-box) neighbour, wound outward
+    occ = np.zeros((int(ncells[0]) + 2, int(ncells[1]) + 2,
+                    int(ncells[2]) + 2), bool)
+    occ[1:-1, 1:-1, 1:-1] = occupied
+    tris = []
+    for i, j, k in np.argwhere(occupied):
+        base = np.array([i, j, k])
+        for axis in range(3):
+            u_ax = (axis + 1) % 3
+            v_ax = (axis + 2) % 3
+            for s in (1, -1):
+                nb = base.copy()
+                nb[axis] += s
+                if occ[nb[0] + 1, nb[1] + 1, nb[2] + 1]:
+                    continue
+                c = base.copy()
+                if s == 1:
+                    c[axis] += 1
+                du = np.eye(3, dtype=np.int64)[u_ax]
+                dv = np.eye(3, dtype=np.int64)[v_ax]
+                p00 = vid(*c)
+                p10 = vid(*(c + du))
+                p01 = vid(*(c + dv))
+                p11 = vid(*(c + du + dv))
+                if s == 1:   # outward = +axis = u x v
+                    tris.append((p00, p10, p01))
+                    tris.append((p10, p11, p01))
+                else:        # outward = -axis
+                    tris.append((p00, p01, p10))
+                    tris.append((p01, p11, p10))
+    triangles = np.array(tris, dtype=np.int32)
+
+    return HostTopology(
+        positions0=pos,
+        edges=edges,
+        rest_length=rest,
+        edge_class=cls,
+        edge_stiffness=k_arr,
         edge_compliance=alpha,
         inv_mass=inv_mass,
         incident=incident,

@@ -121,3 +121,10 @@ def test_example_skinned_mesh(tmp_path):
         out_dir=str(tmp_path), n_frames=4, subdivisions=1
     )
     assert (tmp_path / "ball_000.obj").exists()
+
+
+def test_example_voxel_softbody(tmp_path):
+    _load("20_voxel_softbody.py").main(
+        out_dir=str(tmp_path), n_frames=4, resolution=6
+    )
+    assert (tmp_path / "skin_000.obj").exists()
