@@ -18,6 +18,7 @@ from .api import (
     rollout,
     step,
     step_coupled,
+    suggest_dt,
 )
 from .solver.rigid import RigidState, make_rigid_state
 from .core.config import (
@@ -64,7 +65,7 @@ __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "move_pins",
     "add_colliders", "raycast", "pick_vertex",
     "diagnostics", "contact_impulses", "contact_impulses_batched",
-    "apply_impulse",
+    "apply_impulse", "suggest_dt",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams", "PlasticityParams", "PressureParams",
     "CollisionParams", "SelfCollisionParams",

@@ -24,6 +24,40 @@ from .solver import step as _step_mod
 from .solver.normals import vertex_normals as _vertex_normals
 
 
+def suggest_dt(host: HostTopology, cfg: SimConfig, *,
+               safety: float = 0.35) -> float:
+    """Largest stable substep dt for explicit integration on this scene.
+
+    Explicit integration is stable for ``dt < 2 / omega_max``.  A single
+    spring's ``omega = sqrt(k (w_a + w_b))`` underestimates a NETWORK by
+    several x (neighbours moving in antiphase stack stiffness), so the
+    bound uses the Gershgorin estimate of the spring Jacobian's largest
+    eigenvalue: ``omega_max^2 <= 2 * max_i (w_i * sum_{e at i} k_e)``.
+    Constraint projections (volume, XPBD) are unconditionally stable and
+    don't tighten it.  ``safety`` (default 0.35) leaves headroom for
+    spring damping, contact kicks, and wind: the hand-tuned presets sit
+    at 0.04-0.70 of the Gershgorin bound, and the 262k/1M cloths blow up
+    by frame ~12 at ~0.77 of it (docs/PERF.md "Stability note"), so 0.35
+    keeps every measured scene comfortably stable.
+
+    Host-side utility (f64, runs once at setup):
+
+        dt = sb.suggest_dt(host, cfg)
+        state = sb.step(top, cfg, state, dt=dt, n_substeps=16)
+    """
+    k = np.asarray(host.edge_stiffness, np.float64)
+    if host.edges.shape[0] == 0 or float(k.max(initial=0.0)) <= 0.0:
+        return float(cfg.dt)
+    w = np.asarray(host.inv_mass, np.float64)
+    k_sum = np.zeros_like(w)
+    np.add.at(k_sum, host.edges[:, 0], k)
+    np.add.at(k_sum, host.edges[:, 1], k)
+    omega_max = float(np.sqrt(2.0 * (w * k_sum).max()))
+    if omega_max <= 0.0:
+        return float(cfg.dt)
+    return float(safety * 2.0 / omega_max)
+
+
 def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
     """Cast the float64 host topology to device arrays (f32 for the perf
     path; tests pass f64 to prove exact semantic parity with the oracle)."""
