@@ -249,6 +249,12 @@ def bench_cube_verlet_64k():
     return _bench_preset_substeps("softbody_cube_64k_verlet", 8, 160)
 
 
+def bench_voxel_sphere():
+    """Substeps/sec, voxelized icosphere (97k raster / 51k live verts,
+    lattice_from_mesh -> fused Pallas lattice kernel)."""
+    return _bench_preset_substeps("voxel_sphere_50k", 8, 160)
+
+
 def bench_cube_xpbd_64k():
     """Substeps/sec, 64k tet cube XPBD (8 Jacobi iters, fused lattice
     kernel)."""
@@ -304,6 +310,7 @@ _PARTS = {
     "sc64k": bench_selfcollide_64k,
     "coupled": bench_coupled_batch,
     "cubeverlet": bench_cube_verlet_64k,
+    "voxsphere": bench_voxel_sphere,
     "cubexpbd": bench_cube_xpbd_64k,
     "tear64k": bench_tearing_64k,
     "tear262k": bench_tearing_262k,
@@ -327,6 +334,7 @@ _SECONDARY_ORDER = [
     ("sc64k", "substeps_per_sec_64k_selfcollide"),
     ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
     ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
+    ("voxsphere", "substeps_per_sec_voxel_sphere_97k_raster"),
     ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
     ("262k", "substeps_per_sec_262k_cloth"),
     ("tear262k", "substeps_per_sec_262k_tearing"),
@@ -391,8 +399,8 @@ def main():
         # cache; give them the full budget up front instead of burning a
         # doomed 480 s first attempt.  Never let one attempt outlive the
         # global deadline.
-        heavy = part in ("cube", "cubexpbd", "cubeverlet", "xpbd64k", "1m",
-                         "262k", "tear262k")
+        heavy = part in ("cube", "cubexpbd", "cubeverlet", "voxsphere",
+                         "xpbd64k", "1m", "262k", "tear262k")
         base = min(900.0 if heavy else 480.0, remaining - 60.0)
         # the retry runs at 2x base: only allow it when the deadline can
         # absorb both attempts

@@ -1045,30 +1045,38 @@ def lattice_from_mesh(
                              indexing="ij")
     pos = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3) * spacing + lo
 
-    tets = []
-    for i, j, k in np.argwhere(occupied):
-        pat = _FIVE if (i + j + k) % 2 == 0 else _FIVE_ALT
-        for t in pat:
-            tets.append(tuple(vid(i + di, j + dj, k + dk)
-                              for di, dj, dk in t))
+    # vectorized tet emission (a per-cell loop took minutes at 50k cells)
+    occ_idx = np.argwhere(occupied)                          # [C, 3]
+    parity = (occ_idx.sum(axis=1) % 2).astype(bool)
+    pat = np.where(parity[:, None, None, None],
+                   np.asarray(_FIVE_ALT, np.int64)[None],
+                   np.asarray(_FIVE, np.int64)[None])        # [C, 5, 4, 3]
+    corner = occ_idx[:, None, None, :] + pat
+    tets_arr = ((corner[..., 0] * ny + corner[..., 1]) * nz
+                + corner[..., 2]).reshape(-1, 4)
 
-    def tet_vol(t):
-        p = pos[np.asarray(t)]
-        return float(np.dot(np.cross(p[1] - p[0], p[2] - p[0]),
-                            p[3] - p[0]) / 6.0)
+    def tet_vols(t):
+        p0, p1, p2, p3 = (pos[t[:, c]] for c in range(4))
+        return np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0),
+                         p3 - p0) / 6.0
 
-    tets = [t if tet_vol(t) > 0 else (t[0], t[1], t[3], t[2]) for t in tets]
-    tets_arr = np.array(tets, dtype=np.int32)
-    rest_vol = np.array([tet_vol(t) for t in tets], dtype=np.float64)
+    # canonicalize orientation: swap the last two corners where negative
+    vols = tet_vols(tets_arr)
+    neg = vols < 0
+    tets_arr[neg, 2], tets_arr[neg, 3] = (tets_arr[neg, 3].copy(),
+                                          tets_arr[neg, 2].copy())
+    rest_vol = np.abs(vols)
+    tets_arr = tets_arr.astype(np.int32)
 
-    eset = set()
-    for t in tets:
-        for a in range(4):
-            for b in range(a + 1, 4):
-                u, v = sorted((t[a], t[b]))
-                eset.add((u, v))
-    edge_list = [(a, b, EDGE_STRUCTURAL) for a, b in sorted(eset)]
-    edges, rest, cls, k_arr, alpha = _edge_arrays(edge_list, pos, springs,
+    # unique tet edges -> structural springs (sorted rows == the
+    # sorted-set emission order of tet_cube)
+    pair_ix = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    pairs = np.sort(tets_arr[:, pair_ix].reshape(-1, 2).astype(np.int64),
+                    axis=1)
+    uniq = np.unique(pairs, axis=0)
+    edge_triples = np.concatenate(
+        [uniq, np.full((len(uniq), 1), EDGE_STRUCTURAL, np.int64)], axis=1)
+    edges, rest, cls, k_arr, alpha = _edge_arrays(edge_triples, pos, springs,
                                                   xpbd)
     incident, sign = _build_incidence(nv, edges)
 
@@ -1083,37 +1091,35 @@ def lattice_from_mesh(
         inv_mass[int(p)] = 0.0
 
     # surface triangles: faces between an occupied cell and an unoccupied
-    # (or out-of-box) neighbour, wound outward
+    # (or out-of-box) neighbour, wound outward (vectorized per direction)
     occ = np.zeros((int(ncells[0]) + 2, int(ncells[1]) + 2,
                     int(ncells[2]) + 2), bool)
     occ[1:-1, 1:-1, 1:-1] = occupied
-    tris = []
-    for i, j, k in np.argwhere(occupied):
-        base = np.array([i, j, k])
-        for axis in range(3):
-            u_ax = (axis + 1) % 3
-            v_ax = (axis + 2) % 3
-            for s in (1, -1):
-                nb = base.copy()
-                nb[axis] += s
-                if occ[nb[0] + 1, nb[1] + 1, nb[2] + 1]:
-                    continue
-                c = base.copy()
-                if s == 1:
-                    c[axis] += 1
-                du = np.eye(3, dtype=np.int64)[u_ax]
-                dv = np.eye(3, dtype=np.int64)[v_ax]
-                p00 = vid(*c)
-                p10 = vid(*(c + du))
-                p01 = vid(*(c + dv))
-                p11 = vid(*(c + du + dv))
-                if s == 1:   # outward = +axis = u x v
-                    tris.append((p00, p10, p01))
-                    tris.append((p10, p11, p01))
-                else:        # outward = -axis
-                    tris.append((p00, p01, p10))
-                    tris.append((p01, p11, p10))
-    triangles = np.array(tris, dtype=np.int32)
+    tri_parts = []
+    eye = np.eye(3, dtype=np.int64)
+    for axis in range(3):
+        du = eye[(axis + 1) % 3]
+        dv = eye[(axis + 2) % 3]
+        for s in (1, -1):
+            nb_occ = np.roll(occ, -s, axis=axis)[1:-1, 1:-1, 1:-1]
+            cells = np.argwhere(occupied & ~nb_occ)         # [F, 3]
+            if not len(cells):
+                continue
+            c = cells + (eye[axis] if s == 1 else 0)
+            p00 = (c[:, 0] * ny + c[:, 1]) * nz + c[:, 2]
+            cu = c + du
+            cv = c + dv
+            cuv = c + du + dv
+            p10 = (cu[:, 0] * ny + cu[:, 1]) * nz + cu[:, 2]
+            p01 = (cv[:, 0] * ny + cv[:, 1]) * nz + cv[:, 2]
+            p11 = (cuv[:, 0] * ny + cuv[:, 1]) * nz + cuv[:, 2]
+            if s == 1:   # outward = +axis = du x dv
+                tri_parts.append(np.stack([p00, p10, p01], axis=1))
+                tri_parts.append(np.stack([p10, p11, p01], axis=1))
+            else:        # outward = -axis
+                tri_parts.append(np.stack([p00, p01, p10], axis=1))
+                tri_parts.append(np.stack([p01, p11, p10], axis=1))
+    triangles = np.concatenate(tri_parts).astype(np.int32)
 
     return HostTopology(
         positions0=pos,

@@ -423,6 +423,31 @@ def softbody_cube_64k():
     return top, cfg
 
 
+@register("voxel_sphere_50k")
+def voxel_sphere_50k():
+    """Voxelized-mesh soft body at benchmark scale: an icosphere baked to
+    SDF and filled at resolution 45 (97k raster vertices, ~51k live, ~46%
+    frozen ghosts) — proves lattice_from_mesh shapes run the fused Pallas
+    lattice kernel at cube speed (the kernel's cost is set by the raster,
+    not the fill)."""
+    from ..core.topology import icosphere_mesh, lattice_from_mesh
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=500.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    pos, tri = icosphere_mesh(radius=0.45, center=(0.0, 0.55, 0.0),
+                              subdivisions=2)
+    top = lattice_from_mesh(
+        pos, tri, resolution=45, mass=0.01, springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0, sdf_resolution=45,
+    )
+    return top, cfg
+
+
 @register("softbody_cube_64k_verlet")
 def softbody_cube_64k_verlet():
     """Verlet variant of the 64k tet cube: damped position update + banded

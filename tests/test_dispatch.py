@@ -24,7 +24,7 @@ def _lowers_to_pallas(preset_name):
 @pytest.mark.parametrize(
     "preset",
     ["cloth_bench_64k", "softbody_cube_64k", "softbody_cube",
-     "softbody_cube_64k_verlet"],
+     "softbody_cube_64k_verlet", "voxel_sphere_50k"],
 )
 def test_presets_lower_to_pallas_call(preset):
     _lowers_to_pallas(preset)

@@ -409,3 +409,39 @@ def test_halo_sdf_matches_single_device(solver):
     assert np.isfinite(x).all()
     d = np.linalg.norm(x - np.array([0.3, -0.45, 0.0]), axis=1)
     assert d.min() < 0.25
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_halo_voxel_lattice_matches_single_device(n_dev):
+    """lattice_from_mesh shapes (cubic raster, masked groups + frozen
+    ghosts) run the slab-sharded lattice path unchanged: a voxelized
+    icosphere on the mesh == single-device banded path."""
+    from softbodyunity_tpu.core.topology import icosphere_mesh, lattice_from_mesh
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=400.0, damping=0.4),
+        collision=CollisionParams(enable_plane=True),
+        global_damping=0.5,
+        volume_stiffness=0.5,
+    )
+    pos, tri = icosphere_mesh(radius=0.45, center=(0.0, 0.55, 0.0),
+                              subdivisions=2)
+    # resolution 15 -> 16^3 = 4096 raster vertices, divisible over 8 slabs
+    host = lattice_from_mesh(
+        pos, tri, resolution=15, mass=0.02, springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0,
+    )
+    top, state = api.init(host)
+    assert halo.lattice_halo_applicable(top)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (halo.ROWS_AXIS,))
+    fn = jax.jit(halo.make_halo_lattice_step(top, cfg, mesh), static_argnums=(7,))
+    args = halo.shard_lattice_state(top, state, mesh)
+    xf, _vf = fn(*args, cfg.dt, 48)
+    got_x = np.asarray(xf).reshape(3, -1).T
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))(top, state)
+    np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=3e-5)
+    # ghost vertices stay bit-frozen across the sharded path too
+    ghosts = np.asarray(host.inv_mass) == 0.0
+    np.testing.assert_array_equal(got_x[ghosts], np.asarray(state.x)[ghosts])
