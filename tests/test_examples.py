@@ -128,3 +128,8 @@ def test_example_voxel_softbody(tmp_path):
         out_dir=str(tmp_path), n_frames=4, resolution=6
     )
     assert (tmp_path / "skin_000.obj").exists()
+
+
+def test_example_rope_bridge():
+    y = _load("21_rope_bridge.py").main(n_frames=150, n=32)
+    assert y > -1.5

@@ -264,7 +264,8 @@ def test_move_pins_kinematic_attachment(solver):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "preset", ["cloth_bench_64k", "cloth_bench_262k", "cloth_bench_1m",
-               "softbody_cube_64k", "softbody_cube_64k_verlet"]
+               "softbody_cube_64k", "softbody_cube_64k_verlet",
+               "voxel_sphere_50k"]
 )
 def test_big_presets_stay_finite(preset):
     """Integrator stability of the scale presets: the benchmark harness
