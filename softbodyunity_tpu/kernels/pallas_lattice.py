@@ -439,15 +439,15 @@ def lattice_xpbd_applicable(top: Topology, cfg: SimConfig) -> bool:
         return False
     n = top.n_vertices
     s_dim = pl.cdiv(n, LANES)
-    # iteration carry: 3 delta + Ge lambda + Gt lambda planes, plus stack,
-    # plus the hoisted loop-invariant planes (Ge inv_denom + Ge wn +
-    # 3*Gt tet-corner w rolls — w never changes across iterations), plus
-    # the reverse-scatter pending accumulators (3 planes per unique
-    # edge/tet-corner delta)
+    # iteration carry: 3 delta + 1 friction-contact + Ge lambda + Gt lambda
+    # planes, plus stack, plus the hoisted loop-invariant planes (Ge
+    # inv_denom + Ge wn + 3*Gt tet-corner w rolls — w never changes across
+    # iterations), plus the reverse-scatter pending accumulators (3 planes
+    # per unique edge/tet-corner delta)
     n_groups = len(g.deltas) + len(t.deltas)
     hoisted = 2 * len(g.deltas) + 3 * len(t.deltas)
     pending = 3 * len(set(g.deltas) | {d for pat in t.deltas for d in pat})
-    planes = 14 + 2 * n_groups + 3 + hoisted + pending + _STACK_PLANES
+    planes = 14 + 2 * n_groups + 4 + hoisted + pending + _STACK_PLANES
     if planes * s_dim * LANES * 4 > MAX_VMEM_BYTES:
         return False
     return True
@@ -473,6 +473,7 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     n_boxes_on = n_boxes if cfg.collision.enable_boxes else 0
     n_e = len(egroups)
     n_t = len(tgroups)
+    mu = cfg.collision.friction
     alpha_ts = [alpha / (dt * dt) for _, _, alpha in egroups]
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
@@ -523,9 +524,9 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
             dl = [dt * v[c] for c in range(3)]
 
             def iteration(_, it_carry):
-                dl0, dl1, dl2 = it_carry[0:3]
-                lams = list(it_carry[3:3 + n_e])
-                lamv = list(it_carry[3 + n_e:])
+                dl0, dl1, dl2, cf = it_carry[0:4]
+                lams = list(it_carry[4:4 + n_e])
+                lamv = list(it_carry[4 + n_e:])
                 xe = jnp.stack((xp[0] + dl0, xp[1] + dl1, xp[2] + dl2))
                 # roll cache: edge and tet-corner deltas overlap heavily
                 # (39 rolls/iteration, only ~16 unique on the 5-tet cube)
@@ -600,9 +601,12 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 dl1 = dl1 + dx[1] * inv_cnt
                 dl2 = dl2 + dx[2] * inv_cnt
                 if plane_on:
+                    # the OR of the pre-clamp masks feeds the substep-end
+                    # friction (f32 0/1 plane — Mosaic-safe carry)
                     xe1 = xp[1] + dl1
                     contact = (xe1 < plane_y) & movable
                     dl1 = jnp.where(contact, plane_y - xp[1], dl1)
+                    cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
                 if spheres_on:
                     xev = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
                     xpr = _project_spheres_positions(
@@ -620,16 +624,27 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     dl0 = dl0 + (xpr[0] - xev[0])
                     dl1 = dl1 + (xpr[1] - xev[1])
                     dl2 = dl2 + (xpr[2] - xev[2])
-                return (dl0, dl1, dl2, *new_lams, *new_lamv)
+                return (dl0, dl1, dl2, cf, *new_lams, *new_lamv)
 
             zeros = tuple(
                 jnp.zeros((s_dim, LANES), jnp.float32)
                 for _ in range(n_e + n_t)
             )
+            cf0 = jnp.zeros((s_dim, LANES), jnp.float32)
             out = jax.lax.fori_loop(
-                0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
+                0, n_iter, iteration, (dl[0], dl[1], dl[2], cf0, *zeros),
+                unroll=1
             )
             dlf = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+            if plane_on and mu != 0.0:
+                # plane friction ONCE per substep at the OR'd pre-clamp
+                # contact mask (stencil xpbd twin, delta form)
+                fric = out[3] > 0.0
+                for ax in (0, 2):
+                    wdt = plane_ref[0, 1 + ax] * dt
+                    dlf[ax] = jnp.where(
+                        fric, wdt + (dlf[ax] - wdt) * (1.0 - mu), dlf[ax]
+                    )
             x = [xp[c] + dlf[c] for c in range(3)]
             v = [dlf[c] * (1.0 / dt) for c in range(3)]
             return (x[0], x[1], x[2], v[0], v[1], v[2])
@@ -758,6 +773,7 @@ def _make_verlet_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
     wvel = cfg.wind.velocity
     vol_stiff = cfg.volume_stiffness
     use_volume = len(tgroups) > 0 and vol_stiff != 0.0
+    mu = cfg.collision.friction
     inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, xp_ref, im_ref,
@@ -807,6 +823,15 @@ def _make_verlet_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 xz = _project_capsules_boxes_smem(
                     xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
                 )
+            if plane_on and mu != 0.0:
+                # substep-end plane friction at the pre-clamp contact mask
+                # (collide.plane_friction_positions twin)
+                for ax in (0, 2):
+                    target = xs[ax] + plane_ref[0, 1 + ax] * dt
+                    xz[ax] = jnp.where(
+                        contact, target + (xz[ax] - target) * (1.0 - mu),
+                        xz[ax],
+                    )
             return (xz[0], xz[1], xz[2], x0, x1, x2)
 
         init = (

@@ -526,6 +526,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    mu = cfg.collision.friction
     n_off = len(offsets)
     inv_dt = 1.0 / dt
 
@@ -577,6 +578,16 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 xz = _project_capsules_boxes_smem(
                     xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
                 )
+            if plane_on and mu != 0.0:
+                # substep-end plane friction at the pre-clamp contact mask
+                # (stencil.py _plane_friction_grid twin); plane_ref[0,1:4]
+                # is the plane SURFACE (conveyor) velocity
+                for ax in (0, 2):
+                    target = xs[ax] + plane_ref[0, 1 + ax] * dt
+                    xz[ax] = jnp.where(
+                        contact, target + (xz[ax] - target) * (1.0 - mu),
+                        xz[ax],
+                    )
             if plastic:
                 scale = _plastic_planes_kroll(
                     jnp.stack(xz), offsets, scale, cfg.plasticity

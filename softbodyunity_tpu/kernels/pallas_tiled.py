@@ -438,6 +438,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     ext = tile + 2 * HPAD
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    mu = cfg.collision.friction
     n_off = len(offsets)
     inv_dt = 1.0 / dt
 
@@ -579,6 +580,14 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             xz = _project_capsules_boxes_smem(
                 xz, movable, cap_ref, n_caps_on, box_ref, n_boxes_on
             )
+        if plane_on and mu != 0.0:
+            # substep-end plane friction at the pre-clamp contact mask
+            # (stencil _plane_friction_grid twin)
+            for ax in (0, 2):
+                target = sl(xw[ax]) + plane_ref[0, 1 + ax] * dt
+                xz[ax] = jnp.where(
+                    contact, target + (xz[ax] - target) * (1.0 - mu), xz[ax]
+                )
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
@@ -764,6 +773,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_off = len(xoffsets)
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    mu = cfg.collision.friction
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
@@ -905,8 +915,8 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         dl = [dt * vp[c] for c in range(3)]
 
         def iteration(_, it_carry):
-            dl0, dl1, dl2 = it_carry[0:3]
-            lams = list(it_carry[3:])
+            dl0, dl1, dl2, cf = it_carry[0:4]
+            lams = list(it_carry[4:])
             xcur = (xp[0] + dl0, xp[1] + dl1, xp[2] + dl2)
             dx = [jnp.zeros((ext, nx), jnp.float32) for _ in range(3)]
             new_lams = []
@@ -931,9 +941,12 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             dl1 = dl1 + dx[1] * inv_cnt
             dl2 = dl2 + dx[2] * inv_cnt
             if plane_on:
+                # OR of the pre-clamp masks -> substep-end friction (f32
+                # 0/1 plane — Mosaic-safe carry)
                 xe1 = xp[1] + dl1
                 contact = (xe1 < plane_y) & movable
                 dl1 = jnp.where(contact, plane_y - xp[1], dl1)
+                cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
             if spheres_on:
                 xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
                 xpr = _project_spheres_positions(
@@ -951,13 +964,24 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 dl0 = dl0 + (xpr[0] - xe[0])
                 dl1 = dl1 + (xpr[1] - xe[1])
                 dl2 = dl2 + (xpr[2] - xe[2])
-            return (dl0, dl1, dl2, *new_lams)
+            return (dl0, dl1, dl2, cf, *new_lams)
 
         zeros = tuple(jnp.zeros((ext, nx), jnp.float32) for _ in range(n_off))
+        cf0 = jnp.zeros((ext, nx), jnp.float32)
         out = jax.lax.fori_loop(
-            0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
+            0, n_iter, iteration, (dl[0], dl[1], dl[2], cf0, *zeros),
+            unroll=1
         )
         dlf = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+        if plane_on and mu != 0.0:
+            # plane friction ONCE per substep at the OR'd pre-clamp mask
+            # (stencil xpbd twin, delta form)
+            fric = out[3] > 0.0
+            for ax in (0, 2):
+                wdt = plane_ref[0, 1 + ax] * dt
+                dlf[ax] = jnp.where(
+                    fric, wdt + (dlf[ax] - wdt) * (1.0 - mu), dlf[ax]
+                )
         sl = lambda a: a[xh : xh + tile, :]
         for c in range(3):
             xo_ref[c] = sl(xp[c] + dlf[c])

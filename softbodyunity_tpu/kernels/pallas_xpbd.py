@@ -53,6 +53,7 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    mu = cfg.collision.friction
     n_off = len(xoffsets)
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
@@ -114,8 +115,8 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             dl = [dt * v[c] for c in range(3)]
 
             def iteration(_, it_carry):
-                dl0, dl1, dl2 = it_carry[0:3]
-                lams = list(it_carry[3:])
+                dl0, dl1, dl2, cf = it_carry[0:4]
+                lams = list(it_carry[4:])
                 xs = (xp[0] + dl0, xp[1] + dl1, xp[2] + dl2)
                 dx = [jnp.zeros((ny, nx), jnp.float32) for _ in range(3)]
                 new_lams = []
@@ -146,10 +147,13 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 dl2 = dl2 + dx[2] * inv_cnt
                 if plane_on:
                     # contacts projected inside the loop (oracle
-                    # substep_xpbd), rebased into delta form
+                    # substep_xpbd), rebased into delta form; the OR of the
+                    # pre-clamp masks feeds the substep-end friction (f32
+                    # 0/1 plane — Mosaic-safe carry)
                     xe1 = xp[1] + dl1
                     contact = (xe1 < plane_y) & movable
                     dl1 = jnp.where(contact, plane_y - xp[1], dl1)
+                    cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
                 if spheres_on:
                     xe = [xp[0] + dl0, xp[1] + dl1, xp[2] + dl2]
                     xpr = _project_spheres_positions(
@@ -167,13 +171,25 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     dl0 = dl0 + (xpr[0] - xe[0])
                     dl1 = dl1 + (xpr[1] - xe[1])
                     dl2 = dl2 + (xpr[2] - xe[2])
-                return (dl0, dl1, dl2, *new_lams)
+                return (dl0, dl1, dl2, cf, *new_lams)
 
             zeros = tuple(jnp.zeros((ny, nx), jnp.float32) for _ in range(n_off))
+            cf0 = jnp.zeros((ny, nx), jnp.float32)
             out = jax.lax.fori_loop(
-                0, n_iter, iteration, (dl[0], dl[1], dl[2], *zeros), unroll=1
+                0, n_iter, iteration, (dl[0], dl[1], dl[2], cf0, *zeros),
+                unroll=1
             )
             dl = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+            if plane_on and mu != 0.0:
+                # plane friction ONCE per substep (stencil xpbd twin):
+                # damp the tangential delta relative to the plane surface
+                # velocity at the OR'd pre-clamp contact mask
+                fric = out[3] > 0.0
+                for ax in (0, 2):
+                    wdt = plane_ref[0, 1 + ax] * dt
+                    dl[ax] = jnp.where(
+                        fric, wdt + (dl[ax] - wdt) * (1.0 - mu), dl[ax]
+                    )
             x = [xp[c] + dl[c] for c in range(3)]
             v = [dl[c] * (1.0 / dt) for c in range(3)]
             if plastic:

@@ -311,15 +311,37 @@ def verlet_substep_grid(
     accel = g + f * inv_mass2
     x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable, x_new, x3)
+    contact = (x_new[1] < plane_height) & movable[0] \
+        if cfg.collision.enable_plane else None
     x_new = _project_positions_grid(
         x_new, movable, cfg, plane_height, sphere_centers, sphere_radii, top
     )
+    x_new = _plane_friction_grid(x_new, x3, cfg, dt, contact, top)
     if scale is not None:
         scale = plastic_update_grid(x_new, offsets, scale, cfg.plasticity)
     if alive is not None:
         alive = tear_update_grid(x_new, offsets, alive,
                                  cfg.tear.strain_limit, rest_scale=scale)
     return x_new, x3, alive, scale
+
+
+def _plane_friction_grid(x3, x_start3, cfg, dt, contact, top=None):
+    """Grid-plane twin of collide.plane_friction_positions: damp the
+    substep's tangential displacement (relative to the plane surface
+    velocity) by (1 - friction) at the final projection's pre-clamp
+    ``contact`` mask.  ONCE per substep."""
+    mu = cfg.collision.friction
+    if contact is None or not cfg.collision.enable_plane or mu == 0.0:
+        return x3
+    for ax in (0, 2):
+        w = 0.0
+        if top is not None and top.plane_velocity is not None:
+            w = top.plane_velocity[ax]
+        target = x_start3[ax] + w * dt
+        x3 = x3.at[ax].set(jnp.where(
+            contact, target + (x3[ax] - target) * (1.0 - mu), x3[ax]
+        ))
+    return x3
 
 
 def _project_positions_grid(x3, movable, cfg, plane_height, sphere_centers,
@@ -411,7 +433,7 @@ def xpbd_substep_grid(
     cnt = jnp.maximum(cnt, 1.0)
 
     def iteration(carry, _):
-        delta, lams = carry
+        delta, lams, contact_in = carry
         xe = x_prev + delta            # evaluation point (not stored)
         dx = jnp.zeros_like(xe)
         new_lams = []
@@ -441,11 +463,12 @@ def xpbd_substep_grid(
         # ``plane - x_prev`` form, spheres as the projection displacement
         # (same forms as every other XPBD path; collide.py
         # project_positions_delta)
+        pc = jnp.zeros((ny, nx), bool)
         if cfg.collision.enable_plane:
             xe1 = x_prev[1] + delta[1]
-            contact = (xe1 < plane_height) & movable[0]
+            pc = (xe1 < plane_height) & movable[0]
             delta = delta.at[1].set(
-                jnp.where(contact, plane_height - x_prev[1], delta[1])
+                jnp.where(pc, plane_height - x_prev[1], delta[1])
             )
         if cfg.collision.enable_spheres and sphere_radii.shape[0] > 0:
             xe = x_prev + delta
@@ -471,12 +494,26 @@ def xpbd_substep_grid(
                 top, cfg, [xe[0], xe[1], xe[2]], movable[0]
             )
             delta = delta + (jnp.stack(xz) - xe)
-        return (delta, tuple(new_lams)), None
+        return (delta, tuple(new_lams), contact_in | pc), None
 
     lams0 = tuple(jnp.zeros((ny, nx), x3.dtype) for _ in xoffsets)
-    (delta, _), _ = jax.lax.scan(
-        iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
+    pc0 = jnp.zeros((ny, nx), bool)
+    (delta, _, contact), _ = jax.lax.scan(
+        iteration, (delta0, lams0, pc0), None, length=cfg.xpbd.n_iterations
     )
+    # plane friction ONCE per substep, from the OR of the iterations'
+    # pre-clamp contact masks (oracle substep_xpbd; delta form of
+    # collide.plane_friction_delta)
+    if cfg.collision.enable_plane and cfg.collision.friction != 0.0:
+        mu = cfg.collision.friction
+        for ax in (0, 2):
+            wv = 0.0
+            if top is not None and top.plane_velocity is not None:
+                wv = top.plane_velocity[ax]
+            wdt = wv * dt
+            delta = delta.at[ax].set(jnp.where(
+                contact, wdt + (delta[ax] - wdt) * (1.0 - mu), delta[ax]
+            ))
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if scale is not None:

@@ -406,6 +406,47 @@ def project_positions_only(top: HostTopology, cfg: SimConfig, x, movable):
     return x
 
 
+def plane_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
+                             dt, contact):
+    """Plane friction for the position-projection solvers (Verlet / XPBD)
+    — the position-level mirror of resolve_plane's velocity response
+    (``v = dx/dt`` makes the conventions identical): contacting vertices
+    have their tangential displacement RELATIVE TO THE PLANE SURFACE
+    damped by (1 - friction); ``plane_velocity`` gives conveyor dragging
+    on the projection solvers too.
+
+    ``contact`` is the pre-clamp penetration mask of the substep's plane
+    projections — for Verlet the single projection's mask, for XPBD the
+    OR across the Jacobi loop's projections (after the first in-loop
+    clamp a resting vertex sits bit-exactly AT the plane, so the last
+    iteration alone sees no penetration).  Pre-clamp ``y <
+    plane_height`` is computed with identical arithmetic on every path,
+    unlike a post-clamp ``y == plane_height`` equality, which wobbles by
+    1 ulp in the delta form's ``x_prev + (plane_h - x_prev)``
+    reconstruction.  The friction itself runs ONCE per substep — never
+    per Jacobi iteration, which would compound the damping."""
+    mu = cfg.collision.friction
+    if not cfg.collision.enable_plane or mu == 0.0:
+        return x
+    w = (np.zeros(3) if top.plane_velocity is None
+         else np.asarray(top.plane_velocity, np.float64))
+    x = x.copy()
+    for ax in (0, 2):
+        target = x_start[:, ax] + w[ax] * dt
+        x[:, ax] = np.where(
+            contact, target + (x[:, ax] - target) * (1.0 - mu), x[:, ax]
+        )
+    return x
+
+
+def plane_contact_preclamp(top: HostTopology, cfg: SimConfig, x, movable):
+    """The final projection's pre-clamp plane penetration mask (the
+    friction contact set; see plane_friction_positions)."""
+    if not cfg.collision.enable_plane:
+        return np.zeros(x.shape[0], bool)
+    return (x[:, 1] < top.plane_height) & movable
+
+
 def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     """Wind / aerodynamic force (WindParams semantics): isotropic drag
     toward the wind velocity plus a normal-projected lift term using the
@@ -759,14 +800,15 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt)
     # projection order mirrors project_positions_only: plane, spheres
     # (measured, at the rigid centers), then the static rest
+    contact = plane_contact_preclamp(top, cfg, x_new, movable)
     if cfg.collision.enable_plane:
-        contact = (x_new[:, 1] < top.plane_height) & movable
         x_new[:, 1] = np.where(contact, top.plane_height, x_new[:, 1])
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc, radii,
                                              dt)
     rv = rv - j_lin * r_inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
+    x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     v_new = (x_new - x) / dt
@@ -836,14 +878,17 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     lam = np.zeros(top.edges.shape[0])
     lam_vol = np.zeros(top.tets.shape[0])
     j_lin = np.zeros_like(rc)
-    for _ in range(cfg.xpbd.n_iterations):
+    contact = np.zeros(x.shape[0], bool)
+    for it in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        pc = plane_contact_preclamp(top, cfg, x, movable)
+        contact |= pc
         if cfg.collision.enable_plane:
-            contact = (x[:, 1] < top.plane_height) & movable
-            x[:, 1] = np.where(contact, top.plane_height, x[:, 1])
+            x[:, 1] = np.where(pc, top.plane_height, x[:, 1])
         x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt)
         j_lin += jl
         x = _project_static_rest(top, cfg, x, movable)
+    x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
     rv = rv - j_lin * r_inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
@@ -886,7 +931,9 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
                    alive=None, scale=None):
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt,
                                        alive=alive, scale=scale)
+    contact = plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = project_positions_only(top, cfg, x_new, movable)
+    x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
     v_new = (x_new - x) / dt
     if scale is not None:
         scale = plastic_update(top, cfg, x_new, scale)
@@ -975,7 +1022,8 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     x = x + dt * v
     lam = np.zeros(top.edges.shape[0])
     lam_vol = np.zeros(top.tets.shape[0])
-    for _ in range(cfg.xpbd.n_iterations):
+    contact = np.zeros(x.shape[0], bool)
+    for it in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt,
                                          alive=alive, rest_scale=scale)
         # contacts are projected INSIDE the Jacobi loop: projecting only
@@ -983,7 +1031,9 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         # and the velocity recovery below turns the unresolved conflict into
         # injected energy (measured: draped-cloth blowup) — the standard
         # PBD/XPBD ordering interleaves them.
+        contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
+    x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     if scale is not None:

@@ -582,7 +582,7 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
 
     def iteration(carry, _):
-        delta, lams = carry
+        delta, lams, cf = carry
         xe = _exchange_halo(x_prev + delta, axis_name)
         dx = jnp.zeros_like(xe)
         new_lams = []
@@ -604,11 +604,14 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             dx = dx + (-(we * dlam)) * n + st._shift((wn * dlam) * n, -di, -dj)
         delta = delta + cfg.xpbd.relaxation * dx[:, HALO : HALO + ny_local, :] * cnt_inv
         if cfg.collision.enable_plane:
+            # OR of the pre-clamp masks -> substep-end friction (f32 0/1
+            # plane, keeping the shard_map varying-axis type)
             xe1 = x_prev[1] + delta[1]
             contact = (xe1 < plane_height) & movable[0]
             delta = delta.at[1].set(
                 jnp.where(contact, plane_height - x_prev[1], delta[1])
             )
+            cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
         if cfg.collision.enable_spheres and spheres is not None:
             # position-only sphere projection inside the loop, delta-rebased
             # (same forms as collide.project_positions_delta)
@@ -637,14 +640,23 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             xev = x_prev + delta
             xproj = _project_sdfs_planes(xev, movable, sdfs)
             delta = delta + (xproj - xev)
-        return (delta, tuple(new_lams)), None
+        return (delta, tuple(new_lams), cf), None
 
     # derive zeros from the sharded input so the scan carry keeps the
     # shard_map varying-axis type ({V:rows}); plain jnp.zeros is replicated
     lams0 = tuple(x3[0] * 0.0 for _ in xoffsets)
-    (delta, _), _ = jax.lax.scan(
-        iteration, (delta0, lams0), None, length=cfg.xpbd.n_iterations
+    cf0 = x3[0] * 0.0
+    (delta, _, cff), _ = jax.lax.scan(
+        iteration, (delta0, lams0, cf0), None, length=cfg.xpbd.n_iterations
     )
+    mu = cfg.collision.friction
+    if cfg.collision.enable_plane and mu != 0.0:
+        # plane friction ONCE per substep at the OR'd pre-clamp mask
+        # (stencil xpbd twin, delta form; static plane)
+        fric = cff > 0.0
+        for ax in (0, 2):
+            delta = delta.at[ax].set(
+                jnp.where(fric, delta[ax] * (1.0 - mu), delta[ax]))
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if alive is not None or scale is not None:
@@ -692,9 +704,10 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
     x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable, x_new, x3)
     # position-only projection (Verlet path, oracle project_positions_only)
+    contact_pf = (x_new[1] < plane_height) & movable[0]  # pre-clamp mask
     if cfg.collision.enable_plane:
-        contact = (x_new[1] < plane_height) & movable[0]
-        x_new = x_new.at[1].set(jnp.where(contact, plane_height, x_new[1]))
+        x_new = x_new.at[1].set(
+            jnp.where(contact_pf, plane_height, x_new[1]))
     if cfg.collision.enable_spheres and spheres is not None:
         centers, radii = spheres
         for si in range(radii.shape[0]):
@@ -707,6 +720,16 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
             x_new = x_new + jnp.where(contact, pen, 0.0) * n
     x_new = _project_capsules_boxes(x_new, movable, capsules, boxes)
     x_new = _project_sdfs_planes(x_new, movable, sdfs)
+    mu = cfg.collision.friction
+    if cfg.collision.enable_plane and mu != 0.0:
+        # substep-end plane friction at the pre-clamp contact mask
+        # (collide.plane_friction_positions twin; halo Verlet/XPBD run
+        # static planes — conveyor velocity is an Euler-halo feature)
+        for ax in (0, 2):
+            x_new = x_new.at[ax].set(jnp.where(
+                contact_pf, x3[ax] + (x_new[ax] - x3[ax]) * (1.0 - mu),
+                x_new[ax],
+            ))
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x_new, alive, scale, offsets,
                                             cfg, axis_name)
@@ -1296,10 +1319,10 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 if use_volume:
                     x_new = x_new + volume_dx_interior(x_new)
                 # position-only collide (oracle project_positions_only)
+                contact_pf = (x_new[1] < ph[0]) & movable[0]  # pre-clamp
                 if cfg.collision.enable_plane:
-                    contact = (x_new[1] < ph[0]) & movable[0]
                     x_new = x_new.at[1].set(
-                        jnp.where(contact, ph[0], x_new[1])
+                        jnp.where(contact_pf, ph[0], x_new[1])
                     )
                 if cfg.collision.enable_spheres and spheres is not None:
                     centers, radii = spheres
@@ -1311,6 +1334,16 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                         contact = (pen > 0.0) & movable[0]
                         nrm = d / jnp.maximum(dist, 1e-12)
                         x_new = x_new + jnp.where(contact, pen, 0.0) * nrm
+                mu = cfg.collision.friction
+                if cfg.collision.enable_plane and mu != 0.0:
+                    # substep-end plane friction at the pre-clamp mask
+                    # (collide.plane_friction_positions twin; static plane)
+                    for ax in (0, 2):
+                        x_new = x_new.at[ax].set(jnp.where(
+                            contact_pf,
+                            xb[ax] + (x_new[ax] - xb[ax]) * (1.0 - mu),
+                            x_new[ax],
+                        ))
                 return (x_new, xb), None
 
             (xf, xpf), _ = jax.lax.scan(
@@ -1399,7 +1432,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 delta0 = dt * vb
 
                 def iteration(carry_it, _2):
-                    delta, lams, lamv = carry_it
+                    delta, lams, lamv, cf = carry_it
                     xe = _exchange_slab(x_prev + delta, ROWS_AXIS)
                     dx = jnp.zeros_like(xe)
                     new_lams = []
@@ -1462,11 +1495,13 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                             dx = dx + _rev((wc[ci] * dlam_v) * gv, di, r)
                     delta = delta + dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * cnt_inv
                     if cfg.collision.enable_plane:
+                        # OR of the pre-clamp masks -> substep-end friction
                         xe1 = x_prev[1] + delta[1]
                         contact = (xe1 < ph[0]) & movable[0]
                         delta = delta.at[1].set(
                             jnp.where(contact, ph[0] - x_prev[1], delta[1])
                         )
+                        cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
                     if cfg.collision.enable_spheres and spheres is not None:
                         centers, radii = spheres
                         xev = x_prev + delta
@@ -1480,14 +1515,24 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                             nrm = d / jnp.maximum(dist, 1e-12)
                             xproj = xproj + jnp.where(contact, pen, 0.0) * nrm
                         delta = delta + (xproj - xev)
-                    return (delta, tuple(new_lams), tuple(new_lamv)), None
+                    return (delta, tuple(new_lams), tuple(new_lamv), cf), None
 
                 # zeros derived from sharded input to keep {V:rows} typing
                 lams0 = tuple(x3b[0] * 0.0 for _ in egroups)
                 lamv0 = tuple(x3b[0] * 0.0 for _ in tgroups)
-                (delta, _, _), _ = jax.lax.scan(
-                    iteration, (delta0, lams0, lamv0), None, length=n_iter
+                cf0 = x3b[0] * 0.0
+                (delta, _, _, cff), _ = jax.lax.scan(
+                    iteration, (delta0, lams0, lamv0, cf0), None,
+                    length=n_iter
                 )
+                mu = cfg.collision.friction
+                if cfg.collision.enable_plane and mu != 0.0:
+                    # plane friction ONCE per substep at the OR'd mask
+                    # (stencil xpbd twin, delta form; static plane)
+                    fric = cff > 0.0
+                    for ax in (0, 2):
+                        delta = delta.at[ax].set(jnp.where(
+                            fric, delta[ax] * (1.0 - mu), delta[ax]))
                 delta = jnp.where(movable, delta, 0.0)
                 return (x_prev + delta, delta / dt), None
 

@@ -394,12 +394,18 @@ def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,
     clamp is expressed exactly as ``plane_y - x_prev`` (no rounding crumb),
     spheres as the projection displacement at the evaluation point.  Every
     XPBD path (general, banded, stencil, Pallas, halo) uses these same
-    forms so cross-path equivalence stays at rounding level."""
+    forms so cross-path equivalence stays at rounding level.
+
+    Returns ``(delta, plane_contact)`` — the plane stage's pre-clamp
+    penetration mask, which the LAST Jacobi iteration feeds to
+    :func:`plane_friction_delta`."""
+    plane_contact = jnp.zeros(delta.shape[0], bool)
     if cfg.collision.enable_plane:
         xe_y = x_prev[:, 1] + delta[:, 1]
-        contact = (xe_y < top.plane_height) & movable
+        plane_contact = (xe_y < top.plane_height) & movable
         delta = delta.at[:, 1].set(
-            jnp.where(contact, top.plane_height - x_prev[:, 1], delta[:, 1])
+            jnp.where(plane_contact, top.plane_height - x_prev[:, 1],
+                      delta[:, 1])
         )
     if cfg.collision.enable_spheres and top.n_spheres > 0:
         xe = x_prev + delta
@@ -424,6 +430,55 @@ def project_positions_delta(top: Topology, cfg: SimConfig, x_prev, delta,
             top, cfg, [xe[:, 0], xe[:, 1], xe[:, 2]], movable
         )
         delta = delta + (jnp.stack(xz, axis=1) - xe)
+    return delta, plane_contact
+
+
+def plane_contact_preclamp(top: Topology, cfg: SimConfig, x, movable):
+    """Pre-clamp plane penetration mask of the substep's FINAL projection
+    — the friction contact set (oracle twin: reference.
+    plane_contact_preclamp; a post-clamp ``y == plane_height`` equality
+    would wobble by 1 ulp in the XPBD delta-form reconstruction)."""
+    if not cfg.collision.enable_plane:
+        return jnp.zeros(x.shape[0], bool)
+    return (x[:, 1] < top.plane_height) & movable
+
+
+def plane_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
+                             contact):
+    """Plane friction for the position-projection solvers (oracle twin:
+    reference.plane_friction_positions): contacting vertices have their
+    tangential substep displacement relative to the plane surface damped
+    by (1 - friction); ``plane_velocity`` = conveyor dragging.  ONCE per
+    substep, after the final projection, with the projection's own
+    pre-clamp ``contact`` mask."""
+    mu = cfg.collision.friction
+    if not cfg.collision.enable_plane or mu == 0.0:
+        return x
+    cols = []
+    for ax in (0, 2):
+        w = 0.0 if top.plane_velocity is None else top.plane_velocity[ax]
+        target = x_start[:, ax] + w * dt
+        cols.append(jnp.where(
+            contact, target + (x[:, ax] - target) * (1.0 - mu), x[:, ax]
+        ))
+    return jnp.stack([cols[0], x[:, 1], cols[1]], axis=1)
+
+
+def plane_friction_delta(top: Topology, cfg: SimConfig, delta, dt, contact):
+    """Delta-form twin of :func:`plane_friction_positions` for the XPBD
+    drift-controlled accumulation: the substep displacement IS the delta,
+    so the damped tangential delta is ``w*dt + (1-mu)*(delta - w*dt)``
+    (algebraically identical to the oracle's
+    ``target + (x - target)*(1-mu)`` with ``x = x_prev + delta``)."""
+    mu = cfg.collision.friction
+    if not cfg.collision.enable_plane or mu == 0.0:
+        return delta
+    for ax in (0, 2):
+        w = 0.0 if top.plane_velocity is None else top.plane_velocity[ax]
+        wdt = w * dt
+        delta = delta.at[:, ax].set(jnp.where(
+            contact, wdt + (delta[:, ax] - wdt) * (1.0 - mu), delta[:, ax]
+        ))
     return delta
 
 

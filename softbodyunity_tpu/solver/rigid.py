@@ -238,11 +238,14 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
     x_new, movable = _step.verlet_integrate(top, cfg, s, dt, None, None)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
+    contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = _project_plane_only(top, cfg, x_new, movable)
     x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc,
                                              radii, dt)
     rv = rv - j_lin * r.inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
+    x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
+                                             contact)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
     v_new = (x_new - s.x) / dt
@@ -287,21 +290,25 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     jz = jnp.zeros_like(rc)
 
     def body(carry, _):
-        delta, lam, lam_vol, j_lin = carry
+        delta, lam, lam_vol, j_lin, cfm = carry
         dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
             top, cfg, x_prev + delta, lam, lam_vol, dt)
         delta = delta + dx
         # contact projection in delta form: plane exact, spheres measured
         xe = x_prev + delta
+        pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
         xe2 = _project_plane_only(top, cfg, xe, movable)
         xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii, dt)
         xe4 = _project_static_rest(top, cfg, xe3, movable)
         delta = delta + (xe4 - xe)
-        return (delta, lam, lam_vol, j_lin + jl), None
+        return (delta, lam, lam_vol, j_lin + jl, cfm | pc), None
 
-    (delta, _, _, j_lin), _ = jax.lax.scan(
-        body, (dt * v, lam0, lam_vol0, jz), None,
+    cf0 = jnp.zeros(s.x.shape[0], bool)
+    (delta, _, _, j_lin, contact), _ = jax.lax.scan(
+        body, (dt * v, lam0, lam_vol0, jz, cf0), None,
         length=cfg.xpbd.n_iterations)
+    # plane friction ONCE per substep at the OR'd pre-clamp contact mask
+    delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
     rv = rv - j_lin * r.inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)

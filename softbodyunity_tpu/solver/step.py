@@ -210,7 +210,10 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = _tear_alive(cfg, s)
     scale = _plastic_scale(cfg, s)
     x_new, movable = verlet_integrate(top, cfg, s, dt, alive, scale)
+    contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
+    x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
+                                             contact)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)
              if scale is not None else None)
@@ -268,16 +271,18 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         x_prevT = x_prev.T
 
         def body(carry, _):
-            deltaT, lams, lamv = carry
+            deltaT, lams, lamv, contact = carry
             dxT, lams, lamv = banded.xpbd_iteration_banded(
                 top, cfg, x_prevT + deltaT, lams, lamv, cnt, dt
             )
             deltaT = deltaT + dxT
-            deltaT = _project_delta(deltaT.T).T
-            return (deltaT, lams, lamv), None
+            delta2, pc = _project_delta(deltaT.T)
+            return (delta2.T, lams, lamv, contact | pc), None
 
-        (deltaT, _, _), _ = jax.lax.scan(
-            body, (delta0.T, lams0, lamv0), None, length=cfg.xpbd.n_iterations
+        contact0 = jnp.zeros(s.x.shape[0], bool)
+        (deltaT, _, _, contact), _ = jax.lax.scan(
+            body, (delta0.T, lams0, lamv0, contact0), None,
+            length=cfg.xpbd.n_iterations
         )
         delta = deltaT.T
     else:
@@ -285,18 +290,23 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         lam_vol0 = jnp.zeros((top.n_tets,), s.x.dtype)
 
         def body(carry, _):
-            delta, lam, lam_vol = carry
+            delta, lam, lam_vol, contact = carry
             dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
                 top, cfg, x_prev + delta, lam, lam_vol, dt, alive=alive,
                 rest_scale=scale,
             )
             # contacts projected inside the loop (see oracle substep_xpbd)
-            delta = _project_delta(delta + dx)
-            return (delta, lam, lam_vol), None
+            delta, pc = _project_delta(delta + dx)
+            return (delta, lam, lam_vol, contact | pc), None
 
-        (delta, _, _), _ = jax.lax.scan(
-            body, (delta0, lam0, lam_vol0), None, length=cfg.xpbd.n_iterations
+        contact0 = jnp.zeros(s.x.shape[0], bool)
+        (delta, _, _, contact), _ = jax.lax.scan(
+            body, (delta0, lam0, lam_vol0, contact0), None,
+            length=cfg.xpbd.n_iterations
         )
+    # plane friction ONCE per substep, from the OR of the iterations'
+    # pre-clamp contact masks (oracle substep_xpbd semantics)
+    delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     scale = plastic_update(top, cfg, x, scale) if scale is not None else None
