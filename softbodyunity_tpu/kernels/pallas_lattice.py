@@ -645,6 +645,14 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     dlf[ax] = jnp.where(
                         fric, wdt + (dlf[ax] - wdt) * (1.0 - mu), dlf[ax]
                     )
+            if spheres_on and mu != 0.0:
+                from .pallas_substep import _sphere_friction_positions
+
+                xev = [xp[c] + dlf[c] for c in range(3)]
+                xfr = _sphere_friction_positions(
+                    list(xev), xp, movable, sph_ref, n_spheres, mu, dt
+                )
+                dlf = [dlf[c] + (xfr[c] - xev[c]) for c in range(3)]
             x = [xp[c] + dlf[c] for c in range(3)]
             v = [dlf[c] * (1.0 / dt) for c in range(3)]
             return (x[0], x[1], x[2], v[0], v[1], v[2])
@@ -832,6 +840,13 @@ def _make_verlet_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                         contact, target + (xz[ax] - target) * (1.0 - mu),
                         xz[ax],
                     )
+            if spheres_on and mu != 0.0:
+                from .pallas_substep import _sphere_friction_positions
+
+                xz = _sphere_friction_positions(
+                    xz, [xs[c] for c in range(3)], movable, sph_ref,
+                    n_spheres, mu, dt
+                )
             return (xz[0], xz[1], xz[2], x0, x1, x2)
 
         init = (

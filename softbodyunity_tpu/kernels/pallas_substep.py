@@ -112,6 +112,34 @@ def _project_spheres_positions(xz, movable, sph_ref, n_spheres):
     return xz
 
 
+def _sphere_friction_positions(xz, x_start, movable, sph_ref, n_spheres,
+                               mu, dt):
+    """Substep-end sphere friction (collide.sphere_friction_positions
+    twin) on component-plane lists: damp the tangential substep
+    displacement (relative to each sphere's SMEM kinematic velocity) by
+    (1 - mu) at the contact shell.  Call ONCE per substep, after the
+    plane friction; ``x_start`` = substep-start planes."""
+    from ..solver.collide import SPHERE_CONTACT_SHELL
+
+    for si in range(n_spheres):
+        cs = [sph_ref[si, c] for c in range(3)]
+        radius = sph_ref[si, 3]
+        w = [sph_ref[si, 4 + c] for c in range(3)]
+        d = [xz[c] - cs[c] for c in range(3)]
+        dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-24))
+        dist = dist2 * inv_dist
+        n = [d[c] * inv_dist for c in range(3)]
+        contact = (dist <= radius * SPHERE_CONTACT_SHELL) & movable
+        rel = [xz[c] - x_start[c] - w[c] * dt for c in range(3)]
+        rel_n = rel[0] * n[0] + rel[1] * n[1] + rel[2] * n[2]
+        xz = [
+            jnp.where(contact, xz[c] - mu * (rel[c] - rel_n * n[c]), xz[c])
+            for c in range(3)
+        ]
+    return xz
+
+
 def _resolve_spheres_velocity(xz, vz, movable, sph_ref, n_spheres,
                               restitution, friction):
     """Velocity-level sphere resolve (solver/collide.py
@@ -588,6 +616,10 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                         contact, target + (xz[ax] - target) * (1.0 - mu),
                         xz[ax],
                     )
+            if spheres_on and mu != 0.0:
+                xz = _sphere_friction_positions(
+                    xz, xs, movable, sph_ref, n_spheres, mu, dt
+                )
             if plastic:
                 scale = _plastic_planes_kroll(
                     jnp.stack(xz), offsets, scale, cfg.plasticity

@@ -588,6 +588,13 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 xz[ax] = jnp.where(
                     contact, target + (xz[ax] - target) * (1.0 - mu), xz[ax]
                 )
+        if spheres_on and mu != 0.0:
+            from .pallas_substep import _sphere_friction_positions
+
+            xz = _sphere_friction_positions(
+                xz, [sl(xw[c]) for c in range(3)], movable, sph_ref,
+                n_spheres, mu, dt
+            )
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
@@ -982,6 +989,14 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 dlf[ax] = jnp.where(
                     fric, wdt + (dlf[ax] - wdt) * (1.0 - mu), dlf[ax]
                 )
+        if spheres_on and mu != 0.0:
+            from .pallas_substep import _sphere_friction_positions
+
+            xe = [xp[c] + dlf[c] for c in range(3)]
+            xf = _sphere_friction_positions(
+                list(xe), xp, movable, sph_ref, n_spheres, mu, dt
+            )
+            dlf = [dlf[c] + (xf[c] - xe[c]) for c in range(3)]
         sl = lambda a: a[xh : xh + tile, :]
         for c in range(3):
             xo_ref[c] = sl(xp[c] + dlf[c])

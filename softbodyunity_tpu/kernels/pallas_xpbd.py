@@ -190,6 +190,14 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     dl[ax] = jnp.where(
                         fric, wdt + (dl[ax] - wdt) * (1.0 - mu), dl[ax]
                     )
+            if spheres_on and mu != 0.0:
+                from .pallas_substep import _sphere_friction_positions
+
+                xe = [xp[c] + dl[c] for c in range(3)]
+                xf = _sphere_friction_positions(
+                    list(xe), xp, movable, sph_ref, n_spheres, mu, dt
+                )
+                dl = [dl[c] + (xf[c] - xe[c]) for c in range(3)]
             x = [xp[c] + dl[c] for c in range(3)]
             v = [dl[c] * (1.0 / dt) for c in range(3)]
             if plastic:

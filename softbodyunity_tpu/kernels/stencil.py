@@ -317,12 +317,41 @@ def verlet_substep_grid(
         x_new, movable, cfg, plane_height, sphere_centers, sphere_radii, top
     )
     x_new = _plane_friction_grid(x_new, x3, cfg, dt, contact, top)
+    x_new = _sphere_friction_grid(x_new, x3, cfg, dt, movable,
+                                  sphere_centers, sphere_radii, top)
     if scale is not None:
         scale = plastic_update_grid(x_new, offsets, scale, cfg.plasticity)
     if alive is not None:
         alive = tear_update_grid(x_new, offsets, alive,
                                  cfg.tear.strain_limit, rest_scale=scale)
     return x_new, x3, alive, scale
+
+
+def _sphere_friction_grid(x3, x_start3, cfg, dt, movable, sphere_centers,
+                          sphere_radii, top=None):
+    """Grid twin of collide.sphere_friction_positions: damp the tangential
+    substep displacement (relative to each sphere's kinematic velocity) by
+    (1 - friction) at the substep-end contact shell.  ONCE per substep,
+    after the plane friction."""
+    mu = cfg.collision.friction
+    if (not cfg.collision.enable_spheres or mu == 0.0
+            or sphere_radii.shape[0] == 0):
+        return x3
+    shell = collide.SPHERE_CONTACT_SHELL
+    for s in range(sphere_radii.shape[0]):
+        c = sphere_centers[s].reshape(3, 1, 1)
+        d = x3 - c
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        n = d / jnp.maximum(dist, 1e-12)
+        contact = (dist <= sphere_radii[s] * shell) & movable[0]
+        if top is not None and top.sphere_velocities is not None:
+            w = top.sphere_velocities[s].reshape(3, 1, 1)
+        else:
+            w = jnp.zeros((3, 1, 1), x3.dtype)
+        rel = (x3 - x_start3) - w * dt
+        rel_t = rel - jnp.sum(rel * n, axis=0) * n
+        x3 = jnp.where(contact, x3 - mu * rel_t, x3)
+    return x3
 
 
 def _plane_friction_grid(x3, x_start3, cfg, dt, contact, top=None):
@@ -514,6 +543,11 @@ def xpbd_substep_grid(
             delta = delta.at[ax].set(jnp.where(
                 contact, wdt + (delta[ax] - wdt) * (1.0 - mu), delta[ax]
             ))
+    # sphere friction at the substep-end contact shell (delta rebased)
+    xe = x_prev + delta
+    delta = delta + (
+        _sphere_friction_grid(xe, x_prev, cfg, dt, movable,
+                              sphere_centers, sphere_radii, top) - xe)
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if scale is not None:

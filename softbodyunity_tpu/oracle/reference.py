@@ -447,6 +447,54 @@ def plane_contact_preclamp(top: HostTopology, cfg: SimConfig, x, movable):
     return (x[:, 1] < top.plane_height) & movable
 
 
+# sphere-contact shell for the position-level friction test: projected
+# vertices sit within ulps of the surface, so exact dist == r is a knife
+# edge; the relative shell keeps resting verts safely inside and only
+# verts hovering within 1e-5*r of the surface are chaos-sensitive
+SPHERE_CONTACT_SHELL = 1.0 + 1e-5
+
+
+def sphere_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
+                              dt, movable):
+    """Substep-end sphere friction for the position-projection solvers
+    (Verlet / XPBD): vertices ending the substep ON a sphere surface
+    (``dist <= r * SPHERE_CONTACT_SHELL``) have the TANGENTIAL part of
+    their substep displacement — relative to the sphere's kinematic
+    surface velocity — damped by (1 - friction).  The normal component is
+    untouched (the projection owns it).  Spheres apply sequentially in
+    index order, after the plane friction; runs ONCE per substep.  The
+    STATIC-collider path only: the coupled dynamic-sphere substeps keep
+    their radial-only, no-tangential-coupling contract (solver/rigid.py).
+    """
+    mu = cfg.collision.friction
+    if (not cfg.collision.enable_spheres or mu == 0.0
+            or top.sphere_centers.shape[0] == 0):
+        return x
+    x = x.copy()
+    for s in range(top.sphere_centers.shape[0]):
+        w = _collider_velocity(top.sphere_velocities, s)
+        x, _ = _one_sphere_friction(
+            x, x_start, dt, movable, top.sphere_centers[s],
+            top.sphere_radii[s], w, mu, None)
+    return x
+
+
+def _one_sphere_friction(x, x_start, dt, movable, center, radius, w, mu, m):
+    """One sphere's tangential friction on contacting vertices; returns
+    ``(x, J_t)`` where J_t is the tangential impulse ``sum m_i dx_t_i/dt``
+    removed from the cloth (the coupled paths react ``-J_t`` onto the
+    dynamic ball; ``m=None`` skips the measurement)."""
+    d = x - center
+    dist = np.linalg.norm(d, axis=1)
+    n = d / np.maximum(dist, 1e-12)[:, None]
+    contact = (dist <= radius * SPHERE_CONTACT_SHELL) & movable
+    rel = (x - x_start) - np.asarray(w)[None, :] * dt
+    rel_t = rel - np.einsum("ij,ij->i", rel, n)[:, None] * n
+    dx_t = np.where(contact[:, None], -mu * rel_t, 0.0)
+    j_t = None if m is None else (m[:, None] * dx_t).sum(axis=0) / dt
+    return x + dx_t, j_t
+
+
 def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     """Wind / aerodynamic force (WindParams semantics): isotropic drag
     toward the wind velocity plus a normal-projected lift term using the
@@ -809,6 +857,15 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     rv = rv - j_lin * r_inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
+    # sphere tangential friction at the DYNAMIC centers, relative to each
+    # ball's velocity; the linear impulse reacts onto the ball (no torque
+    # — the PBD coupled contract stays spin-free)
+    mu = cfg.collision.friction
+    if cfg.collision.enable_spheres and mu != 0.0:
+        for s in range(rc.shape[0]):
+            x_new, j_t = _one_sphere_friction(
+                x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m)
+            rv[s] = rv[s] - j_t * r_inv_mass[s]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     v_new = (x_new - x) / dt
@@ -889,6 +946,12 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         j_lin += jl
         x = _project_static_rest(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
+    mu = cfg.collision.friction
+    if cfg.collision.enable_spheres and mu != 0.0:
+        for s in range(rc.shape[0]):
+            x, j_t = _one_sphere_friction(
+                x, x_prev, dt, movable, rc[s], radii[s], rv[s], mu, m)
+            rv[s] = rv[s] - j_t * r_inv_mass[s]
     rv = rv - j_lin * r_inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
@@ -934,6 +997,7 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     contact = plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = project_positions_only(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
+    x_new = sphere_friction_positions(top, cfg, x_new, x, dt, movable)
     v_new = (x_new - x) / dt
     if scale is not None:
         scale = plastic_update(top, cfg, x_new, scale)
@@ -1034,6 +1098,7 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
+    x = sphere_friction_positions(top, cfg, x, x_prev, dt, movable)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     if scale is not None:

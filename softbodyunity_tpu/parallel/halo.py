@@ -657,12 +657,38 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         for ax in (0, 2):
             delta = delta.at[ax].set(
                 jnp.where(fric, delta[ax] * (1.0 - mu), delta[ax]))
+    # sphere friction at the substep-end contact shell (delta rebased)
+    xe_f = x_prev + delta
+    delta = delta + (
+        _sphere_friction_planes(xe_f, x_prev, movable, cfg, spheres, mu)
+        - xe_f)
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x_new, alive, scale, xoffsets,
                                             cfg, axis_name)
     return x_new, delta / dt, alive, scale
+
+
+def _sphere_friction_planes(x_new, x_start, movable, cfg, spheres, mu):
+    """Substep-end sphere friction on [3, rows, nx] planes (collide.
+    sphere_friction_positions twin; halo Verlet/XPBD run STATIC spheres,
+    so the relative frame is the rest frame)."""
+    from ..solver.collide import SPHERE_CONTACT_SHELL
+
+    if (not cfg.collision.enable_spheres or spheres is None or mu == 0.0):
+        return x_new
+    centers, radii = spheres
+    for si in range(radii.shape[0]):
+        c = centers[si].reshape(3, 1, 1)
+        d = x_new - c
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        n = d / jnp.maximum(dist, 1e-12)
+        contact = (dist <= radii[si] * SPHERE_CONTACT_SHELL) & movable[0]
+        rel = x_new - x_start
+        rel_t = rel - jnp.sum(rel * n, axis=0) * n
+        x_new = jnp.where(contact, x_new - mu * rel_t, x_new)
+    return x_new
 
 
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
@@ -730,6 +756,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                 contact_pf, x3[ax] + (x_new[ax] - x3[ax]) * (1.0 - mu),
                 x_new[ax],
             ))
+    x_new = _sphere_friction_planes(x_new, x3, movable, cfg, spheres, mu)
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x_new, alive, scale, offsets,
                                             cfg, axis_name)
@@ -1344,6 +1371,8 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                             xb[ax] + (x_new[ax] - xb[ax]) * (1.0 - mu),
                             x_new[ax],
                         ))
+                x_new = _sphere_friction_planes(
+                    x_new, xb, imb > 0.0, cfg, spheres, mu)
                 return (x_new, xb), None
 
             (xf, xpf), _ = jax.lax.scan(
@@ -1533,6 +1562,10 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     for ax in (0, 2):
                         delta = delta.at[ax].set(jnp.where(
                             fric, delta[ax] * (1.0 - mu), delta[ax]))
+                xe_f = x_prev + delta
+                delta = delta + (
+                    _sphere_friction_planes(xe_f, x_prev, movable, cfg,
+                                            spheres, mu) - xe_f)
                 delta = jnp.where(movable, delta, 0.0)
                 return (x_prev + delta, delta / dt), None
 

@@ -482,6 +482,40 @@ def plane_friction_delta(top: Topology, cfg: SimConfig, delta, dt, contact):
     return delta
 
 
+# sphere-contact shell for position-level friction (oracle
+# SPHERE_CONTACT_SHELL): projected vertices sit within ulps of the
+# surface, so exact dist == r is a knife edge
+SPHERE_CONTACT_SHELL = 1.0 + 1e-5
+
+
+def sphere_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
+                              movable):
+    """Substep-end sphere friction for the position-projection solvers
+    (oracle twin: reference.sphere_friction_positions): vertices ending
+    the substep ON a sphere (``dist <= r * SPHERE_CONTACT_SHELL``) have
+    the TANGENTIAL part of their substep displacement — relative to the
+    sphere's kinematic surface velocity — damped by (1 - friction).
+    Spheres apply sequentially after the plane friction, ONCE per
+    substep.  Static-collider path; the coupled dynamic-sphere substeps
+    measure and react the impulse (solver/rigid.py)."""
+    mu = cfg.collision.friction
+    if (not cfg.collision.enable_spheres or mu == 0.0
+            or top.n_spheres == 0):
+        return x
+    for s in range(top.n_spheres):
+        d = x - top.sphere_centers[s]
+        dist = jnp.linalg.norm(d, axis=1)
+        n = d / jnp.maximum(dist, 1e-12)[:, None]
+        contact = (dist <= top.sphere_radii[s] * SPHERE_CONTACT_SHELL) \
+            & movable
+        w = (jnp.zeros(3, x.dtype) if top.sphere_velocities is None
+             else top.sphere_velocities[s])
+        rel = (x - x_start) - w[None, :] * dt
+        rel_t = rel - jnp.einsum("ij,ij->i", rel, n)[:, None] * n
+        x = jnp.where(contact[:, None], x - mu * rel_t, x)
+    return x
+
+
 def project_positions_only(top: Topology, cfg: SimConfig, x, movable):
     """Verlet/XPBD-path resolve: positions only (velocity is implicit)."""
     if cfg.collision.enable_plane:

@@ -215,6 +215,31 @@ def _project_plane_only(top, cfg, x, movable):
     return x
 
 
+def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
+                              radii):
+    """Tangential sphere friction at the DYNAMIC centers, relative to each
+    ball's velocity, with the linear impulse measured for the reaction
+    (oracle _one_sphere_friction twin; no torque — the PBD coupled
+    contract stays spin-free)."""
+    from .collide import SPHERE_CONTACT_SHELL
+
+    mu = cfg.collision.friction
+    j_t = jnp.zeros_like(rc)
+    if not cfg.collision.enable_spheres or mu == 0.0:
+        return x, j_t
+    for s in range(rc.shape[0]):
+        d = x - rc[s]
+        dist = jnp.linalg.norm(d, axis=1)
+        n = d / jnp.maximum(dist, 1e-12)[:, None]
+        contact = (dist <= radii[s] * SPHERE_CONTACT_SHELL) & movable
+        rel = (x - x_start) - rv[s][None, :] * dt
+        rel_t = rel - jnp.einsum("ij,ij->i", rel, n)[:, None] * n
+        dx_t = jnp.where(contact[:, None], -mu * rel_t, 0.0)
+        x = x + dx_t
+        j_t = j_t.at[s].set((m[:, None] * dx_t).sum(axis=0) / dt)
+    return x, j_t
+
+
 def _project_static_rest(top, cfg, x, movable):
     """Position-only capsule/box/SDF projection (after the spheres)."""
     if collide._needs_capsule_box(top, cfg):
@@ -246,6 +271,9 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     x_new = _project_static_rest(top, cfg, x_new, movable)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
                                              contact)
+    x_new, j_t = _sphere_friction_measured(cfg, x_new, s.x, dt, movable, m,
+                                           rc, rv, radii)
+    rv = rv - j_t * r.inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
     v_new = (x_new - s.x) / dt
@@ -309,6 +337,13 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         length=cfg.xpbd.n_iterations)
     # plane friction ONCE per substep at the OR'd pre-clamp contact mask
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
+    # sphere friction at the dynamic centers (delta rebased, reaction on
+    # the balls)
+    xe_f = x_prev + delta
+    xf, j_t = _sphere_friction_measured(cfg, xe_f, x_prev, dt, movable, m,
+                                        rc, rv, radii)
+    delta = delta + (xf - xe_f)
+    rv = rv - j_t * r.inv_mass[:, None]
     rv = rv - j_lin * r.inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)

@@ -214,6 +214,8 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
                                              contact)
+    x_new = collide.sphere_friction_positions(top, cfg, x_new, s.x, dt,
+                                              movable)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)
              if scale is not None else None)
@@ -307,6 +309,11 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     # plane friction ONCE per substep, from the OR of the iterations'
     # pre-clamp contact masks (oracle substep_xpbd semantics)
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
+    # sphere friction at the substep-end contact shell (delta rebased)
+    xe = x_prev + delta
+    delta = delta + (
+        collide.sphere_friction_positions(top, cfg, xe, x_prev, dt, movable)
+        - xe)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     scale = plastic_update(top, cfg, x, scale) if scale is not None else None

@@ -222,7 +222,14 @@ def test_halo_xpbd_sphere_matches_single_device():
     )
     host.sphere_centers = np.array([[0.375, -1.0, 0.0]])
     host.sphere_radii = np.array([0.3])
-    top, state = api.init(host)
+    # long-horizon equivalence runs at f64: the sphere-contact friction is
+    # gated on projection-contact membership (a discontinuous 0.2x
+    # tangential damp), so two numerically different f32 implementations
+    # legitimately flip a marginal vertex and diverge chaotically past
+    # ~60 steps; at f64 the implementations' rounding gap (~1e-13) is far
+    # below every contact margin, so any drift is a real semantic bug
+    jax.config.update("jax_enable_x64", True)
+    top, state = api.init(host, dtype=jnp.float64)
     mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
     sharded = jax.jit(halo.make_halo_xpbd_step(top, cfg, mesh), static_argnums=(5,))
     x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
@@ -232,10 +239,23 @@ def test_halo_xpbd_sphere_matches_single_device():
 
     ref_fn = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 200))
     want = ref_fn(top, state)
-    np.testing.assert_allclose(got_x, np.asarray(want.x), atol=5e-5)
+    np.testing.assert_allclose(got_x, np.asarray(want.x), atol=1e-9)
     # the curtain actually drapes onto the sphere
     d = np.linalg.norm(got_x - np.array([0.375, -1.0, 0.0]), axis=1)
     assert d.min() < 0.31
+
+    # f32 leg: equivalence before contact chaos can amplify the shell flips
+    jax.config.update("jax_enable_x64", False)
+    top32, state32 = api.init(host)
+    sharded32 = jax.jit(halo.make_halo_xpbd_step(top32, cfg, mesh),
+                        static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top32, state32, mesh)
+    xf32, _ = sharded32(x3, v3, im3, ph, cfg.dt, 50,
+                        top32.sphere_centers, top32.sphere_radii)
+    got32 = np.asarray(xf32).reshape(3, -1).T
+    want32 = jax.jit(lambda t, s: make_stencil_step(t, cfg)(s, cfg.dt, 50))(
+        top32, state32)
+    np.testing.assert_allclose(got32, np.asarray(want32.x), atol=2e-5)
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])

@@ -134,3 +134,67 @@ def test_pinned_never_rubbed():
     x = np.asarray(state.x)
     np.testing.assert_array_equal(x[0], x0[0])
     np.testing.assert_array_equal(x[7], x0[7])
+
+
+def _sphere_drape_scene(solver, friction):
+    cfg = SimConfig(
+        solver=solver,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0,
+                             k_bend=150.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  friction=friction),
+        global_damping=0.2,
+    )
+    host = cloth_grid(
+        16, 16, spacing=0.05, shear=True, bend=True, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-3.0,
+        orientation="xz", origin=(-0.375, 0.2, -0.375),
+        sphere_centers=[[0.0, -0.15, 0.0]], sphere_radii=[0.3],
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize("solver", [Solver.VERLET, Solver.XPBD])
+def test_sphere_friction_oracle_parity_f64(solver):
+    """f64 exact tier for the sphere-contact friction semantics: device
+    path == oracle on a cloth draped over a sphere."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _sphere_drape_scene(solver, friction=0.3)
+    top, state = api.init(host, dtype=jnp.float64)
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    s = state
+    for _ in range(60):
+        x, v, xp = oracle.step(host, cfg, x, v, xp)
+        s = api.step(top, cfg, s)
+    drift = np.max(np.abs(np.asarray(s.x) - x))
+    assert drift < 1e-6, f"{drift:.2e}"
+    # the cloth actually rests on the sphere (contact exercised)
+    d = np.linalg.norm(x - np.array([0.0, -0.15, 0.0]), axis=1)
+    assert d.min() < 0.301
+
+
+@pytest.mark.parametrize("solver", [Solver.VERLET, Solver.XPBD])
+def test_sphere_friction_slows_sliding(solver):
+    """Tangential motion on a sphere surface decays with friction and
+    persists without: spin a draped cloth around the sphere's vertical
+    axis and compare the tangential speed after 40 frames."""
+    out = {}
+    for friction in (0.4, 0.0):
+        host, cfg = _sphere_drape_scene(solver, friction)
+        top, state = api.init(host)
+        # drape first so the cloth is in contact
+        for _ in range(40):
+            state = api.step(top, cfg, state)
+        x = np.asarray(state.x)
+        # tangential (horizontal, azimuthal) kick around the y-axis
+        r = x - np.array([0.0, -0.15, 0.0])
+        t_dir = np.stack([-r[:, 2], np.zeros(len(x)), r[:, 0]], axis=1)
+        t_dir /= np.maximum(np.linalg.norm(t_dir, axis=1), 1e-9)[:, None]
+        v0 = jnp.asarray(t_dir * 0.5, state.v.dtype)
+        s = state.replace(v=v0, x_prev=state.x - cfg.dt * v0)
+        for _ in range(40):
+            s = api.step(top, cfg, s)
+        out[friction] = float(np.abs(np.asarray(s.v)).mean())
+    assert out[0.4] < 0.5 * out[0.0], out
