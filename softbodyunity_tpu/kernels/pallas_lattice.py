@@ -653,6 +653,15 @@ def _make_xpbd_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                     list(xev), xp, movable, sph_ref, n_spheres, mu, dt
                 )
                 dlf = [dlf[c] + (xfr[c] - xev[c]) for c in range(3)]
+            if (n_caps_on or n_boxes_on) and mu != 0.0:
+                from .pallas_substep import _rest_friction_smem
+
+                xev = [xp[c] + dlf[c] for c in range(3)]
+                xfr = _rest_friction_smem(
+                    list(xev), xp, movable, cap_ref, n_caps_on, box_ref,
+                    n_boxes_on, mu, dt
+                )
+                dlf = [dlf[c] + (xfr[c] - xev[c]) for c in range(3)]
             x = [xp[c] + dlf[c] for c in range(3)]
             v = [dlf[c] * (1.0 / dt) for c in range(3)]
             return (x[0], x[1], x[2], v[0], v[1], v[2])
@@ -846,6 +855,13 @@ def _make_verlet_kernel(cfg: SimConfig, egroups, tgroups, s_dim: int,
                 xz = _sphere_friction_positions(
                     xz, [xs[c] for c in range(3)], movable, sph_ref,
                     n_spheres, mu, dt
+                )
+            if (n_caps_on or n_boxes_on) and mu != 0.0:
+                from .pallas_substep import _rest_friction_smem
+
+                xz = _rest_friction_smem(
+                    xz, [xs[c] for c in range(3)], movable, cap_ref,
+                    n_caps_on, box_ref, n_boxes_on, mu, dt
                 )
             return (xz[0], xz[1], xz[2], x0, x1, x2)
 

@@ -140,6 +140,34 @@ def _sphere_friction_positions(xz, x_start, movable, sph_ref, n_spheres,
     return xz
 
 
+def _rest_friction_smem(xz, xsz, movable, cap_ref, n_capsules, box_ref,
+                        n_boxes, mu, dt):
+    """Capsule/box position-level friction on component-plane lists with
+    SMEM geometry rows (collide.rest_friction_components twin; runs ONCE
+    per substep, after the sphere friction).  ``xsz`` = substep-start
+    planes; the packed rows carry each collider's kinematic velocity."""
+    from ..solver.collide import (
+        box_friction_components,
+        capsule_friction_components,
+    )
+
+    for s in range(n_capsules):
+        p0 = [cap_ref[s, c] for c in range(3)]
+        p1 = [cap_ref[s, 3 + c] for c in range(3)]
+        w = [cap_ref[s, 7 + c] for c in range(3)]
+        xz = capsule_friction_components(
+            xz, xsz, movable, p0, p1, cap_ref[s, 6], w, mu, dt)
+    for s in range(n_boxes):
+        ce = [box_ref[s, c] for c in range(3)]
+        hf = [box_ref[s, 3 + c] for c in range(3)]
+        rot = [[box_ref[s, 6 + 3 * c + i] for i in range(3)]
+               for c in range(3)]
+        w = [box_ref[s, 15 + c] for c in range(3)]
+        xz = box_friction_components(
+            xz, xsz, movable, ce, hf, rot, w, mu, dt)
+    return xz
+
+
 def _resolve_spheres_velocity(xz, vz, movable, sph_ref, n_spheres,
                               restitution, friction):
     """Velocity-level sphere resolve (solver/collide.py
@@ -619,6 +647,11 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
             if spheres_on and mu != 0.0:
                 xz = _sphere_friction_positions(
                     xz, xs, movable, sph_ref, n_spheres, mu, dt
+                )
+            if (n_caps_on or n_boxes_on) and mu != 0.0:
+                xz = _rest_friction_smem(
+                    xz, list(xs), movable, cap_ref, n_caps_on, box_ref,
+                    n_boxes_on, mu, dt
                 )
             if plastic:
                 scale = _plastic_planes_kroll(

@@ -595,6 +595,13 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 xz, [sl(xw[c]) for c in range(3)], movable, sph_ref,
                 n_spheres, mu, dt
             )
+        if (n_caps_on or n_boxes_on) and mu != 0.0:
+            from .pallas_substep import _rest_friction_smem
+
+            xz = _rest_friction_smem(
+                xz, [sl(xw[c]) for c in range(3)], movable, cap_ref,
+                n_caps_on, box_ref, n_boxes_on, mu, dt
+            )
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
@@ -995,6 +1002,15 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
             xe = [xp[c] + dlf[c] for c in range(3)]
             xf = _sphere_friction_positions(
                 list(xe), xp, movable, sph_ref, n_spheres, mu, dt
+            )
+            dlf = [dlf[c] + (xf[c] - xe[c]) for c in range(3)]
+        if (n_caps_on or n_boxes_on) and mu != 0.0:
+            from .pallas_substep import _rest_friction_smem
+
+            xe = [xp[c] + dlf[c] for c in range(3)]
+            xf = _rest_friction_smem(
+                list(xe), xp, movable, cap_ref, n_caps_on, box_ref,
+                n_boxes_on, mu, dt
             )
             dlf = [dlf[c] + (xf[c] - xe[c]) for c in range(3)]
         sl = lambda a: a[xh : xh + tile, :]

@@ -198,6 +198,15 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     list(xe), xp, movable, sph_ref, n_spheres, mu, dt
                 )
                 dl = [dl[c] + (xf[c] - xe[c]) for c in range(3)]
+            if (n_caps_on or n_boxes_on) and mu != 0.0:
+                from .pallas_substep import _rest_friction_smem
+
+                xe = [xp[c] + dl[c] for c in range(3)]
+                xf = _rest_friction_smem(
+                    list(xe), xp, movable, cap_ref, n_caps_on, box_ref,
+                    n_boxes_on, mu, dt
+                )
+                dl = [dl[c] + (xf[c] - xe[c]) for c in range(3)]
             x = [xp[c] + dl[c] for c in range(3)]
             v = [dl[c] * (1.0 / dt) for c in range(3)]
             if plastic:

@@ -319,6 +319,7 @@ def verlet_substep_grid(
     x_new = _plane_friction_grid(x_new, x3, cfg, dt, contact, top)
     x_new = _sphere_friction_grid(x_new, x3, cfg, dt, movable,
                                   sphere_centers, sphere_radii, top)
+    x_new = _rest_friction_grid(x_new, x3, cfg, dt, movable, top)
     if scale is not None:
         scale = plastic_update_grid(x_new, offsets, scale, cfg.plasticity)
     if alive is not None:
@@ -352,6 +353,20 @@ def _sphere_friction_grid(x3, x_start3, cfg, dt, movable, sphere_centers,
         rel_t = rel - jnp.sum(rel * n, axis=0) * n
         x3 = jnp.where(contact, x3 - mu * rel_t, x3)
     return x3
+
+
+def _rest_friction_grid(x3, x_start3, cfg, dt, movable, top=None):
+    """Grid twin of collide.rest_friction_positions: capsule/box/SDF
+    position-level friction on [3, ny, nx] planes (ONCE per substep,
+    after the sphere friction)."""
+    if top is None or cfg.collision.friction == 0.0 or not (
+            collide._needs_capsule_box(top, cfg)
+            or collide._needs_sdf(top, cfg)):
+        return x3
+    xz = collide.rest_friction_components(
+        top, cfg, [x3[0], x3[1], x3[2]],
+        [x_start3[0], x_start3[1], x_start3[2]], movable[0], dt)
+    return jnp.stack(xz)
 
 
 def _plane_friction_grid(x3, x_start3, cfg, dt, contact, top=None):
@@ -543,11 +558,13 @@ def xpbd_substep_grid(
             delta = delta.at[ax].set(jnp.where(
                 contact, wdt + (delta[ax] - wdt) * (1.0 - mu), delta[ax]
             ))
-    # sphere friction at the substep-end contact shell (delta rebased)
+    # sphere + capsule/box/SDF friction at the substep-end contact shells
+    # (delta rebased)
     xe = x_prev + delta
-    delta = delta + (
-        _sphere_friction_grid(xe, x_prev, cfg, dt, movable,
-                              sphere_centers, sphere_radii, top) - xe)
+    xf = _sphere_friction_grid(xe, x_prev, cfg, dt, movable,
+                               sphere_centers, sphere_radii, top)
+    xf = _rest_friction_grid(xf, x_prev, cfg, dt, movable, top)
+    delta = delta + (xf - xe)
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if scale is not None:

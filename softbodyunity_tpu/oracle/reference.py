@@ -495,6 +495,76 @@ def _one_sphere_friction(x, x_start, dt, movable, center, radius, w, mu, m):
     return x + dx_t, j_t
 
 
+# contact shells for the capsule / box / SDF position-level friction (same
+# knife-edge rationale as SPHERE_CONTACT_SHELL): capsules reuse the sphere
+# rule around the closest core point; boxes use a shell of
+# BOX_CONTACT_SHELL * max(half_extent) around the nearest face; SDFs a
+# shell of SDF_CONTACT_SHELL * grid spacing around phi = 0 (projection
+# leaves a residual phi of order pen * |1 - |grad||, far below this)
+BOX_CONTACT_SHELL = 1e-5
+SDF_CONTACT_SHELL = 1e-3
+
+
+def _friction_tangent(x, x_start, dt, contact, n, w, mu):
+    """Shared position-level friction rule: damp the tangential substep
+    displacement (relative to the collider's kinematic velocity ``w``) by
+    (1 - mu) at the contacting vertices; the normal component is owned by
+    the projection and untouched."""
+    rel = (x - x_start) - np.asarray(w)[None, :] * dt
+    rel_t = rel - np.einsum("ij,ij->i", rel, n)[:, None] * n
+    return np.where(contact[:, None], x - mu * rel_t, x)
+
+
+def rest_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
+                            dt, movable):
+    """Substep-end capsule / box / SDF friction for the position-projection
+    solvers (Verlet / XPBD) — the static-collider completion of
+    plane_friction_positions + sphere_friction_positions: each collider
+    class damps the tangential substep displacement of its contact-shell
+    vertices by (1 - friction), sequentially in the projection order
+    (capsules, then boxes, then SDFs), ONCE per substep, after the sphere
+    friction."""
+    mu = cfg.collision.friction
+    if mu == 0.0:
+        return x
+    x = np.asarray(x, np.float64).copy()
+    if _has_capsules(top, cfg):
+        for s in range(top.capsule_radii.shape[0]):
+            c = _capsule_closest(x, top.capsule_p0[s], top.capsule_p1[s])
+            d = x - c
+            dist = np.linalg.norm(d, axis=1)
+            n = d / np.maximum(dist, 1e-12)[:, None]
+            contact = (dist <= top.capsule_radii[s] * SPHERE_CONTACT_SHELL) \
+                & movable
+            w = _collider_velocity(top.capsule_velocities, s)
+            x = _friction_tangent(x, x_start, dt, contact, n, w, mu)
+    if _has_boxes(top, cfg):
+        for s in range(top.box_centers.shape[0]):
+            half = top.box_half_extents[s]
+            shell = BOX_CONTACT_SHELL * float(np.max(half))
+            q = (x - top.box_centers[s]) @ top.box_rotations[s]
+            pen = half[None, :] - np.abs(q)
+            mn = pen.min(axis=1)
+            contact = (mn >= -shell) & (mn <= shell) & movable
+            _, _, n = _box_face_push(
+                x, top.box_centers[s], half, top.box_rotations[s])
+            w = _collider_velocity(top.box_velocities, s)
+            x = _friction_tangent(x, x_start, dt, contact, n, w, mu)
+    if _has_sdfs(top, cfg):
+        for s in range(top.sdf_grids.shape[0]):
+            phi, grad = _sdf_sample_grad(
+                top.sdf_grids[s], top.sdf_origins[s], top.sdf_spacings[s], x
+            )
+            n = grad / np.maximum(
+                np.linalg.norm(grad, axis=1), 1e-12)[:, None]
+            shell = SDF_CONTACT_SHELL * float(top.sdf_spacings[s])
+            contact = (phi <= shell) & movable
+            w = _collider_velocity(
+                getattr(top, "sdf_velocities", None), s)
+            x = _friction_tangent(x, x_start, dt, contact, n, w, mu)
+    return x
+
+
 def wind_forces(top: HostTopology, cfg: SimConfig, x, v) -> np.ndarray:
     """Wind / aerodynamic force (WindParams semantics): isotropic drag
     toward the wind velocity plus a normal-projected lift term using the
@@ -866,6 +936,7 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             x_new, j_t = _one_sphere_friction(
                 x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m)
             rv[s] = rv[s] - j_t * r_inv_mass[s]
+    x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     v_new = (x_new - x) / dt
@@ -952,6 +1023,7 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             x, j_t = _one_sphere_friction(
                 x, x_prev, dt, movable, rc[s], radii[s], rv[s], mu, m)
             rv[s] = rv[s] - j_t * r_inv_mass[s]
+    x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
     rv = rv - j_lin * r_inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
@@ -998,6 +1070,7 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     x_new = project_positions_only(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
     x_new = sphere_friction_positions(top, cfg, x_new, x, dt, movable)
+    x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable)
     v_new = (x_new - x) / dt
     if scale is not None:
         scale = plastic_update(top, cfg, x_new, scale)
@@ -1099,6 +1172,7 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         x = project_positions_only(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
     x = sphere_friction_positions(top, cfg, x, x_prev, dt, movable)
+    x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     if scale is not None:

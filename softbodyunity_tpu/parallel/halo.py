@@ -657,11 +657,13 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         for ax in (0, 2):
             delta = delta.at[ax].set(
                 jnp.where(fric, delta[ax] * (1.0 - mu), delta[ax]))
-    # sphere friction at the substep-end contact shell (delta rebased)
+    # sphere + capsule/box/SDF friction at the substep-end contact shells
+    # (delta rebased)
     xe_f = x_prev + delta
-    delta = delta + (
-        _sphere_friction_planes(xe_f, x_prev, movable, cfg, spheres, mu)
-        - xe_f)
+    xf = _sphere_friction_planes(xe_f, x_prev, movable, cfg, spheres, mu)
+    xf = _rest_friction_planes(xf, x_prev, movable, cfg, capsules, boxes,
+                               sdfs, mu, dt)
+    delta = delta + (xf - xe_f)
     delta = jnp.where(movable, delta, 0.0)
     x_new = x_prev + delta
     if alive is not None or scale is not None:
@@ -688,6 +690,39 @@ def _sphere_friction_planes(x_new, x_start, movable, cfg, spheres, mu):
         rel = x_new - x_start
         rel_t = rel - jnp.sum(rel * n, axis=0) * n
         x_new = jnp.where(contact, x_new - mu * rel_t, x_new)
+    return x_new
+
+
+def _rest_friction_planes(x_new, x_start, movable, cfg, capsules, boxes,
+                          sdfs, mu, dt):
+    """Substep-end capsule/box/SDF friction on [3, rows, nx] planes
+    (collide.rest_friction_components twin; the packed rows carry each
+    collider's kinematic velocity, zeros when static)."""
+    if mu == 0.0:
+        return x_new
+    n_caps = capsules.shape[0] if capsules is not None else 0
+    n_boxes = boxes.shape[0] if boxes is not None else 0
+    if n_caps or n_boxes:
+        from ..kernels.pallas_substep import _rest_friction_smem
+
+        xz = _rest_friction_smem(
+            [x_new[0], x_new[1], x_new[2]],
+            [x_start[0], x_start[1], x_start[2]], movable[0],
+            capsules, n_caps, boxes, n_boxes, mu, dt)
+        x_new = jnp.stack(xz)
+    if sdfs is not None:
+        from ..solver.collide import sdf_friction_components
+
+        grids, origins, spacings = sdfs[0], sdfs[1], sdfs[2]
+        svel = sdfs[3] if len(sdfs) > 3 else None
+        for s in range(grids.shape[0]):
+            w = None if svel is None else [svel[s, c] for c in range(3)]
+            xz = sdf_friction_components(
+                [x_new[0], x_new[1], x_new[2]],
+                [x_start[0], x_start[1], x_start[2]], movable[0],
+                grids[s], [origins[s, c] for c in range(3)], spacings[s],
+                w, mu, dt)
+            x_new = jnp.stack(xz)
     return x_new
 
 
@@ -757,6 +792,8 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                 x_new[ax],
             ))
     x_new = _sphere_friction_planes(x_new, x3, movable, cfg, spheres, mu)
+    x_new = _rest_friction_planes(x_new, x3, movable, cfg, capsules, boxes,
+                                  sdfs, mu, dt)
     if alive is not None or scale is not None:
         alive, scale = _feature_halo_update(x_new, alive, scale, offsets,
                                             cfg, axis_name)

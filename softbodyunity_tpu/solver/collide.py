@@ -516,6 +516,112 @@ def sphere_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
     return x
 
 
+# box / SDF contact shells for the position-level friction (oracle
+# BOX_CONTACT_SHELL / SDF_CONTACT_SHELL): relative to max half-extent and
+# grid spacing respectively
+BOX_CONTACT_SHELL = 1e-5
+SDF_CONTACT_SHELL = 1e-3
+
+
+def _friction_tangent_components(xz, xsz, contact, n, w, mu, dt):
+    """Shared position-level friction rule on component lists (oracle
+    _friction_tangent twin): damp the tangential substep displacement
+    (relative to the collider's kinematic velocity ``w``) by (1 - mu) at
+    the contacting vertices."""
+    if w is None:
+        w = (0.0, 0.0, 0.0)
+    rel = [xz[c] - xsz[c] - w[c] * dt for c in range(3)]
+    rel_n = rel[0] * n[0] + rel[1] * n[1] + rel[2] * n[2]
+    return [
+        jnp.where(contact, xz[c] - mu * (rel[c] - rel_n * n[c]), xz[c])
+        for c in range(3)
+    ]
+
+
+def capsule_friction_components(xz, xsz, movable, p0, p1, radius, w, mu, dt):
+    """Capsule position-level friction (sphere shell around the closest
+    core point; oracle rest_friction_positions capsule leg)."""
+    cpt = _capsule_closest_components(xz, p0, p1)
+    d = [xz[c] - cpt[c] for c in range(3)]
+    dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    inv = 1.0 / jnp.maximum(dist, 1e-12)
+    n = [d[c] * inv for c in range(3)]
+    contact = (dist <= radius * SPHERE_CONTACT_SHELL) & movable
+    return _friction_tangent_components(xz, xsz, contact, n, w, mu, dt)
+
+
+def box_friction_components(xz, xsz, movable, center, half, rot, w, mu, dt):
+    """Oriented-box position-level friction: vertices within
+    BOX_CONTACT_SHELL * max(half) of the nearest face (oracle
+    rest_friction_positions box leg)."""
+    d = [xz[c] - center[c] for c in range(3)]
+    q = [d[0] * rot[0][i] + d[1] * rot[1][i] + d[2] * rot[2][i]
+         for i in range(3)]
+    pen = [half[i] - jnp.abs(q[i]) for i in range(3)]
+    mn = jnp.minimum(jnp.minimum(pen[0], pen[1]), pen[2])
+    shell = BOX_CONTACT_SHELL * jnp.maximum(
+        jnp.maximum(half[0], half[1]), half[2])
+    contact = (mn >= -shell) & (mn <= shell) & movable
+    _, _, n = box_face_push_components(xz, center, half, rot)
+    return _friction_tangent_components(xz, xsz, contact, n, w, mu, dt)
+
+
+def sdf_friction_components(xz, xsz, movable, grid, origin, spacing, w, mu,
+                            dt):
+    """SDF position-level friction: vertices within
+    SDF_CONTACT_SHELL * spacing of the zero level set (oracle
+    rest_friction_positions SDF leg)."""
+    phi, grad = sdf_sample_grad_components(xz, grid, origin, spacing)
+    gn = jnp.sqrt(grad[0] * grad[0] + grad[1] * grad[1]
+                  + grad[2] * grad[2])
+    inv = 1.0 / jnp.maximum(gn, 1e-12)
+    n = [grad[c] * inv for c in range(3)]
+    contact = (phi <= SDF_CONTACT_SHELL * spacing) & movable
+    return _friction_tangent_components(xz, xsz, contact, n, w, mu, dt)
+
+
+def rest_friction_components(top: Topology, cfg: SimConfig, xz, xsz,
+                             movable, dt):
+    """Capsule / box / SDF position-level friction on component lists, in
+    the oracle's sequential order (oracle rest_friction_positions twin);
+    runs ONCE per substep after the sphere friction."""
+    mu = cfg.collision.friction
+    if mu == 0.0:
+        return xz
+    if cfg.collision.enable_capsules and top.n_capsules > 0:
+        for s in range(top.n_capsules):
+            p0, p1, rad = _capsule_scalars(top, s)
+            xz = capsule_friction_components(
+                xz, xsz, movable, p0, p1, rad,
+                _velocity_scalars(top.capsule_velocities, s), mu, dt)
+    if cfg.collision.enable_boxes and top.n_boxes > 0:
+        for s in range(top.n_boxes):
+            c, h, rot = _box_scalars(top, s)
+            xz = box_friction_components(
+                xz, xsz, movable, c, h, rot,
+                _velocity_scalars(top.box_velocities, s), mu, dt)
+    if _needs_sdf(top, cfg):
+        for s in range(top.n_sdfs):
+            g, o, h = _sdf_scalars(top, s)
+            xz = sdf_friction_components(
+                xz, xsz, movable, g, o, h,
+                _velocity_scalars(top.sdf_velocities, s), mu, dt)
+    return xz
+
+
+def rest_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
+                            movable):
+    """[N,3] wrapper of rest_friction_components (solver/step.py paths)."""
+    mu = cfg.collision.friction
+    if mu == 0.0 or not (
+            _needs_capsule_box(top, cfg) or _needs_sdf(top, cfg)):
+        return x
+    xz = rest_friction_components(
+        top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
+        [x_start[:, 0], x_start[:, 1], x_start[:, 2]], movable, dt)
+    return jnp.stack(xz, axis=1)
+
+
 def project_positions_only(top: Topology, cfg: SimConfig, x, movable):
     """Verlet/XPBD-path resolve: positions only (velocity is implicit)."""
     if cfg.collision.enable_plane:

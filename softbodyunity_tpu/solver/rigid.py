@@ -274,6 +274,8 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     x_new, j_t = _sphere_friction_measured(cfg, x_new, s.x, dt, movable, m,
                                            rc, rv, radii)
     rv = rv - j_t * r.inv_mass[:, None]
+    x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
+                                            movable)
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
     v_new = (x_new - s.x) / dt
@@ -344,6 +346,11 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
                                         rc, rv, radii)
     delta = delta + (xf - xe_f)
     rv = rv - j_t * r.inv_mass[:, None]
+    # static capsule/box/SDF friction (no reaction; delta rebased)
+    xe_r = x_prev + delta
+    delta = delta + (
+        collide.rest_friction_positions(top, cfg, xe_r, x_prev, dt, movable)
+        - xe_r)
     rv = rv - j_lin * r.inv_mass[:, None]
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)

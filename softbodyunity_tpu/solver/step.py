@@ -216,6 +216,8 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
                                              contact)
     x_new = collide.sphere_friction_positions(top, cfg, x_new, s.x, dt,
                                               movable)
+    x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
+                                            movable)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)
              if scale is not None else None)
@@ -309,11 +311,12 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     # plane friction ONCE per substep, from the OR of the iterations'
     # pre-clamp contact masks (oracle substep_xpbd semantics)
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
-    # sphere friction at the substep-end contact shell (delta rebased)
+    # sphere + capsule/box/SDF friction at the substep-end contact shells
+    # (delta rebased)
     xe = x_prev + delta
-    delta = delta + (
-        collide.sphere_friction_positions(top, cfg, xe, x_prev, dt, movable)
-        - xe)
+    xf = collide.sphere_friction_positions(top, cfg, xe, x_prev, dt, movable)
+    xf = collide.rest_friction_positions(top, cfg, xf, x_prev, dt, movable)
+    delta = delta + (xf - xe)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     scale = plastic_update(top, cfg, x, scale) if scale is not None else None

@@ -198,3 +198,71 @@ def test_sphere_friction_slows_sliding(solver):
             s = api.step(top, cfg, s)
         out[friction] = float(np.abs(np.asarray(s.v)).mean())
     assert out[0.4] < 0.5 * out[0.0], out
+
+
+def _box_slide_scene(solver, friction):
+    """Cloth resting on the flat top face of a wide box (plane far below:
+    contact is box-driven), plus a capsule ridge it also touches."""
+    cfg = SimConfig(
+        solver=solver,
+        springs=SpringParams(k_structural=800.0, k_shear=400.0,
+                             k_bend=150.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, enable_boxes=True,
+                                  enable_capsules=True, friction=friction),
+        global_damping=0.0,
+    )
+    host = cloth_grid(
+        12, 12, spacing=0.05, shear=True, bend=True, pinned=(),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-3.0,
+        orientation="xz", origin=(-0.275, 0.02, -0.275),
+    )
+    host = add_colliders(
+        host,
+        box_centers=[[0.0, -0.5, 0.0]],
+        box_half_extents=[[2.0, 0.5, 2.0]],
+        box_rotations=[np.eye(3)],
+        capsule_p0=[[-0.1, -0.02, -2.0]],
+        capsule_p1=[[-0.1, -0.02, 2.0]],
+        capsule_radii=[0.05],
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize("solver", [Solver.VERLET, Solver.XPBD])
+def test_box_capsule_friction_oracle_parity_f64(solver):
+    """f64 exact tier for the capsule/box rest friction semantics
+    (oracle rest_friction_positions) on a sliding contact scene."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _box_slide_scene(solver, friction=0.3)
+    top, state = api.init(host, dtype=jnp.float64)
+    v0 = jnp.zeros_like(state.x).at[:, 0].set(0.8)
+    state = state.replace(v=v0, x_prev=state.x - cfg.dt * v0)
+    x = host.positions0.copy()
+    v = np.asarray(v0, np.float64)
+    xp = x - cfg.dt * v
+    s = state
+    for _ in range(50):
+        x, v, xp = oracle.step(host, cfg, x, v, xp)
+        s = api.step(top, cfg, s)
+    drift = np.max(np.abs(np.asarray(s.x) - x))
+    assert drift < 1e-6, f"{drift:.2e}"
+    # box-top and capsule contacts were both exercised
+    assert (x[:, 1] < 0.0 + 1e-3).any()
+
+
+@pytest.mark.parametrize("solver", [Solver.VERLET, Solver.XPBD])
+def test_box_friction_slows_sliding(solver):
+    """A cloth kicked across a box top slides on at mu=0 and stops with
+    mu=0.5 (same semantics as the plane, on the box face)."""
+    out = {}
+    for friction in (0.5, 0.0):
+        host, cfg = _box_slide_scene(solver, friction)
+        top, state = api.init(host)
+        for _ in range(20):           # settle onto the box top
+            state = api.step(top, cfg, state)
+        v0 = jnp.zeros_like(state.v).at[:, 0].set(1.0)
+        s = state.replace(v=v0, x_prev=state.x - cfg.dt * v0)
+        for _ in range(40):
+            s = api.step(top, cfg, s)
+        out[friction] = float(np.abs(np.asarray(s.v)[:, 0]).mean())
+    assert out[0.5] < 0.4 * out[0.0], out
