@@ -826,6 +826,10 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         p_t = np.where(hit[:, None], p_t, 0.0)
         rv = rv + p_t * r_inv_mass[:, None]
         romega = romega + np.cross(arm, p_t) * inv_i[:, None]
+    rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
+                                          r_inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
+                                         r_inv_mass, inv_i, radii)
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
@@ -883,6 +887,128 @@ def _rigid_plane_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     return rc, rv, romega
 
 
+def _ball_static_response(cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                          pen, n):
+    """Shared dynamic-ball-vs-static-surface response, vectorized over
+    balls (the plane bounce generalized to an arbitrary contact normal):
+    push out by ``pen`` along ``n``, reflect the inward normal velocity by
+    (1 + restitution), rolling-friction impulse with torque at the contact
+    point (arm = -r n)."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    hit = (pen > 0.0) & (r_inv_mass > 0.0)
+    rc = rc + np.where(hit, pen, 0.0)[:, None] * n
+    un = np.einsum("ij,ij->i", rv, n)
+    refl = hit & (un < 0.0)
+    rv = rv - np.where(refl, (1.0 + e) * un, 0.0)[:, None] * n
+    arm = -radii[:, None] * n
+    u = rv + np.cross(romega, arm)
+    ut = u - np.einsum("ij,ij->i", u, n)[:, None] * n
+    k = r_inv_mass + inv_i * radii * radii
+    p_t = -mu * ut / np.maximum(k, 1e-12)[:, None]
+    p_t = np.where(hit[:, None], p_t, 0.0)
+    rv = rv + p_t * r_inv_mass[:, None]
+    romega = romega + np.cross(arm, p_t) * inv_i[:, None]
+    return rc, rv, romega
+
+
+def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
+                         radii):
+    """Dynamic sphere vs the scene's STATIC colliders — capsules, boxes,
+    SDFs, in that (collider-enable) order; the ground plane has its own
+    bounce.  Each collider computes (pen, n) for every ball center and
+    runs the shared _ball_static_response."""
+    if _has_capsules(top, cfg):
+        for s in range(top.capsule_radii.shape[0]):
+            cpt = _capsule_closest(rc, top.capsule_p0[s], top.capsule_p1[s])
+            d = rc - cpt
+            dist = np.linalg.norm(d, axis=1)
+            n = d / np.maximum(dist, 1e-12)[:, None]
+            pen = (top.capsule_radii[s] + radii) - dist
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    if _has_boxes(top, cfg):
+        for s in range(top.box_centers.shape[0]):
+            c, h = top.box_centers[s], top.box_half_extents[s]
+            rot = top.box_rotations[s]
+            q = (rc - c) @ rot
+            qc = np.clip(q, -h, h)
+            dloc = q - qc
+            dist = np.linalg.norm(dloc, axis=1)
+            # outside: closest-point normal; center inside: face push rule
+            n_out = (dloc / np.maximum(dist, 1e-12)[:, None]) @ rot.T
+            inside, push, n_in = _box_face_push(rc, c, h, rot)
+            pen = np.where(inside, push + radii, radii - dist)
+            n = np.where(inside[:, None], n_in, n_out)
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    if _has_sdfs(top, cfg):
+        for s in range(top.sdf_grids.shape[0]):
+            phi, grad = _sdf_sample_grad(
+                top.sdf_grids[s], top.sdf_origins[s], top.sdf_spacings[s],
+                rc)
+            n = grad / np.maximum(
+                np.linalg.norm(grad, axis=1), 1e-12)[:, None]
+            pen = radii - phi
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    return rc, rv, romega
+
+
+def _rigid_rigid_bounce(cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
+    """Dynamic sphere vs sphere: pairwise sequential (i < j in index
+    order) inverse-mass-weighted position separation, a normal impulse
+    with restitution on approach, and a contact friction impulse with
+    torque at the contact (arms a_i = r_i n, a_j = -r_j n) — the plane
+    response generalized to two mobile bodies; the friction impulse
+    -mu u_t / k damps the contact slip by exactly (1 - mu), the plane
+    convention.  Kinematic balls (inv_mass 0) push without reacting;
+    kinematic-kinematic pairs are inert scenery and skip."""
+    S = rc.shape[0]
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    rc, rv, romega = rc.copy(), rv.copy(), romega.copy()
+    for i in range(S):
+        for j in range(i + 1, S):
+            wi, wj = r_inv_mass[i], r_inv_mass[j]
+            wsum = wi + wj
+            d = rc[j] - rc[i]
+            dist = np.linalg.norm(d)
+            n = d / max(dist, 1e-12)
+            pen = (radii[i] + radii[j]) - dist
+            if not (pen > 0.0 and wsum > 0.0):
+                continue
+            rc[i] = rc[i] - pen * (wi / wsum) * n
+            rc[j] = rc[j] + pen * (wj / wsum) * n
+            un = float(np.dot(rv[j] - rv[i], n))
+            if un < 0.0:
+                p_n = -(1.0 + e) * un / wsum
+                rv[i] = rv[i] - p_n * wi * n
+                rv[j] = rv[j] + p_n * wj * n
+            ai, aj = radii[i] * n, -radii[j] * n
+            u = (rv[j] + np.cross(romega[j], aj)) \
+                - (rv[i] + np.cross(romega[i], ai))
+            ut = u - np.dot(u, n) * n
+            k = wsum + inv_i[i] * radii[i] ** 2 + inv_i[j] * radii[j] ** 2
+            p_t = -mu * ut / max(k, 1e-12)
+            rv[j] = rv[j] + p_t * wj
+            rv[i] = rv[i] - p_t * wi
+            romega[j] = romega[j] + np.cross(aj, p_t) * inv_i[j]
+            romega[i] = romega[i] + np.cross(ai, -p_t) * inv_i[i]
+    return rc, rv, romega
+
+
+def _rigid_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
+    """The dynamic balls' full environment response, shared by every
+    coupled substep: ground plane, then static capsules/boxes/SDFs, then
+    ball-ball contacts (so balls end the substep mutually separated)."""
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
+                                         r_inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
+                                          r_inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
+                                         r_inv_mass, inv_i, radii)
+    return rc, rv, romega
+
+
 def _verlet_integrate(top: HostTopology, cfg: SimConfig, x, x_prev, dt,
                       alive=None, scale=None):
     """The Verlet substep BEFORE contact projection (shared with
@@ -937,8 +1063,8 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                 x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m)
             rv[s] = rv[s] - j_t * r_inv_mass[s]
     x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable)
-    rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
-                                         r_inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
+                                        r_inv_mass, inv_i, radii)
     v_new = (x_new - x) / dt
     return x_new, v_new, x, rc, rv, romega
 
@@ -1025,8 +1151,8 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             rv[s] = rv[s] - j_t * r_inv_mass[s]
     x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
     rv = rv - j_lin * r_inv_mass[:, None]
-    rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
-                                         r_inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
+                                        r_inv_mass, inv_i, radii)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     return x, v, x_prev, rc, rv, romega

@@ -137,9 +137,9 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         rv = rv - j * r.inv_mass[:, None]
         romega = romega - jnp.stack(llist) * inv_i[:, None]
 
-    # 4. dynamic sphere vs ground plane
-    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
-                                         radii, inv_i)
+    # 4. the balls' own environment: plane, static colliders, ball-ball
+    rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
+                                        radii, inv_i)
 
     return (
         _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
@@ -186,6 +186,131 @@ def _rigid_plane_bounce(top: Topology, cfg: SimConfig, r: RigidState,
     p_t = jnp.where(hit[:, None], p_t, 0.0)
     rv = rv + p_t * r.inv_mass[:, None]
     romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
+    return rc, rv, romega
+
+
+def _ball_static_response(cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                          pen, n):
+    """Oracle _ball_static_response twin: dynamic-ball-vs-static-surface
+    push-out + normal reflect + rolling-friction impulse with torque,
+    vectorized over balls, hit-masked."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    hit = (pen > 0.0) & (r_inv_mass > 0.0)
+    rc = rc + jnp.where(hit, pen, 0.0)[:, None] * n
+    un = jnp.einsum("ij,ij->i", rv, n)
+    refl = hit & (un < 0.0)
+    rv = rv - jnp.where(refl, (1.0 + e) * un, 0.0)[:, None] * n
+    arm = -radii[:, None] * n
+    u = rv + jnp.cross(romega, arm)
+    ut = u - jnp.einsum("ij,ij->i", u, n)[:, None] * n
+    k = r_inv_mass + inv_i * radii * radii
+    p_t = -mu * ut / jnp.maximum(k, 1e-12)[:, None]
+    p_t = jnp.where(hit[:, None], p_t, 0.0)
+    rv = rv + p_t * r_inv_mass[:, None]
+    romega = romega + jnp.cross(arm, p_t) * inv_i[:, None]
+    return rc, rv, romega
+
+
+def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
+                         radii):
+    """Oracle _rigid_static_bounce twin: dynamic balls vs the scene's
+    static capsules / boxes / SDFs (collider-enable order)."""
+    if cfg.collision.enable_capsules and top.n_capsules > 0:
+        for s in range(top.n_capsules):
+            p0, p1 = top.capsule_p0[s], top.capsule_p1[s]
+            ax = p1 - p0
+            l2 = jnp.dot(ax, ax)
+            t = jnp.clip((rc - p0) @ ax / jnp.maximum(l2, 1e-12), 0.0, 1.0)
+            cpt = p0 + t[:, None] * ax
+            d = rc - cpt
+            dist = jnp.linalg.norm(d, axis=1)
+            n = d / jnp.maximum(dist, 1e-12)[:, None]
+            pen = (top.capsule_radii[s] + radii) - dist
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    if cfg.collision.enable_boxes and top.n_boxes > 0:
+        for s in range(top.n_boxes):
+            c, h = top.box_centers[s], top.box_half_extents[s]
+            rot = top.box_rotations[s]
+            q = (rc - c) @ rot
+            qc = jnp.clip(q, -h, h)
+            dloc = q - qc
+            dist = jnp.linalg.norm(dloc, axis=1)
+            n_out = (dloc / jnp.maximum(dist, 1e-12)[:, None]) @ rot.T
+            # center-inside: exit through the nearest face (oracle
+            # _box_face_push rule, ties x < y < z)
+            pen_f = h[None, :] - jnp.abs(q)
+            inside = (pen_f > 0.0).all(axis=1)
+            k0 = (pen_f[:, 0] <= pen_f[:, 1]) & (pen_f[:, 0] <= pen_f[:, 2])
+            k1 = (~k0) & (pen_f[:, 1] <= pen_f[:, 2])
+            kmask = jnp.stack([k0, k1, ~(k0 | k1)], axis=1)
+            sgn = jnp.where(q >= 0.0, 1.0, -1.0)
+            n_in = jnp.where(kmask, sgn, 0.0) @ rot.T
+            push = (pen_f * kmask).sum(axis=1)
+            pen = jnp.where(inside, push + radii, radii - dist)
+            n = jnp.where(inside[:, None], n_in, n_out)
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    if collide._needs_sdf(top, cfg):
+        for s in range(top.n_sdfs):
+            g, o, h = collide._sdf_scalars(top, s)
+            phi, grad = collide.sdf_sample_grad_components(
+                [rc[:, 0], rc[:, 1], rc[:, 2]], g, o, h)
+            gn = jnp.sqrt(grad[0] ** 2 + grad[1] ** 2 + grad[2] ** 2)
+            inv = 1.0 / jnp.maximum(gn, 1e-12)
+            n = jnp.stack([grad[c] * inv for c in range(3)], axis=1)
+            pen = radii - phi
+            rc, rv, romega = _ball_static_response(
+                cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
+    return rc, rv, romega
+
+
+def _rigid_rigid_bounce(cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
+    """Oracle _rigid_rigid_bounce twin: pairwise sequential (i < j)
+    ball-ball contacts — inverse-mass-weighted separation, restitution
+    normal impulse on approach, contact friction impulse with torque —
+    hit-masked instead of branched, so it jits and vmaps."""
+    S = rc.shape[0]
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    for i in range(S):
+        for j in range(i + 1, S):
+            wi, wj = r_inv_mass[i], r_inv_mass[j]
+            wsum = wi + wj
+            d = rc[j] - rc[i]
+            dist = jnp.linalg.norm(d)
+            n = d / jnp.maximum(dist, 1e-12)
+            pen = (radii[i] + radii[j]) - dist
+            hit = (pen > 0.0) & (wsum > 0.0)
+            wsafe = jnp.maximum(wsum, 1e-12)
+            sep = jnp.where(hit, pen, 0.0)
+            rc = rc.at[i].add(-sep * (wi / wsafe) * n)
+            rc = rc.at[j].add(sep * (wj / wsafe) * n)
+            un = jnp.dot(rv[j] - rv[i], n)
+            p_n = jnp.where(hit & (un < 0.0), -(1.0 + e) * un / wsafe, 0.0)
+            rv = rv.at[i].add(-p_n * wi * n)
+            rv = rv.at[j].add(p_n * wj * n)
+            ai, aj = radii[i] * n, -radii[j] * n
+            u = (rv[j] + jnp.cross(romega[j], aj)) \
+                - (rv[i] + jnp.cross(romega[i], ai))
+            ut = u - jnp.dot(u, n) * n
+            k = wsum + inv_i[i] * radii[i] ** 2 + inv_i[j] * radii[j] ** 2
+            p_t = jnp.where(hit, -mu, 0.0) * ut / jnp.maximum(k, 1e-12)
+            rv = rv.at[j].add(p_t * wj)
+            rv = rv.at[i].add(-p_t * wi)
+            romega = romega.at[j].add(jnp.cross(aj, p_t) * inv_i[j])
+            romega = romega.at[i].add(jnp.cross(ai, -p_t) * inv_i[i])
+    return rc, rv, romega
+
+
+def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i):
+    """Oracle _rigid_environment twin: plane, then static colliders, then
+    ball-ball contacts (shared by every coupled substep)."""
+    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
+                                         radii, inv_i)
+    rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
+                                          r.inv_mass, inv_i, radii)
+    rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
+                                         r.inv_mass, inv_i, radii)
     return rc, rv, romega
 
 
@@ -276,8 +401,8 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     rv = rv - j_t * r.inv_mass[:, None]
     x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
                                             movable)
-    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
-                                         radii, inv_i)
+    rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
+                                        radii, inv_i)
     v_new = (x_new - s.x) / dt
     return (
         State(x=x_new, v=v_new, x_prev=s.x, edge_alive=s.edge_alive,
@@ -352,8 +477,8 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         collide.rest_friction_positions(top, cfg, xe_r, x_prev, dt, movable)
         - xe_r)
     rv = rv - j_lin * r.inv_mass[:, None]
-    rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
-                                         radii, inv_i)
+    rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
+                                        radii, inv_i)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     return (

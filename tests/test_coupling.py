@@ -375,3 +375,194 @@ def test_coupled_1k_frames_stable():
     assert c[1] > -0.8                      # still caught
     assert np.linalg.norm(vb) < 0.05        # fully settled, not pumping
     assert np.abs(np.asarray(rigid.omega)).max() < 1.0
+
+
+def _free_balls_scene(*, centers, radii, e=1.0, mu=0.0, boxes=None,
+                      capsules=None, solver=Solver.SEMI_IMPLICIT_EULER):
+    """A tiny pinned cloth far below the action: the balls' environment
+    (ball-ball, ball-static) is exercised without cloth contact."""
+    cfg = SimConfig(
+        solver=solver,
+        gravity=(0.0, 0.0, 0.0),
+        collision=CollisionParams(
+            enable_plane=True, enable_spheres=True,
+            enable_boxes=boxes is not None,
+            enable_capsules=capsules is not None,
+            restitution=e, friction=mu,
+        ),
+        global_damping=0.0,
+    )
+    host = cloth_grid(
+        4, 4, spacing=0.05, pinned=("top", "bottom"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-50.0,
+        orientation="xz", origin=(-0.075, -40.0, -0.075),
+        sphere_centers=centers, sphere_radii=radii,
+    )
+    if boxes is not None or capsules is not None:
+        from softbodyunity_tpu.core.topology import add_colliders
+
+        kw = {}
+        if boxes is not None:
+            kw.update(box_centers=boxes[0], box_half_extents=boxes[1],
+                      box_rotations=boxes[2])
+        if capsules is not None:
+            kw.update(capsule_p0=capsules[0], capsule_p1=capsules[1],
+                      capsule_radii=capsules[2])
+        host = add_colliders(host, **kw)
+    return host, cfg
+
+
+def test_ball_ball_elastic_head_on():
+    """Equal masses, e=1, mu=0, head-on: the balls exchange velocities
+    (momentum and energy conserved) and end separated."""
+    host, cfg = _free_balls_scene(
+        centers=[[-0.3, 0.0, 0.0], [0.3, 0.0, 0.0]], radii=[0.1, 0.1])
+    top, state = api.init(host)
+    r = make_rigid_state(top, [0.5, 0.5],
+                         velocities=[[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(30):
+        state, r = step(state, r)
+    rv = np.asarray(r.velocities)
+    rc = np.asarray(r.centers)
+    np.testing.assert_allclose(rv[0], [-1.0, 0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(rv[1], [1.0, 0.0, 0.0], atol=1e-5)
+    assert np.linalg.norm(rc[0] - rc[1]) >= 0.2 - 1e-5
+
+
+def test_ball_ball_momentum_conserved_unequal():
+    """Unequal masses, e=0.6: total momentum is exactly conserved through
+    the contact and the balls do not interpenetrate."""
+    host, cfg = _free_balls_scene(
+        centers=[[-0.25, 0.0, 0.0], [0.25, 0.01, 0.0]], radii=[0.1, 0.08],
+        e=0.6, mu=0.2)
+    top, state = api.init(host)
+    masses = np.array([0.3, 0.9])
+    r = make_rigid_state(top, masses,
+                         velocities=[[1.5, 0.0, 0.0], [-0.5, 0.0, 0.0]])
+    p0 = (masses[:, None] * np.asarray(r.velocities)).sum(axis=0)
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(40):
+        state, r = step(state, r)
+    rv = np.asarray(r.velocities)
+    rc = np.asarray(r.centers)
+    p1 = (masses[:, None] * rv).sum(axis=0)
+    np.testing.assert_allclose(p1, p0, atol=1e-5)
+    assert np.linalg.norm(rc[0] - rc[1]) >= 0.18 - 1e-4
+    # the collision actually happened (velocities changed sign order)
+    assert rv[0][0] < rv[1][0]
+
+
+def test_ball_bounces_off_static_box():
+    """A ball rolling toward a static box wall bounces back with e=0.8."""
+    host, cfg = _free_balls_scene(
+        centers=[[-0.5, 0.0, 0.0]], radii=[0.1], e=0.8,
+        boxes=([[0.5, 0.0, 0.0]], [[0.2, 0.4, 0.4]], [np.eye(3)]))
+    top, state = api.init(host)
+    r = make_rigid_state(top, [0.5], velocities=[[2.0, 0.0, 0.0]])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(30):
+        state, r = step(state, r)
+    rv = np.asarray(r.velocities)
+    rc = np.asarray(r.centers)
+    assert rv[0, 0] < -1.4           # bounced back at ~e * v
+    assert rc[0, 0] < 0.2 - 0.1 + 1e-4   # outside the box face
+    assert np.isfinite(np.asarray(state.x)).all()
+
+
+def test_ball_bounces_off_static_capsule():
+    """A ball fired at a static capsule's core reflects off it."""
+    host, cfg = _free_balls_scene(
+        centers=[[-0.5, 0.0, 0.0]], radii=[0.1], e=0.9,
+        capsules=([[0.3, 0.0, -0.5]], [[0.3, 0.0, 0.5]], [0.15]))
+    top, state = api.init(host)
+    r = make_rigid_state(top, [0.5], velocities=[[2.0, 0.0, 0.0]])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(30):
+        state, r = step(state, r)
+    rv = np.asarray(r.velocities)
+    rc = np.asarray(r.centers)
+    assert rv[0, 0] < -1.5
+    assert rc[0, 0] <= 0.3 - 0.25 + 1e-4  # outside the capsule surface
+    assert np.isfinite(np.asarray(state.x)).all()
+
+
+def test_kinematic_ball_pair_inert():
+    """Two overlapping kinematic balls (inv_mass 0) are inert scenery:
+    the contact pass changes nothing and produces no NaNs."""
+    host, cfg = _free_balls_scene(
+        centers=[[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]], radii=[0.1, 0.1])
+    top, state = api.init(host)
+    r = make_rigid_state(top, [np.inf, np.inf])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(5):
+        state, r = step(state, r)
+    np.testing.assert_array_equal(np.asarray(r.velocities), 0.0)
+    np.testing.assert_allclose(np.asarray(r.centers),
+                               [[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]],
+                               atol=1e-7)
+    assert np.isfinite(np.asarray(state.x)).all()
+
+
+@pytest.mark.parametrize("solver", [Solver.SEMI_IMPLICIT_EULER,
+                                    Solver.VERLET, Solver.XPBD])
+def test_two_ball_environment_f64_parity(solver):
+    """f64 exact tier for the rigid environment (ball-ball + static box +
+    plane) through a cloth-coupled scene on every solver."""
+    from softbodyunity_tpu.core.topology import add_colliders
+    from softbodyunity_tpu.solver.rigid import step_coupled_scan
+
+    jax.config.update("jax_enable_x64", True)
+    cfg = SimConfig(
+        solver=solver,
+        springs=sb.SpringParams(k_structural=600.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  enable_boxes=True, restitution=0.4,
+                                  friction=0.3),
+        global_damping=0.2,
+    )
+    host = cloth_grid(
+        10, 10, spacing=0.06, shear=True, bend=True,
+        pinned=("tl", "tr", "bl", "br"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-1.0,
+        orientation="xz", origin=(-0.27, 0.0, -0.27),
+        sphere_centers=[[-0.3, 0.35, 0.0], [0.3, 0.38, 0.0]],
+        sphere_radii=[0.12, 0.12],
+    )
+    host = add_colliders(
+        host, box_centers=[[0.0, -0.6, 0.6]],
+        box_half_extents=[[0.5, 0.3, 0.2]], box_rotations=[np.eye(3)])
+    top, state = api.init(host, dtype=jnp.float64)
+    r0 = make_rigid_state(
+        top, [0.4, 0.4],
+        velocities=[[1.2, 0.0, 0.05], [-1.2, 0.0, -0.05]],
+        omega=[[0.0, 0.0, 5.0], [0.0, 0.0, 0.0]])
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    rc = np.asarray(r0.centers, np.float64)
+    rv = np.asarray(r0.velocities, np.float64)
+    rom = np.asarray(r0.omega, np.float64)
+    rim = np.asarray(r0.inv_mass, np.float64)
+    dt = cfg.dt / cfg.n_substeps
+    sub = {
+        Solver.SEMI_IMPLICIT_EULER:
+            lambda *a, **k: oracle.substep_euler_coupled(*a, **k)[:6],
+        Solver.VERLET: oracle.substep_verlet_coupled,
+        Solver.XPBD: oracle.substep_xpbd_coupled,
+    }[solver]
+    for _ in range(40):
+        for _ in range(cfg.n_substeps):
+            x, v, xp, rc, rv, rom = sub(host, cfg, x, v, xp, rc, rv, rim,
+                                        dt, romega=rom)
+    s, r = state, r0
+    fn = jax.jit(
+        lambda s, r: step_coupled_scan(top, cfg, s, r, dt, cfg.n_substeps))
+    for _ in range(40):
+        s, r = fn(s, r)
+    assert np.max(np.abs(np.asarray(s.x) - x)) < 1e-6
+    assert np.max(np.abs(np.asarray(r.centers) - rc)) < 1e-8
+    assert np.max(np.abs(np.asarray(r.velocities) - rv)) < 1e-8
+    assert np.max(np.abs(np.asarray(r.omega) - rom)) < 1e-8
+    # the balls actually met (started 0.6 apart, radii sum 0.24)
+    assert np.linalg.norm(rc[0] - rc[1]) > 0.24
