@@ -147,6 +147,12 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                 else np.zeros((np.asarray(host.sdf_spacings).shape[0], 3)))
             if host.sdf_spacings is not None else None
         ),
+        attach_ids=(i32(host.attach_ids) if host.attach_ids is not None
+                    else None),
+        attach_body=(i32(host.attach_body) if host.attach_body is not None
+                     else None),
+        attach_local=(f32(host.attach_local)
+                      if host.attach_local is not None else None),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,

@@ -95,6 +95,14 @@ class Topology:
     capsule_velocities: jax.Array = None  # f32[C, 3]
     box_velocities: jax.Array = None      # f32[B, 3]
     sdf_velocities: jax.Array = None      # f32[Sg, 3]
+    # --- rigid attachments (cloth vertices welded to a rigid sphere's
+    #     body frame; only read by the coupled solvers — see attach /
+    #     solver.rigid.step_coupled) ---------------------------------------
+    attach_ids: jax.Array = None      # i32[A] cloth vertex ids
+    attach_body: jax.Array = None     # i32[A] sphere index per attachment
+    attach_local: jax.Array = None    # f32[A, 3] attachment point in the
+    #                                   body frame (identity orientation
+    #                                   at build time)
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -135,6 +143,10 @@ class Topology:
     def n_pressure_bodies(self) -> int:
         return (0 if self.pressure_rest_volume is None
                 else self.pressure_rest_volume.shape[0])
+
+    @property
+    def n_attachments(self) -> int:
+        return 0 if self.attach_ids is None else self.attach_ids.shape[0]
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -262,6 +274,12 @@ class HostTopology:
     capsule_velocities: Optional[np.ndarray] = None   # f64[C, 3]
     box_velocities: Optional[np.ndarray] = None       # f64[B, 3]
     sdf_velocities: Optional[np.ndarray] = None       # f64[Sg, 3]
+    # rigid attachments (None = none; see attach): cloth vertices welded
+    # to a point in a rigid sphere's body frame, resolved by the coupled
+    # solvers (solver/rigid.py)
+    attach_ids: Optional[np.ndarray] = None           # i64[A]
+    attach_body: Optional[np.ndarray] = None          # i64[A]
+    attach_local: Optional[np.ndarray] = None         # f64[A, 3]
 
 
 def add_colliders(
@@ -1572,7 +1590,26 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
             hosts, lambda h: h.sdf_velocities,
             lambda h: (0 if h.sdf_spacings is None
                        else h.sdf_spacings.shape[0])),
+        **_merge_attachments(hosts, offs),
     )
+
+
+def _merge_attachments(hosts, offs):
+    """Offset each host's rigid attachments by its vertex offset and its
+    sphere offset (spheres concatenate in host order)."""
+    if all(h.attach_ids is None for h in hosts):
+        return dict(attach_ids=None, attach_body=None, attach_local=None)
+    ids, body, local = [], [], []
+    sphere_off = 0
+    for h, o in zip(hosts, offs):
+        if h.attach_ids is not None:
+            ids.append(np.asarray(h.attach_ids, np.int64) + o)
+            body.append(np.asarray(h.attach_body, np.int64) + sphere_off)
+            local.append(np.asarray(h.attach_local, np.float64))
+        sphere_off += np.asarray(h.sphere_radii).shape[0]
+    return dict(attach_ids=np.concatenate(ids),
+                attach_body=np.concatenate(body),
+                attach_local=np.concatenate(local))
 
 
 def stitch(
@@ -1715,3 +1752,63 @@ def anchor(
         out, ids, phantom_ids,
         stiffness=stiffness, compliance=compliance, rest_length=rest_length,
     )
+
+
+def attach(
+    host: HostTopology,
+    ids,
+    sphere_ids,
+    points=None,
+) -> HostTopology:
+    """Weld cloth vertices to a rigid sphere's BODY FRAME — the Unity
+    FixedJoint-to-a-Rigidbody analogue for the coupled solvers
+    (:func:`softbodyunity_tpu.api.step_coupled`): cloth straps holding a
+    swinging ball, a parachute payload, a wrecking ball on a cloth rope.
+
+    ``ids[i]`` is welded to the point ``points[i]`` (world space, default:
+    the vertex's own rest position) expressed in sphere ``sphere_ids[i]``'s
+    body frame, so the attachment point RIDES the ball's rotation (balls
+    carry an orientation quaternion in :class:`~softbodyunity_tpu.solver.
+    rigid.RigidState`).  The weld is two-way: each substep solves the
+    vertex<->body constraint with the exact rigid-body inverse-mass matrix
+    (Sherman-Morrison closed form), splitting the correction between the
+    vertex, the ball's center, and the ball's orientation by their
+    generalized inverse masses — a kinematic ball (``inv_mass = 0``) drags
+    the cloth like :func:`softbodyunity_tpu.api.move_pins`; a pinned
+    vertex anchors the ball.
+
+    Attachments are ignored by the plain (kinematic-sphere) ``step``;
+    they bind only under ``step_coupled``.  Returns a new HostTopology;
+    composable — repeated calls concatenate.
+    """
+    ids = np.asarray(ids, np.int64).reshape(-1)
+    sphere_ids = np.asarray(sphere_ids, np.int64).reshape(-1)
+    n = host.positions0.shape[0]
+    n_s = np.asarray(host.sphere_radii).shape[0]
+    if ids.size == 0:
+        return host
+    if sphere_ids.size == 1 and ids.size > 1:
+        sphere_ids = np.full(ids.size, sphere_ids[0], np.int64)
+    if sphere_ids.size != ids.size:
+        raise ValueError("sphere_ids must pair 1:1 with ids (or be scalar)")
+    if ((ids < 0) | (ids >= n)).any():
+        raise ValueError(f"attach vertex id out of range [0, {n})")
+    if ((sphere_ids < 0) | (sphere_ids >= n_s)).any():
+        raise ValueError(
+            f"attach sphere id out of range [0, {n_s}) — attachments bind "
+            f"to the scene's spheres (add them to the builder first)")
+    if points is None:
+        points = host.positions0[ids]
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    if points.shape[0] != ids.size:
+        raise ValueError("points must pair 1:1 with ids")
+    # body frame at build time = identity orientation at the rest center
+    local = points - np.asarray(host.sphere_centers, np.float64)[sphere_ids]
+    out = dataclasses.replace(host)
+    out.attach_ids = (ids if host.attach_ids is None
+                      else np.concatenate([host.attach_ids, ids]))
+    out.attach_body = (sphere_ids if host.attach_body is None
+                       else np.concatenate([host.attach_body, sphere_ids]))
+    out.attach_local = (local if host.attach_local is None
+                        else np.concatenate([host.attach_local, local]))
+    return out

@@ -479,18 +479,23 @@ def sphere_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
     return x
 
 
-def _one_sphere_friction(x, x_start, dt, movable, center, radius, w, mu, m):
+def _one_sphere_friction(x, x_start, dt, movable, center, radius, w, mu, m,
+                         w_b=0.0):
     """One sphere's tangential friction on contacting vertices; returns
     ``(x, J_t)`` where J_t is the tangential impulse ``sum m_i dx_t_i/dt``
     removed from the cloth (the coupled paths react ``-J_t`` onto the
-    dynamic ball; ``m=None`` skips the measurement)."""
+    dynamic ball; ``m=None`` skips the measurement).  ``w_b`` (the ball's
+    inverse mass) engages the reduced-mass scaling for dynamic balls —
+    see _project_spheres_measured; 0 = kinematic, full friction."""
     d = x - center
     dist = np.linalg.norm(d, axis=1)
     n = d / np.maximum(dist, 1e-12)[:, None]
     contact = (dist <= radius * SPHERE_CONTACT_SHELL) & movable
     rel = (x - x_start) - np.asarray(w)[None, :] * dt
     rel_t = rel - np.einsum("ij,ij->i", rel, n)[:, None] * n
-    dx_t = np.where(contact[:, None], -mu * rel_t, 0.0)
+    beta = (1.0 if m is None
+            else 1.0 / (1.0 + w_b * (m * contact).sum()))
+    dx_t = np.where(contact[:, None], -mu * beta * rel_t, 0.0)
     j_t = None if m is None else (m[:, None] * dx_t).sum(axis=0) / dt
     return x + dx_t, j_t
 
@@ -731,7 +736,7 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
 
 def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                           rc, rv, r_inv_mass, dt, alive=None, scale=None,
-                          romega=None):
+                          romega=None, rq=None):
     """Two-way coupled Euler substep (binding): the scene's spheres are
     DYNAMIC rigid bodies (centers ``rc`` f64[S,3], velocities ``rv``,
     angular velocities ``romega``, inverse masses ``r_inv_mass``;
@@ -744,8 +749,11 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     2. the ordinary Euler cloth substep with sphere geometry at ``rc``;
        each contacting vertex sees the sphere's SURFACE velocity at its
        own contact point, ``w_i = rv + romega x (radius * n_i)`` (a
-       spinning ball drags the cloth); per-sphere linear impulse
-       ``J = sum_i m_i dv_i`` and contact torque impulse
+       spinning ball drags the cloth); the patch side of every
+       position/velocity change is REDUCED-MASS scaled by
+       ``beta = M/(M + m_patch)`` (see the in-loop comment) and the
+       ball's center takes the complementary push; per-sphere linear
+       impulse ``J = sum_i m_i dv_i`` and contact torque impulse
        ``L = sum_i (radius * n_i) x (m_i dv_i)`` are measured across
        that sphere's resolve;
     3. reaction: ``rv -= J * inv_m``; ``romega -= L * inv_I`` with the
@@ -772,6 +780,8 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     dyn = (r_inv_mass > 0.0)[:, None]
     rv = np.where(dyn, rv + dt * g[None, :], rv)
     rc = rc + dt * rv
+    if rq is not None:
+        rq = _quat_integrate(rq, romega, dt)
 
     x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
                                              alive=alive, scale=scale)
@@ -784,7 +794,23 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         pen = radii[s] - dist
         contact = (pen > 0.0) & movable
         n = d / np.maximum(dist, 1e-12)[:, None]
-        x = x + np.where(contact, pen, 0.0)[:, None] * n
+        # reduced-mass factor: the ball (mass M = 1/w_b) and its contact
+        # patch (total contacting cloth mass m_c) exchange as a TWO-BODY
+        # system — the patch side of every position/velocity change is
+        # scaled by beta = M/(M + m_c) and the ball takes the complement.
+        # Forcing vertices all the way to the ball frame and slapping the
+        # full measured impulse back (the kinematic-collider rule, beta=1)
+        # over-exchanges momentum by (M+m_c)/M and EXPLODES once
+        # (1+e)*m_c > M (a stacked-ball resonance reached 790 m/s); with
+        # beta the post-contact relative normal velocity is exactly
+        # -e*u_n, Newton restitution for the patch exchange, stable for
+        # any mass ratio.  Kinematic balls (w_b = 0) keep beta = 1: the
+        # kinematic-collider semantics are unchanged.
+        m_c = (m * contact).sum()
+        beta = 1.0 / (1.0 + r_inv_mass[s] * m_c)
+        dx = beta * np.where(contact, pen, 0.0)[:, None] * n
+        x = x + dx
+        rc[s] = rc[s] - r_inv_mass[s] * (m[:, None] * dx).sum(axis=0)
         # per-vertex surface velocity: linear + spin at the contact point
         arm = radii[s] * n
         w_i = rv[s][None, :] + np.cross(
@@ -794,14 +820,15 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         u = v - w_i
         un = np.einsum("ij,ij->i", u, n)
         inward = contact & (un < 0.0)
-        v = v - np.where(
+        v1 = v - np.where(
             inward, (1.0 + cfg.collision.restitution) * un, 0.0
         )[:, None] * n
-        u2 = v - w_i
+        u2 = v1 - w_i
         un2 = np.einsum("ij,ij->i", u2, n)[:, None] * n
         ut = u2 - un2
-        v = np.where(contact[:, None],
-                     w_i + un2 + ut * (1.0 - cfg.collision.friction), v)
+        v_t = np.where(contact[:, None],
+                       w_i + un2 + ut * (1.0 - cfg.collision.friction), v1)
+        v = v0 + beta * (v_t - v0)
         dp = m[:, None] * (v - v0)
         rv[s] = rv[s] - dp.sum(axis=0) * r_inv_mass[s]
         romega[s] = romega[s] - np.cross(arm, dp).sum(axis=0) * inv_i[s]
@@ -830,11 +857,18 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                                           r_inv_mass, inv_i, radii)
     rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
+    if top.attach_ids is not None:
+        if rq is None:
+            raise ValueError(
+                "topology has rigid attachments: pass ball orientations rq")
+        x, v, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, x, v, rc, rv, romega, rq, r_inv_mass, inv_i, dt)
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
-    return x, v, x_prev, rc, rv, romega, alive, scale
+    out = (x, v, x_prev, rc, rv, romega, alive, scale)
+    return out if rq is None else out + (rq,)
 
 
 def _rigid_predict(cfg, rc, rv, r_inv_mass, dt):
@@ -843,12 +877,103 @@ def _rigid_predict(cfg, rc, rv, r_inv_mass, dt):
     return rc + dt * rv, rv
 
 
-def _project_spheres_measured(x, movable, m, rc, radii, dt):
+# ---- quaternion helpers (wxyz; unit) — ball orientation state for rigid
+# attachments (the attachment point rides the ball's rotation) -----------
+
+def _quat_mul(p, q):
+    pw, px, py, pz = p
+    qw, qx, qy, qz = q
+    return np.array([
+        pw * qw - px * qx - py * qy - pz * qz,
+        pw * qx + px * qw + py * qz - pz * qy,
+        pw * qy - px * qz + py * qw + pz * qx,
+        pw * qz + px * qy - py * qx + pz * qw,
+    ])
+
+
+def _quat_rotate(q, v):
+    """Rotate vector v by unit quaternion q: v + 2 qv x (qv x v + qw v)."""
+    qv = q[1:]
+    return v + 2.0 * np.cross(qv, np.cross(qv, v) + q[0] * v)
+
+
+def _quat_from_rotvec(t):
+    """Exact exponential map (angle = |t|), series-safe near zero."""
+    angle = np.linalg.norm(t)
+    if angle < 1e-12:
+        return np.array([1.0, 0.5 * t[0], 0.5 * t[1], 0.5 * t[2]])
+    axis = t / angle
+    h = 0.5 * angle
+    return np.concatenate([[np.cos(h)], np.sin(h) * axis])
+
+
+def _quat_integrate(rq, romega, dt):
+    """Per-ball orientation update q' = normalize(exp(dt*omega/2) * q)."""
+    out = rq.copy()
+    for s in range(rq.shape[0]):
+        q = _quat_mul(_quat_from_rotvec(dt * romega[s]), rq[s])
+        out[s] = q / np.linalg.norm(q)
+    return out
+
+
+def _solve_attachments(top, cfg, x, v, rc, rv, romega, rq, r_inv_mass,
+                       inv_i, dt):
+    """Rigid attachments (binding semantics): each cloth vertex welded to
+    a point in a ball's body frame is solved SEQUENTIALLY (Gauss-Seidel in
+    attachment-index order), one pass per substep.  The constraint
+    ``C = x_vid - (rc_b + R(q_b) a_local) = 0`` is closed exactly in the
+    linearization by the generalized-inverse-mass split: with world arm
+    ``a``, ``K = (w_v + w_b) I + ii (|a|^2 I - a a^T)`` and the correction
+    ``P = -K^{-1} C`` (Sherman-Morrison closed form), the vertex takes
+    ``+w_v P``, the ball center ``-w_b P``, the orientation the rotation
+    vector ``-ii (a x P)``; velocities receive the same split over dt
+    (``v`` None skips the vertex-velocity half — the position-projection
+    solvers derive v from positions).  Kinematic balls (w_b = 0) drag the
+    vertex exactly onto the target; pinned vertices (w_v = 0) anchor the
+    ball."""
+    x, rc, rv = np.array(x), np.array(rc), np.array(rv)
+    romega, rq = np.array(romega), np.array(rq)
+    v = None if v is None else np.array(v)
+    for k in range(top.attach_ids.shape[0]):
+        vid = int(top.attach_ids[k])
+        b = int(top.attach_body[k])
+        a = _quat_rotate(rq[b], np.asarray(top.attach_local[k], np.float64))
+        C = x[vid] - (rc[b] + a)
+        w_v = float(top.inv_mass[vid])
+        w_b = float(r_inv_mass[b])
+        ii = float(inv_i[b])
+        al = w_v + w_b + ii * float(a @ a)
+        if al <= 0.0:
+            continue        # pinned vertex on a kinematic ball: inert
+        P = -(C / al + ii * float(a @ C) * a
+              / (al * max(w_v + w_b, 1e-12)))
+        x[vid] = x[vid] + w_v * P
+        if v is not None:
+            v[vid] = v[vid] + w_v * P / dt
+        rc[b] = rc[b] - w_b * P
+        rv[b] = rv[b] - w_b * P / dt
+        dth = -ii * np.cross(a, P)
+        romega[b] = romega[b] + dth / dt
+        q = _quat_mul(_quat_from_rotvec(dth), rq[b])
+        rq[b] = q / np.linalg.norm(q)
+    return x, v, rc, rv, romega, rq
+
+
+def _project_spheres_measured(x, movable, m, rc, radii, dt,
+                              r_inv_mass=None):
     """Position-only sphere projection at the rigid centers: returns
     (x, j_lin f64[S,3]) — the per-sphere projection momentum
     ``sum_i m_i dx_i / dt``.  The push is purely RADIAL (parallel to the
     contact normal through the center), so it exerts exactly zero torque
-    — there is no angular term."""
+    — there is no angular term.
+
+    ``r_inv_mass`` (dynamic balls) engages the reduced-mass pair split:
+    the vertex side of each push is scaled by ``beta = M/(M + m_c)``
+    (m_c = total contacting cloth mass) and the caller shifts the ball
+    by the complement ``-w_b * j_lin * dt`` — without it the reaction
+    ``-j_lin * w_b`` grows unbounded with m_c/M and a ball under a heavy
+    cloth is catapulted.  ``None`` (kinematic geometry) keeps the full
+    push, beta = 1."""
     j_lin = np.zeros((rc.shape[0], 3))
     for s in range(rc.shape[0]):
         d = x - rc[s]
@@ -856,7 +981,9 @@ def _project_spheres_measured(x, movable, m, rc, radii, dt):
         pen = radii[s] - dist
         contact = (pen > 0.0) & movable
         n = d / np.maximum(dist, 1e-12)[:, None]
-        dx = np.where(contact, pen, 0.0)[:, None] * n
+        beta = (1.0 if r_inv_mass is None
+                else 1.0 / (1.0 + r_inv_mass[s] * (m * contact).sum()))
+        dx = beta * np.where(contact, pen, 0.0)[:, None] * n
         x = x + dx
         j_lin[s] = (m[:, None] * dx / dt).sum(axis=0)
     return x, j_lin
@@ -1026,7 +1153,7 @@ def _verlet_integrate(top: HostTopology, cfg: SimConfig, x, x_prev, dt,
 
 
 def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
-                           rc, rv, r_inv_mass, dt, romega=None):
+                           rc, rv, r_inv_mass, dt, romega=None, rq=None):
     """Coupled Verlet substep (binding): Verlet resolves contacts as
     position projections, so the momentum the cloth receives from sphere
     s is the projection impulse ``J_s = sum_i m_i dx_i / dt`` and the
@@ -1040,6 +1167,8 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     radii = np.asarray(top.sphere_radii, np.float64)
     inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
     rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
+    if rq is not None:
+        rq = _quat_integrate(rq, romega, dt)
 
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt)
     # projection order mirrors project_positions_only: plane, spheres
@@ -1049,8 +1178,9 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         x_new[:, 1] = np.where(contact, top.plane_height, x_new[:, 1])
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc, radii,
-                                             dt)
+                                             dt, r_inv_mass)
     rv = rv - j_lin * r_inv_mass[:, None]
+    rc = rc - (j_lin * dt) * r_inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
     # sphere tangential friction at the DYNAMIC centers, relative to each
@@ -1060,13 +1190,22 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     if cfg.collision.enable_spheres and mu != 0.0:
         for s in range(rc.shape[0]):
             x_new, j_t = _one_sphere_friction(
-                x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m)
+                x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m,
+                r_inv_mass[s])
             rv[s] = rv[s] - j_t * r_inv_mass[s]
     x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable)
     rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
                                         r_inv_mass, inv_i, radii)
+    if top.attach_ids is not None:
+        if rq is None:
+            raise ValueError(
+                "topology has rigid attachments: pass ball orientations rq")
+        x_new, _, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, x_new, None, rc, rv, romega, rq, r_inv_mass, inv_i,
+            dt)
     v_new = (x_new - x) / dt
-    return x_new, v_new, x, rc, rv, romega
+    out = (x_new, v_new, x, rc, rv, romega)
+    return out if rq is None else out + (rq,)
 
 
 def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
@@ -1100,7 +1239,7 @@ def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
 
 
 def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
-                         rc, rv, r_inv_mass, dt, romega=None):
+                         rc, rv, r_inv_mass, dt, romega=None, rq=None):
     """Coupled XPBD substep (binding): contacts project inside the Jacobi
     loop, so the per-sphere projection impulses accumulate across ALL
     iterations: ``J_s = sum_iters sum_i m_i dx_i / dt``.  Reaction and
@@ -1113,6 +1252,8 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     radii = np.asarray(top.sphere_radii, np.float64)
     inv_i = r_inv_mass * 2.5 / np.maximum(radii * radii, 1e-12)
     rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
+    if rq is not None:
+        rq = _quat_integrate(rq, romega, dt)
 
     g = np.asarray(cfg.gravity)
     accel = g[None, :]
@@ -1139,7 +1280,8 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         contact |= pc
         if cfg.collision.enable_plane:
             x[:, 1] = np.where(pc, top.plane_height, x[:, 1])
-        x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt)
+        x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt,
+                                          r_inv_mass)
         j_lin += jl
         x = _project_static_rest(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
@@ -1147,15 +1289,26 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     if cfg.collision.enable_spheres and mu != 0.0:
         for s in range(rc.shape[0]):
             x, j_t = _one_sphere_friction(
-                x, x_prev, dt, movable, rc[s], radii[s], rv[s], mu, m)
+                x, x_prev, dt, movable, rc[s], radii[s], rv[s], mu, m,
+                r_inv_mass[s])
             rv[s] = rv[s] - j_t * r_inv_mass[s]
     x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
     rv = rv - j_lin * r_inv_mass[:, None]
+    # the balls' complementary share of the accumulated projection pushes
+    # (reduced-mass pair split; see _project_spheres_measured)
+    rc = rc - (j_lin * dt) * r_inv_mass[:, None]
     rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
                                         r_inv_mass, inv_i, radii)
+    if top.attach_ids is not None:
+        if rq is None:
+            raise ValueError(
+                "topology has rigid attachments: pass ball orientations rq")
+        x, _, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, x, None, rc, rv, romega, rq, r_inv_mass, inv_i, dt)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
-    return x, v, x_prev, rc, rv, romega
+    out = (x, v, x_prev, rc, rv, romega)
+    return out if rq is None else out + (rq,)
 
 
 _SUBSTEP_COUPLED = {
@@ -1166,26 +1319,38 @@ _SUBSTEP_COUPLED = {
 
 
 def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
-                 r_inv_mass, dt=None, n_substeps=None, romega=None):
+                 r_inv_mass, dt=None, n_substeps=None, romega=None,
+                 rq=None):
     """n_substeps coupled substeps (solver from cfg); returns
-    (x, v, x_prev, rc, rv, romega)."""
+    (x, v, x_prev, rc, rv, romega) — plus the ball orientations ``rq``
+    appended when given (required when the topology carries rigid
+    attachments)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     rc = np.array(rc, np.float64)
     rv = np.array(rv, np.float64)
     romega = (np.zeros_like(rv) if romega is None
               else np.array(romega, np.float64))
+    if rq is None and top.attach_ids is not None:
+        rq = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (rc.shape[0], 1))
+    if rq is not None:
+        rq = np.array(rq, np.float64)
     for _ in range(n):
         if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
-            x, v, x_prev, rc, rv, romega, _, _ = substep_euler_coupled(
+            out = substep_euler_coupled(
                 top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                romega=romega)
+                romega=romega, rq=rq)
+            x, v, x_prev, rc, rv, romega = out[0], out[1], out[2], \
+                out[3], out[4], out[5]
+            rq = out[8] if rq is not None else None
         else:
             fn = _SUBSTEP_COUPLED[cfg.solver]
-            x, v, x_prev, rc, rv, romega = fn(
-                top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                romega=romega)
-    return x, v, x_prev, rc, rv, romega
+            out = fn(top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
+                     romega=romega, rq=rq)
+            x, v, x_prev, rc, rv, romega = out[:6]
+            rq = out[6] if rq is not None else None
+    base = (x, v, x_prev, rc, rv, romega)
+    return base if rq is None else base + (rq,)
 
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,

@@ -12,7 +12,12 @@ bounce.  Euler exchanges velocity-level impulses (with spin drag and
 reaction torque); Verlet/XPBD exchange the position-projection impulses
 ``sum m_i dx_i / dt`` — purely radial pushes, so cloth contact exerts
 NO torque there (and no spin-drag: projection carries no
-surface-velocity term).  Note the coupled XPBD substep always runs the
+surface-velocity term).  Every cloth-ball exchange is REDUCED-MASS
+scaled: the patch side of each push/velocity change carries
+``beta = M/(M + m_patch)`` and the ball the complement, making contact
+stable at any cloth/ball mass ratio (beta = 1, the kinematic-collider
+rule, over-exchanges by (M+m_patch)/M and explodes once
+(1+e) m_patch > M).  Note the coupled XPBD substep always runs the
 general gather-path constraint iteration, never the banded roll path —
 coupled scenes are small RL cloths where gathers are cheap; a banded
 coupled variant would need the projection measurement inside the
@@ -50,17 +55,22 @@ class RigidState:
     velocities: jax.Array   # f32[S, 3]
     inv_mass: jax.Array     # f32[S]; 0 = kinematic
     omega: jax.Array = None  # f32[S, 3] angular velocity (spin)
+    quat: jax.Array = None   # f32[S, 4] orientation (wxyz unit quaternion);
+    #                          required when the topology carries rigid
+    #                          attachments (the weld point rides rotation)
 
     def replace(self, **kw) -> "RigidState":
         return dataclasses.replace(self, **kw)
 
 
 def make_rigid_state(top: Topology, masses, velocities=None,
-                     omega=None) -> RigidState:
+                     omega=None, quats=None) -> RigidState:
     """Promote the scene's spheres to dynamic rigid bodies.  ``masses``
     f32[S] (``inf``/``0`` => kinematic); initial centers come from the
     topology's sphere geometry.  ``omega`` f32[S,3] initial spin (solid
-    spheres, I = 2/5 m r^2)."""
+    spheres, I = 2/5 m r^2); ``quats`` f32[S,4] initial orientation
+    (wxyz, default identity — orientation makes rigid attachments ride
+    the ball's rotation and is always carried)."""
     c = jnp.asarray(top.sphere_centers)
     m = np.asarray(masses, np.float64).reshape(-1)
     if m.shape[0] != c.shape[0]:
@@ -74,8 +84,11 @@ def make_rigid_state(top: Topology, masses, velocities=None,
          else jnp.asarray(velocities, c.dtype).reshape(-1, 3))
     om = (jnp.zeros_like(c) if omega is None
           else jnp.asarray(omega, c.dtype).reshape(-1, 3))
+    q = (jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], c.dtype),
+                  (c.shape[0], 1))
+         if quats is None else jnp.asarray(quats, c.dtype).reshape(-1, 4))
     return RigidState(centers=c, velocities=v,
-                      inv_mass=jnp.asarray(im, c.dtype), omega=om)
+                      inv_mass=jnp.asarray(im, c.dtype), omega=om, quat=q)
 
 
 def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
@@ -91,7 +104,7 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     scale = _step._plastic_scale(cfg, s)
 
     # 1. rigid predict
-    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
+    rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
 
     # 2. cloth substep: shared integrate + plane stage ...
     x, v, x_prev, movable = _step.euler_integrate(top, cfg, s, dt, alive,
@@ -109,7 +122,16 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         pen = radii[si] - dist
         contact = (pen > 0.0) & movable
         n = d / jnp.maximum(dist, 1e-12)[:, None]
-        x = x + jnp.where(contact, pen, 0.0)[:, None] * n
+        # reduced-mass pair split (oracle semantics): the patch side of
+        # every position/velocity change scales by beta = M/(M + m_c),
+        # the ball takes the complement — stable at any cloth/ball mass
+        # ratio; kinematic balls (inv_mass 0) keep beta = 1 exactly
+        m_c = jnp.sum(m * contact)
+        beta = 1.0 / (1.0 + r.inv_mass[si] * m_c)
+        dx = beta * jnp.where(contact, pen, 0.0)[:, None] * n
+        x = x + dx
+        rc = rc.at[si].add(-r.inv_mass[si]
+                           * jnp.sum(m[:, None] * dx, axis=0))
         arm = radii[si] * n
         w_i = rv[si][None, :] + jnp.cross(
             jnp.broadcast_to(romega[si], arm.shape), arm
@@ -118,14 +140,15 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         u = v - w_i
         un = jnp.einsum("ij,ij->i", u, n)
         inward = contact & (un < 0.0)
-        v = v - jnp.where(
+        v1 = v - jnp.where(
             inward, (1.0 + cfg.collision.restitution) * un, 0.0
         )[:, None] * n
-        u2 = v - w_i
+        u2 = v1 - w_i
         un2 = jnp.einsum("ij,ij->i", u2, n)[:, None] * n
         ut = u2 - un2
-        v = jnp.where(contact[:, None],
-                      w_i + un2 + ut * (1.0 - cfg.collision.friction), v)
+        v_t = jnp.where(contact[:, None],
+                        w_i + un2 + ut * (1.0 - cfg.collision.friction), v1)
+        v = v0 + beta * (v_t - v0)
         dp = m[:, None] * (v - v0)
         jlist.append(jnp.sum(dp, axis=0))
         llist.append(jnp.sum(jnp.cross(arm, dp), axis=0))
@@ -141,16 +164,23 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i)
 
+    # 5. rigid attachments (weld constraints), before the tear/plastic
+    # checks in finish_euler_substep (oracle order)
+    if top.attach_ids is not None:
+        x, v, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, x, v, rc, rv, romega, rq, r.inv_mass, inv_i, dt)
+
     return (
         _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega),
+                   omega=romega, quat=rq),
     )
 
 
 def _rigid_predict(top: Topology, cfg: SimConfig, r: RigidState, dt: float):
     """Rigid gravity predict + derived quantities (shared by all coupled
-    substeps)."""
+    substeps).  Integrates the orientation quaternion when carried
+    (isotropic sphere inertia: no gyroscopic precession term)."""
     g = jnp.asarray(cfg.gravity, dtype=r.centers.dtype)
     dyn = (r.inv_mass > 0.0)[:, None]
     rv = jnp.where(dyn, r.velocities + dt * g[None, :], r.velocities)
@@ -159,7 +189,76 @@ def _rigid_predict(top: Topology, cfg: SimConfig, r: RigidState, dt: float):
               else jnp.zeros_like(r.velocities))
     radii = top.sphere_radii
     inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
-    return rc, rv, romega, radii, inv_i
+    rq = None if r.quat is None else _quat_integrate(r.quat, romega, dt)
+    return rc, rv, romega, radii, inv_i, rq
+
+
+# ---- quaternion helpers (wxyz; oracle _quat_* twins) --------------------
+
+def _quat_mul(p, q):
+    pw, px, py, pz = p[0], p[1], p[2], p[3]
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    return jnp.stack([
+        pw * qw - px * qx - py * qy - pz * qz,
+        pw * qx + px * qw + py * qz - pz * qy,
+        pw * qy - px * qz + py * qw + pz * qx,
+        pw * qz + px * qy - py * qx + pz * qw,
+    ])
+
+
+def _quat_rotate(q, v):
+    qv = q[1:]
+    return v + 2.0 * jnp.cross(qv, jnp.cross(qv, v) + q[0] * v)
+
+
+def _quat_from_rotvec(t):
+    """Exact exponential map, mirroring the oracle's small-angle branch
+    (both sides switch at 1e-12 so parity holds bit-for-bit above it)."""
+    angle = jnp.linalg.norm(t)
+    axis = t / jnp.maximum(angle, 1e-12)
+    h = 0.5 * angle
+    exact = jnp.concatenate([jnp.cos(h)[None], jnp.sin(h) * axis])
+    small = jnp.concatenate([jnp.ones((1,), t.dtype), 0.5 * t])
+    return jnp.where(angle < 1e-12, small, exact)
+
+
+def _quat_integrate(rq, romega, dt):
+    def one(q, om):
+        q2 = _quat_mul(_quat_from_rotvec(dt * om), q)
+        return q2 / jnp.linalg.norm(q2)
+
+    return jax.vmap(one)(rq, romega)
+
+
+def _solve_attachments(top, cfg, x, v, rc, rv, romega, rq, r_inv_mass,
+                       inv_i, dt):
+    """Oracle _solve_attachments twin: sequential Gauss-Seidel over the
+    attachment list (static count, traced indices — jits and vmaps); the
+    generalized-inverse-mass correction P = -K^{-1} C via the
+    Sherman-Morrison closed form, split vertex/center/orientation."""
+    for k in range(top.n_attachments):
+        vid = top.attach_ids[k]
+        b = top.attach_body[k]
+        a = _quat_rotate(rq[b], top.attach_local[k].astype(x.dtype))
+        C = x[vid] - (rc[b] + a)
+        w_v = top.inv_mass[vid]
+        w_b = r_inv_mass[b]
+        ii = inv_i[b]
+        al = w_v + w_b + ii * jnp.dot(a, a)
+        P = -(C / jnp.maximum(al, 1e-12)
+              + ii * jnp.dot(a, C) * a
+              / (jnp.maximum(al, 1e-12) * jnp.maximum(w_v + w_b, 1e-12)))
+        P = jnp.where(al > 0.0, P, 0.0)
+        x = x.at[vid].add(w_v * P)
+        if v is not None:
+            v = v.at[vid].add(w_v * P / dt)
+        rc = rc.at[b].add(-w_b * P)
+        rv = rv.at[b].add(-w_b * P / dt)
+        dth = -ii * jnp.cross(a, P)
+        romega = romega.at[b].add(dth / dt)
+        q2 = _quat_mul(_quat_from_rotvec(dth), rq[b])
+        rq = rq.at[b].set(q2 / jnp.linalg.norm(q2))
+    return x, v, rc, rv, romega, rq
 
 
 def _rigid_plane_bounce(top: Topology, cfg: SimConfig, r: RigidState,
@@ -314,12 +413,16 @@ def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i):
     return rc, rv, romega
 
 
-def _project_spheres_measured(x, movable, m, rc, radii, dt):
+def _project_spheres_measured(x, movable, m, rc, radii, dt,
+                              r_inv_mass=None):
     """Position-only sphere projection at the rigid centers (oracle
     _project_spheres_measured twin): returns (x, j_lin [S,3]) — the
     per-sphere projection momentum sum_i m_i dx_i / dt.  The push is
     purely RADIAL (dx parallel to the contact normal through the center),
-    so it exerts exactly zero torque — no angular term to measure."""
+    so it exerts exactly zero torque — no angular term to measure.
+    ``r_inv_mass`` engages the reduced-mass pair split (vertex push
+    scaled by beta = M/(M + m_c); callers shift the balls by
+    ``-w_b * j_lin * dt``) — see the oracle docstring."""
     j_lin = []
     for si in range(rc.shape[0]):
         d = x - rc[si]
@@ -327,7 +430,9 @@ def _project_spheres_measured(x, movable, m, rc, radii, dt):
         pen = radii[si] - dist
         contact = (pen > 0.0) & movable
         n = d / jnp.maximum(dist, 1e-12)[:, None]
-        dx = jnp.where(contact, pen, 0.0)[:, None] * n
+        beta = (1.0 if r_inv_mass is None
+                else 1.0 / (1.0 + r_inv_mass[si] * jnp.sum(m * contact)))
+        dx = beta * jnp.where(contact, pen, 0.0)[:, None] * n
         x = x + dx
         j_lin.append(jnp.sum(m[:, None] * dx / dt, axis=0))
     return x, jnp.stack(j_lin)
@@ -341,11 +446,12 @@ def _project_plane_only(top, cfg, x, movable):
 
 
 def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
-                              radii):
+                              radii, r_inv_mass):
     """Tangential sphere friction at the DYNAMIC centers, relative to each
     ball's velocity, with the linear impulse measured for the reaction
     (oracle _one_sphere_friction twin; no torque — the PBD coupled
-    contract stays spin-free)."""
+    contract stays spin-free).  Reduced-mass scaled (beta) like the
+    projection so the reaction stays bounded for heavy cloth."""
     from .collide import SPHERE_CONTACT_SHELL
 
     mu = cfg.collision.friction
@@ -359,7 +465,8 @@ def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
         contact = (dist <= radii[s] * SPHERE_CONTACT_SHELL) & movable
         rel = (x - x_start) - rv[s][None, :] * dt
         rel_t = rel - jnp.einsum("ij,ij->i", rel, n)[:, None] * n
-        dx_t = jnp.where(contact[:, None], -mu * rel_t, 0.0)
+        beta = 1.0 / (1.0 + r_inv_mass[s] * jnp.sum(m * contact))
+        dx_t = jnp.where(contact[:, None], -mu * beta * rel_t, 0.0)
         x = x + dx_t
         j_t = j_t.at[s].set((m[:, None] * dx_t).sum(axis=0) / dt)
     return x, j_t
@@ -385,30 +492,35 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     projections, so sphere s's reaction is the projection impulse
     ``-sum_i m_i dx_i / dt``.  The radial push exerts no torque and
     carries no surface-velocity term: no spin-drag, no contact spin."""
-    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
+    rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
     x_new, movable = _step.verlet_integrate(top, cfg, s, dt, None, None)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = _project_plane_only(top, cfg, x_new, movable)
     x_new, j_lin = _project_spheres_measured(x_new, movable, m, rc,
-                                             radii, dt)
+                                             radii, dt, r.inv_mass)
     rv = rv - j_lin * r.inv_mass[:, None]
+    rc = rc - (j_lin * dt) * r.inv_mass[:, None]
     x_new = _project_static_rest(top, cfg, x_new, movable)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
                                              contact)
     x_new, j_t = _sphere_friction_measured(cfg, x_new, s.x, dt, movable, m,
-                                           rc, rv, radii)
+                                           rc, rv, radii, r.inv_mass)
     rv = rv - j_t * r.inv_mass[:, None]
     x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
                                             movable)
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i)
+    if top.attach_ids is not None:
+        x_new, _, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, x_new, None, rc, rv, romega, rq, r.inv_mass, inv_i,
+            dt)
     v_new = (x_new - s.x) / dt
     return (
         State(x=x_new, v=v_new, x_prev=s.x, edge_alive=s.edge_alive,
               rest_scale=s.rest_scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega),
+                   omega=romega, quat=rq),
     )
 
 
@@ -422,7 +534,7 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     from . import xpbd
 
     movable = top.inv_mass > 0.0
-    rc, rv, romega, radii, inv_i = _rigid_predict(top, cfg, r, dt)
+    rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     accel = g[None, :]
     if cfg.wind.enabled:
@@ -453,7 +565,8 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         xe = x_prev + delta
         pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
         xe2 = _project_plane_only(top, cfg, xe, movable)
-        xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii, dt)
+        xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii, dt,
+                                            r.inv_mass)
         xe4 = _project_static_rest(top, cfg, xe3, movable)
         delta = delta + (xe4 - xe)
         return (delta, lam, lam_vol, j_lin + jl, cfm | pc), None
@@ -468,7 +581,7 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     # the balls)
     xe_f = x_prev + delta
     xf, j_t = _sphere_friction_measured(cfg, xe_f, x_prev, dt, movable, m,
-                                        rc, rv, radii)
+                                        rc, rv, radii, r.inv_mass)
     delta = delta + (xf - xe_f)
     rv = rv - j_t * r.inv_mass[:, None]
     # static capsule/box/SDF friction (no reaction; delta rebased)
@@ -477,15 +590,26 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         collide.rest_friction_positions(top, cfg, xe_r, x_prev, dt, movable)
         - xe_r)
     rv = rv - j_lin * r.inv_mass[:, None]
+    # the balls' complementary share of the accumulated projection pushes
+    # (reduced-mass pair split; see _project_spheres_measured)
+    rc = rc - (j_lin * dt) * r.inv_mass[:, None]
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i)
+    if top.attach_ids is not None:
+        # delta-rebased like the friction stages (keeps the delta-form
+        # accumulation exact for the bulk vertices)
+        xe_a = x_prev + delta
+        xa, _, rc, rv, romega, rq = _solve_attachments(
+            top, cfg, xe_a, None, rc, rv, romega, rq, r.inv_mass, inv_i,
+            dt)
+        delta = delta + (xa - xe_a)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     return (
         State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=s.edge_alive,
               rest_scale=s.rest_scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega),
+                   omega=romega, quat=rq),
     )
 
 
@@ -518,6 +642,12 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
         # returns omega as an array, and a None->array change would break
         # the scan carry's pytree structure
         r = r.replace(omega=jnp.zeros_like(r.velocities))
+    if top.attach_ids is not None and r.quat is None:
+        # attachment points ride the ball's rotation: orientation state
+        # is required (make_rigid_state fills the identity default)
+        r = r.replace(quat=jnp.tile(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], r.centers.dtype),
+            (r.centers.shape[0], 1)))
     fn = _SUBSTEP_COUPLED[cfg.solver]
 
     def body(carry, _):

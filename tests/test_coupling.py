@@ -50,7 +50,14 @@ def _trampoline(n=10, plane=True, pinned=("top", "bottom", "left", "right")):
 @pytest.mark.parametrize("solver,bound", [
     (Solver.SEMI_IMPLICIT_EULER, 1e-6),
     (Solver.VERLET, 5e-4),
-    (Solver.XPBD, 1e-6),
+    # the reduced-mass factor embeds a cross-vertex reduction
+    # (m_c = sum m*contact) whose device summation order differs from
+    # NumPy's by ulps; XPBD's undamped positional contact chaos amplifies
+    # that to ~1e-5 after impact (measured: exact 1e-15 until the impact
+    # frame, then WANDERS 1e-6..1e-5 with no growth — a genuine formula
+    # mismatch jumps to 1e-2+ and grows; the i==10 pre-contact assert
+    # below still pins every solver to 1e-6 exactness)
+    (Solver.XPBD, 1e-4),
 ])
 def test_f64_exact_parity_coupled(solver, bound):
     """Device coupled step == oracle step_coupled to f64 rounding, ball
@@ -135,7 +142,10 @@ def test_ball_rests_on_trampoline():
     host, cfg = _trampoline(n=16)
     top, state = api.init(host)
     rigid = make_rigid_state(top, [0.5])
-    for _ in range(150):
+    # 300 frames: the reduced-mass exchange (beta = M/(M+m_c)) transfers
+    # momentum more gently than the old full-forcing rule, so settling
+    # takes longer (measured |v|: 0.25 @150, 0.10 @200, 0.06 @300)
+    for _ in range(300):
         state, rigid = api.step_coupled(top, cfg, state, rigid)
     c = np.asarray(rigid.centers)[0]
     vb = np.asarray(rigid.velocities)[0]
@@ -566,3 +576,36 @@ def test_two_ball_environment_f64_parity(solver):
     assert np.max(np.abs(np.asarray(r.omega) - rom)) < 1e-8
     # the balls actually met (started 0.6 apart, radii sum 0.24)
     assert np.linalg.norm(rc[0] - rc[1]) > 0.24
+
+
+def test_heavy_cloth_stack_stays_bounded():
+    """Stability at ANY cloth/ball mass ratio: three 0.4 kg balls dropped
+    in a column onto a default-mass cloth (1 kg/vertex — contact patch
+    ~15x the ball mass).  The old full-forcing exchange (beta = 1) had
+    contact loop gain (1+e)*m_c/M ~ 50 and catapulted a ball to 790 m/s
+    within 35 frames; the reduced-mass split keeps every velocity at the
+    free-fall scale.  (Euler — the velocity-level exchange was the
+    explosive one.)"""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  restitution=0.3, friction=0.3),
+    )
+    host = cloth_grid(
+        16, 16, spacing=0.075, pinned=("top", "bottom", "left", "right"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
+        orientation="xz", origin=(-0.6, 0.0, -0.6),
+        sphere_centers=[[0.0, 0.5, 0.0], [0.02, 0.9, 0.0],
+                        [-0.02, 1.3, 0.01]],
+        sphere_radii=[0.12, 0.12, 0.12])
+    top, state = api.init(host)
+    r = make_rigid_state(top, [0.4, 0.4, 0.4])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    vmax = 0.0
+    for _ in range(120):
+        state, r = step(state, r)
+        vmax = max(vmax, float(np.abs(np.asarray(r.velocities)).max()))
+    assert np.isfinite(np.asarray(state.x)).all()
+    assert np.isfinite(np.asarray(r.centers)).all()
+    # free-fall over the full drop is ~6.5 m/s; 790 m/s was the explosion
+    assert vmax < 12.0, vmax

@@ -133,3 +133,8 @@ def test_example_voxel_softbody(tmp_path):
 def test_example_rope_bridge():
     y = _load("21_rope_bridge.py").main(n_frames=150, n=32)
     assert y > -1.5
+
+
+def test_example_wrecking_ball():
+    swing = _load("22_wrecking_ball.py").main(n_frames=120)
+    assert swing > 0.2
