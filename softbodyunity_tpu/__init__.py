@@ -41,6 +41,7 @@ from .core.topology import (
     add_colliders,
     anchor,
     attach,
+    attach_box,
     cloth_grid,
     enable_pressure,
     from_tet_mesh,
@@ -73,7 +74,8 @@ __all__ = [
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
-    "enable_pressure", "icosphere_mesh", "anchor", "attach", "terrain_mesh",
+    "enable_pressure", "icosphere_mesh", "anchor", "attach", "attach_box",
+    "terrain_mesh",
     "lattice_from_mesh",
     "render_frame", "render_rollout",
     "MeshEmbedding", "embed_mesh", "skin", "skin_normals",

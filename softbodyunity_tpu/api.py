@@ -153,6 +153,12 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                      else None),
         attach_local=(f32(host.attach_local)
                       if host.attach_local is not None else None),
+        attach_box_ids=(i32(host.attach_box_ids)
+                        if host.attach_box_ids is not None else None),
+        attach_box_body=(i32(host.attach_box_body)
+                         if host.attach_box_body is not None else None),
+        attach_box_local=(f32(host.attach_box_local)
+                          if host.attach_box_local is not None else None),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
@@ -274,17 +280,20 @@ def _compiled_coupled_step(cfg: SimConfig, dt: float, n_substeps: int):
 def step_coupled(top: Topology, cfg: SimConfig, state: State, rigid,
                  dt: Optional[float] = None,
                  n_substeps: Optional[int] = None):
-    """Advance cloth AND dynamic rigid spheres one frame, two-way coupled
+    """Advance cloth AND dynamic rigid bodies one frame, two-way coupled
     on-device (oracle ``substep_euler_coupled`` semantics: momentum
     exchange inside every substep, zero host round-trips).
 
     ``rigid`` is a :class:`~softbodyunity_tpu.solver.rigid.RigidState`
     (build with :func:`~softbodyunity_tpu.solver.rigid.make_rigid_state`);
-    returns ``(state, rigid)``.  All three solvers: Euler exchanges
-    velocity-level impulses (spin drags the cloth); Verlet/XPBD exchange
-    the position-projection impulses ``sum m_i dx_i / dt`` (XPBD
-    accumulated across its Jacobi iterations) — no spin-drag there, since
-    position projection carries no surface-velocity term."""
+    returns ``(state, rigid)``.  The scene's spheres are always promoted;
+    ``make_rigid_state(box_masses=...)`` promotes its oriented boxes too
+    (tumbling crates with solid-box inertia, box-plane corner bounce).
+    All three solvers: Euler exchanges velocity-level impulses (spin
+    drags the cloth); Verlet/XPBD exchange the position-projection
+    impulses ``sum m_i dx_i / dt`` (XPBD reacting inside each Jacobi
+    iteration) — no spin-drag there, since position projection carries
+    no surface-velocity term."""
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)

@@ -103,6 +103,12 @@ class Topology:
     attach_local: jax.Array = None    # f32[A, 3] attachment point in the
     #                                   body frame (identity orientation
     #                                   at build time)
+    # --- box attachments (welds to a dynamic BOX's body frame; local is
+    #     expressed in the box's build-pose axes R0, world point =
+    #     bc + R(q) R0 local — see attach_box) ----------------------------
+    attach_box_ids: jax.Array = None    # i32[Ab]
+    attach_box_body: jax.Array = None   # i32[Ab] box index
+    attach_box_local: jax.Array = None  # f32[Ab, 3]
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -147,6 +153,11 @@ class Topology:
     @property
     def n_attachments(self) -> int:
         return 0 if self.attach_ids is None else self.attach_ids.shape[0]
+
+    @property
+    def n_box_attachments(self) -> int:
+        return (0 if self.attach_box_ids is None
+                else self.attach_box_ids.shape[0])
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -280,6 +291,10 @@ class HostTopology:
     attach_ids: Optional[np.ndarray] = None           # i64[A]
     attach_body: Optional[np.ndarray] = None          # i64[A]
     attach_local: Optional[np.ndarray] = None         # f64[A, 3]
+    # box attachments (attach_box): welds to a dynamic box's body frame
+    attach_box_ids: Optional[np.ndarray] = None       # i64[Ab]
+    attach_box_body: Optional[np.ndarray] = None      # i64[Ab]
+    attach_box_local: Optional[np.ndarray] = None     # f64[Ab, 3]
 
 
 def add_colliders(
@@ -1596,20 +1611,38 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
 
 def _merge_attachments(hosts, offs):
     """Offset each host's rigid attachments by its vertex offset and its
-    sphere offset (spheres concatenate in host order)."""
-    if all(h.attach_ids is None for h in hosts):
-        return dict(attach_ids=None, attach_body=None, attach_local=None)
-    ids, body, local = [], [], []
-    sphere_off = 0
-    for h, o in zip(hosts, offs):
-        if h.attach_ids is not None:
-            ids.append(np.asarray(h.attach_ids, np.int64) + o)
-            body.append(np.asarray(h.attach_body, np.int64) + sphere_off)
-            local.append(np.asarray(h.attach_local, np.float64))
-        sphere_off += np.asarray(h.sphere_radii).shape[0]
-    return dict(attach_ids=np.concatenate(ids),
-                attach_body=np.concatenate(body),
-                attach_local=np.concatenate(local))
+    body offset (spheres/boxes concatenate in host order)."""
+    out = dict(attach_ids=None, attach_body=None, attach_local=None,
+               attach_box_ids=None, attach_box_body=None,
+               attach_box_local=None)
+    if any(h.attach_ids is not None for h in hosts):
+        ids, body, local = [], [], []
+        sphere_off = 0
+        for h, o in zip(hosts, offs):
+            if h.attach_ids is not None:
+                ids.append(np.asarray(h.attach_ids, np.int64) + o)
+                body.append(np.asarray(h.attach_body, np.int64)
+                            + sphere_off)
+                local.append(np.asarray(h.attach_local, np.float64))
+            sphere_off += np.asarray(h.sphere_radii).shape[0]
+        out.update(attach_ids=np.concatenate(ids),
+                   attach_body=np.concatenate(body),
+                   attach_local=np.concatenate(local))
+    if any(h.attach_box_ids is not None for h in hosts):
+        ids, body, local = [], [], []
+        box_off = 0
+        for h, o in zip(hosts, offs):
+            if h.attach_box_ids is not None:
+                ids.append(np.asarray(h.attach_box_ids, np.int64) + o)
+                body.append(np.asarray(h.attach_box_body, np.int64)
+                            + box_off)
+                local.append(np.asarray(h.attach_box_local, np.float64))
+            box_off += (0 if h.box_centers is None
+                        else np.asarray(h.box_centers).shape[0])
+        out.update(attach_box_ids=np.concatenate(ids),
+                   attach_box_body=np.concatenate(body),
+                   attach_box_local=np.concatenate(local))
+    return out
 
 
 def stitch(
@@ -1811,4 +1844,65 @@ def attach(
                        else np.concatenate([host.attach_body, sphere_ids]))
     out.attach_local = (local if host.attach_local is None
                         else np.concatenate([host.attach_local, local]))
+    return out
+
+
+def attach_box(
+    host: HostTopology,
+    ids,
+    box_ids,
+    points=None,
+) -> HostTopology:
+    """Weld cloth vertices to a rigid BOX's body frame — :func:`attach`
+    for the scene's oriented boxes (promote them with
+    ``make_rigid_state(box_masses=...)``): a parachute canopy strapped to
+    a crate, a tarp over a tumbling load, a flag on a crate corner.
+
+    ``ids[i]`` is welded to ``points[i]`` (world space, default: the
+    vertex's own rest position) expressed in box ``box_ids[i]``'s body
+    frame — local coords in the BUILD-POSE axes ``R0 = box_rotations``,
+    world point at time t = ``bc + R(q) R0 local`` — so the weld rides
+    the crate's full orientation.  Two-way: the constraint solves with
+    the box's anisotropic inverse inertia (exact 3x3 generalized-mass
+    solve, cofactor closed form), splitting the correction between the
+    vertex, the box center, and the box orientation; a kinematic box
+    drags the cloth, a pinned vertex anchors the box.
+
+    Ignored by the plain ``step``; binds only under ``step_coupled``
+    with dynamic boxes.  Composable — repeated calls concatenate."""
+    ids = np.asarray(ids, np.int64).reshape(-1)
+    box_ids = np.asarray(box_ids, np.int64).reshape(-1)
+    n = host.positions0.shape[0]
+    if host.box_centers is None:
+        raise ValueError("attach_box needs box colliders on the scene "
+                         "(add_colliders(box_centers=...))")
+    n_b = np.asarray(host.box_centers).shape[0]
+    if ids.size == 0:
+        return host
+    if box_ids.size == 1 and ids.size > 1:
+        box_ids = np.full(ids.size, box_ids[0], np.int64)
+    if box_ids.size != ids.size:
+        raise ValueError("box_ids must pair 1:1 with ids (or be scalar)")
+    if ((ids < 0) | (ids >= n)).any():
+        raise ValueError(f"attach_box vertex id out of range [0, {n})")
+    if ((box_ids < 0) | (box_ids >= n_b)).any():
+        raise ValueError(f"attach_box box id out of range [0, {n_b})")
+    if points is None:
+        points = host.positions0[ids]
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    if points.shape[0] != ids.size:
+        raise ValueError("points must pair 1:1 with ids")
+    # local coords in the build-pose axes: R0^T (p - c0) per attachment
+    c0 = np.asarray(host.box_centers, np.float64)[box_ids]
+    r0 = np.asarray(host.box_rotations, np.float64)[box_ids]
+    local = np.einsum("aji,aj->ai", r0, points - c0)  # R0^T (p - c0)
+    out = dataclasses.replace(host)
+    out.attach_box_ids = (ids if host.attach_box_ids is None
+                          else np.concatenate([host.attach_box_ids, ids]))
+    out.attach_box_body = (
+        box_ids if host.attach_box_body is None
+        else np.concatenate([host.attach_box_body, box_ids]))
+    out.attach_box_local = (
+        local if host.attach_box_local is None
+        else np.concatenate([host.attach_box_local, local]))
     return out

@@ -521,14 +521,15 @@ def _friction_tangent(x, x_start, dt, contact, n, w, mu):
 
 
 def rest_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
-                            dt, movable):
+                            dt, movable, skip_boxes=False):
     """Substep-end capsule / box / SDF friction for the position-projection
     solvers (Verlet / XPBD) — the static-collider completion of
     plane_friction_positions + sphere_friction_positions: each collider
     class damps the tangential substep displacement of its contact-shell
     vertices by (1 - friction), sequentially in the projection order
     (capsules, then boxes, then SDFs), ONCE per substep, after the sphere
-    friction."""
+    friction.  ``skip_boxes`` when the boxes are dynamic this substep
+    (their friction is the measured _one_box_friction)."""
     mu = cfg.collision.friction
     if mu == 0.0:
         return x
@@ -543,7 +544,7 @@ def rest_friction_positions(top: HostTopology, cfg: SimConfig, x, x_start,
                 & movable
             w = _collider_velocity(top.capsule_velocities, s)
             x = _friction_tangent(x, x_start, dt, contact, n, w, mu)
-    if _has_boxes(top, cfg):
+    if _has_boxes(top, cfg) and not skip_boxes:
         for s in range(top.box_centers.shape[0]):
             half = top.box_half_extents[s]
             shell = BOX_CONTACT_SHELL * float(np.max(half))
@@ -691,16 +692,19 @@ def _resolve_plane_stage(top: HostTopology, cfg: SimConfig, x, v, movable):
     return x, v
 
 
-def _resolve_after_spheres(top: HostTopology, cfg: SimConfig, x, v, movable):
+def _resolve_after_spheres(top: HostTopology, cfg: SimConfig, x, v, movable,
+                           skip_boxes=False):
     """Capsules -> boxes -> SDFs (the resolve order after the spheres;
-    shared with substep_euler_coupled)."""
+    shared with substep_euler_coupled).  ``skip_boxes`` when the boxes
+    are DYNAMIC rigid bodies this substep (they resolve in the coupled
+    box loop, not as static scenery)."""
     if _has_capsules(top, cfg):
         x, v = resolve_capsules(
             x, v, top.capsule_p0, top.capsule_p1, top.capsule_radii,
             cfg.collision.restitution, cfg.collision.friction, movable,
             velocities=getattr(top, "capsule_velocities", None),
         )
-    if _has_boxes(top, cfg):
+    if _has_boxes(top, cfg) and not skip_boxes:
         x, v = resolve_boxes(
             x, v, top.box_centers, top.box_half_extents, top.box_rotations,
             cfg.collision.restitution, cfg.collision.friction, movable,
@@ -736,7 +740,7 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
 
 def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                           rc, rv, r_inv_mass, dt, alive=None, scale=None,
-                          romega=None, rq=None):
+                          romega=None, rq=None, boxes=None):
     """Two-way coupled Euler substep (binding): the scene's spheres are
     DYNAMIC rigid bodies (centers ``rc`` f64[S,3], velocities ``rv``,
     angular velocities ``romega``, inverse masses ``r_inv_mass``;
@@ -766,10 +770,15 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
        ``rv += P inv_m``, ``romega += inv_I (a x P)`` — friction torque
        makes the ball ROLL instead of skid.
 
-    Sphere-sphere contact is not modelled (spawn spheres apart).
-    Plane/capsule/box/SDF colliders stay static scenery.  The RigidState
-    spheres resolve unconditionally (they ARE the rigid bodies;
-    api.step_coupled rejects enable_spheres=False configs).
+    The RigidState spheres resolve unconditionally (they ARE the rigid
+    bodies; api.step_coupled rejects enable_spheres=False configs).
+
+    ``boxes = (bc, bv, bom, bq, bw)`` promotes the scene's oriented boxes
+    to dynamic rigid bodies too (inverse masses ``bw``; 0 = kinematic):
+    same predict / cloth-exchange / environment pattern, with box-plane
+    contact through corner impulses (_box_plane_bounce) and the static
+    box resolve skipped (the boxes are no longer scenery).  Dynamic
+    box-vs-ball and box-vs-box contact is not modelled (spawn apart).
     """
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
@@ -782,6 +791,8 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     rc = rc + dt * rv
     if rq is not None:
         rq = _quat_integrate(rq, romega, dt)
+    if boxes is not None:
+        boxes = _boxes_predict(cfg, boxes, dt)
 
     x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
                                              alive=alive, scale=scale)
@@ -832,7 +843,13 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         dp = m[:, None] * (v - v0)
         rv[s] = rv[s] - dp.sum(axis=0) * r_inv_mass[s]
         romega[s] = romega[s] - np.cross(arm, dp).sum(axis=0) * inv_i[s]
-    x, v = _resolve_after_spheres(top, cfg, x, v, movable)
+    if boxes is not None:
+        bc, bv, bom, bq, bw = boxes
+        x, v, bc, bv, bom = _dynamic_boxes_euler(
+            top, cfg, x, v, movable, m, bc, bv, bom, bq, bw)
+        boxes = (bc, bv, bom, bq, bw)
+    x, v = _resolve_after_spheres(top, cfg, x, v, movable,
+                                  skip_boxes=boxes is not None)
     if cfg.collision.enable_plane:
         # dynamic sphere vs ground plane: normal bounce on rv, tangential
         # friction impulse at the contact point (arm a = -r n) so friction
@@ -854,21 +871,36 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         rv = rv + p_t * r_inv_mass[:, None]
         romega = romega + np.cross(arm, p_t) * inv_i[:, None]
     rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
-                                          r_inv_mass, inv_i, radii)
+                                          r_inv_mass, inv_i, radii,
+                                          skip_boxes=boxes is not None)
     rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
+    if boxes is not None:
+        bc, bv, bom, bq, bw = boxes
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
                 "topology has rigid attachments: pass ball orientations rq")
         x, v, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x, v, rc, rv, romega, rq, r_inv_mass, inv_i, dt)
+    if top.attach_box_ids is not None:
+        if boxes is None:
+            raise ValueError(
+                "topology has box attachments: pass dynamic boxes")
+        bc, bv, bom, bq, bw = boxes
+        x, v, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, x, v, bc, bv, bom, bq, bw, dt)
+        boxes = (bc, bv, bom, bq, bw)
     if scale is not None:
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
     out = (x, v, x_prev, rc, rv, romega, alive, scale)
-    return out if rq is None else out + (rq,)
+    if rq is not None:
+        out = out + (rq,)
+    return out if boxes is None else out + (boxes,)
 
 
 def _rigid_predict(cfg, rc, rv, r_inv_mass, dt):
@@ -989,6 +1021,278 @@ def _project_spheres_measured(x, movable, m, rc, radii, dt,
     return x, j_lin
 
 
+# ---- dynamic rigid boxes (binding semantics) ----------------------------
+# The scene's oriented boxes promote to dynamic rigid bodies exactly like
+# the spheres: ``boxes = (bc, bv, bom, bq, bw)`` — centers f64[B,3],
+# velocities, angular velocities, orientation quaternions (wxyz; the world
+# rotation is R(bq) @ box_rotations, so identity bq = the build pose), and
+# inverse masses (0 = kinematic).  Solid-box inertia is diagonal in the
+# body frame, I_i = (m/3)(e_j^2 + e_k^2) for half extents e; the world
+# inverse-inertia application is R diag(ib) R^T.  The torque-free
+# gyroscopic precession term (omega x I omega) is NOT integrated — the
+# standard game-engine rule (PhysX disables it by default): explicit
+# integration of that term is unstable and a tumbling crate doesn't read
+# differently without it.
+
+_BOX_CORNER_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+     for sz in (-1.0, 1.0)])
+
+
+def _quat_to_matrix(q):
+    """Unit quaternion (wxyz) -> rotation matrix, world-from-body."""
+    w, xq, yq, zq = q
+    return np.array([
+        [1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq),
+         2 * (xq * zq + w * yq)],
+        [2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq),
+         2 * (yq * zq - w * xq)],
+        [2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq),
+         1 - 2 * (xq * xq + yq * yq)],
+    ])
+
+
+def _box_inv_inertia_body(bw, half):
+    """Solid-box inverse inertia, diagonal in the body frame, f64[B,3]."""
+    e2 = half * half
+    s = np.stack([e2[:, 1] + e2[:, 2], e2[:, 0] + e2[:, 2],
+                  e2[:, 0] + e2[:, 1]], axis=1)
+    return bw[:, None] * 3.0 / np.maximum(s, 1e-12)
+
+
+def _box_world_rot(top, bq, s):
+    """World rotation of dynamic box s: orientation quat on top of the
+    build pose."""
+    return _quat_to_matrix(bq[s]) @ np.asarray(top.box_rotations[s],
+                                               np.float64)
+
+
+def _dynamic_boxes_euler(top, cfg, x, v, movable, m, bc, bv, bom, bq, bw):
+    """Velocity-level cloth<->box contact (the sphere loop of
+    substep_euler_coupled generalized to oriented boxes): face push-out
+    reduced-mass scaled (box center takes the complementary translation),
+    restitution + friction against the box's SURFACE velocity at each
+    contact point ``w_i = bv + bom x (x_i - bc)``; the measured impulse
+    reacts on ``bv`` and — through the contact-point arms — on ``bom``
+    via the world inverse inertia (a crate hit off-center spins away).
+    The position push-out reacts on the CENTER only (no rotational
+    position correction; angular momentum exchanges at the velocity
+    level), mirroring the attachment/sphere convention."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = np.asarray(top.box_half_extents, np.float64)
+    ib = _box_inv_inertia_body(bw, half)
+    for s in range(bc.shape[0]):
+        rot = _box_world_rot(top, bq, s)
+        inside, push, n = _box_face_push(x, bc[s], half[s], rot)
+        contact = inside & movable
+        m_c = (m * contact).sum()
+        beta = 1.0 / (1.0 + bw[s] * m_c)
+        dx = beta * np.where(contact, push, 0.0)[:, None] * n
+        x = x + dx
+        bc[s] = bc[s] - bw[s] * (m[:, None] * dx).sum(axis=0)
+        arm = x - bc[s]                      # contact-point arms
+        w_i = bv[s][None, :] + np.cross(
+            np.broadcast_to(bom[s], arm.shape), arm)
+        v0 = v
+        u = v - w_i
+        un = np.einsum("ij,ij->i", u, n)
+        inward = contact & (un < 0.0)
+        v1 = v - np.where(inward, (1.0 + e) * un, 0.0)[:, None] * n
+        u2 = v1 - w_i
+        un2 = np.einsum("ij,ij->i", u2, n)[:, None] * n
+        ut = u2 - un2
+        v_t = np.where(contact[:, None], w_i + un2 + ut * (1.0 - mu), v1)
+        v = v0 + beta * (v_t - v0)
+        dp = m[:, None] * (v - v0)
+        bv[s] = bv[s] - dp.sum(axis=0) * bw[s]
+        L = np.cross(arm, dp).sum(axis=0)
+        bom[s] = bom[s] - rot @ (ib[s] * (rot.T @ L))
+    return x, v, bc, bv, bom
+
+
+def _project_boxes_measured(top, x, movable, m, bc, bq, dt, bw):
+    """Position-only box projection at the dynamic poses (the
+    _project_spheres_measured analogue): face push-out, reduced-mass
+    scaled; returns (x, j_lin f64[B,3]).  Like the sphere path, the
+    position-level reaction is LINEAR only (callers shift centers by
+    ``-w_b j_lin dt``); boxes exchange angular momentum through the
+    box-plane corner impulses, not through cloth projection — the PBD
+    coupled contract stays spin-free."""
+    half = np.asarray(top.box_half_extents, np.float64)
+    j_lin = np.zeros((bc.shape[0], 3))
+    for s in range(bc.shape[0]):
+        rot = _box_world_rot(top, bq, s)
+        inside, push, n = _box_face_push(x, bc[s], half[s], rot)
+        contact = inside & movable
+        beta = 1.0 / (1.0 + bw[s] * (m * contact).sum())
+        dx = beta * np.where(contact, push, 0.0)[:, None] * n
+        x = x + dx
+        j_lin[s] = (m[:, None] * dx / dt).sum(axis=0)
+    return x, j_lin
+
+
+def _one_box_friction(top, x, x_start, dt, movable, bc, bq, s, w, mu, m,
+                      w_b):
+    """One dynamic box's tangential position friction (the
+    _one_sphere_friction analogue at the dynamic pose): contact-shell rule
+    of rest_friction_positions (|min-axis penetration| <= shell), tangent
+    from the face normal, relative to the box's LINEAR velocity ``w``,
+    reduced-mass scaled; returns (x, J_t)."""
+    half = np.asarray(top.box_half_extents[s], np.float64)
+    shell = BOX_CONTACT_SHELL * float(np.max(half))
+    rot = _box_world_rot(top, bq, s)
+    q = (x - bc[s]) @ rot
+    pen = half[None, :] - np.abs(q)
+    mn = pen.min(axis=1)
+    contact = (mn >= -shell) & (mn <= shell) & movable
+    _, _, n = _box_face_push(x, bc[s], half, rot)
+    rel = (x - x_start) - np.asarray(w)[None, :] * dt
+    rel_t = rel - np.einsum("ij,ij->i", rel, n)[:, None] * n
+    beta = 1.0 / (1.0 + w_b * (m * contact).sum())
+    dx_t = np.where(contact[:, None], -mu * beta * rel_t, 0.0)
+    j_t = (m[:, None] * dx_t).sum(axis=0) / dt
+    return x + dx_t, j_t
+
+
+def _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw):
+    """Dynamic box vs ground plane (shared by every coupled solver): the
+    box lifts out by its deepest corner's penetration (translation only),
+    then the corners that WERE penetrating receive SEQUENTIAL contact
+    impulses in corner-index order (signs (-,-,-) .. (+,+,+) x/y/z
+    fastest-last): a normal impulse with restitution on approach and a
+    tangential friction impulse ``-mu u_t / k_t``, each with the exact
+    effective inverse mass ``k = w_b + (r x d)^T I^-1 (r x d)`` at the
+    corner arm r — corner impulses exert torque, so an edge-dropped crate
+    tumbles flat and a sliding crate's friction makes it tip."""
+    if not cfg.collision.enable_plane:
+        return bc, bv, bom
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = np.asarray(top.box_half_extents, np.float64)
+    ib = _box_inv_inertia_body(bw, half)
+    n = np.array([0.0, 1.0, 0.0])
+    for s in range(bc.shape[0]):
+        if not bw[s] > 0.0:
+            continue
+        rot = _box_world_rot(top, bq, s)
+        corners = bc[s][None, :] + (_BOX_CORNER_SIGNS * half[s]) @ rot.T
+        pen = top.plane_height - corners[:, 1]
+        lift = max(float(pen.max()), 0.0)
+        bc[s, 1] += lift
+        corners[:, 1] += lift
+
+        def iinv(L):
+            return rot @ (ib[s] * (rot.T @ L))
+
+        for k in range(8):
+            if not pen[k] > 0.0:
+                continue
+            r = corners[k] - bc[s]
+            u = bv[s] + np.cross(bom[s], r)
+            un = u[1]
+            if un < 0.0:
+                cr = np.cross(r, n)
+                kn = bw[s] + cr @ iinv(cr)
+                P = (-(1.0 + e) * un / max(kn, 1e-12)) * n
+                bv[s] = bv[s] + P * bw[s]
+                bom[s] = bom[s] + iinv(np.cross(r, P))
+            u = bv[s] + np.cross(bom[s], r)
+            ut = np.array([u[0], 0.0, u[2]])
+            t = ut / max(np.linalg.norm(ut), 1e-12)
+            ct = np.cross(r, t)
+            kt = bw[s] + ct @ iinv(ct)
+            Pt = -mu * ut / max(kt, 1e-12)
+            bv[s] = bv[s] + Pt * bw[s]
+            bom[s] = bom[s] + iinv(np.cross(r, Pt))
+    return bc, bv, bom
+
+
+def _solve3(K, b):
+    """Closed-form 3x3 solve by cofactor expansion — the SAME operation
+    order as the device twin (solver/rigid.py _solve3) so f64 parity is
+    tight.  Returns (x, det)."""
+    a00, a01, a02 = K[0, 0], K[0, 1], K[0, 2]
+    a10, a11, a12 = K[1, 0], K[1, 1], K[1, 2]
+    a20, a21, a22 = K[2, 0], K[2, 1], K[2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    x = np.array([
+        c00 * b[0] + c10 * b[1] + c20 * b[2],
+        c01 * b[0] + c11 * b[1] + c21 * b[2],
+        c02 * b[0] + c12 * b[1] + c22 * b[2],
+    ]) / max(det, 1e-18)
+    return x, det
+
+
+def _solve_box_attachments(top, cfg, x, v, bc, bv, bom, bq, bw, dt):
+    """Box attachments (binding semantics): each cloth vertex welded to a
+    point in a dynamic box's body frame, solved SEQUENTIALLY (Gauss-Seidel
+    in attachment-index order), one pass per substep.  The constraint
+    ``C = x_vid - (bc_b + R(q) R0 local) = 0`` closes exactly in the
+    linearization through the full anisotropic generalized-inverse-mass
+    matrix ``K = (w_v + w_b) I - [a]x Iinv_w [a]x`` (world arm ``a``,
+    world inverse inertia ``Iinv_w = R diag(ib) R^T`` — SPD whenever
+    either side is dynamic): ``P = -K^{-1} C`` by the cofactor closed
+    form, vertex takes ``+w_v P``, box center ``-w_b P``, orientation the
+    rotation vector ``-Iinv_w (a x P)``; velocities get the same split
+    over dt (``v`` None skips the vertex-velocity half).  A kinematic box
+    drags the vertex exactly; a pinned vertex anchors the box; pinned +
+    kinematic (det = 0) is inert."""
+    x, bc, bv = np.array(x), np.array(bc), np.array(bv)
+    bom, bq = np.array(bom), np.array(bq)
+    v = None if v is None else np.array(v)
+    half = np.asarray(top.box_half_extents, np.float64)
+    ib = _box_inv_inertia_body(bw, half)
+    eye = np.eye(3)
+    for k in range(top.attach_box_ids.shape[0]):
+        vid = int(top.attach_box_ids[k])
+        b = int(top.attach_box_body[k])
+        rot = _box_world_rot(top, bq, b)
+        a = rot @ np.asarray(top.attach_box_local[k], np.float64)
+        C = x[vid] - (bc[b] + a)
+        w_v = float(top.inv_mass[vid])
+        w_b = float(bw[b])
+        iinv_w = rot @ (ib[b][:, None] * rot.T)
+        ax = np.array([[0.0, -a[2], a[1]],
+                       [a[2], 0.0, -a[0]],
+                       [-a[1], a[0], 0.0]])
+        K = (w_v + w_b) * eye - ax @ iinv_w @ ax
+        P, det = _solve3(K, C)
+        if det <= 1e-18:
+            continue                      # pinned vertex + kinematic box
+        P = -P
+        x[vid] = x[vid] + w_v * P
+        if v is not None:
+            v[vid] = v[vid] + w_v * P / dt
+        bc[b] = bc[b] - w_b * P
+        bv[b] = bv[b] - w_b * P / dt
+        dth = -iinv_w @ np.cross(a, P)
+        bom[b] = bom[b] + dth / dt
+        q = _quat_mul(_quat_from_rotvec(dth), bq[b])
+        bq[b] = q / np.linalg.norm(q)
+    return x, v, bc, bv, bom, bq
+
+
+def _boxes_predict(cfg, boxes, dt):
+    """Gravity predict + orientation integrate for the dynamic boxes
+    (every coupled solver's step 1)."""
+    bc, bv, bom, bq, bw = boxes
+    bc, bv = np.array(bc), np.array(bv)
+    bom, bq = np.array(bom), np.array(bq)
+    dyn = (bw > 0.0)[:, None]
+    bv = np.where(dyn, bv + dt * np.asarray(cfg.gravity)[None, :], bv)
+    bc = bc + dt * bv
+    bq = _quat_integrate(bq, bom, dt)
+    return bc, bv, bom, bq, np.asarray(bw, np.float64)
+
+
 def _rigid_plane_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     """Dynamic sphere vs ground plane: normal bounce + rolling friction
     impulse at the contact point (shared by every coupled solver; the
@@ -1039,11 +1343,12 @@ def _ball_static_response(cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
 
 
 def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
-                         radii):
+                         radii, skip_boxes=False):
     """Dynamic sphere vs the scene's STATIC colliders — capsules, boxes,
     SDFs, in that (collider-enable) order; the ground plane has its own
     bounce.  Each collider computes (pen, n) for every ball center and
-    runs the shared _ball_static_response."""
+    runs the shared _ball_static_response.  ``skip_boxes`` when the boxes
+    are dynamic this substep (ball-vs-dynamic-box is not modelled)."""
     if _has_capsules(top, cfg):
         for s in range(top.capsule_radii.shape[0]):
             cpt = _capsule_closest(rc, top.capsule_p0[s], top.capsule_p1[s])
@@ -1053,7 +1358,7 @@ def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
             pen = (top.capsule_radii[s] + radii) - dist
             rc, rv, romega = _ball_static_response(
                 cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
-    if _has_boxes(top, cfg):
+    if _has_boxes(top, cfg) and not skip_boxes:
         for s in range(top.box_centers.shape[0]):
             c, h = top.box_centers[s], top.box_half_extents[s]
             rot = top.box_rotations[s]
@@ -1123,14 +1428,17 @@ def _rigid_rigid_bounce(cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     return rc, rv, romega
 
 
-def _rigid_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
+def _rigid_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                       skip_boxes=False):
     """The dynamic balls' full environment response, shared by every
     coupled substep: ground plane, then static capsules/boxes/SDFs, then
-    ball-ball contacts (so balls end the substep mutually separated)."""
+    ball-ball contacts (so balls end the substep mutually separated).
+    ``skip_boxes`` when the scene's boxes are dynamic this substep."""
     rc, rv, romega = _rigid_plane_bounce(top, cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
-                                          r_inv_mass, inv_i, radii)
+                                          r_inv_mass, inv_i, radii,
+                                          skip_boxes=skip_boxes)
     rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
                                          r_inv_mass, inv_i, radii)
     return rc, rv, romega
@@ -1153,14 +1461,17 @@ def _verlet_integrate(top: HostTopology, cfg: SimConfig, x, x_prev, dt,
 
 
 def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
-                           rc, rv, r_inv_mass, dt, romega=None, rq=None):
+                           rc, rv, r_inv_mass, dt, romega=None, rq=None,
+                           boxes=None):
     """Coupled Verlet substep (binding): Verlet resolves contacts as
     position projections, so the momentum the cloth receives from sphere
     s is the projection impulse ``J_s = sum_i m_i dx_i / dt`` and the
     reaction is ``-J_s``.  The radial push exerts zero torque and carries
     no surface-velocity term: a SPINNING ball neither drags Verlet/XPBD
     cloth nor picks up spin from it (consistent with how these solvers
-    treat kinematic collider velocities)."""
+    treat kinematic collider velocities).  Dynamic boxes (``boxes``)
+    follow the same contract — projection + friction impulses, linear
+    reaction only; their spin comes from the box-plane corner bounce."""
     if romega is None:
         romega = np.zeros_like(rv)
     romega = np.array(romega, np.float64)
@@ -1169,10 +1480,13 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
     if rq is not None:
         rq = _quat_integrate(rq, romega, dt)
+    if boxes is not None:
+        bc, bv, bom, bq, bw = _boxes_predict(cfg, boxes, dt)
 
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt)
     # projection order mirrors project_positions_only: plane, spheres
-    # (measured, at the rigid centers), then the static rest
+    # (measured, at the rigid centers), dynamic boxes (measured), then
+    # the static rest
     contact = plane_contact_preclamp(top, cfg, x_new, movable)
     if cfg.collision.enable_plane:
         x_new[:, 1] = np.where(contact, top.plane_height, x_new[:, 1])
@@ -1181,7 +1495,13 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                                              dt, r_inv_mass)
     rv = rv - j_lin * r_inv_mass[:, None]
     rc = rc - (j_lin * dt) * r_inv_mass[:, None]
-    x_new = _project_static_rest(top, cfg, x_new, movable)
+    if boxes is not None:
+        x_new, j_b = _project_boxes_measured(top, x_new, movable, m, bc,
+                                             bq, dt, bw)
+        bv = bv - j_b * bw[:, None]
+        bc = bc - (j_b * dt) * bw[:, None]
+    x_new = _project_static_rest(top, cfg, x_new, movable,
+                                 skip_boxes=boxes is not None)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
     # sphere tangential friction at the DYNAMIC centers, relative to each
     # ball's velocity; the linear impulse reacts onto the ball (no torque
@@ -1193,9 +1513,19 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                 x_new, x, dt, movable, rc[s], radii[s], rv[s], mu, m,
                 r_inv_mass[s])
             rv[s] = rv[s] - j_t * r_inv_mass[s]
-    x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable)
+    if boxes is not None and cfg.collision.enable_boxes and mu != 0.0:
+        for s in range(bc.shape[0]):
+            x_new, j_t = _one_box_friction(
+                top, x_new, x, dt, movable, bc, bq, s, bv[s], mu, m, bw[s])
+            bv[s] = bv[s] - j_t * bw[s]
+    x_new = rest_friction_positions(top, cfg, x_new, x, dt, movable,
+                                    skip_boxes=boxes is not None)
     rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
-                                        r_inv_mass, inv_i, radii)
+                                        r_inv_mass, inv_i, radii,
+                                        skip_boxes=boxes is not None)
+    if boxes is not None:
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
@@ -1203,13 +1533,24 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         x_new, _, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x_new, None, rc, rv, romega, rq, r_inv_mass, inv_i,
             dt)
+    if top.attach_box_ids is not None:
+        if boxes is None:
+            raise ValueError(
+                "topology has box attachments: pass dynamic boxes")
+        x_new, _, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, x_new, None, bc, bv, bom, bq, bw, dt)
+        boxes = (bc, bv, bom, bq, bw)
     v_new = (x_new - x) / dt
     out = (x_new, v_new, x, rc, rv, romega)
-    return out if rq is None else out + (rq,)
+    if rq is not None:
+        out = out + (rq,)
+    return out if boxes is None else out + (boxes,)
 
 
-def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
-    """Position-only capsule/box/SDF projection (after the spheres)."""
+def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable,
+                         skip_boxes=False):
+    """Position-only capsule/box/SDF projection (after the spheres).
+    ``skip_boxes`` when the boxes are dynamic this substep."""
     if _has_capsules(top, cfg):
         for s in range(top.capsule_radii.shape[0]):
             c = _capsule_closest(x, top.capsule_p0[s], top.capsule_p1[s])
@@ -1219,7 +1560,7 @@ def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
             contact = (pen > 0.0) & movable
             n = d / np.maximum(dist, 1e-12)[:, None]
             x = x + np.where(contact, pen, 0.0)[:, None] * n
-    if _has_boxes(top, cfg):
+    if _has_boxes(top, cfg) and not skip_boxes:
         for s in range(top.box_centers.shape[0]):
             inside, push, n = _box_face_push(
                 x, top.box_centers[s], top.box_half_extents[s],
@@ -1239,12 +1580,19 @@ def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable):
 
 
 def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
-                         rc, rv, r_inv_mass, dt, romega=None, rq=None):
+                         rc, rv, r_inv_mass, dt, romega=None, rq=None,
+                         boxes=None):
     """Coupled XPBD substep (binding): contacts project inside the Jacobi
-    loop, so the per-sphere projection impulses accumulate across ALL
-    iterations: ``J_s = sum_iters sum_i m_i dx_i / dt``.  Reaction and
-    ball-plane handling as in the Verlet form; no spin-drag (position
-    projection has no surface-velocity term)."""
+    loop, and each iteration's measured projection impulse reacts on the
+    body IMMEDIATELY (velocity ``-j w_b`` and the complementary position
+    share ``-j dt w_b``) — the body participates in the iteration like a
+    particle with inverse mass w_b, so penetration self-limits as the
+    body yields.  (Accumulating the impulses and reacting once at the
+    substep end let them pile up ~n_iterations-fold against a body the
+    loop never moved: a 0.5 kg body under a 1 kg/vertex cloth launched
+    at 10 m/s.)  No spin-drag (position projection has no surface-
+    velocity term).  Dynamic boxes follow the same in-loop contract
+    (linear reaction; spin from the box-plane corner bounce)."""
     movable = top.inv_mass > 0.0
     if romega is None:
         romega = np.zeros_like(rv)
@@ -1254,6 +1602,8 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     rc, rv = _rigid_predict(cfg, rc, rv, r_inv_mass, dt)
     if rq is not None:
         rq = _quat_integrate(rq, romega, dt)
+    if boxes is not None:
+        bc, bv, bom, bq, bw = _boxes_predict(cfg, boxes, dt)
 
     g = np.asarray(cfg.gravity)
     accel = g[None, :]
@@ -1272,7 +1622,6 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     lam = np.zeros(top.edges.shape[0])
     lam_vol = np.zeros(top.tets.shape[0])
-    j_lin = np.zeros_like(rc)
     contact = np.zeros(x.shape[0], bool)
     for it in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
@@ -1282,8 +1631,15 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             x[:, 1] = np.where(pc, top.plane_height, x[:, 1])
         x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt,
                                           r_inv_mass)
-        j_lin += jl
-        x = _project_static_rest(top, cfg, x, movable)
+        rv = rv - jl * r_inv_mass[:, None]
+        rc = rc - (jl * dt) * r_inv_mass[:, None]
+        if boxes is not None:
+            x, jb = _project_boxes_measured(top, x, movable, m, bc, bq,
+                                            dt, bw)
+            bv = bv - jb * bw[:, None]
+            bc = bc - (jb * dt) * bw[:, None]
+        x = _project_static_rest(top, cfg, x, movable,
+                                 skip_boxes=boxes is not None)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
     mu = cfg.collision.friction
     if cfg.collision.enable_spheres and mu != 0.0:
@@ -1292,23 +1648,39 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                 x, x_prev, dt, movable, rc[s], radii[s], rv[s], mu, m,
                 r_inv_mass[s])
             rv[s] = rv[s] - j_t * r_inv_mass[s]
-    x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
-    rv = rv - j_lin * r_inv_mass[:, None]
-    # the balls' complementary share of the accumulated projection pushes
-    # (reduced-mass pair split; see _project_spheres_measured)
-    rc = rc - (j_lin * dt) * r_inv_mass[:, None]
+    if boxes is not None and cfg.collision.enable_boxes and mu != 0.0:
+        for s in range(bc.shape[0]):
+            x, j_t = _one_box_friction(
+                top, x, x_prev, dt, movable, bc, bq, s, bv[s], mu, m,
+                bw[s])
+            bv[s] = bv[s] - j_t * bw[s]
+    x = rest_friction_positions(top, cfg, x, x_prev, dt, movable,
+                                skip_boxes=boxes is not None)
     rc, rv, romega = _rigid_environment(top, cfg, rc, rv, romega,
-                                        r_inv_mass, inv_i, radii)
+                                        r_inv_mass, inv_i, radii,
+                                        skip_boxes=boxes is not None)
+    if boxes is not None:
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
                 "topology has rigid attachments: pass ball orientations rq")
         x, _, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x, None, rc, rv, romega, rq, r_inv_mass, inv_i, dt)
+    if top.attach_box_ids is not None:
+        if boxes is None:
+            raise ValueError(
+                "topology has box attachments: pass dynamic boxes")
+        x, _, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, x, None, bc, bv, bom, bq, bw, dt)
+        boxes = (bc, bv, bom, bq, bw)
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     out = (x, v, x_prev, rc, rv, romega)
-    return out if rq is None else out + (rq,)
+    if rq is not None:
+        out = out + (rq,)
+    return out if boxes is None else out + (boxes,)
 
 
 _SUBSTEP_COUPLED = {
@@ -1320,11 +1692,12 @@ _SUBSTEP_COUPLED = {
 
 def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
                  r_inv_mass, dt=None, n_substeps=None, romega=None,
-                 rq=None):
+                 rq=None, boxes=None):
     """n_substeps coupled substeps (solver from cfg); returns
     (x, v, x_prev, rc, rv, romega) — plus the ball orientations ``rq``
     appended when given (required when the topology carries rigid
-    attachments)."""
+    attachments), plus the dynamic-box state 5-tuple
+    ``(bc, bv, bom, bq, bw)`` appended LAST when ``boxes`` is given."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     rc = np.array(rc, np.float64)
@@ -1335,22 +1708,27 @@ def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
         rq = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (rc.shape[0], 1))
     if rq is not None:
         rq = np.array(rq, np.float64)
+    if boxes is not None:
+        boxes = tuple(np.array(b, np.float64) for b in boxes)
     for _ in range(n):
         if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
             out = substep_euler_coupled(
                 top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                romega=romega, rq=rq)
+                romega=romega, rq=rq, boxes=boxes)
             x, v, x_prev, rc, rv, romega = out[0], out[1], out[2], \
                 out[3], out[4], out[5]
             rq = out[8] if rq is not None else None
         else:
             fn = _SUBSTEP_COUPLED[cfg.solver]
             out = fn(top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                     romega=romega, rq=rq)
+                     romega=romega, rq=rq, boxes=boxes)
             x, v, x_prev, rc, rv, romega = out[:6]
             rq = out[6] if rq is not None else None
+        boxes = out[-1] if boxes is not None else None
     base = (x, v, x_prev, rc, rv, romega)
-    return base if rq is None else base + (rq,)
+    if rq is not None:
+        base = base + (rq,)
+    return base if boxes is None else base + (boxes,)
 
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,

@@ -249,9 +249,12 @@ def _box_scalars(top: Topology, s: int):
     )
 
 
-def resolve_capsules_boxes_components(top, cfg, xz, vz, movable):
+def resolve_capsules_boxes_components(top, cfg, xz, vz, movable,
+                                      skip_boxes=False):
     """All enabled capsule then box colliders, velocity level, in the
-    oracle's sequential order; ``xz``/``vz`` component lists of any shape."""
+    oracle's sequential order; ``xz``/``vz`` component lists of any shape.
+    ``skip_boxes`` when the boxes are DYNAMIC rigid bodies this substep
+    (solver/rigid.py resolves them in its coupled box loop)."""
     r, f = cfg.collision.restitution, cfg.collision.friction
     if cfg.collision.enable_capsules and top.n_capsules > 0:
         for s in range(top.n_capsules):
@@ -259,7 +262,7 @@ def resolve_capsules_boxes_components(top, cfg, xz, vz, movable):
             xz, vz = capsule_resolve_components(
                 xz, vz, movable, p0, p1, rad, r, f,
                 w=_velocity_scalars(top.capsule_velocities, s))
-    if cfg.collision.enable_boxes and top.n_boxes > 0:
+    if cfg.collision.enable_boxes and top.n_boxes > 0 and not skip_boxes:
         for s in range(top.n_boxes):
             c, h, rot = _box_scalars(top, s)
             xz, vz = box_resolve_components(
@@ -268,13 +271,14 @@ def resolve_capsules_boxes_components(top, cfg, xz, vz, movable):
     return xz, vz
 
 
-def project_capsules_boxes_components(top, cfg, xz, movable):
+def project_capsules_boxes_components(top, cfg, xz, movable,
+                                      skip_boxes=False):
     """All enabled capsule then box colliders, position only."""
     if cfg.collision.enable_capsules and top.n_capsules > 0:
         for s in range(top.n_capsules):
             p0, p1, rad = _capsule_scalars(top, s)
             xz = capsule_project_components(xz, movable, p0, p1, rad)
-    if cfg.collision.enable_boxes and top.n_boxes > 0:
+    if cfg.collision.enable_boxes and top.n_boxes > 0 and not skip_boxes:
         for s in range(top.n_boxes):
             c, h, rot = _box_scalars(top, s)
             xz = box_project_components(xz, movable, c, h, rot)
@@ -352,13 +356,14 @@ def resolve_plane_stage(top: Topology, cfg: SimConfig, x, v, movable):
     return x, v
 
 
-def resolve_after_spheres(top: Topology, cfg: SimConfig, x, v, movable):
+def resolve_after_spheres(top: Topology, cfg: SimConfig, x, v, movable,
+                          skip_boxes=False):
     """Last stage of the Euler resolve order: capsules/boxes, then SDFs
     (everything sequenced after the spheres)."""
     if _needs_capsule_box(top, cfg):
         xz, vz = resolve_capsules_boxes_components(
             top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
-            [v[:, 0], v[:, 1], v[:, 2]], movable,
+            [v[:, 0], v[:, 1], v[:, 2]], movable, skip_boxes=skip_boxes,
         )
         x = jnp.stack(xz, axis=1)
         v = jnp.stack(vz, axis=1)
@@ -581,7 +586,7 @@ def sdf_friction_components(xz, xsz, movable, grid, origin, spacing, w, mu,
 
 
 def rest_friction_components(top: Topology, cfg: SimConfig, xz, xsz,
-                             movable, dt):
+                             movable, dt, skip_boxes=False):
     """Capsule / box / SDF position-level friction on component lists, in
     the oracle's sequential order (oracle rest_friction_positions twin);
     runs ONCE per substep after the sphere friction."""
@@ -594,7 +599,7 @@ def rest_friction_components(top: Topology, cfg: SimConfig, xz, xsz,
             xz = capsule_friction_components(
                 xz, xsz, movable, p0, p1, rad,
                 _velocity_scalars(top.capsule_velocities, s), mu, dt)
-    if cfg.collision.enable_boxes and top.n_boxes > 0:
+    if cfg.collision.enable_boxes and top.n_boxes > 0 and not skip_boxes:
         for s in range(top.n_boxes):
             c, h, rot = _box_scalars(top, s)
             xz = box_friction_components(
@@ -610,7 +615,7 @@ def rest_friction_components(top: Topology, cfg: SimConfig, xz, xsz,
 
 
 def rest_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
-                            movable):
+                            movable, skip_boxes=False):
     """[N,3] wrapper of rest_friction_components (solver/step.py paths)."""
     mu = cfg.collision.friction
     if mu == 0.0 or not (
@@ -618,7 +623,8 @@ def rest_friction_positions(top: Topology, cfg: SimConfig, x, x_start, dt,
         return x
     xz = rest_friction_components(
         top, cfg, [x[:, 0], x[:, 1], x[:, 2]],
-        [x_start[:, 0], x_start[:, 1], x_start[:, 2]], movable, dt)
+        [x_start[:, 0], x_start[:, 1], x_start[:, 2]], movable, dt,
+        skip_boxes=skip_boxes)
     return jnp.stack(xz, axis=1)
 
 

@@ -58,20 +58,52 @@ class RigidState:
     quat: jax.Array = None   # f32[S, 4] orientation (wxyz unit quaternion);
     #                          required when the topology carries rigid
     #                          attachments (the weld point rides rotation)
+    # --- dynamic rigid BOXES (None = the scene's boxes stay static
+    #     scenery; all-or-none — make_rigid_state(box_masses=...) fills
+    #     the set).  World rotation of box s = R(box_quat[s]) @
+    #     top.box_rotations[s], so identity quats = the build pose. -----
+    box_centers: jax.Array = None     # f32[B, 3]
+    box_velocities: jax.Array = None  # f32[B, 3]
+    box_inv_mass: jax.Array = None    # f32[B]; 0 = kinematic
+    box_omega: jax.Array = None       # f32[B, 3]
+    box_quat: jax.Array = None        # f32[B, 4] (wxyz)
 
     def replace(self, **kw) -> "RigidState":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def has_boxes(self) -> bool:
+        return self.box_centers is not None
 
-def make_rigid_state(top: Topology, masses, velocities=None,
-                     omega=None, quats=None) -> RigidState:
-    """Promote the scene's spheres to dynamic rigid bodies.  ``masses``
-    f32[S] (``inf``/``0`` => kinematic); initial centers come from the
-    topology's sphere geometry.  ``omega`` f32[S,3] initial spin (solid
-    spheres, I = 2/5 m r^2); ``quats`` f32[S,4] initial orientation
-    (wxyz, default identity — orientation makes rigid attachments ride
-    the ball's rotation and is always carried)."""
-    c = jnp.asarray(top.sphere_centers)
+
+def make_rigid_state(top: Topology, masses=None, velocities=None,
+                     omega=None, quats=None, box_masses=None,
+                     box_velocities=None, box_omega=None,
+                     box_quats=None) -> RigidState:
+    """Promote the scene's spheres — and, with ``box_masses``, its
+    oriented boxes — to dynamic rigid bodies.  ``masses`` f32[S]
+    (``inf``/``0`` => kinematic); initial centers come from the
+    topology's sphere geometry; ``masses=None`` is valid only for a
+    sphere-free scene (boxes-only coupling).  ``omega`` f32[S,3] initial
+    spin (solid spheres, I = 2/5 m r^2); ``quats`` f32[S,4] initial
+    orientation (wxyz, default identity — orientation makes rigid
+    attachments ride the ball's rotation and is always carried).
+    ``box_masses`` f32[B] promotes ALL the scene's boxes (solid-box
+    inertia, diagonal in the body frame); ``box_quats`` default identity
+    = the build-pose ``box_rotations``."""
+    if top.sphere_centers is not None and top.n_spheres > 0:
+        c = jnp.asarray(top.sphere_centers)
+        if masses is None:
+            raise ValueError(
+                "the scene has spheres: pass their masses (inf/0 for "
+                "kinematic scenery)")
+    else:
+        dtype = (jnp.asarray(top.box_centers).dtype
+                 if top.box_centers is not None else jnp.float32)
+        c = jnp.zeros((0, 3), dtype)
+        if masses is not None and np.size(masses) > 0:
+            raise ValueError("masses given but the scene has no spheres")
+        masses = np.zeros((0,))
     m = np.asarray(masses, np.float64).reshape(-1)
     if m.shape[0] != c.shape[0]:
         raise ValueError(
@@ -87,8 +119,37 @@ def make_rigid_state(top: Topology, masses, velocities=None,
     q = (jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], c.dtype),
                   (c.shape[0], 1))
          if quats is None else jnp.asarray(quats, c.dtype).reshape(-1, 4))
+    box = dict(box_centers=None, box_velocities=None, box_inv_mass=None,
+               box_omega=None, box_quat=None)
+    if box_masses is not None:
+        if top.box_centers is None or top.n_boxes == 0:
+            raise ValueError("box_masses given but the scene has no boxes")
+        bc = jnp.asarray(top.box_centers)
+        bm = np.asarray(box_masses, np.float64).reshape(-1)
+        if bm.shape[0] != bc.shape[0]:
+            raise ValueError(
+                f"box_masses ({bm.shape[0]}) must match the scene's box "
+                f"count ({bc.shape[0]})")
+        with np.errstate(divide="ignore"):
+            bim = np.where(np.isfinite(bm) & (bm > 0.0), 1.0 / bm, 0.0)
+        box = dict(
+            box_centers=bc,
+            box_velocities=(jnp.zeros_like(bc) if box_velocities is None
+                            else jnp.asarray(box_velocities,
+                                             bc.dtype).reshape(-1, 3)),
+            box_inv_mass=jnp.asarray(bim, bc.dtype),
+            box_omega=(jnp.zeros_like(bc) if box_omega is None
+                       else jnp.asarray(box_omega,
+                                        bc.dtype).reshape(-1, 3)),
+            box_quat=(jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], bc.dtype),
+                               (bc.shape[0], 1))
+                      if box_quats is None
+                      else jnp.asarray(box_quats,
+                                       bc.dtype).reshape(-1, 4)),
+        )
     return RigidState(centers=c, velocities=v,
-                      inv_mass=jnp.asarray(im, c.dtype), omega=om, quat=q)
+                      inv_mass=jnp.asarray(im, c.dtype), omega=om, quat=q,
+                      **box)
 
 
 def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
@@ -152,7 +213,15 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         dp = m[:, None] * (v - v0)
         jlist.append(jnp.sum(dp, axis=0))
         llist.append(jnp.sum(jnp.cross(arm, dp), axis=0))
-    x, v = collide.resolve_after_spheres(top, cfg, x, v, movable)
+    # ... dynamic boxes (oracle loop order: after the spheres, before the
+    # static rest; reactions applied inline)
+    boxed = r.has_boxes
+    if boxed:
+        bc, bv, bom, bq, bw = _boxes_predict(cfg, r, dt)
+        x, v, bc, bv, bom = _dynamic_boxes_euler(
+            top, cfg, x, v, movable, m, bc, bv, bom, bq, bw)
+    x, v = collide.resolve_after_spheres(top, cfg, x, v, movable,
+                                         skip_boxes=boxed)
 
     # 3. momentum + angular-momentum reaction on the dynamic spheres
     if jlist:
@@ -160,20 +229,29 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         rv = rv - j * r.inv_mass[:, None]
         romega = romega - jnp.stack(llist) * inv_i[:, None]
 
-    # 4. the balls' own environment: plane, static colliders, ball-ball
+    # 4. the balls' own environment: plane, static colliders, ball-ball;
+    # then the boxes' plane corner bounce
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
-                                        radii, inv_i)
+                                        radii, inv_i, skip_boxes=boxed)
+    if boxed:
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
 
     # 5. rigid attachments (weld constraints), before the tear/plastic
     # checks in finish_euler_substep (oracle order)
     if top.attach_ids is not None:
         x, v, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x, v, rc, rv, romega, rq, r.inv_mass, inv_i, dt)
+    if top.attach_box_ids is not None:
+        x, v, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, x, v, bc, bv, bom, bq, bw, dt)
 
     return (
         _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega, quat=rq),
+                   omega=romega, quat=rq,
+                   **(dict(box_centers=bc, box_velocities=bv,
+                           box_inv_mass=bw, box_omega=bom, box_quat=bq)
+                      if boxed else {})),
     )
 
 
@@ -187,10 +265,24 @@ def _rigid_predict(top: Topology, cfg: SimConfig, r: RigidState, dt: float):
     rc = r.centers + dt * rv
     romega = (r.omega if r.omega is not None
               else jnp.zeros_like(r.velocities))
-    radii = top.sphere_radii
+    radii = (top.sphere_radii if top.sphere_radii is not None
+             else jnp.zeros((0,), rc.dtype))     # sphere-free coupled scene
     inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
     rq = None if r.quat is None else _quat_integrate(r.quat, romega, dt)
     return rc, rv, romega, radii, inv_i, rq
+
+
+def _boxes_predict(cfg, r: RigidState, dt: float):
+    """Oracle _boxes_predict twin: gravity predict + orientation
+    integrate for the dynamic boxes."""
+    bc, bv = r.box_centers, r.box_velocities
+    bom, bq, bw = r.box_omega, r.box_quat, r.box_inv_mass
+    g = jnp.asarray(cfg.gravity, dtype=bc.dtype)
+    dyn = (bw > 0.0)[:, None]
+    bv = jnp.where(dyn, bv + dt * g[None, :], bv)
+    bc = bc + dt * bv
+    bq = _quat_integrate(bq, bom, dt)
+    return bc, bv, bom, bq, bw
 
 
 # ---- quaternion helpers (wxyz; oracle _quat_* twins) --------------------
@@ -228,6 +320,252 @@ def _quat_integrate(rq, romega, dt):
         return q2 / jnp.linalg.norm(q2)
 
     return jax.vmap(one)(rq, romega)
+
+
+def _quat_to_matrix(q):
+    """Oracle _quat_to_matrix twin: unit wxyz quaternion -> world-from-
+    body rotation matrix."""
+    w, xq, yq, zq = q[0], q[1], q[2], q[3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - w * zq),
+                   2 * (xq * zq + w * yq)]),
+        jnp.stack([2 * (xq * yq + w * zq), 1 - 2 * (xq * xq + zq * zq),
+                   2 * (yq * zq - w * xq)]),
+        jnp.stack([2 * (xq * zq - w * yq), 2 * (yq * zq + w * xq),
+                   1 - 2 * (xq * xq + yq * yq)]),
+    ])
+
+
+def _solve3(K, b):
+    """Oracle _solve3 twin: closed-form 3x3 solve by cofactor expansion
+    (same operation order, so f64 parity is tight); (x, det)."""
+    a00, a01, a02 = K[0, 0], K[0, 1], K[0, 2]
+    a10, a11, a12 = K[1, 0], K[1, 1], K[1, 2]
+    a20, a21, a22 = K[2, 0], K[2, 1], K[2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    x = jnp.stack([
+        c00 * b[0] + c10 * b[1] + c20 * b[2],
+        c01 * b[0] + c11 * b[1] + c21 * b[2],
+        c02 * b[0] + c12 * b[1] + c22 * b[2],
+    ]) / jnp.maximum(det, 1e-18)
+    return x, det
+
+
+def _solve_box_attachments(top, cfg, x, v, bc, bv, bom, bq, bw, dt):
+    """Oracle _solve_box_attachments twin: sequential Gauss-Seidel over
+    the box-attachment list (static count, traced indices — jits and
+    vmaps); the full anisotropic generalized-inverse-mass 3x3 solve via
+    the cofactor closed form, split vertex/center/orientation."""
+    half = top.box_half_extents.astype(x.dtype)
+    ib = _box_inv_inertia_body(bw, half)
+    eye = jnp.eye(3, dtype=x.dtype)
+    for k in range(top.n_box_attachments):
+        vid = top.attach_box_ids[k]
+        b = top.attach_box_body[k]
+        rot = _quat_to_matrix(bq[b]) @ top.box_rotations[b].astype(x.dtype)
+        a = rot @ top.attach_box_local[k].astype(x.dtype)
+        C = x[vid] - (bc[b] + a)
+        w_v = top.inv_mass[vid]
+        w_b = bw[b]
+        iinv_w = rot @ (ib[b][:, None] * rot.T)
+        ax = jnp.stack([
+            jnp.stack([jnp.zeros_like(a[0]), -a[2], a[1]]),
+            jnp.stack([a[2], jnp.zeros_like(a[0]), -a[0]]),
+            jnp.stack([-a[1], a[0], jnp.zeros_like(a[0])]),
+        ])
+        K = (w_v + w_b) * eye - ax @ iinv_w @ ax
+        P, det = _solve3(K, C)
+        P = jnp.where(det > 1e-18, -P, 0.0)
+        x = x.at[vid].add(w_v * P)
+        if v is not None:
+            v = v.at[vid].add(w_v * P / dt)
+        bc = bc.at[b].add(-w_b * P)
+        bv = bv.at[b].add(-w_b * P / dt)
+        dth = -iinv_w @ jnp.cross(a, P)
+        bom = bom.at[b].add(dth / dt)
+        q2 = _quat_mul(_quat_from_rotvec(dth), bq[b])
+        bq = bq.at[b].set(q2 / jnp.linalg.norm(q2))
+    return x, v, bc, bv, bom, bq
+
+
+# ---- dynamic rigid boxes (oracle "dynamic rigid boxes" section twins) ---
+
+_BOX_CORNER_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+     for sz in (-1.0, 1.0)])
+
+
+def _box_inv_inertia_body(bw, half):
+    """Solid-box inverse inertia, diagonal in the body frame, [B,3]."""
+    e2 = half * half
+    s = jnp.stack([e2[:, 1] + e2[:, 2], e2[:, 0] + e2[:, 2],
+                   e2[:, 0] + e2[:, 1]], axis=1)
+    return bw[:, None] * 3.0 / jnp.maximum(s, 1e-12)
+
+
+def _box_world_rot(top, bq, s):
+    """World rotation of dynamic box s: orientation quat on top of the
+    build pose (oracle _box_world_rot twin)."""
+    return _quat_to_matrix(bq[s]) @ top.box_rotations[s].astype(bq.dtype)
+
+
+def _box_face_push(x, center, half, rot):
+    """Oracle _box_face_push twin on [N,3] arrays: (inside, push, n) with
+    the nearest-face exit rule, ties x < y < z."""
+    q = (x - center) @ rot
+    pen = half[None, :] - jnp.abs(q)
+    inside = (pen > 0.0).all(axis=1)
+    k0 = (pen[:, 0] <= pen[:, 1]) & (pen[:, 0] <= pen[:, 2])
+    k1 = (~k0) & (pen[:, 1] <= pen[:, 2])
+    kmask = jnp.stack([k0, k1, ~(k0 | k1)], axis=1)
+    sgn = jnp.where(q >= 0.0, 1.0, -1.0)
+    n = jnp.where(kmask, sgn, 0.0) @ rot.T
+    push = (pen * kmask).sum(axis=1)
+    return inside, push, n
+
+
+def _dynamic_boxes_euler(top, cfg, x, v, movable, m, bc, bv, bom, bq, bw):
+    """Oracle _dynamic_boxes_euler twin: velocity-level cloth<->box
+    contact — face push-out reduced-mass scaled (center takes the
+    complementary translation), restitution + friction against the box's
+    surface velocity at each contact point, measured impulse reacting on
+    ``bv`` and (through the contact-point arms) on ``bom`` via the world
+    inverse inertia."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = top.box_half_extents.astype(x.dtype)
+    ib = _box_inv_inertia_body(bw, half)
+    for s in range(bc.shape[0]):
+        rot = _box_world_rot(top, bq, s)
+        inside, push, n = _box_face_push(x, bc[s], half[s], rot)
+        contact = inside & movable
+        m_c = jnp.sum(m * contact)
+        beta = 1.0 / (1.0 + bw[s] * m_c)
+        dx = beta * jnp.where(contact, push, 0.0)[:, None] * n
+        x = x + dx
+        bc = bc.at[s].add(-bw[s] * jnp.sum(m[:, None] * dx, axis=0))
+        arm = x - bc[s]
+        w_i = bv[s][None, :] + jnp.cross(
+            jnp.broadcast_to(bom[s], arm.shape), arm)
+        v0 = v
+        u = v - w_i
+        un = jnp.einsum("ij,ij->i", u, n)
+        inward = contact & (un < 0.0)
+        v1 = v - jnp.where(inward, (1.0 + e) * un, 0.0)[:, None] * n
+        u2 = v1 - w_i
+        un2 = jnp.einsum("ij,ij->i", u2, n)[:, None] * n
+        ut = u2 - un2
+        v_t = jnp.where(contact[:, None],
+                        w_i + un2 + ut * (1.0 - mu), v1)
+        v = v0 + beta * (v_t - v0)
+        dp = m[:, None] * (v - v0)
+        bv = bv.at[s].add(-jnp.sum(dp, axis=0) * bw[s])
+        L = jnp.sum(jnp.cross(arm, dp), axis=0)
+        bom = bom.at[s].add(-rot @ (ib[s] * (rot.T @ L)))
+    return x, v, bc, bv, bom
+
+
+def _project_boxes_measured(top, x, movable, m, bc, bq, dt, bw):
+    """Oracle _project_boxes_measured twin: position-only face push-out
+    at the dynamic poses, reduced-mass scaled; (x, j_lin [B,3]).  Linear
+    reaction only — the PBD coupled contract stays spin-free."""
+    half = top.box_half_extents.astype(x.dtype)
+    j_lin = []
+    for s in range(bc.shape[0]):
+        rot = _box_world_rot(top, bq, s)
+        inside, push, n = _box_face_push(x, bc[s], half[s], rot)
+        contact = inside & movable
+        beta = 1.0 / (1.0 + bw[s] * jnp.sum(m * contact))
+        dx = beta * jnp.where(contact, push, 0.0)[:, None] * n
+        x = x + dx
+        j_lin.append(jnp.sum(m[:, None] * dx / dt, axis=0))
+    return x, jnp.stack(j_lin)
+
+
+def _box_friction_measured(top, cfg, x, x_start, dt, movable, m, bc, bq,
+                           bv, bw):
+    """Oracle _one_box_friction twin over all dynamic boxes: contact-
+    shell tangential position friction relative to each box's linear
+    velocity, reduced-mass scaled, measured impulse for the reaction."""
+    from .collide import BOX_CONTACT_SHELL
+
+    mu = cfg.collision.friction
+    j_t = jnp.zeros_like(bc)
+    if not cfg.collision.enable_boxes or mu == 0.0:
+        return x, j_t
+    half_all = top.box_half_extents.astype(x.dtype)
+    for s in range(bc.shape[0]):
+        half = half_all[s]
+        shell = BOX_CONTACT_SHELL * jnp.max(half)
+        rot = _box_world_rot(top, bq, s)
+        q = (x - bc[s]) @ rot
+        pen = half[None, :] - jnp.abs(q)
+        mn = pen.min(axis=1)
+        contact = (mn >= -shell) & (mn <= shell) & movable
+        _, _, n = _box_face_push(x, bc[s], half, rot)
+        rel = (x - x_start) - bv[s][None, :] * dt
+        rel_t = rel - jnp.einsum("ij,ij->i", rel, n)[:, None] * n
+        beta = 1.0 / (1.0 + bw[s] * jnp.sum(m * contact))
+        dx_t = jnp.where(contact[:, None], -mu * beta * rel_t, 0.0)
+        x = x + dx_t
+        j_t = j_t.at[s].set((m[:, None] * dx_t).sum(axis=0) / dt)
+    return x, j_t
+
+
+def _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw):
+    """Oracle _box_plane_bounce twin: translation lift by the deepest
+    corner, then sequential corner impulses (normal with restitution on
+    approach + tangential friction) with the exact effective inverse
+    mass at each corner arm — hit-masked instead of branched, so it jits
+    and vmaps.  Corner arms are lift-invariant (r = rot @ (signs*half)),
+    so pen is evaluated at the pre-lift pose exactly like the oracle."""
+    if not cfg.collision.enable_plane:
+        return bc, bv, bom
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = top.box_half_extents.astype(bc.dtype)
+    ib = _box_inv_inertia_body(bw, half)
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, bc.dtype)
+    n = jnp.asarray([0.0, 1.0, 0.0], bc.dtype)
+    for s in range(bc.shape[0]):
+        rot = _box_world_rot(top, bq, s)
+        arms = (signs * half[s]) @ rot.T                       # [8, 3]
+        pen = top.plane_height - (bc[s, 1] + arms[:, 1])
+        dyn = bw[s] > 0.0
+        lift = jnp.where(dyn, jnp.maximum(pen.max(), 0.0), 0.0)
+        bc = bc.at[s, 1].add(lift)
+
+        def iinv(L, rot=rot, ibs=ib[s]):
+            return rot @ (ibs * (rot.T @ L))
+
+        for k in range(8):
+            hit = (pen[k] > 0.0) & dyn
+            r_k = arms[k]
+            u = bv[s] + jnp.cross(bom[s], r_k)
+            un = u[1]
+            cr = jnp.cross(r_k, n)
+            kn = bw[s] + cr @ iinv(cr)
+            Pn = jnp.where(hit & (un < 0.0),
+                           -(1.0 + e) * un / jnp.maximum(kn, 1e-12),
+                           0.0) * n
+            bv = bv.at[s].add(Pn * bw[s])
+            bom = bom.at[s].add(iinv(jnp.cross(r_k, Pn)))
+            u2 = bv[s] + jnp.cross(bom[s], r_k)
+            ut = u2 * jnp.asarray([1.0, 0.0, 1.0], bc.dtype)
+            t = ut / jnp.maximum(jnp.linalg.norm(ut), 1e-12)
+            ct = jnp.cross(r_k, t)
+            kt = bw[s] + ct @ iinv(ct)
+            Pt = jnp.where(hit, -mu, 0.0) * ut / jnp.maximum(kt, 1e-12)
+            bv = bv.at[s].add(Pt * bw[s])
+            bom = bom.at[s].add(iinv(jnp.cross(r_k, Pt)))
+    return bc, bv, bom
 
 
 def _solve_attachments(top, cfg, x, v, rc, rv, romega, rq, r_inv_mass,
@@ -311,9 +649,11 @@ def _ball_static_response(cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
 
 
 def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
-                         radii):
+                         radii, skip_boxes=False):
     """Oracle _rigid_static_bounce twin: dynamic balls vs the scene's
-    static capsules / boxes / SDFs (collider-enable order)."""
+    static capsules / boxes / SDFs (collider-enable order).
+    ``skip_boxes`` when the boxes are dynamic this substep
+    (ball-vs-dynamic-box is not modelled)."""
     if cfg.collision.enable_capsules and top.n_capsules > 0:
         for s in range(top.n_capsules):
             p0, p1 = top.capsule_p0[s], top.capsule_p1[s]
@@ -327,7 +667,7 @@ def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
             pen = (top.capsule_radii[s] + radii) - dist
             rc, rv, romega = _ball_static_response(
                 cfg, rc, rv, romega, r_inv_mass, inv_i, radii, pen, n)
-    if cfg.collision.enable_boxes and top.n_boxes > 0:
+    if cfg.collision.enable_boxes and top.n_boxes > 0 and not skip_boxes:
         for s in range(top.n_boxes):
             c, h = top.box_centers[s], top.box_half_extents[s]
             rot = top.box_rotations[s]
@@ -401,13 +741,15 @@ def _rigid_rigid_bounce(cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     return rc, rv, romega
 
 
-def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i):
+def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i,
+                       skip_boxes=False):
     """Oracle _rigid_environment twin: plane, then static colliders, then
     ball-ball contacts (shared by every coupled substep)."""
     rc, rv, romega = _rigid_plane_bounce(top, cfg, r, rc, rv, romega,
                                          radii, inv_i)
     rc, rv, romega = _rigid_static_bounce(top, cfg, rc, rv, romega,
-                                          r.inv_mass, inv_i, radii)
+                                          r.inv_mass, inv_i, radii,
+                                          skip_boxes=skip_boxes)
     rc, rv, romega = _rigid_rigid_bounce(cfg, rc, rv, romega,
                                          r.inv_mass, inv_i, radii)
     return rc, rv, romega
@@ -423,6 +765,8 @@ def _project_spheres_measured(x, movable, m, rc, radii, dt,
     ``r_inv_mass`` engages the reduced-mass pair split (vertex push
     scaled by beta = M/(M + m_c); callers shift the balls by
     ``-w_b * j_lin * dt``) — see the oracle docstring."""
+    if rc.shape[0] == 0:                 # sphere-free coupled scene
+        return x, jnp.zeros_like(rc)
     j_lin = []
     for si in range(rc.shape[0]):
         d = x - rc[si]
@@ -472,11 +816,12 @@ def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
     return x, j_t
 
 
-def _project_static_rest(top, cfg, x, movable):
+def _project_static_rest(top, cfg, x, movable, skip_boxes=False):
     """Position-only capsule/box/SDF projection (after the spheres)."""
     if collide._needs_capsule_box(top, cfg):
         xz = collide.project_capsules_boxes_components(
-            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable)
+            top, cfg, [x[:, 0], x[:, 1], x[:, 2]], movable,
+            skip_boxes=skip_boxes)
         x = jnp.stack(xz, axis=1)
     if collide._needs_sdf(top, cfg):
         xz = collide.project_sdfs_components(
@@ -493,6 +838,9 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     ``-sum_i m_i dx_i / dt``.  The radial push exerts no torque and
     carries no surface-velocity term: no spin-drag, no contact spin."""
     rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
+    boxed = r.has_boxes
+    if boxed:
+        bc, bv, bom, bq, bw = _boxes_predict(cfg, r, dt)
     x_new, movable = _step.verlet_integrate(top, cfg, s, dt, None, None)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
@@ -501,26 +849,44 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
                                              radii, dt, r.inv_mass)
     rv = rv - j_lin * r.inv_mass[:, None]
     rc = rc - (j_lin * dt) * r.inv_mass[:, None]
-    x_new = _project_static_rest(top, cfg, x_new, movable)
+    if boxed:
+        x_new, j_b = _project_boxes_measured(top, x_new, movable, m, bc,
+                                             bq, dt, bw)
+        bv = bv - j_b * bw[:, None]
+        bc = bc - (j_b * dt) * bw[:, None]
+    x_new = _project_static_rest(top, cfg, x_new, movable,
+                                 skip_boxes=boxed)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
                                              contact)
     x_new, j_t = _sphere_friction_measured(cfg, x_new, s.x, dt, movable, m,
                                            rc, rv, radii, r.inv_mass)
     rv = rv - j_t * r.inv_mass[:, None]
+    if boxed:
+        x_new, j_bt = _box_friction_measured(top, cfg, x_new, s.x, dt,
+                                             movable, m, bc, bq, bv, bw)
+        bv = bv - j_bt * bw[:, None]
     x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
-                                            movable)
+                                            movable, skip_boxes=boxed)
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
-                                        radii, inv_i)
+                                        radii, inv_i, skip_boxes=boxed)
+    if boxed:
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         x_new, _, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x_new, None, rc, rv, romega, rq, r.inv_mass, inv_i,
             dt)
+    if top.attach_box_ids is not None:
+        x_new, _, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, x_new, None, bc, bv, bom, bq, bw, dt)
     v_new = (x_new - s.x) / dt
     return (
         State(x=x_new, v=v_new, x_prev=s.x, edge_alive=s.edge_alive,
               rest_scale=s.rest_scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega, quat=rq),
+                   omega=romega, quat=rq,
+                   **(dict(box_centers=bc, box_velocities=bv,
+                           box_inv_mass=bw, box_omega=bom, box_quat=bq)
+                      if boxed else {})),
     )
 
 
@@ -528,13 +894,22 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
                          r: RigidState, dt: float
                          ) -> Tuple[State, RigidState]:
     """Oracle substep_xpbd_coupled twin: contacts project inside the
-    Jacobi loop, so the per-sphere projection impulses accumulate across
-    ALL iterations.  Delta-form accumulation as in solver/step.py
-    substep_xpbd (equal in real arithmetic to the oracle's plain form)."""
+    Jacobi loop and each iteration's measured projection impulse reacts
+    on the body IMMEDIATELY (the body participates in the iteration like
+    a particle with inverse mass w_b — see the oracle docstring for why
+    end-of-substep accumulation explodes under heavy cloth), so the body
+    state rides the iteration scan's carry.  Delta-form accumulation as
+    in solver/step.py substep_xpbd (equal in real arithmetic to the
+    oracle's plain form)."""
     from . import xpbd
 
     movable = top.inv_mass > 0.0
     rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
+    boxed = r.has_boxes
+    if boxed:
+        bc, bv, bom, bq, bw = _boxes_predict(cfg, r, dt)
+    else:
+        bc = bv = jnp.zeros((0, 3), s.x.dtype)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     accel = g[None, :]
     if cfg.wind.enabled:
@@ -554,26 +929,36 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     lam0 = jnp.zeros((top.n_edges,), s.x.dtype)
     lam_vol0 = jnp.zeros((top.n_tets,), s.x.dtype)
-    jz = jnp.zeros_like(rc)
 
     def body(carry, _):
-        delta, lam, lam_vol, j_lin, cfm = carry
+        delta, lam, lam_vol, rc_c, rv_c, bc_c, bv_c, cfm = carry
         dx, lam, lam_vol = xpbd.xpbd_iteration_dx(
             top, cfg, x_prev + delta, lam, lam_vol, dt)
         delta = delta + dx
-        # contact projection in delta form: plane exact, spheres measured
+        # contact projection in delta form: plane exact, bodies measured
+        # with the reaction applied to the CARRIED body state (in-loop,
+        # oracle semantics)
         xe = x_prev + delta
         pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
         xe2 = _project_plane_only(top, cfg, xe, movable)
-        xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii, dt,
-                                            r.inv_mass)
-        xe4 = _project_static_rest(top, cfg, xe3, movable)
+        xe3, jl = _project_spheres_measured(xe2, movable, m, rc_c, radii,
+                                            dt, r.inv_mass)
+        rv_c = rv_c - jl * r.inv_mass[:, None]
+        rc_c = rc_c - (jl * dt) * r.inv_mass[:, None]
+        if boxed:
+            xe3, jb = _project_boxes_measured(top, xe3, movable, m, bc_c,
+                                              bq, dt, bw)
+            bv_c = bv_c - jb * bw[:, None]
+            bc_c = bc_c - (jb * dt) * bw[:, None]
+        xe4 = _project_static_rest(top, cfg, xe3, movable,
+                                   skip_boxes=boxed)
         delta = delta + (xe4 - xe)
-        return (delta, lam, lam_vol, j_lin + jl, cfm | pc), None
+        return (delta, lam, lam_vol, rc_c, rv_c, bc_c, bv_c,
+                cfm | pc), None
 
     cf0 = jnp.zeros(s.x.shape[0], bool)
-    (delta, _, _, j_lin, contact), _ = jax.lax.scan(
-        body, (dt * v, lam0, lam_vol0, jz, cf0), None,
+    (delta, _, _, rc, rv, bc, bv, contact), _ = jax.lax.scan(
+        body, (dt * v, lam0, lam_vol0, rc, rv, bc, bv, cf0), None,
         length=cfg.xpbd.n_iterations)
     # plane friction ONCE per substep at the OR'd pre-clamp contact mask
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
@@ -584,17 +969,22 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
                                         rc, rv, radii, r.inv_mass)
     delta = delta + (xf - xe_f)
     rv = rv - j_t * r.inv_mass[:, None]
+    if boxed:
+        xe_b = x_prev + delta
+        xb, j_bt = _box_friction_measured(top, cfg, xe_b, x_prev, dt,
+                                          movable, m, bc, bq, bv, bw)
+        delta = delta + (xb - xe_b)
+        bv = bv - j_bt * bw[:, None]
     # static capsule/box/SDF friction (no reaction; delta rebased)
     xe_r = x_prev + delta
     delta = delta + (
-        collide.rest_friction_positions(top, cfg, xe_r, x_prev, dt, movable)
+        collide.rest_friction_positions(top, cfg, xe_r, x_prev, dt,
+                                        movable, skip_boxes=boxed)
         - xe_r)
-    rv = rv - j_lin * r.inv_mass[:, None]
-    # the balls' complementary share of the accumulated projection pushes
-    # (reduced-mass pair split; see _project_spheres_measured)
-    rc = rc - (j_lin * dt) * r.inv_mass[:, None]
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
-                                        radii, inv_i)
+                                        radii, inv_i, skip_boxes=boxed)
+    if boxed:
+        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         # delta-rebased like the friction stages (keeps the delta-form
         # accumulation exact for the bulk vertices)
@@ -603,13 +993,21 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
             top, cfg, xe_a, None, rc, rv, romega, rq, r.inv_mass, inv_i,
             dt)
         delta = delta + (xa - xe_a)
+    if top.attach_box_ids is not None:
+        xe_b2 = x_prev + delta
+        xb2, _, bc, bv, bom, bq = _solve_box_attachments(
+            top, cfg, xe_b2, None, bc, bv, bom, bq, bw, dt)
+        delta = delta + (xb2 - xe_b2)
     delta = jnp.where(movable[:, None], delta, 0.0)
     x = x_prev + delta
     return (
         State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=s.edge_alive,
               rest_scale=s.rest_scale),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
-                   omega=romega, quat=rq),
+                   omega=romega, quat=rq,
+                   **(dict(box_centers=bc, box_velocities=bv,
+                           box_inv_mass=bw, box_omega=bom, box_quat=bq)
+                      if boxed else {})),
     )
 
 
@@ -624,13 +1022,29 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
                       dt: float, n_substeps: int
                       ) -> Tuple[State, RigidState]:
     """``lax.scan`` over coupled substeps (the body of api.step_coupled)."""
-    if not cfg.collision.enable_spheres:
+    if r.centers.shape[0] > 0 and not cfg.collision.enable_spheres:
         # the coupled substep resolves the RigidState spheres
         # unconditionally — accepting a config that sb.step would treat as
         # sphere-free silently changes semantics between the two entries
         raise ValueError(
             "step_coupled needs CollisionParams(enable_spheres=True): the "
             "rigid bodies ARE the scene's spheres"
+        )
+    if r.has_boxes and not cfg.collision.enable_boxes:
+        raise ValueError(
+            "RigidState carries dynamic boxes: step_coupled needs "
+            "CollisionParams(enable_boxes=True)"
+        )
+    if r.has_boxes and r.box_centers.shape[0] != top.n_boxes:
+        raise ValueError(
+            f"RigidState has {r.box_centers.shape[0]} dynamic boxes but "
+            f"the scene has {top.n_boxes} — box promotion is all-or-none "
+            f"(make_rigid_state(box_masses=...))"
+        )
+    if top.attach_box_ids is not None and not r.has_boxes:
+        raise ValueError(
+            "topology has box attachments: promote the boxes with "
+            "make_rigid_state(box_masses=...)"
         )
     if cfg.solver != Solver.SEMI_IMPLICIT_EULER and (
             cfg.tear.enabled or cfg.plasticity.enabled):

@@ -138,3 +138,13 @@ def test_example_rope_bridge():
 def test_example_wrecking_ball():
     swing = _load("22_wrecking_ball.py").main(n_frames=120)
     assert swing > 0.2
+
+
+def test_example_crate_drop():
+    y = _load("23_crate_drop.py").main(n_frames=400)
+    assert y > -0.7
+
+
+def test_example_parachute_crate():
+    ratio = _load("24_parachute_crate.py").main(n_frames=240)
+    assert ratio < 0.65
