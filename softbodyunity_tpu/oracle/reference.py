@@ -776,9 +776,9 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     ``boxes = (bc, bv, bom, bq, bw)`` promotes the scene's oriented boxes
     to dynamic rigid bodies too (inverse masses ``bw``; 0 = kinematic):
     same predict / cloth-exchange / environment pattern, with box-plane
-    contact through corner impulses (_box_plane_bounce) and the static
-    box resolve skipped (the boxes are no longer scenery).  Dynamic
-    box-vs-ball and box-vs-box contact is not modelled (spawn apart).
+    contact through corner impulses, ball-vs-box and corner-vs-face
+    box-vs-box contacts (_box_environment) and the static box resolve
+    skipped (the boxes are no longer scenery).
     """
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
@@ -877,7 +877,9 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                                          r_inv_mass, inv_i, radii)
     if boxes is not None:
         bc, bv, bom, bq, bw = boxes
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:
@@ -1280,6 +1282,152 @@ def _solve_box_attachments(top, cfg, x, v, bc, bv, bom, bq, bw, dt):
     return x, v, bc, bv, bom, bq
 
 
+def _ball_box_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                     bc, bv, bom, bq, bw, ib):
+    """Dynamic ball vs dynamic box, pairwise sequential (ball-major,
+    then box index): the ball-vs-static-box geometry (closest point
+    outside, nearest-face push when the center is inside) generalized to
+    a TWO-BODY exchange — inverse-mass-weighted separation, a normal
+    impulse with restitution on approach (center velocities, the
+    ball-ball convention), and a contact friction impulse with torque on
+    BOTH bodies (ball arm ``-r n``, box arm ``p - bc`` at the ball's
+    surface point) using the exact direction-dependent effective inverse
+    mass.  Kinematic-kinematic pairs are inert scenery and skip."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = np.asarray(top.box_half_extents, np.float64)
+    rc, rv, romega = rc.copy(), rv.copy(), romega.copy()
+    bc, bv, bom = bc.copy(), bv.copy(), bom.copy()
+    for i in range(rc.shape[0]):
+        for s in range(bc.shape[0]):
+            wi, ws = r_inv_mass[i], bw[s]
+            wsum = wi + ws
+            if not wsum > 0.0:
+                continue
+            rot = _box_world_rot(top, bq, s)
+            q = rot.T @ (rc[i] - bc[s])
+            qc = np.clip(q, -half[s], half[s])
+            dloc = q - qc
+            dist = np.linalg.norm(dloc)
+            pen_f = half[s] - np.abs(q)
+            inside = (pen_f > 0.0).all()
+            if inside:
+                k = int(np.argmin(pen_f))      # ties: argmin -> x < y < z
+                sgn = 1.0 if q[k] >= 0.0 else -1.0
+                n = sgn * rot[:, k]
+                pen = pen_f[k] + radii[i]
+            else:
+                n = rot @ (dloc / max(dist, 1e-12))
+                pen = radii[i] - dist
+            if not pen > 0.0:
+                continue
+            rc[i] = rc[i] + pen * (wi / wsum) * n
+            bc[s] = bc[s] - pen * (ws / wsum) * n
+            un = float(np.dot(rv[i] - bv[s], n))
+            if un < 0.0:
+                p_n = -(1.0 + e) * un / wsum
+                rv[i] = rv[i] + p_n * wi * n
+                bv[s] = bv[s] - p_n * ws * n
+            a_i = -radii[i] * n
+            p_c = rc[i] + a_i                   # ball surface point
+            a_s = p_c - bc[s]
+            u = (rv[i] + np.cross(romega[i], a_i)) \
+                - (bv[s] + np.cross(bom[s], a_s))
+            ut = u - np.dot(u, n) * n
+            t = ut / max(np.linalg.norm(ut), 1e-12)
+            iinv_s = rot @ (ib[s][:, None] * rot.T)
+            ct = np.cross(a_s, t)
+            k_t = wsum + inv_i[i] * radii[i] ** 2 + ct @ (iinv_s @ ct)
+            p_t = -mu * ut / max(k_t, 1e-12)
+            rv[i] = rv[i] + p_t * wi
+            romega[i] = romega[i] + np.cross(a_i, p_t) * inv_i[i]
+            bv[s] = bv[s] - p_t * ws
+            bom[s] = bom[s] - iinv_s @ np.cross(a_s, p_t)
+    return rc, rv, romega, bc, bv, bom
+
+
+def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
+    """Dynamic box vs dynamic box: CORNER-vs-FACE contacts, ordered
+    pairs (s, t), s != t, each of box s's 8 corners tested against box
+    t's faces in corner-index order — the same sequential-impulse scheme
+    as the box-plane bounce with box t's face normal in place of the
+    plane normal and torque on BOTH bodies.  Covers resting stacks and
+    tumbling collisions; the EDGE-EDGE contact manifold (two boxes
+    crossing like an X with no corner inside either) is not modelled,
+    and perfectly FLUSH identical faces (corners exactly on the other
+    box's face plane, a measure-zero alignment) register no contact —
+    real scenes always carry jitter that breaks the tie."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = np.asarray(top.box_half_extents, np.float64)
+    bc, bv, bom = bc.copy(), bv.copy(), bom.copy()
+    B = bc.shape[0]
+    for s in range(B):
+        for t in range(B):
+            if s == t:
+                continue
+            ws, wt = bw[s], bw[t]
+            wsum = ws + wt
+            if not wsum > 0.0:
+                continue
+            rot_s = _box_world_rot(top, bq, s)
+            rot_t = _box_world_rot(top, bq, t)
+            iinv_s = rot_s @ (ib[s][:, None] * rot_s.T)
+            iinv_t = rot_t @ (ib[t][:, None] * rot_t.T)
+            for k in range(8):
+                corner = bc[s] + rot_s @ (_BOX_CORNER_SIGNS[k] * half[s])
+                q = rot_t.T @ (corner - bc[t])
+                pen_f = half[t] - np.abs(q)
+                if not (pen_f > 0.0).all():
+                    continue
+                kk = int(np.argmin(pen_f))
+                sgn = 1.0 if q[kk] >= 0.0 else -1.0
+                n = sgn * rot_t[:, kk]          # pushes the corner OUT
+                push = pen_f[kk]
+                bc[s] = bc[s] + push * (ws / wsum) * n
+                bc[t] = bc[t] - push * (wt / wsum) * n
+                r_s = corner - bc[s]
+                r_t = corner - bc[t]
+                u = (bv[s] + np.cross(bom[s], r_s)) \
+                    - (bv[t] + np.cross(bom[t], r_t))
+                un = float(np.dot(u, n))
+                if un < 0.0:
+                    cs = np.cross(r_s, n)
+                    ctn = np.cross(r_t, n)
+                    k_n = wsum + cs @ (iinv_s @ cs) + ctn @ (iinv_t @ ctn)
+                    P = (-(1.0 + e) * un / max(k_n, 1e-12)) * n
+                    bv[s] = bv[s] + P * ws
+                    bom[s] = bom[s] + iinv_s @ np.cross(r_s, P)
+                    bv[t] = bv[t] - P * wt
+                    bom[t] = bom[t] - iinv_t @ np.cross(r_t, P)
+                u2 = (bv[s] + np.cross(bom[s], r_s)) \
+                    - (bv[t] + np.cross(bom[t], r_t))
+                ut = u2 - np.dot(u2, n) * n
+                th = ut / max(np.linalg.norm(ut), 1e-12)
+                cst = np.cross(r_s, th)
+                ctt = np.cross(r_t, th)
+                k_t = wsum + cst @ (iinv_s @ cst) + ctt @ (iinv_t @ ctt)
+                P_t = -mu * ut / max(k_t, 1e-12)
+                bv[s] = bv[s] + P_t * ws
+                bom[s] = bom[s] + iinv_s @ np.cross(r_s, P_t)
+                bv[t] = bv[t] - P_t * wt
+                bom[t] = bom[t] - iinv_t @ np.cross(r_t, P_t)
+    return bc, bv, bom
+
+
+def _box_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                     bc, bv, bom, bq, bw):
+    """The dynamic boxes' full environment, shared by every coupled
+    substep (runs AFTER the balls' _rigid_environment): box-plane corner
+    bounce, then ball-vs-box, then box-vs-box contacts."""
+    bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+    half = np.asarray(top.box_half_extents, np.float64)
+    ib = _box_inv_inertia_body(bw, half)
+    rc, rv, romega, bc, bv, bom = _ball_box_bounce(
+        top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+        bc, bv, bom, bq, bw, ib)
+    bc, bv, bom = _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib)
+    return rc, rv, romega, bc, bv, bom
+
+
 def _boxes_predict(cfg, boxes, dt):
     """Gravity predict + orientation integrate for the dynamic boxes
     (every coupled solver's step 1)."""
@@ -1348,7 +1496,8 @@ def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
     SDFs, in that (collider-enable) order; the ground plane has its own
     bounce.  Each collider computes (pen, n) for every ball center and
     runs the shared _ball_static_response.  ``skip_boxes`` when the boxes
-    are dynamic this substep (ball-vs-dynamic-box is not modelled)."""
+    are dynamic this substep (ball-vs-dynamic-box runs two-body in
+    _ball_box_bounce instead)."""
     if _has_capsules(top, cfg):
         for s in range(top.capsule_radii.shape[0]):
             cpt = _capsule_closest(rc, top.capsule_p0[s], top.capsule_p1[s])
@@ -1524,7 +1673,9 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                                         r_inv_mass, inv_i, radii,
                                         skip_boxes=boxes is not None)
     if boxes is not None:
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:
@@ -1660,7 +1811,9 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                                         r_inv_mass, inv_i, radii,
                                         skip_boxes=boxes is not None)
     if boxes is not None:
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         if rq is None:

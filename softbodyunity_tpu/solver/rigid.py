@@ -230,11 +230,13 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         romega = romega - jnp.stack(llist) * inv_i[:, None]
 
     # 4. the balls' own environment: plane, static colliders, ball-ball;
-    # then the boxes' plane corner bounce
+    # then the boxes' own environment (plane corners, ball-box, box-box)
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i, skip_boxes=boxed)
     if boxed:
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
 
     # 5. rigid attachments (weld constraints), before the tear/plastic
     # checks in finish_euler_substep (oracle order)
@@ -270,6 +272,141 @@ def _rigid_predict(top: Topology, cfg: SimConfig, r: RigidState, dt: float):
     inv_i = r.inv_mass * 2.5 / jnp.maximum(radii * radii, 1e-12)
     rq = None if r.quat is None else _quat_integrate(r.quat, romega, dt)
     return rc, rv, romega, radii, inv_i, rq
+
+
+def _nearest_face(q, half):
+    """Scalar nearest-face rule for a local point q in a box of half
+    extents ``half`` (oracle argmin with ties x < y < z): returns
+    (inside, push, n_local)."""
+    pen = half - jnp.abs(q)
+    inside = (pen > 0.0).all()
+    k0 = (pen[0] <= pen[1]) & (pen[0] <= pen[2])
+    k1 = (~k0) & (pen[1] <= pen[2])
+    kmask = jnp.stack([k0, k1, ~(k0 | k1)]).astype(q.dtype)
+    sgn = jnp.where(q >= 0.0, 1.0, -1.0)
+    n_loc = kmask * sgn
+    push = jnp.sum(pen * kmask)
+    return inside, push, n_loc
+
+
+def _ball_box_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                     bc, bv, bom, bq, bw, ib):
+    """Oracle _ball_box_bounce twin: dynamic ball vs dynamic box pair
+    contacts, hit-masked instead of branched so it jits and vmaps."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = top.box_half_extents.astype(rc.dtype)
+    for i in range(rc.shape[0]):
+        for s in range(bc.shape[0]):
+            wi, ws = r_inv_mass[i], bw[s]
+            wsum = wi + ws
+            wsafe = jnp.maximum(wsum, 1e-12)
+            rot = _box_world_rot(top, bq, s)
+            q = rot.T @ (rc[i] - bc[s])
+            qc = jnp.clip(q, -half[s], half[s])
+            dloc = q - qc
+            dist = jnp.linalg.norm(dloc)
+            inside, push, n_loc = _nearest_face(q, half[s])
+            n = jnp.where(inside,
+                          rot @ n_loc,
+                          rot @ (dloc / jnp.maximum(dist, 1e-12)))
+            pen = jnp.where(inside, push + radii[i], radii[i] - dist)
+            hit = (pen > 0.0) & (wsum > 0.0)
+            sep = jnp.where(hit, pen, 0.0)
+            rc = rc.at[i].add(sep * (wi / wsafe) * n)
+            bc = bc.at[s].add(-sep * (ws / wsafe) * n)
+            un = jnp.dot(rv[i] - bv[s], n)
+            p_n = jnp.where(hit & (un < 0.0), -(1.0 + e) * un / wsafe, 0.0)
+            rv = rv.at[i].add(p_n * wi * n)
+            bv = bv.at[s].add(-p_n * ws * n)
+            a_i = -radii[i] * n
+            p_c = rc[i] + a_i
+            a_s = p_c - bc[s]
+            u = (rv[i] + jnp.cross(romega[i], a_i)) \
+                - (bv[s] + jnp.cross(bom[s], a_s))
+            ut = u - jnp.dot(u, n) * n
+            t = ut / jnp.maximum(jnp.linalg.norm(ut), 1e-12)
+            iinv_s = rot @ (ib[s][:, None] * rot.T)
+            ct = jnp.cross(a_s, t)
+            k_t = wsum + inv_i[i] * radii[i] ** 2 + ct @ (iinv_s @ ct)
+            p_t = jnp.where(hit, -mu, 0.0) * ut / jnp.maximum(k_t, 1e-12)
+            rv = rv.at[i].add(p_t * wi)
+            romega = romega.at[i].add(jnp.cross(a_i, p_t) * inv_i[i])
+            bv = bv.at[s].add(-p_t * ws)
+            bom = bom.at[s].add(-iinv_s @ jnp.cross(a_s, p_t))
+    return rc, rv, romega, bc, bv, bom
+
+
+def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
+    """Oracle _box_box_bounce twin: corner-vs-face contacts over ordered
+    box pairs, sequential corner impulses with torque on both bodies,
+    hit-masked.  Edge-edge manifolds are not modelled (oracle parity)."""
+    e, mu = cfg.collision.restitution, cfg.collision.friction
+    half = top.box_half_extents.astype(bc.dtype)
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, bc.dtype)
+    B = bc.shape[0]
+    for s in range(B):
+        for t in range(B):
+            if s == t:
+                continue
+            ws, wt = bw[s], bw[t]
+            wsum = ws + wt
+            wsafe = jnp.maximum(wsum, 1e-12)
+            for k in range(8):
+                rot_s = _box_world_rot(top, bq, s)
+                rot_t = _box_world_rot(top, bq, t)
+                iinv_s_ = rot_s @ (ib[s][:, None] * rot_s.T)
+                iinv_t_ = rot_t @ (ib[t][:, None] * rot_t.T)
+                corner = bc[s] + rot_s @ (signs[k] * half[s])
+                q = rot_t.T @ (corner - bc[t])
+                inside, push, n_loc = _nearest_face(q, half[t])
+                hit = inside & (wsum > 0.0)
+                n = rot_t @ n_loc
+                sep = jnp.where(hit, push, 0.0)
+                bc = bc.at[s].add(sep * (ws / wsafe) * n)
+                bc = bc.at[t].add(-sep * (wt / wsafe) * n)
+                r_s = corner - bc[s]
+                r_t = corner - bc[t]
+                u = (bv[s] + jnp.cross(bom[s], r_s)) \
+                    - (bv[t] + jnp.cross(bom[t], r_t))
+                un = jnp.dot(u, n)
+                cs = jnp.cross(r_s, n)
+                ctn = jnp.cross(r_t, n)
+                k_n = wsum + cs @ (iinv_s_ @ cs) + ctn @ (iinv_t_ @ ctn)
+                p_n = jnp.where(hit & (un < 0.0),
+                                -(1.0 + e) * un / jnp.maximum(k_n, 1e-12),
+                                0.0)
+                P = p_n * n
+                bv = bv.at[s].add(P * ws)
+                bom = bom.at[s].add(iinv_s_ @ jnp.cross(r_s, P))
+                bv = bv.at[t].add(-P * wt)
+                bom = bom.at[t].add(-iinv_t_ @ jnp.cross(r_t, P))
+                u2 = (bv[s] + jnp.cross(bom[s], r_s)) \
+                    - (bv[t] + jnp.cross(bom[t], r_t))
+                ut = u2 - jnp.dot(u2, n) * n
+                th = ut / jnp.maximum(jnp.linalg.norm(ut), 1e-12)
+                cst = jnp.cross(r_s, th)
+                ctt = jnp.cross(r_t, th)
+                k_t = wsum + cst @ (iinv_s_ @ cst) + ctt @ (iinv_t_ @ ctt)
+                P_t = jnp.where(hit, -mu, 0.0) * ut / jnp.maximum(k_t, 1e-12)
+                bv = bv.at[s].add(P_t * ws)
+                bom = bom.at[s].add(iinv_s_ @ jnp.cross(r_s, P_t))
+                bv = bv.at[t].add(-P_t * wt)
+                bom = bom.at[t].add(-iinv_t_ @ jnp.cross(r_t, P_t))
+    return bc, bv, bom
+
+
+def _box_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+                     bc, bv, bom, bq, bw):
+    """Oracle _box_environment twin: box-plane corner bounce, then
+    ball-vs-box, then box-vs-box contacts."""
+    bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+    half = top.box_half_extents.astype(bc.dtype)
+    ib = _box_inv_inertia_body(bw, half)
+    rc, rv, romega, bc, bv, bom = _ball_box_bounce(
+        top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
+        bc, bv, bom, bq, bw, ib)
+    bc, bv, bom = _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib)
+    return rc, rv, romega, bc, bv, bom
 
 
 def _boxes_predict(cfg, r: RigidState, dt: float):
@@ -653,7 +790,7 @@ def _rigid_static_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i,
     """Oracle _rigid_static_bounce twin: dynamic balls vs the scene's
     static capsules / boxes / SDFs (collider-enable order).
     ``skip_boxes`` when the boxes are dynamic this substep
-    (ball-vs-dynamic-box is not modelled)."""
+    (ball-vs-dynamic-box runs two-body in _ball_box_bounce instead)."""
     if cfg.collision.enable_capsules and top.n_capsules > 0:
         for s in range(top.n_capsules):
             p0, p1 = top.capsule_p0[s], top.capsule_p1[s]
@@ -870,7 +1007,9 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i, skip_boxes=boxed)
     if boxed:
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         x_new, _, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x_new, None, rc, rv, romega, rq, r.inv_mass, inv_i,
@@ -984,7 +1123,9 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     rc, rv, romega = _rigid_environment(top, cfg, r, rc, rv, romega,
                                         radii, inv_i, skip_boxes=boxed)
     if boxed:
-        bc, bv, bom = _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw)
+        rc, rv, romega, bc, bv, bom = _box_environment(
+            top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
+            bc, bv, bom, bq, bw)
     if top.attach_ids is not None:
         # delta-rebased like the friction stages (keeps the delta-form
         # accumulation exact for the bulk vertices)

@@ -242,6 +242,117 @@ def test_boxes_only_scene_no_spheres():
     assert np.isfinite(np.asarray(state.x)).all()
 
 
+def _stack_scene(solver):
+    """Bare plane + two stacked crates + a ball dropped on top (cloth
+    parked far away): exercises box-plane, box-box, and ball-box."""
+    cfg = SimConfig(
+        solver=solver,
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  enable_boxes=True,
+                                  restitution=0.1, friction=0.5))
+    host = cloth_grid(4, 4, spacing=0.05, pinned=("top",),
+                      origin=(9.0, 9.0, 9.0),
+                      springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-1.0,
+                      orientation="xz",
+                      sphere_centers=[[0.02, 0.15, 0.01]],
+                      sphere_radii=[0.07])
+    host = add_colliders(
+        host,
+        box_centers=[[0.0, -0.6, 0.0], [0.01, -0.25, 0.02]],
+        box_half_extents=[[0.15, 0.10, 0.15], [0.10, 0.08, 0.10]],
+        box_rotations=[np.eye(3), np.eye(3)])
+    return host, cfg
+
+
+@pytest.mark.parametrize("solver,bound", [
+    (Solver.SEMI_IMPLICIT_EULER, 1e-6),
+    (Solver.VERLET, 5e-4),
+    (Solver.XPBD, 1e-4),
+])
+def test_f64_exact_parity_stack(solver, bound):
+    """Device crate-stack trajectory (box-plane + box-box + ball-box
+    contacts) == oracle to f64 rounding."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _stack_scene(solver)
+    top, state = api.init(host, dtype=jnp.float64)
+    rigid = make_rigid_state(top, [0.2], box_masses=[0.8, 0.4])
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    rc = np.asarray(host.sphere_centers, np.float64)
+    rv = np.zeros_like(rc)
+    rom = np.zeros_like(rc)
+    rim = np.asarray([1.0 / 0.2])
+    boxes = (np.asarray(host.box_centers, np.float64), np.zeros((2, 3)),
+             np.zeros((2, 3)),
+             np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (2, 1)),
+             np.asarray([1.0 / 0.8, 1.0 / 0.4]))
+    for _ in range(60):
+        out = oracle.step_coupled(host, cfg, x, v, xp, rc, rv, rim,
+                                  romega=rom, boxes=boxes)
+        x, v, xp, rc, rv, rom = out[:6]
+        boxes = out[-1]
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    assert np.max(np.abs(np.asarray(rigid.box_centers) - boxes[0])) < bound
+    assert np.max(np.abs(np.asarray(rigid.centers) - rc)) < bound
+    assert np.max(np.abs(np.asarray(rigid.box_quat) - boxes[3])) < bound
+
+
+def test_rigid_stack_rests():
+    """plane <- crate <- crate <- ball: every body settles at its exact
+    rest height (corner-impulse box-plane, corner-vs-face box-box,
+    closest-point ball-box)."""
+    host, cfg = _stack_scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    r = make_rigid_state(top, [0.2], box_masses=[0.8, 0.4])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(500):
+        state, r = step(state, r)
+    bc = np.asarray(r.box_centers)
+    rc = np.asarray(r.centers)
+    assert -1.0 < bc[0, 1] < -0.88, bc[0]     # plane_h + half_y
+    assert -0.78 < bc[1, 1] < -0.66, bc[1]    # bottom top + half_y
+    assert -0.62 < rc[0, 1] < -0.48, rc[0]    # top crate top + radius
+    assert np.abs(np.asarray(r.box_velocities)).max() < 0.3
+    assert np.abs(np.asarray(r.velocities)).max() < 0.3
+
+
+def test_box_box_head_on_exchange():
+    """Two equal crates, one sliding into the other on a frictionless
+    plane-free axis: momentum is conserved and the hit crate moves."""
+    cfg = SimConfig(
+        collision=CollisionParams(enable_plane=False, enable_spheres=True,
+                                  enable_boxes=True,
+                                  restitution=0.5, friction=0.0),
+        gravity=(0.0, 0.0, 0.0))
+    host = cloth_grid(4, 4, spacing=0.05, pinned=("top",),
+                      origin=(9.0, 9.0, 9.0),
+                      springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-9.0,
+                      orientation="xz",
+                      sphere_centers=[[9.0, 0.0, 9.0]], sphere_radii=[0.01])
+    # the target crate is slightly larger in y/z: corner-vs-face contact
+    # needs the corners strictly inside the other box's face slab
+    # (perfectly flush identical faces are a measure-zero degenerate
+    # alignment the corner manifold cannot see)
+    host = add_colliders(
+        host,
+        box_centers=[[0.0, 0.0, 0.0], [0.35, 0.0, 0.0]],
+        box_half_extents=[[0.1, 0.1, 0.1], [0.1, 0.12, 0.12]],
+        box_rotations=[np.eye(3), np.eye(3)])
+    top, state = api.init(host)
+    r = make_rigid_state(top, [np.inf], box_masses=[0.5, 0.5],
+                         box_velocities=[[2.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    step = jax.jit(lambda s, r: sb.step_coupled(top, cfg, s, r))
+    for _ in range(60):
+        state, r = step(state, r)
+    bv = np.asarray(r.box_velocities)
+    # total momentum conserved along x
+    assert abs(bv[:, 0].sum() - 2.0) < 1e-3, bv
+    # the hit crate took most of the motion
+    assert bv[1, 0] > 1.0, bv
+    assert np.isfinite(np.asarray(r.box_quat)).all()
+
+
 def _strap_crate(solver=Solver.SEMI_IMPLICIT_EULER):
     """Vertical cloth strap pinned at the top, a crate welded below by a
     TOP CORNER (off-center: the weld transmits torque and the crate
