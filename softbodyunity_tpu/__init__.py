@@ -39,6 +39,7 @@ from .core.topology import (
     HostTopology,
     Topology,
     add_colliders,
+    add_rigid_joint,
     anchor,
     attach,
     attach_box,
@@ -75,6 +76,7 @@ __all__ = [
     "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
     "enable_pressure", "icosphere_mesh", "anchor", "attach", "attach_box",
+    "add_rigid_joint",
     "terrain_mesh",
     "lattice_from_mesh",
     "render_frame", "render_rollout",

@@ -159,6 +159,19 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                          if host.attach_box_body is not None else None),
         attach_box_local=(f32(host.attach_box_local)
                           if host.attach_box_local is not None else None),
+        joint_meta=host.joint_meta,
+        joint_local_a=(f32(host.joint_local_a)
+                       if host.joint_local_a is not None else None),
+        joint_local_b=(f32(host.joint_local_b)
+                       if host.joint_local_b is not None else None),
+        joint_axis_a=(f32(host.joint_axis_a)
+                      if host.joint_axis_a is not None else None),
+        joint_axis_b=(f32(host.joint_axis_b)
+                      if host.joint_axis_b is not None else None),
+        joint_rest=(f32(host.joint_rest)
+                    if host.joint_rest is not None else None),
+        joint_compliance=(f32(host.joint_compliance)
+                          if host.joint_compliance is not None else None),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,

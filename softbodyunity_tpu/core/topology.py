@@ -109,6 +109,15 @@ class Topology:
     attach_box_ids: jax.Array = None    # i32[Ab]
     attach_box_body: jax.Array = None   # i32[Ab] box index
     attach_box_local: jax.Array = None  # f32[Ab, 3]
+    # --- rigid-rigid joints (add_rigid_joint; body refs live in the
+    #     static joint_meta below, anchors here as movable array data) ----
+    joint_local_a: jax.Array = None   # f32[J, 3] anchor in body a's frame
+    #                                   (the world POINT for a world side)
+    joint_local_b: jax.Array = None   # f32[J, 3]
+    joint_axis_a: jax.Array = None    # f32[J, 3] hinge axis, body a frame
+    joint_axis_b: jax.Array = None    # f32[J, 3]
+    joint_rest: jax.Array = None      # f32[J] distance-joint rest length
+    joint_compliance: jax.Array = None  # f32[J] XPBD compliance (distance)
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -120,6 +129,10 @@ class Topology:
     edge_classes_present: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=(0,)
     )  # which spring classes the edge list contains (static, for dispatch)
+    joint_meta: Optional[Tuple] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )  # per joint (jtype, kind_a, idx_a, kind_b, idx_b); static so the
+    #    coupled solvers unroll over concrete body refs
 
     @property
     def n_edges(self) -> int:
@@ -158,6 +171,10 @@ class Topology:
     def n_box_attachments(self) -> int:
         return (0 if self.attach_box_ids is None
                 else self.attach_box_ids.shape[0])
+
+    @property
+    def n_joints(self) -> int:
+        return 0 if self.joint_meta is None else len(self.joint_meta)
 
 
 def _build_incidence(n: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -295,6 +312,24 @@ class HostTopology:
     attach_box_ids: Optional[np.ndarray] = None       # i64[Ab]
     attach_box_body: Optional[np.ndarray] = None      # i64[Ab]
     attach_box_local: Optional[np.ndarray] = None     # f64[Ab, 3]
+    # rigid-rigid joints (None = none; see add_rigid_joint): Unity
+    # FixedJoint-anchor / HingeJoint / SpringJoint analogues between
+    # DYNAMIC rigid bodies (spheres/boxes promoted by make_rigid_state)
+    # and/or the world, resolved by the coupled solvers.  joint_meta is
+    # one static record per joint: (jtype, kind_a, idx_a, kind_b, idx_b)
+    # with jtype in {"ball", "hinge", "distance"} and kind in {"sphere",
+    # "box", "world"}; the arrays carry the (movable) anchor data.
+    joint_meta: Optional[Tuple] = None                # static, len J
+    joint_local_a: Optional[np.ndarray] = None        # f64[J, 3] anchor in
+    #                                  body a's frame (world point for a
+    #                                  "world" side)
+    joint_local_b: Optional[np.ndarray] = None        # f64[J, 3]
+    joint_axis_a: Optional[np.ndarray] = None         # f64[J, 3] hinge axis
+    #                                  in body a's frame (zeros otherwise)
+    joint_axis_b: Optional[np.ndarray] = None         # f64[J, 3]
+    joint_rest: Optional[np.ndarray] = None           # f64[J] distance rest
+    joint_compliance: Optional[np.ndarray] = None     # f64[J] XPBD
+    #                                  compliance (distance joints only)
 
 
 def add_colliders(
@@ -1642,6 +1677,27 @@ def _merge_attachments(hosts, offs):
         out.update(attach_box_ids=np.concatenate(ids),
                    attach_box_body=np.concatenate(body),
                    attach_box_local=np.concatenate(local))
+    out.update(joint_meta=None, joint_local_a=None, joint_local_b=None,
+               joint_axis_a=None, joint_axis_b=None, joint_rest=None,
+               joint_compliance=None)
+    if any(h.joint_meta is not None for h in hosts):
+        meta = []
+        arrs = {n: [] for n in ("joint_local_a", "joint_local_b",
+                                "joint_axis_a", "joint_axis_b",
+                                "joint_rest", "joint_compliance")}
+        sphere_off = box_off = 0
+        for h in hosts:
+            if h.joint_meta is not None:
+                off = {"sphere": sphere_off, "box": box_off, "world": 0}
+                meta.extend((jt, ka, ia + off[ka], kb, ib + off[kb])
+                            for jt, ka, ia, kb, ib in h.joint_meta)
+                for n in arrs:
+                    arrs[n].append(np.asarray(getattr(h, n), np.float64))
+            sphere_off += np.asarray(h.sphere_radii).shape[0]
+            box_off += (0 if h.box_centers is None
+                        else np.asarray(h.box_centers).shape[0])
+        out.update(joint_meta=tuple(meta),
+                   **{n: np.concatenate(v) for n, v in arrs.items()})
     return out
 
 
@@ -1905,4 +1961,159 @@ def attach_box(
     out.attach_box_local = (
         local if host.attach_box_local is None
         else np.concatenate([host.attach_box_local, local]))
+    return out
+
+
+def add_rigid_joint(
+    host: HostTopology,
+    body_a,
+    body_b=None,
+    *,
+    point=None,
+    point_b=None,
+    axis=None,
+    kind=None,
+    rest_length=None,
+    compliance=0.0,
+) -> HostTopology:
+    """Join two DYNAMIC rigid bodies (or one body and the world) with a
+    joint — the Unity Joint-component analogues for the coupled solvers
+    (:func:`softbodyunity_tpu.api.step_coupled`; promote the scene's
+    spheres/boxes to rigid bodies with ``make_rigid_state``):
+
+    * ``kind="ball"`` (default): ball-socket / point-to-point anchor
+      (``FixedJoint``-style anchor without the rotation lock): the two
+      bodies share the world anchor ``point`` (build pose); each body
+      stores it in its own frame, so the anchor rides both orientations.
+      Chains of ball joints make pendulums, ropes of crates, flails.
+    * ``kind="hinge"``: ball anchor + axis alignment (``HingeJoint``):
+      ``axis`` (world, build pose) is stored in both body frames and the
+      solver removes the misalignment ``a_w x b_w`` each substep — a door
+      on a post, a seesaw, a swinging gate.  No limits/motor.
+    * ``kind="distance"``: a rod/spring (``SpringJoint``): keeps
+      ``|p_a - p_b| = rest_length`` between anchor ``point`` (on body a)
+      and ``point_b`` (on body b, or the world point for a world side);
+      ``compliance`` (XPBD alpha, meters/newton) softens it — 0 is a
+      rigid rod, larger values a weaker spring (each substep closes the
+      fraction ``w_eff / (w_eff + compliance/dt^2)`` of the error).
+
+    ``body_a`` / ``body_b`` are ``("sphere", i)`` or ``("box", i)`` refs
+    into the scene's collider arrays; ``body_b=None`` anchors to the
+    WORLD (a fixed point / axis).  Kind inference: ``axis`` given ->
+    hinge; ``rest_length`` or ``point_b`` given -> distance; else ball.
+
+    Joints are ignored by the plain (static-collider) ``step``; they bind
+    only under ``step_coupled``, where every referenced body must be
+    promoted (kinematic bodies — ``inv_mass = 0`` — anchor without
+    reacting).  Solved sequentially (Gauss-Seidel in joint-index order),
+    one pass per substep, position-level with /dt velocity updates; the
+    binding semantics are ``oracle.reference._solve_rigid_joints``.
+    Composable — repeated calls concatenate."""
+    if kind is None:
+        kind = ("hinge" if axis is not None
+                else "distance" if (rest_length is not None
+                                    or point_b is not None) else "ball")
+    if kind not in ("ball", "hinge", "distance"):
+        raise ValueError(f"unknown joint kind {kind!r}")
+
+    n_s = np.asarray(host.sphere_radii).shape[0]
+    n_b = (0 if host.box_centers is None
+           else np.asarray(host.box_centers).shape[0])
+
+    def _ref(body, name):
+        if body is None:
+            return ("world", 0)
+        try:
+            bkind, idx = body
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{name} must be ('sphere', i), ('box', i), or None "
+                f"(world), got {body!r}")
+        idx = int(idx)
+        if bkind == "sphere":
+            if not 0 <= idx < n_s:
+                raise ValueError(
+                    f"{name}: sphere id {idx} out of range [0, {n_s})")
+        elif bkind == "box":
+            if not 0 <= idx < n_b:
+                raise ValueError(
+                    f"{name}: box id {idx} out of range [0, {n_b})")
+        else:
+            raise ValueError(f"{name}: unknown body kind {bkind!r}")
+        return (bkind, idx)
+
+    kind_a, ia = _ref(body_a, "body_a")
+    if kind_a == "world":
+        raise ValueError("body_a must be a rigid body (swap the sides to "
+                         "anchor to the world)")
+    kind_b, ib = _ref(body_b, "body_b")
+
+    def _center(bkind, i):
+        if bkind == "sphere":
+            return np.asarray(host.sphere_centers, np.float64)[i]
+        return np.asarray(host.box_centers, np.float64)[i]
+
+    def _to_frame(bkind, i, vec, is_point):
+        """World vector/point (build pose) -> the body's frame."""
+        if bkind == "world":
+            return np.asarray(vec, np.float64)
+        v = np.asarray(vec, np.float64)
+        if is_point:
+            v = v - _center(bkind, i)
+        if bkind == "box":
+            r0 = np.asarray(host.box_rotations, np.float64)[i]
+            v = r0.T @ v
+        return v
+
+    if kind == "distance":
+        if point is None:
+            point = _center(kind_a, ia)
+        if point_b is None:
+            if kind_b == "world":
+                raise ValueError(
+                    "distance joint to the world needs point_b (the fixed "
+                    "world anchor)")
+            point_b = _center(kind_b, ib)
+        p_a = np.asarray(point, np.float64).reshape(3)
+        p_b = np.asarray(point_b, np.float64).reshape(3)
+        if rest_length is None:
+            rest_length = float(np.linalg.norm(p_a - p_b))
+        local_a = _to_frame(kind_a, ia, p_a, True)
+        local_b = _to_frame(kind_b, ib, p_b, True)
+        ax_a = ax_b = np.zeros(3)
+    else:
+        if point is None:
+            raise ValueError(f"{kind} joint needs the shared world anchor "
+                             f"`point` (build pose)")
+        p = np.asarray(point, np.float64).reshape(3)
+        local_a = _to_frame(kind_a, ia, p, True)
+        local_b = _to_frame(kind_b, ib, p, True)
+        rest_length = 0.0
+        if kind == "hinge":
+            ax = np.asarray(axis, np.float64).reshape(3)
+            nrm = np.linalg.norm(ax)
+            if not nrm > 0.0:
+                raise ValueError("hinge axis must be nonzero")
+            ax = ax / nrm
+            ax_a = _to_frame(kind_a, ia, ax, False)
+            ax_b = _to_frame(kind_b, ib, ax, False)
+        else:
+            ax_a = ax_b = np.zeros(3)
+    if compliance < 0.0:
+        raise ValueError("compliance must be >= 0")
+
+    meta = ((kind, kind_a, ia, kind_b, ib),)
+    rec = dict(
+        joint_local_a=local_a[None, :], joint_local_b=local_b[None, :],
+        joint_axis_a=ax_a[None, :], joint_axis_b=ax_b[None, :],
+        joint_rest=np.asarray([rest_length], np.float64),
+        joint_compliance=np.asarray([float(compliance)], np.float64),
+    )
+    out = dataclasses.replace(host)
+    out.joint_meta = (meta if host.joint_meta is None
+                      else host.joint_meta + meta)
+    for name, arr in rec.items():
+        prev = getattr(host, name)
+        setattr(out, name,
+                arr if prev is None else np.concatenate([prev, arr]))
     return out

@@ -881,6 +881,10 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
+    if top.joint_meta is not None:
+        _require_joint_state(top, rq, boxes)
+        rc, rv, romega, rq, boxes = _solve_rigid_joints(
+            top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i, boxes, dt)
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
@@ -1282,6 +1286,178 @@ def _solve_box_attachments(top, cfg, x, v, bc, bv, bom, bq, bw, dt):
     return x, v, bc, bv, bom, bq
 
 
+def _skew(a):
+    return np.array([[0.0, -a[2], a[1]],
+                     [a[2], 0.0, -a[0]],
+                     [-a[1], a[0], 0.0]])
+
+
+def _require_joint_state(top, rq, boxes):
+    """Joints bind to promoted rigid state: sphere sides need orientations
+    (rq), box sides need the dynamic-box 5-tuple."""
+    kinds = {k for _, ka, _, kb, _ in top.joint_meta for k in (ka, kb)}
+    if "sphere" in kinds and rq is None:
+        raise ValueError(
+            "topology has sphere-side rigid joints: pass ball "
+            "orientations rq")
+    if "box" in kinds and boxes is None:
+        raise ValueError(
+            "topology has box-side rigid joints: pass dynamic boxes")
+
+
+def _solve_rigid_joints(top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i,
+                        boxes, dt):
+    """Rigid-rigid joints (binding semantics) — Unity Joint analogues
+    between DYNAMIC bodies (spheres/boxes) and/or the world, solved
+    SEQUENTIALLY in joint-index order, one Gauss-Seidel pass per substep,
+    position-level with /dt velocity updates (the scheme of the cloth
+    attachments, `_solve_attachments`).  Body refs are the static
+    ``top.joint_meta`` records ``(jtype, kind_a, idx_a, kind_b, idx_b)``;
+    anchors/axes live in the body frames (``joint_local_*`` /
+    ``joint_axis_*``; a "world" side stores the world point/axis itself).
+
+    * ball: the anchor constraint ``C = p_a - p_b = 0`` closes exactly in
+      the linearization through the two-body generalized inverse mass
+      ``K = (w_a + w_b) I - [a]x Iinv_a [a]x - [b]x Iinv_b [b]x``
+      (cofactor solve, `_solve3`); the impulse ``P = -K^{-1} C`` is
+      applied +P at arm ``a`` on body a and -P at arm ``b`` on body b —
+      each side's center, velocity (/dt), orientation (rotation vector
+      ``Iinv (arm x +-P)``) and omega update by its generalized masses.
+    * hinge: FIRST the axis misalignment ``t = a_w x b_w`` is removed
+      through the angular generalized inverse mass
+      ``w_rot = n^T (Iinv_a + Iinv_b) n`` (body a rotates by
+      ``+Iinv_a n lam``, body b by ``-Iinv_b n lam``,
+      ``lam = |t| / w_rot``), THEN the ball solve runs on the rotated
+      frames so the anchor is exact at pass end.
+    * distance: the scalar ``C = |p_a - p_b| - rest`` along ``n`` with
+      XPBD compliance: ``lam = -C / (w_eff + alpha/dt^2)``,
+      ``w_eff = w_a + w_b + (a x n)^T Iinv_a (a x n) + (b x n)^T Iinv_b
+      (b x n)``, impulse ``lam n`` applied like the ball impulse.
+      ``alpha = 0`` is a rigid rod; > 0 closes the fraction
+      ``w_eff/(w_eff + alpha/dt^2)`` of the error per pass (a spring).
+
+    Kinematic bodies (w = 0, Iinv = 0) and world sides anchor without
+    reacting; a joint whose two sides are both immovable is inert
+    (det/w_eff guards).  Returns (rc, rv, romega, rq, boxes)."""
+    rc, rv = np.array(rc, np.float64), np.array(rv, np.float64)
+    romega = np.array(romega, np.float64)
+    rq = None if rq is None else np.array(rq, np.float64)
+    if boxes is not None:
+        bc, bv, bom, bq, bw = (np.array(b, np.float64) for b in boxes)
+        ib = _box_inv_inertia_body(bw, np.asarray(top.box_half_extents,
+                                                  np.float64))
+    eye = np.eye(3)
+
+    def _iinv(kind, i):
+        if kind == "world":
+            return np.zeros((3, 3))
+        if kind == "sphere":
+            return inv_i[i] * eye
+        rot = _box_world_rot(top, bq, i)
+        return rot @ (ib[i][:, None] * rot.T)
+
+    def _frame_vec(kind, i, v):
+        if kind == "world":
+            return np.asarray(v, np.float64)
+        if kind == "sphere":
+            return _quat_rotate(rq[i], np.asarray(v, np.float64))
+        return _box_world_rot(top, bq, i) @ np.asarray(v, np.float64)
+
+    def _side(kind, i, local):
+        """(anchor point, world arm, inverse mass, world inverse inertia)."""
+        if kind == "world":
+            return np.asarray(local, np.float64), np.zeros(3), 0.0, \
+                np.zeros((3, 3))
+        a = _frame_vec(kind, i, local)
+        c = rc[i] if kind == "sphere" else bc[i]
+        w = float(r_inv_mass[i]) if kind == "sphere" else float(bw[i])
+        return c + a, a, w, _iinv(kind, i)
+
+    def _apply(kind, i, P, arm, iinv):
+        """Impulse P at world arm `arm`: position-level with /dt velocity
+        updates (kinematic sides take 0 via w = 0, Iinv = 0)."""
+        if kind == "world":
+            return
+        dth = iinv @ np.cross(arm, P)
+        if kind == "sphere":
+            w = float(r_inv_mass[i])
+            rc[i] = rc[i] + w * P
+            rv[i] = rv[i] + w * P / dt
+            romega[i] = romega[i] + dth / dt
+            q = _quat_mul(_quat_from_rotvec(dth), rq[i])
+            rq[i] = q / np.linalg.norm(q)
+        else:
+            w = float(bw[i])
+            bc[i] = bc[i] + w * P
+            bv[i] = bv[i] + w * P / dt
+            bom[i] = bom[i] + dth / dt
+            q = _quat_mul(_quat_from_rotvec(dth), bq[i])
+            bq[i] = q / np.linalg.norm(q)
+
+    def _apply_rot(kind, i, dth):
+        if kind == "world":
+            return
+        if kind == "sphere":
+            romega[i] = romega[i] + dth / dt
+            q = _quat_mul(_quat_from_rotvec(dth), rq[i])
+            rq[i] = q / np.linalg.norm(q)
+        else:
+            bom[i] = bom[i] + dth / dt
+            q = _quat_mul(_quat_from_rotvec(dth), bq[i])
+            bq[i] = q / np.linalg.norm(q)
+
+    def _ball_solve(kind_a, ia_, la, kind_b, ib_, lb):
+        p_a, a, w_a, iinv_a = _side(kind_a, ia_, la)
+        p_b, b_arm, w_b, iinv_b = _side(kind_b, ib_, lb)
+        C = p_a - p_b
+        sa, sb = _skew(a), _skew(b_arm)
+        K = (w_a + w_b) * eye - sa @ iinv_a @ sa - sb @ iinv_b @ sb
+        P, det = _solve3(K, C)
+        if det <= 1e-18:
+            return                           # both sides immovable: inert
+        P = -P
+        _apply(kind_a, ia_, P, a, iinv_a)
+        _apply(kind_b, ib_, -P, b_arm, iinv_b)
+
+    for k, (jtype, kind_a, ia_, kind_b, ib_) in enumerate(top.joint_meta):
+        la = np.asarray(top.joint_local_a[k], np.float64)
+        lb = np.asarray(top.joint_local_b[k], np.float64)
+        if jtype == "hinge":
+            aw = _frame_vec(kind_a, ia_, top.joint_axis_a[k])
+            bw_ax = _frame_vec(kind_b, ib_, top.joint_axis_b[k])
+            t = np.cross(aw, bw_ax)
+            tn = np.linalg.norm(t)
+            if tn > 1e-12:
+                nhat = t / tn
+                iinv_a, iinv_b = _iinv(kind_a, ia_), _iinv(kind_b, ib_)
+                w_rot = nhat @ ((iinv_a + iinv_b) @ nhat)
+                if w_rot > 1e-18:
+                    lam = tn / w_rot
+                    _apply_rot(kind_a, ia_, iinv_a @ (nhat * lam))
+                    _apply_rot(kind_b, ib_, -(iinv_b @ (nhat * lam)))
+            _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+        elif jtype == "ball":
+            _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+        else:                                               # distance
+            p_a, a, w_a, iinv_a = _side(kind_a, ia_, la)
+            p_b, b_arm, w_b, iinv_b = _side(kind_b, ib_, lb)
+            d = p_a - p_b
+            L = np.linalg.norm(d)
+            nhat = d / max(L, 1e-12)
+            C = L - float(top.joint_rest[k])
+            axn, bxn = np.cross(a, nhat), np.cross(b_arm, nhat)
+            w_eff = w_a + w_b + axn @ (iinv_a @ axn) + bxn @ (iinv_b @ bxn)
+            alpha_t = float(top.joint_compliance[k]) / (dt * dt)
+            if w_eff + alpha_t <= 1e-18:
+                continue
+            P = (-C / (w_eff + alpha_t)) * nhat
+            _apply(kind_a, ia_, P, a, iinv_a)
+            _apply(kind_b, ib_, -P, b_arm, iinv_b)
+
+    out_boxes = None if boxes is None else (bc, bv, bom, bq, bw)
+    return rc, rv, romega, rq, out_boxes
+
+
 def _ball_box_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
                      bc, bv, bom, bq, bw, ib):
     """Dynamic ball vs dynamic box, pairwise sequential (ball-major,
@@ -1677,6 +1853,12 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
+    if top.joint_meta is not None:
+        _require_joint_state(top, rq, boxes)
+        rc, rv, romega, rq, boxes = _solve_rigid_joints(
+            top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i, boxes, dt)
+        if boxes is not None:
+            bc, bv, bom, bq, bw = boxes
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
@@ -1815,6 +1997,12 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
         boxes = (bc, bv, bom, bq, bw)
+    if top.joint_meta is not None:
+        _require_joint_state(top, rq, boxes)
+        rc, rv, romega, rq, boxes = _solve_rigid_joints(
+            top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i, boxes, dt)
+        if boxes is not None:
+            bc, bv, bom, bq, bw = boxes
     if top.attach_ids is not None:
         if rq is None:
             raise ValueError(
@@ -1857,7 +2045,8 @@ def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
     rv = np.array(rv, np.float64)
     romega = (np.zeros_like(rv) if romega is None
               else np.array(romega, np.float64))
-    if rq is None and top.attach_ids is not None:
+    if rq is None and (top.attach_ids is not None
+                       or top.joint_meta is not None):
         rq = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (rc.shape[0], 1))
     if rq is not None:
         rq = np.array(rq, np.float64)

@@ -238,8 +238,16 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
             top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
 
-    # 5. rigid attachments (weld constraints), before the tear/plastic
-    # checks in finish_euler_substep (oracle order)
+    # 5. rigid-rigid joints, then rigid attachments (weld constraints),
+    # before the tear/plastic checks in finish_euler_substep (oracle
+    # order)
+    if top.joint_meta is not None:
+        rc, rv, romega, rq, *bx = _solve_joints(
+            top, cfg, rc, rv, romega, rq, r.inv_mass, inv_i,
+            *((bc, bv, bom, bq) if boxed else (None,) * 4),
+            bw if boxed else None, dt)
+        if boxed:
+            bc, bv, bom, bq = bx
     if top.attach_ids is not None:
         x, v, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x, v, rc, rv, romega, rq, r.inv_mass, inv_i, dt)
@@ -705,6 +713,136 @@ def _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw):
     return bc, bv, bom
 
 
+def _solve_joints(top: Topology, cfg: SimConfig, rc, rv, romega, rq,
+                  r_inv_mass, inv_i, bc, bv, bom, bq, bw, dt):
+    """Oracle ``_solve_rigid_joints`` twin — rigid-rigid ball / hinge /
+    distance joints, solved sequentially in joint-index order with the
+    same operation order (f64 parity).  Body refs come from the STATIC
+    ``top.joint_meta`` tuple, so the loop unrolls over concrete
+    (kind, index) pairs; the "inert" skips become zero impulses
+    (``jnp.where`` on the det/w_rot/w_eff guards), which apply exactly
+    zero updates.  Box args are None for a box-free scene."""
+    f = rc.dtype
+    eye = jnp.eye(3, dtype=f)
+    boxed = bc is not None
+    if boxed:
+        half = top.box_half_extents.astype(f)
+        ib = _box_inv_inertia_body(bw, half)
+
+    def _iinv(kind, i):
+        if kind == "world":
+            return jnp.zeros((3, 3), f)
+        if kind == "sphere":
+            return inv_i[i] * eye
+        rot = _box_world_rot(top, bq, i)
+        return rot @ (ib[i][:, None] * rot.T)
+
+    def _frame_vec(kind, i, v3):
+        v3 = v3.astype(f)
+        if kind == "world":
+            return v3
+        if kind == "sphere":
+            return _quat_rotate(rq[i], v3)
+        return _box_world_rot(top, bq, i) @ v3
+
+    def _side(kind, i, local):
+        if kind == "world":
+            return local.astype(f), jnp.zeros(3, f), jnp.zeros((), f), \
+                jnp.zeros((3, 3), f)
+        a = _frame_vec(kind, i, local)
+        c = rc[i] if kind == "sphere" else bc[i]
+        w = r_inv_mass[i] if kind == "sphere" else bw[i]
+        return c + a, a, w, _iinv(kind, i)
+
+    def _apply(kind, i, P, arm, iinv):
+        nonlocal rc, rv, romega, rq, bc, bv, bom, bq
+        if kind == "world":
+            return
+        dth = iinv @ jnp.cross(arm, P)
+        if kind == "sphere":
+            w = r_inv_mass[i]
+            rc = rc.at[i].add(w * P)
+            rv = rv.at[i].add(w * P / dt)
+            romega = romega.at[i].add(dth / dt)
+            q = _quat_mul(_quat_from_rotvec(dth), rq[i])
+            rq = rq.at[i].set(q / jnp.linalg.norm(q))
+        else:
+            w = bw[i]
+            bc = bc.at[i].add(w * P)
+            bv = bv.at[i].add(w * P / dt)
+            bom = bom.at[i].add(dth / dt)
+            q = _quat_mul(_quat_from_rotvec(dth), bq[i])
+            bq = bq.at[i].set(q / jnp.linalg.norm(q))
+
+    def _apply_rot(kind, i, dth):
+        nonlocal romega, rq, bom, bq
+        if kind == "world":
+            return
+        if kind == "sphere":
+            romega = romega.at[i].add(dth / dt)
+            q = _quat_mul(_quat_from_rotvec(dth), rq[i])
+            rq = rq.at[i].set(q / jnp.linalg.norm(q))
+        else:
+            bom = bom.at[i].add(dth / dt)
+            q = _quat_mul(_quat_from_rotvec(dth), bq[i])
+            bq = bq.at[i].set(q / jnp.linalg.norm(q))
+
+    def _skew(a):
+        z = jnp.zeros((), f)
+        return jnp.stack([
+            jnp.stack([z, -a[2], a[1]]),
+            jnp.stack([a[2], z, -a[0]]),
+            jnp.stack([-a[1], a[0], z]),
+        ])
+
+    def _ball_solve(kind_a, ia_, la, kind_b, ib_, lb):
+        p_a, a, w_a, iinv_a = _side(kind_a, ia_, la)
+        p_b, b_arm, w_b, iinv_b = _side(kind_b, ib_, lb)
+        C = p_a - p_b
+        sa, sb = _skew(a), _skew(b_arm)
+        K = (w_a + w_b) * eye - sa @ iinv_a @ sa - sb @ iinv_b @ sb
+        P, det = _solve3(K, C)
+        P = jnp.where(det > 1e-18, -P, 0.0)
+        _apply(kind_a, ia_, P, a, iinv_a)
+        _apply(kind_b, ib_, -P, b_arm, iinv_b)
+
+    for k, (jtype, kind_a, ia_, kind_b, ib_) in enumerate(top.joint_meta):
+        la = top.joint_local_a[k]
+        lb = top.joint_local_b[k]
+        if jtype == "hinge":
+            aw = _frame_vec(kind_a, ia_, top.joint_axis_a[k])
+            bw_ax = _frame_vec(kind_b, ib_, top.joint_axis_b[k])
+            t = jnp.cross(aw, bw_ax)
+            tn = jnp.linalg.norm(t)
+            nhat = t / jnp.maximum(tn, 1e-12)
+            iinv_a, iinv_b = _iinv(kind_a, ia_), _iinv(kind_b, ib_)
+            w_rot = nhat @ ((iinv_a + iinv_b) @ nhat)
+            lam = jnp.where((tn > 1e-12) & (w_rot > 1e-18),
+                            tn / jnp.maximum(w_rot, 1e-18), 0.0)
+            _apply_rot(kind_a, ia_, iinv_a @ (nhat * lam))
+            _apply_rot(kind_b, ib_, -(iinv_b @ (nhat * lam)))
+            _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+        elif jtype == "ball":
+            _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+        else:                                               # distance
+            p_a, a, w_a, iinv_a = _side(kind_a, ia_, la)
+            p_b, b_arm, w_b, iinv_b = _side(kind_b, ib_, lb)
+            d = p_a - p_b
+            L = jnp.linalg.norm(d)
+            nhat = d / jnp.maximum(L, 1e-12)
+            C = L - top.joint_rest[k]
+            axn, bxn = jnp.cross(a, nhat), jnp.cross(b_arm, nhat)
+            w_eff = w_a + w_b + axn @ (iinv_a @ axn) + bxn @ (iinv_b @ bxn)
+            alpha_t = top.joint_compliance[k] / (dt * dt)
+            lam = jnp.where(w_eff + alpha_t > 1e-18,
+                            -C / jnp.maximum(w_eff + alpha_t, 1e-18), 0.0)
+            P = lam * nhat
+            _apply(kind_a, ia_, P, a, iinv_a)
+            _apply(kind_b, ib_, -P, b_arm, iinv_b)
+
+    return rc, rv, romega, rq, bc, bv, bom, bq
+
+
 def _solve_attachments(top, cfg, x, v, rc, rv, romega, rq, r_inv_mass,
                        inv_i, dt):
     """Oracle _solve_attachments twin: sequential Gauss-Seidel over the
@@ -1010,6 +1148,13 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
         rc, rv, romega, bc, bv, bom = _box_environment(
             top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
+    if top.joint_meta is not None:
+        rc, rv, romega, rq, *bx = _solve_joints(
+            top, cfg, rc, rv, romega, rq, r.inv_mass, inv_i,
+            *((bc, bv, bom, bq) if boxed else (None,) * 4),
+            bw if boxed else None, dt)
+        if boxed:
+            bc, bv, bom, bq = bx
     if top.attach_ids is not None:
         x_new, _, rc, rv, romega, rq = _solve_attachments(
             top, cfg, x_new, None, rc, rv, romega, rq, r.inv_mass, inv_i,
@@ -1126,6 +1271,13 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         rc, rv, romega, bc, bv, bom = _box_environment(
             top, cfg, rc, rv, romega, r.inv_mass, inv_i, radii,
             bc, bv, bom, bq, bw)
+    if top.joint_meta is not None:
+        rc, rv, romega, rq, *bx = _solve_joints(
+            top, cfg, rc, rv, romega, rq, r.inv_mass, inv_i,
+            *((bc, bv, bom, bq) if boxed else (None,) * 4),
+            bw if boxed else None, dt)
+        if boxed:
+            bc, bv, bom, bq = bx
     if top.attach_ids is not None:
         # delta-rebased like the friction stages (keeps the delta-form
         # accumulation exact for the bulk vertices)
@@ -1187,6 +1339,12 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
             "topology has box attachments: promote the boxes with "
             "make_rigid_state(box_masses=...)"
         )
+    if top.joint_meta is not None and not r.has_boxes and any(
+            "box" in (ka, kb) for _, ka, _, kb, _ in top.joint_meta):
+        raise ValueError(
+            "topology has box-side rigid joints: promote the boxes with "
+            "make_rigid_state(box_masses=...)"
+        )
     if cfg.solver != Solver.SEMI_IMPLICIT_EULER and (
             cfg.tear.enabled or cfg.plasticity.enabled):
         raise NotImplementedError(
@@ -1197,7 +1355,8 @@ def step_coupled_scan(top: Topology, cfg: SimConfig, s: State, r: RigidState,
         # returns omega as an array, and a None->array change would break
         # the scan carry's pytree structure
         r = r.replace(omega=jnp.zeros_like(r.velocities))
-    if top.attach_ids is not None and r.quat is None:
+    if (top.attach_ids is not None
+            or top.joint_meta is not None) and r.quat is None:
         # attachment points ride the ball's rotation: orientation state
         # is required (make_rigid_state fills the identity default)
         r = r.replace(quat=jnp.tile(

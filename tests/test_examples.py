@@ -148,3 +148,7 @@ def test_example_crate_drop():
 def test_example_parachute_crate():
     ratio = _load("24_parachute_crate.py").main(n_frames=240)
     assert ratio < 0.65
+
+
+def test_example_jointed_flail():
+    _load("25_jointed_flail.py").main(n_frames=40)
