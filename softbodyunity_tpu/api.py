@@ -172,6 +172,14 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                     if host.joint_rest is not None else None),
         joint_compliance=(f32(host.joint_compliance)
                           if host.joint_compliance is not None else None),
+        joint_ref_a=(f32(host.joint_ref_a)
+                     if host.joint_ref_a is not None else None),
+        joint_ref_b=(f32(host.joint_ref_b)
+                     if host.joint_ref_b is not None else None),
+        joint_limit=(f32(host.joint_limit)
+                     if host.joint_limit is not None else None),
+        joint_motor=(f32(host.joint_motor)
+                     if host.joint_motor is not None else None),
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,

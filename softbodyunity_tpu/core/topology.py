@@ -118,6 +118,10 @@ class Topology:
     joint_axis_b: jax.Array = None    # f32[J, 3]
     joint_rest: jax.Array = None      # f32[J] distance-joint rest length
     joint_compliance: jax.Array = None  # f32[J] XPBD compliance (distance)
+    joint_ref_a: jax.Array = None     # f32[J, 3] hinge angle reference
+    joint_ref_b: jax.Array = None     # f32[J, 3]
+    joint_limit: jax.Array = None     # f32[J, 2] (lo, hi) rad; lo>hi = off
+    joint_motor: jax.Array = None     # f32[J, 2] (rad/s, max torque)
     # --- static metadata (aux / hashable) ---------------------------------
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
@@ -330,6 +334,15 @@ class HostTopology:
     joint_rest: Optional[np.ndarray] = None           # f64[J] distance rest
     joint_compliance: Optional[np.ndarray] = None     # f64[J] XPBD
     #                                  compliance (distance joints only)
+    joint_ref_a: Optional[np.ndarray] = None          # f64[J, 3] hinge
+    #                                  angle reference (perp to axis),
+    #                                  body a's frame
+    joint_ref_b: Optional[np.ndarray] = None          # f64[J, 3]
+    joint_limit: Optional[np.ndarray] = None          # f64[J, 2] hinge
+    #                                  angle (lo, hi) rad; lo > hi = off
+    joint_motor: Optional[np.ndarray] = None          # f64[J, 2] hinge
+    #                                  motor (target rad/s, max torque);
+    #                                  max torque 0 = off
 
 
 def add_colliders(
@@ -1679,12 +1692,15 @@ def _merge_attachments(hosts, offs):
                    attach_box_local=np.concatenate(local))
     out.update(joint_meta=None, joint_local_a=None, joint_local_b=None,
                joint_axis_a=None, joint_axis_b=None, joint_rest=None,
-               joint_compliance=None)
+               joint_compliance=None, joint_ref_a=None, joint_ref_b=None,
+               joint_limit=None, joint_motor=None)
     if any(h.joint_meta is not None for h in hosts):
         meta = []
         arrs = {n: [] for n in ("joint_local_a", "joint_local_b",
                                 "joint_axis_a", "joint_axis_b",
-                                "joint_rest", "joint_compliance")}
+                                "joint_rest", "joint_compliance",
+                                "joint_ref_a", "joint_ref_b",
+                                "joint_limit", "joint_motor")}
         sphere_off = box_off = 0
         for h in hosts:
             if h.joint_meta is not None:
@@ -1975,6 +1991,9 @@ def add_rigid_joint(
     kind=None,
     rest_length=None,
     compliance=0.0,
+    limits=None,
+    motor_speed=None,
+    motor_max_torque=None,
 ) -> HostTopology:
     """Join two DYNAMIC rigid bodies (or one body and the world) with a
     joint — the Unity Joint-component analogues for the coupled solvers
@@ -1989,7 +2008,14 @@ def add_rigid_joint(
     * ``kind="hinge"``: ball anchor + axis alignment (``HingeJoint``):
       ``axis`` (world, build pose) is stored in both body frames and the
       solver removes the misalignment ``a_w x b_w`` each substep — a door
-      on a post, a seesaw, a swinging gate.  No limits/motor.
+      on a post, a seesaw, a swinging gate.  ``limits=(lo, hi)`` (rad)
+      clamps the relative hinge angle (measured from the build pose,
+      positive = body a rotated by +axis relative to body b) with the
+      same angular generalized-inverse-mass correction; ``motor_speed``
+      (rad/s) + ``motor_max_torque`` (N*m, required with motor_speed)
+      drive the relative angular velocity about the axis toward the
+      target with a velocity-level angular impulse clamped to
+      ``max_torque * dt`` per substep — Unity's useLimits/useMotor.
     * ``kind="distance"``: a rod/spring (``SpringJoint``): keeps
       ``|p_a - p_b| = rest_length`` between anchor ``point`` (on body a)
       and ``point_b`` (on body b, or the world point for a world side);
@@ -2101,6 +2127,31 @@ def add_rigid_joint(
             ax_a = ax_b = np.zeros(3)
     if compliance < 0.0:
         raise ValueError("compliance must be >= 0")
+    ref_a = ref_b = np.zeros(3)
+    limit = np.asarray([1.0, -1.0])           # lo > hi: limits off
+    motor = np.zeros(2)                       # max torque 0: motor off
+    if limits is not None or motor_speed is not None:
+        if kind != "hinge":
+            raise ValueError("limits/motor apply to hinge joints only")
+        # angle reference: any world unit vector perpendicular to the
+        # axis (the same vector in both frames => build pose = angle 0)
+        e = np.zeros(3)
+        e[int(np.argmin(np.abs(ax)))] = 1.0
+        r = e - (e @ ax) * ax
+        r = r / np.linalg.norm(r)
+        ref_a = _to_frame(kind_a, ia, r, False)
+        ref_b = _to_frame(kind_b, ib, r, False)
+        if limits is not None:
+            lo, hi = float(limits[0]), float(limits[1])
+            if not lo <= hi:
+                raise ValueError("limits must be (lo, hi) with lo <= hi")
+            limit = np.asarray([lo, hi])
+        if motor_speed is not None:
+            if motor_max_torque is None or not motor_max_torque > 0.0:
+                raise ValueError(
+                    "motor_speed needs motor_max_torque > 0 (N*m)")
+            motor = np.asarray([float(motor_speed),
+                                float(motor_max_torque)])
 
     meta = ((kind, kind_a, ia, kind_b, ib),)
     rec = dict(
@@ -2108,6 +2159,8 @@ def add_rigid_joint(
         joint_axis_a=ax_a[None, :], joint_axis_b=ax_b[None, :],
         joint_rest=np.asarray([rest_length], np.float64),
         joint_compliance=np.asarray([float(compliance)], np.float64),
+        joint_ref_a=ref_a[None, :], joint_ref_b=ref_b[None, :],
+        joint_limit=limit[None, :], joint_motor=motor[None, :],
     )
     out = dataclasses.replace(host)
     out.joint_meta = (meta if host.joint_meta is None

@@ -1406,6 +1406,21 @@ def _solve_rigid_joints(top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i,
             q = _quat_mul(_quat_from_rotvec(dth), bq[i])
             bq[i] = q / np.linalg.norm(q)
 
+    def _omega(kind, i):
+        if kind == "world":
+            return np.zeros(3)
+        return romega[i] if kind == "sphere" else bom[i]
+
+    def _apply_omega(kind, i, dom):
+        """Velocity-only angular impulse (the hinge motor): omega moves,
+        the orientation does NOT (a motor drives velocity, not pose)."""
+        if kind == "world":
+            return
+        if kind == "sphere":
+            romega[i] = romega[i] + dom
+        else:
+            bom[i] = bom[i] + dom
+
     def _ball_solve(kind_a, ia_, la, kind_b, ib_, lb):
         p_a, a, w_a, iinv_a = _side(kind_a, ia_, la)
         p_b, b_arm, w_b, iinv_b = _side(kind_b, ib_, lb)
@@ -1435,7 +1450,38 @@ def _solve_rigid_joints(top, cfg, rc, rv, romega, rq, r_inv_mass, inv_i,
                     lam = tn / w_rot
                     _apply_rot(kind_a, ia_, iinv_a @ (nhat * lam))
                     _apply_rot(kind_b, ib_, -(iinv_b @ (nhat * lam)))
+            # limits (position-level) about the now-aligned axis, then
+            # the ball anchor; the MOTOR runs last (velocity-level, so
+            # the target relative speed is exact at pass end)
+            lim = np.asarray(top.joint_limit[k], np.float64)
+            mot = np.asarray(top.joint_motor[k], np.float64)
+            use_lim, use_mot = lim[0] <= lim[1], mot[1] > 0.0
+            if use_lim or use_mot:
+                n_ax = _frame_vec(kind_a, ia_, top.joint_axis_a[k])
+                n_ax = n_ax / np.linalg.norm(n_ax)
+                iinv_a = _iinv(kind_a, ia_)
+                iinv_b = _iinv(kind_b, ib_)
+                w_rot = n_ax @ ((iinv_a + iinv_b) @ n_ax)
+            if use_lim and w_rot > 1e-18:
+                ra_w = _frame_vec(kind_a, ia_, top.joint_ref_a[k])
+                rb_w = _frame_vec(kind_b, ib_, top.joint_ref_b[k])
+                ra_p = ra_w - (ra_w @ n_ax) * n_ax
+                rb_p = rb_w - (rb_w @ n_ax) * n_ax
+                theta = np.arctan2(np.cross(rb_p, ra_p) @ n_ax,
+                                   ra_p @ rb_p)
+                excess = (theta - lim[1] if theta > lim[1]
+                          else theta - lim[0] if theta < lim[0] else 0.0)
+                if excess != 0.0:
+                    lam = -excess / w_rot
+                    _apply_rot(kind_a, ia_, iinv_a @ (n_ax * lam))
+                    _apply_rot(kind_b, ib_, -(iinv_b @ (n_ax * lam)))
             _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+            if use_mot and w_rot > 1e-18:
+                rel = (_omega(kind_a, ia_) - _omega(kind_b, ib_)) @ n_ax \
+                    - mot[0]
+                lam = np.clip(-rel / w_rot, -mot[1] * dt, mot[1] * dt)
+                _apply_omega(kind_a, ia_, iinv_a @ (n_ax * lam))
+                _apply_omega(kind_b, ib_, -(iinv_b @ (n_ax * lam)))
         elif jtype == "ball":
             _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
         else:                                               # distance
@@ -1527,11 +1573,19 @@ def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
     t's faces in corner-index order — the same sequential-impulse scheme
     as the box-plane bounce with box t's face normal in place of the
     plane normal and torque on BOTH bodies.  Covers resting stacks and
-    tumbling collisions; the EDGE-EDGE contact manifold (two boxes
-    crossing like an X with no corner inside either) is not modelled,
-    and perfectly FLUSH identical faces (corners exactly on the other
-    box's face plane, a measure-zero alignment) register no contact —
-    real scenes always carry jitter that breaks the tie."""
+    tumbling collisions.
+
+    A second pass over UNORDERED pairs (s < t) catches the manifolds the
+    corner scheme cannot see — penetration with NO corner of either box
+    inside the other — via a 15-axis SAT (`_box_sat_fallback_contact`):
+    two boxes crossing like an X (minimal axis = an edge-cross axis;
+    contact at the closest points of the two support edges) and two
+    slabs crossing like a plus sign (minimal axis = a face axis; contact
+    at the midpoint of the centers, the overlap centroid for symmetric
+    crossings — a one-point approximation of the clipped face manifold).
+    Perfectly FLUSH identical faces (corners exactly on the other box's
+    face plane, a measure-zero alignment) still register only through
+    the SAT pass's single point."""
     e, mu = cfg.collision.restitution, cfg.collision.friction
     half = np.asarray(top.box_half_extents, np.float64)
     bc, bv, bom = bc.copy(), bv.copy(), bom.copy()
@@ -1586,7 +1640,141 @@ def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
                 bom[s] = bom[s] + iinv_s @ np.cross(r_s, P_t)
                 bv[t] = bv[t] - P_t * wt
                 bom[t] = bom[t] - iinv_t @ np.cross(r_t, P_t)
+    # ---- SAT fallback pass (unordered pairs): the no-corner-inside
+    # manifolds — X edge-edge crossings and plus-sign slab crossings ----
+    for s in range(B):
+        for t in range(s + 1, B):
+            ws, wt = bw[s], bw[t]
+            wsum = ws + wt
+            if not wsum > 0.0:
+                continue
+            rot_s = _box_world_rot(top, bq, s)
+            rot_t = _box_world_rot(top, bq, t)
+            hit, n, depth, p = _box_sat_fallback_contact(
+                bc[s], rot_s, half[s], bc[t], rot_t, half[t])
+            if not hit:
+                continue
+            iinv_s = rot_s @ (ib[s][:, None] * rot_s.T)
+            iinv_t = rot_t @ (ib[t][:, None] * rot_t.T)
+            # n points s -> t: push s backward, t forward
+            bc[s] = bc[s] - depth * (ws / wsum) * n
+            bc[t] = bc[t] + depth * (wt / wsum) * n
+            r_s = p - bc[s]
+            r_t = p - bc[t]
+            u = (bv[s] + np.cross(bom[s], r_s)) \
+                - (bv[t] + np.cross(bom[t], r_t))
+            un = float(np.dot(u, n))
+            if un > 0.0:                 # closing along +n (s moving into t)
+                cs = np.cross(r_s, n)
+                ctn = np.cross(r_t, n)
+                k_n = wsum + cs @ (iinv_s @ cs) + ctn @ (iinv_t @ ctn)
+                e = cfg.collision.restitution
+                P = (-(1.0 + e) * un / max(k_n, 1e-12)) * n
+                bv[s] = bv[s] + P * ws
+                bom[s] = bom[s] + iinv_s @ np.cross(r_s, P)
+                bv[t] = bv[t] - P * wt
+                bom[t] = bom[t] - iinv_t @ np.cross(r_t, P)
+            u2 = (bv[s] + np.cross(bom[s], r_s)) \
+                - (bv[t] + np.cross(bom[t], r_t))
+            ut = u2 - np.dot(u2, n) * n
+            th = ut / max(np.linalg.norm(ut), 1e-12)
+            cst = np.cross(r_s, th)
+            ctt = np.cross(r_t, th)
+            k_t = wsum + cst @ (iinv_s @ cst) + ctt @ (iinv_t @ ctt)
+            P_t = -cfg.collision.friction * ut / max(k_t, 1e-12)
+            bv[s] = bv[s] + P_t * ws
+            bom[s] = bom[s] + iinv_s @ np.cross(r_s, P_t)
+            bv[t] = bv[t] - P_t * wt
+            bom[t] = bom[t] - iinv_t @ np.cross(r_t, P_t)
     return bc, bv, bom
+
+
+def _box_sat_fallback_contact(cs_, rot_s, hs, ct_, rot_t, ht):
+    """15-axis OBB SAT, restricted to the manifolds the corner scheme
+    misses: returns (hit, n, depth, point) with ``hit`` True only when
+    the boxes penetrate AND no corner of either box is inside the other.
+    ``n`` is the minimal-penetration axis oriented s -> t.  Cross-axis
+    minimal: ``point`` = midpoint of the closest points of the two
+    support edges; face-axis minimal: ``point`` = midpoint of the
+    centers (the overlap centroid for symmetric crossings).  Axis order
+    (s faces 0-2, t faces 3-5, crosses i*3+j at 6+) and first-minimum
+    tie-breaking are part of the binding semantics (device twin mirrors
+    them).
+
+    Penetration SLOP: the contact fires only when the minimal overlap
+    exceeds ``1e-3 x the smaller box dimension``.  A flush-resting stack
+    sits at overlap = 0 +- 1 ULP and a strict > 0 gate chatters on
+    rounding noise (oracle and device rounding differ, destroying
+    parity, and f32 noise is ~1e-7 at unit scale); real crossings
+    accumulate gravity penetration ~v*dt per substep and cross the slop
+    transversally, so resting depth just oscillates in [0, slop] --
+    invisible at 5e-5 of a 5 cm box."""
+    slop = 1e-3 * min(float(hs.min()), float(ht.min()))
+    d = ct_ - cs_
+    no = (False, np.zeros(3), 0.0, np.zeros(3))
+    # corner containment (either direction) => the corner scheme owns it
+    corners_s = cs_[None, :] + (_BOX_CORNER_SIGNS * hs) @ rot_s.T
+    q_in_t = np.abs((corners_s - ct_) @ rot_t)      # rot_t.T @ per row
+    if (q_in_t < ht[None, :]).all(axis=1).any():
+        return no
+    corners_t = ct_[None, :] + (_BOX_CORNER_SIGNS * ht) @ rot_t.T
+    q_in_s = np.abs((corners_t - cs_) @ rot_s)
+    if (q_in_s < hs[None, :]).all(axis=1).any():
+        return no
+    # the 15 separating-axis candidates
+    best_overlap = np.inf
+    best_idx = -1
+    best_axis = np.zeros(3)
+    for idx in range(15):
+        if idx < 3:
+            u = rot_s[:, idx]
+        elif idx < 6:
+            u = rot_t[:, idx - 3]
+        else:
+            i, j = (idx - 6) // 3, (idx - 6) % 3
+            u = np.cross(rot_s[:, i], rot_t[:, j])
+            nu = np.linalg.norm(u)
+            if nu < 1e-9:                 # near-parallel edges: degenerate
+                continue
+            u = u / nu
+        ra = float(np.abs(u @ rot_s) @ hs)
+        rb = float(np.abs(u @ rot_t) @ ht)
+        overlap = ra + rb - abs(float(u @ d))
+        if overlap <= 0.0:
+            return no                     # separated
+        if overlap < best_overlap:
+            best_overlap = overlap
+            best_idx = idx
+            best_axis = u
+    if best_overlap <= slop:
+        return no
+    n = best_axis if float(best_axis @ d) >= 0.0 else -best_axis
+    if best_idx < 6:
+        p = 0.5 * (cs_ + ct_)
+        return True, n, best_overlap, p
+    i, j = (best_idx - 6) // 3, (best_idx - 6) % 3
+    a_dir, b_dir = rot_s[:, i], rot_t[:, j]
+    # support edge of s along +n / of t along -n
+    off_s = np.zeros(3)
+    for k in range(3):
+        if k != i:
+            off_s = off_s + np.sign(n @ rot_s[:, k]) * hs[k] * rot_s[:, k]
+    off_t = np.zeros(3)
+    for k in range(3):
+        if k != j:
+            off_t = off_t - np.sign(n @ rot_t[:, k]) * ht[k] * rot_t[:, k]
+    p_s0 = cs_ + off_s
+    p_t0 = ct_ + off_t
+    # closest points of the two edge lines, clamped to the edge extents
+    r = p_t0 - p_s0
+    ab = float(a_dir @ b_dir)
+    denom = max(1.0 - ab * ab, 1e-12)
+    sc = (float(a_dir @ r) - ab * float(b_dir @ r)) / denom
+    tc = (ab * float(a_dir @ r) - float(b_dir @ r)) / denom
+    sc = np.clip(sc, -hs[i], hs[i])
+    tc = np.clip(tc, -ht[j], ht[j])
+    p = 0.5 * ((p_s0 + sc * a_dir) + (p_t0 + tc * b_dir))
+    return True, n, best_overlap, p
 
 
 def _box_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,

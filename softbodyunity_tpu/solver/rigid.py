@@ -27,6 +27,7 @@ transposed delta loop (solver/step.py substep_xpbd).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -38,6 +39,25 @@ from ..core.config import SimConfig, Solver
 from ..core.state import State
 from ..core.topology import Topology
 from . import collide, step as _step
+
+
+def _highp(fn):
+    """Trace ``fn`` under ``default_matmul_precision('highest')``.
+
+    Every rigid-body contraction is tiny — 3-vectors, 3x3 inertia
+    tensors, O(bodies) Python loops — but they feed cancellation-
+    sensitive impulse denominators (``w + c @ Iinv @ c``) and joint
+    angle/axis projections.  At the TPU MXU's DEFAULT bf16 passes these
+    measurably diverge: the hinge motor (velocity-level clamp
+    ``-rel/w_rot``) overshot a 2.0 rad/s target to 3.8 rad/s on real
+    hardware while CPU f32 hit it exactly.  HIGHEST is free at this
+    size (the arrays never reach MXU tile shape).  CPU CI cannot catch
+    this class — see CLAUDE.md 'TPU numerics'."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 @jax.tree_util.register_dataclass
@@ -344,10 +364,76 @@ def _ball_box_bounce(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
     return rc, rv, romega, bc, bv, bom
 
 
+def _sat_fallback_contact(cs_, rot_s, hs, ct_, rot_t, ht, signs):
+    """Oracle _box_sat_fallback_contact twin (branchless): 15-axis OBB
+    SAT for the no-corner-inside manifolds (X edge-edge crossings,
+    plus-sign slab crossings).  Same axis order, first-minimum
+    tie-break, and penetration slop (1e-3 x the smaller box dimension —
+    see the oracle docstring for why a strict > 0 gate chatters on
+    flush-resting stacks); degenerate cross axes masked to +inf so they
+    can neither separate nor win.  Returns (hit, n, depth, point) with every value
+    finite regardless of ``hit`` (callers mask with jnp.where)."""
+    f = cs_.dtype
+    d = ct_ - cs_
+    corners_s = cs_[None, :] + (signs * hs) @ rot_s.T
+    in_t = (jnp.abs((corners_s - ct_) @ rot_t)
+            < ht[None, :]).all(axis=1).any()
+    corners_t = ct_[None, :] + (signs * ht) @ rot_t.T
+    in_s = (jnp.abs((corners_t - cs_) @ rot_s)
+            < hs[None, :]).all(axis=1).any()
+    cross = jnp.stack([jnp.cross(rot_s[:, i], rot_t[:, j])
+                       for i in range(3) for j in range(3)])
+    cn = jnp.linalg.norm(cross, axis=1)
+    degen = cn < 1e-9
+    crossu = cross / jnp.maximum(cn, 1e-9)[:, None]
+    axes = jnp.concatenate([rot_s.T, rot_t.T, crossu], axis=0)   # [15, 3]
+    ra = jnp.abs(axes @ rot_s) @ hs
+    rb = jnp.abs(axes @ rot_t) @ ht
+    overlap = ra + rb - jnp.abs(axes @ d)
+    overlap = jnp.where(
+        jnp.concatenate([jnp.zeros((6,), bool), degen]),
+        jnp.asarray(jnp.inf, f), overlap)
+    separated = (overlap <= 0.0).any()
+    best_idx = jnp.argmin(overlap)
+    depth = overlap[best_idx]
+    u = axes[best_idx]
+    n = jnp.where(u @ d >= 0.0, 1.0, -1.0).astype(f) * u
+    slop = 1e-3 * jnp.minimum(hs.min(), ht.min())
+    hit = (~separated) & (~in_t) & (~in_s) & (depth > slop)
+    # face-axis fallback point: midpoint of the centers
+    p_face = 0.5 * (cs_ + ct_)
+    # cross-axis point: closest points of the two support edges
+    ii = jnp.maximum(best_idx - 6, 0)
+    oh_i = jax.nn.one_hot(ii // 3, 3, dtype=f)
+    oh_j = jax.nn.one_hot(ii % 3, 3, dtype=f)
+    sgn_s = jnp.sign(n @ rot_s)
+    sgn_t = jnp.sign(n @ rot_t)
+    off_s = rot_s @ (sgn_s * hs * (1.0 - oh_i))
+    off_t = -(rot_t @ (sgn_t * ht * (1.0 - oh_j)))
+    a_dir = rot_s @ oh_i
+    b_dir = rot_t @ oh_j
+    p_s0 = cs_ + off_s
+    p_t0 = ct_ + off_t
+    r = p_t0 - p_s0
+    ab = a_dir @ b_dir
+    denom = jnp.maximum(1.0 - ab * ab, 1e-12)
+    adr, bdr = a_dir @ r, b_dir @ r
+    sc = (adr - ab * bdr) / denom
+    tc = (ab * adr - bdr) / denom
+    hs_i, ht_j = hs @ oh_i, ht @ oh_j
+    sc = jnp.clip(sc, -hs_i, hs_i)
+    tc = jnp.clip(tc, -ht_j, ht_j)
+    p_edge = 0.5 * ((p_s0 + sc * a_dir) + (p_t0 + tc * b_dir))
+    p = jnp.where(best_idx < 6, p_face, p_edge)
+    return hit, n, depth, p
+
+
 def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
     """Oracle _box_box_bounce twin: corner-vs-face contacts over ordered
     box pairs, sequential corner impulses with torque on both bodies,
-    hit-masked.  Edge-edge manifolds are not modelled (oracle parity)."""
+    hit-masked; then the SAT fallback pass over unordered pairs for the
+    no-corner-inside manifolds (edge-edge X crossings, plus-sign slab
+    crossings)."""
     e, mu = cfg.collision.restitution, cfg.collision.friction
     half = top.box_half_extents.astype(bc.dtype)
     signs = jnp.asarray(_BOX_CORNER_SIGNS, bc.dtype)
@@ -400,9 +486,54 @@ def _box_box_bounce(top, cfg, bc, bv, bom, bq, bw, ib):
                 bom = bom.at[s].add(iinv_s_ @ jnp.cross(r_s, P_t))
                 bv = bv.at[t].add(-P_t * wt)
                 bom = bom.at[t].add(-iinv_t_ @ jnp.cross(r_t, P_t))
+    # ---- SAT fallback pass (unordered pairs; oracle order) ----------
+    for s in range(B):
+        for t in range(s + 1, B):
+            ws, wt = bw[s], bw[t]
+            wsum = ws + wt
+            wsafe = jnp.maximum(wsum, 1e-12)
+            rot_s = _box_world_rot(top, bq, s)
+            rot_t = _box_world_rot(top, bq, t)
+            iinv_s_ = rot_s @ (ib[s][:, None] * rot_s.T)
+            iinv_t_ = rot_t @ (ib[t][:, None] * rot_t.T)
+            hit0, n, depth, p = _sat_fallback_contact(
+                bc[s], rot_s, half[s], bc[t], rot_t, half[t], signs)
+            hit = hit0 & (wsum > 0.0)
+            sep = jnp.where(hit, depth, 0.0)
+            bc = bc.at[s].add(-sep * (ws / wsafe) * n)
+            bc = bc.at[t].add(sep * (wt / wsafe) * n)
+            r_s = p - bc[s]
+            r_t = p - bc[t]
+            u = (bv[s] + jnp.cross(bom[s], r_s)) \
+                - (bv[t] + jnp.cross(bom[t], r_t))
+            un = jnp.dot(u, n)
+            cs = jnp.cross(r_s, n)
+            ctn = jnp.cross(r_t, n)
+            k_n = wsum + cs @ (iinv_s_ @ cs) + ctn @ (iinv_t_ @ ctn)
+            p_n = jnp.where(hit & (un > 0.0),
+                            -(1.0 + e) * un / jnp.maximum(k_n, 1e-12),
+                            0.0)
+            P = p_n * n
+            bv = bv.at[s].add(P * ws)
+            bom = bom.at[s].add(iinv_s_ @ jnp.cross(r_s, P))
+            bv = bv.at[t].add(-P * wt)
+            bom = bom.at[t].add(-iinv_t_ @ jnp.cross(r_t, P))
+            u2 = (bv[s] + jnp.cross(bom[s], r_s)) \
+                - (bv[t] + jnp.cross(bom[t], r_t))
+            ut = u2 - jnp.dot(u2, n) * n
+            th = ut / jnp.maximum(jnp.linalg.norm(ut), 1e-12)
+            cst = jnp.cross(r_s, th)
+            ctt = jnp.cross(r_t, th)
+            k_t = wsum + cst @ (iinv_s_ @ cst) + ctt @ (iinv_t_ @ ctt)
+            P_t = jnp.where(hit, -mu, 0.0) * ut / jnp.maximum(k_t, 1e-12)
+            bv = bv.at[s].add(P_t * ws)
+            bom = bom.at[s].add(iinv_s_ @ jnp.cross(r_s, P_t))
+            bv = bv.at[t].add(-P_t * wt)
+            bom = bom.at[t].add(-iinv_t_ @ jnp.cross(r_t, P_t))
     return bc, bv, bom
 
 
+@_highp
 def _box_environment(top, cfg, rc, rv, romega, r_inv_mass, inv_i, radii,
                      bc, bv, bom, bq, bw):
     """Oracle _box_environment twin: box-plane corner bounce, then
@@ -505,6 +636,7 @@ def _solve3(K, b):
     return x, det
 
 
+@_highp
 def _solve_box_attachments(top, cfg, x, v, bc, bv, bom, bq, bw, dt):
     """Oracle _solve_box_attachments twin: sequential Gauss-Seidel over
     the box-attachment list (static count, traced indices — jits and
@@ -578,6 +710,7 @@ def _box_face_push(x, center, half, rot):
     return inside, push, n
 
 
+@_highp
 def _dynamic_boxes_euler(top, cfg, x, v, movable, m, bc, bv, bom, bq, bw):
     """Oracle _dynamic_boxes_euler twin: velocity-level cloth<->box
     contact — face push-out reduced-mass scaled (center takes the
@@ -618,6 +751,7 @@ def _dynamic_boxes_euler(top, cfg, x, v, movable, m, bc, bv, bom, bq, bw):
     return x, v, bc, bv, bom
 
 
+@_highp
 def _project_boxes_measured(top, x, movable, m, bc, bq, dt, bw):
     """Oracle _project_boxes_measured twin: position-only face push-out
     at the dynamic poses, reduced-mass scaled; (x, j_lin [B,3]).  Linear
@@ -635,6 +769,7 @@ def _project_boxes_measured(top, x, movable, m, bc, bq, dt, bw):
     return x, jnp.stack(j_lin)
 
 
+@_highp
 def _box_friction_measured(top, cfg, x, x_start, dt, movable, m, bc, bq,
                            bv, bw):
     """Oracle _one_box_friction twin over all dynamic boxes: contact-
@@ -713,6 +848,7 @@ def _box_plane_bounce(top, cfg, bc, bv, bom, bq, bw):
     return bc, bv, bom
 
 
+@_highp
 def _solve_joints(top: Topology, cfg: SimConfig, rc, rv, romega, rq,
                   r_inv_mass, inv_i, bc, bv, bom, bq, bw, dt):
     """Oracle ``_solve_rigid_joints`` twin — rigid-rigid ball / hinge /
@@ -787,6 +923,20 @@ def _solve_joints(top: Topology, cfg: SimConfig, rc, rv, romega, rq,
             q = _quat_mul(_quat_from_rotvec(dth), bq[i])
             bq = bq.at[i].set(q / jnp.linalg.norm(q))
 
+    def _omega(kind, i):
+        if kind == "world":
+            return jnp.zeros(3, f)
+        return romega[i] if kind == "sphere" else bom[i]
+
+    def _apply_omega(kind, i, dom):
+        nonlocal romega, bom
+        if kind == "world":
+            return
+        if kind == "sphere":
+            romega = romega.at[i].add(dom)
+        else:
+            bom = bom.at[i].add(dom)
+
     def _skew(a):
         z = jnp.zeros((), f)
         return jnp.stack([
@@ -821,7 +971,36 @@ def _solve_joints(top: Topology, cfg: SimConfig, rc, rv, romega, rq,
                             tn / jnp.maximum(w_rot, 1e-18), 0.0)
             _apply_rot(kind_a, ia_, iinv_a @ (nhat * lam))
             _apply_rot(kind_b, ib_, -(iinv_b @ (nhat * lam)))
+            # limits (position-level), then the ball anchor, then the
+            # motor (velocity-level) — oracle order; all where-gated
+            lim = top.joint_limit[k]
+            mot = top.joint_motor[k]
+            n_ax = _frame_vec(kind_a, ia_, top.joint_axis_a[k])
+            n_ax = n_ax / jnp.linalg.norm(n_ax)
+            iinv_a = _iinv(kind_a, ia_)
+            iinv_b = _iinv(kind_b, ib_)
+            w_rot = n_ax @ ((iinv_a + iinv_b) @ n_ax)
+            rot_ok = w_rot > 1e-18
+            ra_w = _frame_vec(kind_a, ia_, top.joint_ref_a[k])
+            rb_w = _frame_vec(kind_b, ib_, top.joint_ref_b[k])
+            ra_p = ra_w - (ra_w @ n_ax) * n_ax
+            rb_p = rb_w - (rb_w @ n_ax) * n_ax
+            theta = jnp.arctan2(jnp.cross(rb_p, ra_p) @ n_ax, ra_p @ rb_p)
+            excess = jnp.where(theta > lim[1], theta - lim[1],
+                               jnp.where(theta < lim[0],
+                                         theta - lim[0], 0.0))
+            lam_l = jnp.where((lim[0] <= lim[1]) & rot_ok,
+                              -excess / jnp.maximum(w_rot, 1e-18), 0.0)
+            _apply_rot(kind_a, ia_, iinv_a @ (n_ax * lam_l))
+            _apply_rot(kind_b, ib_, -(iinv_b @ (n_ax * lam_l)))
             _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
+            rel = (_omega(kind_a, ia_) - _omega(kind_b, ib_)) @ n_ax \
+                - mot[0]
+            lam_m = jnp.clip(-rel / jnp.maximum(w_rot, 1e-18),
+                             -mot[1] * dt, mot[1] * dt)
+            lam_m = jnp.where((mot[1] > 0.0) & rot_ok, lam_m, 0.0)
+            _apply_omega(kind_a, ia_, iinv_a @ (n_ax * lam_m))
+            _apply_omega(kind_b, ib_, -(iinv_b @ (n_ax * lam_m)))
         elif jtype == "ball":
             _ball_solve(kind_a, ia_, la, kind_b, ib_, lb)
         else:                                               # distance
@@ -843,6 +1022,7 @@ def _solve_joints(top: Topology, cfg: SimConfig, rc, rv, romega, rq,
     return rc, rv, romega, rq, bc, bv, bom, bq
 
 
+@_highp
 def _solve_attachments(top, cfg, x, v, rc, rv, romega, rq, r_inv_mass,
                        inv_i, dt):
     """Oracle _solve_attachments twin: sequential Gauss-Seidel over the
@@ -1016,6 +1196,7 @@ def _rigid_rigid_bounce(cfg, rc, rv, romega, r_inv_mass, inv_i, radii):
     return rc, rv, romega
 
 
+@_highp
 def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i,
                        skip_boxes=False):
     """Oracle _rigid_environment twin: plane, then static colliders, then
@@ -1030,6 +1211,7 @@ def _rigid_environment(top, cfg, r, rc, rv, romega, radii, inv_i,
     return rc, rv, romega
 
 
+@_highp
 def _project_spheres_measured(x, movable, m, rc, radii, dt,
                               r_inv_mass=None):
     """Position-only sphere projection at the rigid centers (oracle
@@ -1064,6 +1246,7 @@ def _project_plane_only(top, cfg, x, movable):
     return x
 
 
+@_highp
 def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
                               radii, r_inv_mass):
     """Tangential sphere friction at the DYNAMIC centers, relative to each
@@ -1091,6 +1274,7 @@ def _sphere_friction_measured(cfg, x, x_start, dt, movable, m, rc, rv,
     return x, j_t
 
 
+@_highp
 def _project_static_rest(top, cfg, x, movable, skip_boxes=False):
     """Position-only capsule/box/SDF projection (after the spheres)."""
     if collide._needs_capsule_box(top, cfg):

@@ -294,3 +294,97 @@ def test_jointed_scene_vmaps():
     s1, r1 = step_coupled_scan(top, cfg, state, rigid, cfg.dt, 2)
     np.testing.assert_allclose(np.asarray(sb_.x[0]), np.asarray(s1.x),
                                rtol=0, atol=1e-6)
+
+
+def _hinged_rod(cfg_kw=None, **joint_kw):
+    cfg = SimConfig(gravity=(0.0, 0.0, 0.0),
+                    collision=CollisionParams(enable_plane=False,
+                                              enable_spheres=True,
+                                              enable_boxes=True),
+                    **(cfg_kw or {}))
+    host = _far_cloth(cfg, [[9.0, 9.0, 9.0]], [0.01])
+    host = add_colliders(host, box_centers=[[0.2, 0.0, 0.0]],
+                         box_half_extents=[[0.2, 0.05, 0.05]],
+                         box_rotations=[np.eye(3)])
+    host = add_rigid_joint(host, ("box", 0), None, point=[0.0, 0.0, 0.0],
+                           axis=[0.0, 1.0, 0.0], **joint_kw)
+    return host, cfg
+
+
+def _hinge_angle_y(bq):
+    R = oracle._quat_to_matrix(np.asarray(bq, np.float64))
+    return float(np.arctan2(-R[2, 0], R[0, 0]))
+
+
+def test_hinge_motor_reaches_target():
+    """A motorized world hinge spins the rod up to the target angular
+    velocity (and not past it): Unity HingeJoint useMotor."""
+    host, cfg = _hinged_rod(motor_speed=2.0, motor_max_torque=0.05)
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.0], box_masses=[0.4])
+    speeds = []
+    for _ in range(150):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+        speeds.append(float(rigid.box_omega[0, 1]))
+    assert abs(speeds[-1] - 2.0) < 1e-3
+    assert max(speeds) < 2.0 + 1e-3          # never overshoots
+    assert speeds[5] < speeds[40]            # torque-limited spin-up
+
+
+def test_hinge_limit_respected():
+    """A spun rod on a limited hinge never passes the angle limits and
+    sheds its energy at the stop (near-inelastic bounce)."""
+    host, cfg = _hinged_rod(limits=(-0.2, 0.5))
+    top, state = api.init(host)
+    rigid = make_rigid_state(top, [0.0], box_masses=[0.4],
+                             box_omega=[[0.0, 3.0, 0.0]])
+    max_theta = -np.inf
+    for _ in range(150):
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+        max_theta = max(max_theta, _hinge_angle_y(rigid.box_quat[0]))
+    # one substep of intrusion at most (limit projection is per-substep)
+    assert max_theta < 0.5 + 3.0 * cfg.dt / cfg.n_substeps + 1e-3
+    assert abs(float(rigid.box_omega[0, 1])) < 1.0   # energy shed
+
+
+def test_hinge_limit_motor_parity():
+    """Limits + motor: device == oracle.  The limit stop is a threshold
+    gate (like every contact), so one-substep flips at the boundary are
+    expected — the bound is the loose contact-tier one."""
+    jax.config.update("jax_enable_x64", True)
+    host, cfg = _hinged_rod(limits=(-0.2, 0.5), motor_speed=1.5,
+                            motor_max_torque=0.3)
+    top, state = api.init(host, dtype=jnp.float64)
+    rigid = make_rigid_state(top, [0.0], box_masses=[0.4])
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    rc = np.asarray(host.sphere_centers, np.float64)
+    rv = np.zeros_like(rc)
+    rom = np.zeros_like(rc)
+    boxes = (np.asarray(host.box_centers, np.float64), np.zeros((1, 3)),
+             np.zeros((1, 3)), np.tile([1.0, 0.0, 0.0, 0.0], (1, 1)),
+             np.asarray([1.0 / 0.4]))
+    for _ in range(60):
+        out = oracle.step_coupled(host, cfg, x, v, xp, rc, rv,
+                                  np.asarray([0.0]), romega=rom,
+                                  boxes=boxes)
+        x, v, xp, rc, rv, rom = out[:6]
+        boxes = out[-1]
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    assert np.max(np.abs(np.asarray(rigid.box_quat) - boxes[3])) < 1e-3
+    assert np.max(np.abs(np.asarray(rigid.box_omega) - boxes[2])) < 5e-2
+
+
+def test_limit_motor_builder_validation():
+    cfg = SimConfig()
+    host = _far_cloth(cfg, [[0.0, 0.0, 0.0]], [0.05])
+    with pytest.raises(ValueError, match="hinge joints only"):
+        add_rigid_joint(host, ("sphere", 0), None, point=[0, 0, 0],
+                        limits=(-1.0, 1.0))
+    with pytest.raises(ValueError, match="motor_max_torque"):
+        add_rigid_joint(host, ("sphere", 0), None, point=[0, 0, 0],
+                        axis=[0, 1, 0], motor_speed=1.0)
+    with pytest.raises(ValueError, match="lo <= hi"):
+        add_rigid_joint(host, ("sphere", 0), None, point=[0, 0, 0],
+                        axis=[0, 1, 0], limits=(1.0, -1.0))

@@ -512,3 +512,57 @@ def test_vmapped_batched_crates():
     assert (bc[:, 1] > -0.9).all()
     # scenes differ (different initial conditions evolved differently)
     assert np.std(bc[:, 1]) > 1e-5
+
+
+def _rod_cross_scene(top_rot):
+    """A dynamic rod dropped across a kinematic rod — no corner of either
+    box ever enters the other (the manifold the corner scheme misses)."""
+    cfg = SimConfig(
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  enable_boxes=True, restitution=0.1,
+                                  friction=0.3))
+    host = cloth_grid(
+        2, 2, spacing=0.1, pinned=("top",), springs=sb.SpringParams(),
+        xpbd=cfg.xpbd, plane_height=-1.0, origin=(50.0, 0.0, 0.0),
+        orientation="xy", sphere_centers=[[9.0, 9.0, 9.0]],
+        sphere_radii=[0.01])
+    host = add_colliders(
+        host,
+        box_centers=[[0.0, 0.0, 0.0], [0.0, 0.3, 0.0]],
+        box_half_extents=[[0.5, 0.05, 0.05], [0.05, 0.05, 0.5]],
+        box_rotations=[np.eye(3), top_rot])
+    return host, cfg
+
+
+@pytest.mark.parametrize("angle", [0.0, 0.7])
+def test_edge_edge_crossing_rests(angle):
+    """X-crossed rods: the falling rod lands ON the crossing rod via the
+    SAT fallback contact (it used to fall straight through), both for the
+    aligned (face-axis tie) and skewed (cross-axis) crossings; device ==
+    oracle to f64 rounding."""
+    jax.config.update("jax_enable_x64", True)
+    c, s = np.cos(angle), np.sin(angle)
+    roty = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+    host, cfg = _rod_cross_scene(roty)
+    top, state = api.init(host, dtype=jnp.float64)
+    rigid = make_rigid_state(top, [0.0], box_masses=[np.inf, 0.4])
+    x = host.positions0.copy()
+    v = np.zeros_like(x)
+    xp = x.copy()
+    rc = np.asarray(host.sphere_centers, np.float64)
+    rv = np.zeros_like(rc)
+    rom = np.zeros_like(rc)
+    rim = np.asarray([0.0])
+    boxes = (np.asarray(host.box_centers, np.float64), np.zeros((2, 3)),
+             np.zeros((2, 3)), np.tile([1.0, 0.0, 0.0, 0.0], (2, 1)),
+             np.asarray([0.0, 1.0 / 0.4]))
+    for _ in range(120):
+        out = oracle.step_coupled(host, cfg, x, v, xp, rc, rv, rim,
+                                  romega=rom, boxes=boxes)
+        x, v, xp, rc, rv, rom = out[:6]
+        boxes = out[-1]
+        state, rigid = api.step_coupled(top, cfg, state, rigid)
+    bc_o = boxes[0]
+    assert bc_o[1][1] > 0.085, "rod fell through the crossing rod"
+    assert np.max(np.abs(np.asarray(rigid.box_centers) - bc_o)) < 1e-6
+    assert np.max(np.abs(np.asarray(rigid.box_quat) - boxes[3])) < 1e-6
