@@ -286,6 +286,13 @@ def bench_tearing_262k():
     return _bench_preset_substeps("cloth_tearing_262k", 8, 520)
 
 
+def bench_plastic_262k():
+    """Substeps/sec, 262k plastically-deforming cloth past the whole-VMEM
+    cap: the row-tiled kernel DMA-refreshes rest-scale planes across
+    tiles like tear liveness planes."""
+    return _bench_preset_substeps("cloth_plastic_262k", 8, 520)
+
+
 def bench_wind_64k():
     """Substeps/sec, 64k cloth under drag+lift wind (fused Pallas kernel
     computes the lift normals as rolls each substep)."""
@@ -315,6 +322,7 @@ _PARTS = {
     "tear64k": bench_tearing_64k,
     "tear262k": bench_tearing_262k,
     "plastic64k": bench_plastic_64k,
+    "plastic262k": bench_plastic_262k,
     "wind64k": bench_wind_64k,
 }
 
@@ -338,6 +346,7 @@ _SECONDARY_ORDER = [
     ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
     ("262k", "substeps_per_sec_262k_cloth"),
     ("tear262k", "substeps_per_sec_262k_tearing"),
+    ("plastic262k", "substeps_per_sec_262k_plastic"),
 ]
 
 

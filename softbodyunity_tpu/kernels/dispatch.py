@@ -103,10 +103,8 @@ def maybe_fast_step(top, cfg, backend):
 
             # tearing / plasticity each carry extra per-offset planes
             # through VMEM, each halving the whole-VMEM kernels' vertex
-            # cap; over-cap grids take the row-tiled kernels (which
-            # DMA-refresh liveness planes per tile; the tiled kernels do
-            # NOT carry rest-scale planes, so over-cap plastic grids raise
-            # there and fall back to the stencil path below)
+            # cap; over-cap grids take the row-tiled kernels, which
+            # DMA-refresh the liveness/rest-scale planes per tile
             cap = MAX_VMEM_VERTICES // (
                 1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
             )

@@ -58,6 +58,49 @@ def _global_edge_mask(ext: int, nx: int, ny: int, row0, di: int, dj: int):
     return ok.astype(jnp.float32)
 
 
+def _feature_plane_maps(top: Topology, cfg: SimConfig, offsets,
+                        ny: int, nx: int):
+    """Build ``(to_planes, finish)`` for the stacked per-offset feature
+    planes the tiled kernels carry (tear liveness planes first, plastic
+    rest-scale planes after; same flat-edge -> plane scatter for both).
+
+    ``to_planes(state)`` stacks the enabled features into one
+    ``[n_feat, ny, nx]`` array; ``finish(xo, fo, state)`` applies the
+    oracle's end-of-frame updates (plastic flow first, then the tear
+    check against the rescaled rest — the update the next frame's first
+    launch would otherwise compute and skip) and returns
+    ``(edge_alive, rest_scale)``."""
+    from .stencil import plastic_update_grid, tear_plane_maps, tear_update_grid
+
+    tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    edge_to_planes, planes_to_edge = tear_plane_maps(top, offsets, ny, nx)
+    n_off = len(offsets)
+
+    def to_planes(state: State):
+        planes = []
+        if tearing:
+            planes.append(edge_to_planes(state.edge_alive))
+        if plastic:
+            planes.append(edge_to_planes(state.rest_scale))
+        return jnp.concatenate(planes, axis=0)
+
+    def finish(xo, fo, state: State):
+        alive, scale = state.edge_alive, state.rest_scale
+        so = None
+        if plastic:
+            so = plastic_update_grid(xo, offsets, fo[n_off * int(tearing):],
+                                     cfg.plasticity)
+            scale = planes_to_edge(so)
+        if tearing:
+            ao = tear_update_grid(xo, offsets, fo[:n_off],
+                                  cfg.tear.strain_limit, rest_scale=so)
+            alive = planes_to_edge(ao)
+        return alive, scale
+
+    return to_planes, finish
+
+
 def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                  dt: float, n_spheres: int,
                  n_capsules: int = 0, n_boxes: int = 0):
@@ -73,12 +116,17 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     ext = tile + 2 * HPAD
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
     n_off = len(offsets)
+    # per-offset feature planes travel as ONE stacked array: tear liveness
+    # planes first, plastic rest-scale planes after
+    n_feat = n_off * (int(tearing) + int(plastic))
 
     def kernel(*refs):
         # inputs: plane, spheres, capsules, boxes, [first-flag], x, v, im,
-        # [alive]; outputs: xo, vo, [ao]; scratch: xs, vs, [as_], sem
-        if tearing:
+        # [feat]; outputs: xo, vo, [fo]; scratch: xs, vs, [as_], sem
+        if feat:
             (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, v_hbm,
              im_ref, a_hbm, xo_ref, vo_ref, ao_ref, xs, vs, as_, sem) = refs
         else:
@@ -100,9 +148,9 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         vs[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         xs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         vs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
-        if tearing:
-            as_[:, 0:HPAD, :] = jnp.zeros((n_off, HPAD, nx), jnp.float32)
-            as_[:, tile + HPAD :, :] = jnp.zeros((n_off, HPAD, nx),
+        if feat:
+            as_[:, 0:HPAD, :] = jnp.zeros((n_feat, HPAD, nx), jnp.float32)
+            as_[:, tile + HPAD :, :] = jnp.zeros((n_feat, HPAD, nx),
                                                  jnp.float32)
 
         cp_xi = pltpu.make_async_copy(
@@ -115,7 +163,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         )
         cp_xi.start()
         cp_vi.start()
-        if tearing:
+        if feat:
             cp_ai = pltpu.make_async_copy(
                 a_hbm.at[:, pl.ds(tile0, tile), :],
                 as_.at[:, pl.ds(HPAD, tile), :], sem.at[6],
@@ -134,7 +182,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             )
             up_x.start()
             up_v.start()
-            if tearing:
+            if feat:
                 up_a = pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_up, HPAD), :],
                     as_.at[:, pl.ds(0, HPAD), :], sem.at[7],
@@ -156,7 +204,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             )
             dn_x.start()
             dn_v.start()
-            if tearing:
+            if feat:
                 dn_a = pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_dn, HPAD), :],
                     as_.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[8],
@@ -168,28 +216,39 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 
         cp_xi.wait()
         cp_vi.wait()
-        if tearing:
+        if feat:
             cp_ai.wait()
 
         xw = xs[:]                           # [3, ext, nx] stacked
         vw = vs[:]
-        if tearing:
-            # tear-at-start (skipped on the frame's first launch): the
-            # previous launch's post-substep x is THIS launch's input, so
-            # tearing here reproduces the oracle's end-of-substep update
-            # exactly; the frame wrapper applies the final end-of-frame
-            # tear.  ok garbage from the wrap-roll sits in the bottom 2
-            # window rows, whose alive is only read by down-halo owners
-            # that never reach the interior slice.
+        sw = None
+        if feat:
+            # feature-update-at-start (skipped on the frame's first
+            # launch): the previous launch's post-substep x is THIS
+            # launch's input, so updating here reproduces the oracle's
+            # end-of-substep plastic flow + tear check exactly (flow
+            # first, then the tear check against the rescaled rest); the
+            # frame wrapper applies the final end-of-frame updates.
+            # Wrap-roll garbage sits in the bottom 2 window rows, whose
+            # planes are only read by down-halo owners that never reach
+            # the interior slice.
+            from .pallas_substep import _plastic_planes_kroll
             from .stencil import tear_ok_planes
 
             first = first_ref[0, 0]
-            ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
-                                shift=_kroll)
-            aw = [
-                as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
-                for o in range(n_off)
-            ]
+            if plastic:
+                sw = [as_[n_off * int(tearing) + o] for o in range(n_off)]
+                new_sw = _plastic_planes_kroll(xw, offsets, sw,
+                                               cfg.plasticity)
+                sw = [jnp.where(first > 0.5, sw[o], new_sw[o])
+                      for o in range(n_off)]
+            if tearing:
+                ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
+                                    shift=_kroll, rest_scale=sw)
+                aw = [
+                    as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
+                    for o in range(n_off)
+                ]
 
         # spring forces on the extended window (reactions from upper-halo
         # owners land in the interior via the reverse roll; see halo.py);
@@ -198,6 +257,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         for o, (di, dj, k, rest) in enumerate(offsets):
             mask = (aw[o] if tearing
                     else _global_edge_mask(ext, nx, ny, row0, di, dj))
+            rest_eff = rest if sw is None else rest * sw[o]
             xn = _kroll(xw, di, dj)
             vn = _kroll(vw, di, dj)
             d = xn - xw
@@ -207,7 +267,7 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             n = d * inv_len[None]
             dv = vn - vw
             rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
-            fmag = (k * (length - rest) + damping * rel_v) * mask
+            fmag = (k * (length - rest_eff) + damping * rel_v) * mask
             fo = fmag[None] * n
             f = f + fo - _kroll(fo, -di, -dj)
         if wind_on:
@@ -252,9 +312,10 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         for c in range(3):
             xo_ref[c] = xz[c]
             vo_ref[c] = vz[c]
-        if tearing:
-            for o in range(n_off):
-                ao_ref[o] = aw[o][HPAD : HPAD + tile, :]
+        if feat:
+            planes = (aw if tearing else []) + (sw if plastic else [])
+            for p, w_ in enumerate(planes):
+                ao_ref[p] = w_[HPAD : HPAD + tile, :]
 
     return kernel
 
@@ -271,7 +332,10 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
     n_off = len(offsets)
+    n_feat = n_off * (int(tearing) + int(plastic))
     kernel = _make_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                           n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
@@ -287,7 +351,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
         pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
         pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
-    if tearing:
+    if feat:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
@@ -301,17 +365,17 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
         pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
         pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
     ]
-    if tearing:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+    if feat:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # feat HBM
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_feat, ny, nx), jnp.float32),
         )
         out_specs = out_specs + (
-            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((n_feat, tile, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         )
-        scratch.append(pltpu.VMEM((n_off, tile + 2 * HPAD, nx), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((9 if tearing else 6,)))
+        scratch.append(pltpu.VMEM((n_feat, tile + 2 * HPAD, nx), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((9 if feat else 6,)))
 
     call = pl.pallas_call(
         kernel,
@@ -328,7 +392,7 @@ def _tiled_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres, capsules,
         interpret=interpret,
     )
 
-    if tearing:
+    if feat:
         def body(carry, k):
             x3, v3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
@@ -359,25 +423,19 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     working set (~20 live planes of ``(tile+16, nx)``) stays inside the
     16 MB VMEM scope.
 
-    Tearing: liveness planes travel HBM->VMEM with the state (the
-    per-launch halo DMA refreshes them across tiles).  Kernels tear at
-    launch START from their input positions — the previous launch's
-    post-substep x — which reproduces the oracle's end-of-substep update
-    exactly; a first-launch flag skips the spurious initial tear and the
-    frame wrapper applies the final end-of-frame tear in XLA."""
+    Tearing / plasticity: per-offset liveness and rest-scale planes travel
+    HBM->VMEM with the state (the per-launch halo DMA refreshes them
+    across tiles).  Kernels update them at launch START from their input
+    positions — the previous launch's post-substep x — which reproduces
+    the oracle's end-of-substep updates exactly; a first-launch flag skips
+    the spurious initial update and the frame wrapper applies the final
+    end-of-frame updates in XLA."""
     if cfg.collision.enable_sdf and top.n_sdfs > 0:
         raise ValueError(
             "sdf (mesh) colliders are not supported in the fused kernels; "
             "the stencil/jnp paths resolve them"
         )
-    from .stencil import tear_plane_maps, tear_update_grid
-
     ny, nx = top.grid_shape
-    if cfg.plasticity.enabled:
-        raise ValueError(
-            "the row-tiled kernels do not carry rest-scale planes; "
-            ">VMEM plastic grids run on the stencil path"
-        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -389,18 +447,15 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
-    tearing = cfg.tear.enabled
-    if tearing:
-        alive_to_planes, planes_to_alive = tear_plane_maps(
-            top, offsets, ny, nx
-        )
+    feat = cfg.tear.enabled or cfg.plasticity.enabled
+    if feat:
+        to_planes, finish = _feature_plane_maps(top, cfg, offsets, ny, nx)
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
-        a3 = (alive_to_planes(state.edge_alive) if tearing
-              else jnp.zeros((1, 1, 1), jnp.float32))
+        a3 = to_planes(state) if feat else jnp.zeros((1, 1, 1), jnp.float32)
         spheres = _pack_spheres(top)
         xo, vo, ao = _tiled_substeps(
             x3, v3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
@@ -409,13 +464,10 @@ def make_tiled_step(top: Topology, cfg: SimConfig, tile: int = 0,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        alive = state.edge_alive
-        if tearing:
-            # end-of-frame tear from the final positions (the mask the
-            # next frame's first launch would otherwise compute and skip)
-            ao = tear_update_grid(xo, offsets, ao, cfg.tear.strain_limit)
-            alive = planes_to_alive(ao)
-        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive)
+        alive, scale = ((finish(xo, ao, state)) if feat
+                        else (state.edge_alive, state.rest_scale))
+        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive,
+                     rest_scale=scale)
 
     return fn
 
@@ -438,12 +490,15 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
     ext = tile + 2 * HPAD
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
     mu = cfg.collision.friction
     n_off = len(offsets)
+    n_feat = n_off * (int(tearing) + int(plastic))
     inv_dt = 1.0 / dt
 
     def kernel(*refs):
-        if tearing:
+        if feat:
             (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, xp_hbm,
              im_ref, a_hbm, xo_ref, xpo_ref, ao_ref, xs, ps, as_, sem) = refs
         else:
@@ -461,9 +516,9 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         ps[:, 0:HPAD, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         xs[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
         ps[:, tile + HPAD :, :] = jnp.zeros((3, HPAD, nx), jnp.float32)
-        if tearing:
-            as_[:, 0:HPAD, :] = jnp.zeros((n_off, HPAD, nx), jnp.float32)
-            as_[:, tile + HPAD :, :] = jnp.zeros((n_off, HPAD, nx),
+        if feat:
+            as_[:, 0:HPAD, :] = jnp.zeros((n_feat, HPAD, nx), jnp.float32)
+            as_[:, tile + HPAD :, :] = jnp.zeros((n_feat, HPAD, nx),
                                                  jnp.float32)
 
         cp_xi = pltpu.make_async_copy(
@@ -474,7 +529,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             ps.at[:, pl.ds(HPAD, tile), :], sem.at[1])
         cp_xi.start()
         cp_pi.start()
-        if tearing:
+        if feat:
             cp_ai = pltpu.make_async_copy(
                 a_hbm.at[:, pl.ds(tile0, tile), :],
                 as_.at[:, pl.ds(HPAD, tile), :], sem.at[6])
@@ -490,7 +545,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 ps.at[:, pl.ds(0, HPAD), :], sem.at[3])
             up_x.start()
             up_p.start()
-            if tearing:
+            if feat:
                 up_a = pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_up, HPAD), :],
                     as_.at[:, pl.ds(0, HPAD), :], sem.at[7])
@@ -509,7 +564,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
                 ps.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[5])
             dn_x.start()
             dn_p.start()
-            if tearing:
+            if feat:
                 dn_a = pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_dn, HPAD), :],
                     as_.at[:, pl.ds(tile + HPAD, HPAD), :], sem.at[8])
@@ -520,29 +575,39 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
 
         cp_xi.wait()
         cp_pi.wait()
-        if tearing:
+        if feat:
             cp_ai.wait()
 
         xw = xs[:]
         pw = ps[:]
         vw = (xw - pw) * inv_dt              # velocity estimate (extended)
-        if tearing:
-            # tear-at-start (see _make_kernel): input x is the previous
-            # launch's post-substep positions
+        sw = None
+        if feat:
+            # feature-update-at-start (see _make_kernel): input x is the
+            # previous launch's post-substep positions
+            from .pallas_substep import _plastic_planes_kroll
             from .stencil import tear_ok_planes
 
             first = first_ref[0, 0]
-            ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
-                                shift=_kroll)
-            aw = [
-                as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
-                for o in range(n_off)
-            ]
+            if plastic:
+                sw = [as_[n_off * int(tearing) + o] for o in range(n_off)]
+                new_sw = _plastic_planes_kroll(xw, offsets, sw,
+                                               cfg.plasticity)
+                sw = [jnp.where(first > 0.5, sw[o], new_sw[o])
+                      for o in range(n_off)]
+            if tearing:
+                ok = tear_ok_planes(xw, offsets, cfg.tear.strain_limit,
+                                    shift=_kroll, rest_scale=sw)
+                aw = [
+                    as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
+                    for o in range(n_off)
+                ]
 
         f = jnp.zeros((3, ext, nx), jnp.float32)
         for o, (di, dj, k, rest) in enumerate(offsets):
             mask = (aw[o] if tearing
                     else _global_edge_mask(ext, nx, ny, row0, di, dj))
+            rest_eff = rest if sw is None else rest * sw[o]
             xn = _kroll(xw, di, dj)
             vn = _kroll(vw, di, dj)
             d = xn - xw
@@ -552,7 +617,7 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
             n = d * inv_len[None]
             dv = vn - vw
             rel_v = dv[0] * n[0] + dv[1] * n[1] + dv[2] * n[2]
-            fmag = (k * (length - rest) + damping * rel_v) * mask
+            fmag = (k * (length - rest_eff) + damping * rel_v) * mask
             fo = fmag[None] * n
             f = f + fo - _kroll(fo, -di, -dj)
         if wind_on:
@@ -605,9 +670,10 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int, tile: int,
         for c in range(3):
             xo_ref[c] = xz[c]
             xpo_ref[c] = sl(xw[c])
-        if tearing:
-            for o in range(n_off):
-                ao_ref[o] = aw[o][HPAD : HPAD + tile, :]
+        if feat:
+            planes = (aw if tearing else []) + (sw if plastic else [])
+            for p, w_ in enumerate(planes):
+                ao_ref[p] = w_[HPAD : HPAD + tile, :]
 
     return kernel
 
@@ -624,7 +690,10 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
     n_off = len(offsets)
+    n_feat = n_off * (int(tearing) + int(plastic))
     kernel = _make_verlet_kernel(cfg, offsets, ny, nx, tile, dt, n_spheres,
                                  n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
@@ -640,7 +709,7 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
         pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
         pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
-    if tearing:
+    if feat:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -654,17 +723,17 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
         pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
         pltpu.VMEM((3, tile + 2 * HPAD, nx), jnp.float32),
     ]
-    if tearing:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+    if feat:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # feat HBM
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_feat, ny, nx), jnp.float32),
         )
         out_specs = out_specs + (
-            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((n_feat, tile, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         )
-        scratch.append(pltpu.VMEM((n_off, tile + 2 * HPAD, nx), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((9 if tearing else 6,)))
+        scratch.append(pltpu.VMEM((n_feat, tile + 2 * HPAD, nx), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((9 if feat else 6,)))
 
     call = pl.pallas_call(
         kernel,
@@ -680,7 +749,7 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
         interpret=interpret,
     )
 
-    if tearing:
+    if feat:
         def body(carry, k):
             x3, xp3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
@@ -705,20 +774,13 @@ def _tiled_verlet_substeps(x3, xp3, inv_mass2d, alive3, plane_h, spheres,
 def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
                            interpret: bool = False):
     """Row-tiled fused Verlet for grids beyond the whole-VMEM gate (same
-    sizing rules as make_tiled_step)."""
+    sizing and feature-plane rules as make_tiled_step)."""
     if cfg.collision.enable_sdf and top.n_sdfs > 0:
         raise ValueError(
             "sdf (mesh) colliders are not supported in the fused kernels; "
             "the stencil/jnp paths resolve them"
         )
-    from .stencil import tear_plane_maps, tear_update_grid
-
     ny, nx = top.grid_shape
-    if cfg.plasticity.enabled:
-        raise ValueError(
-            "the row-tiled kernels do not carry rest-scale planes; "
-            ">VMEM plastic grids run on the stencil path"
-        )
     if tile == 0:
         tile = max(HPAD, ((64 * 1024) // nx) // HPAD * HPAD)
         while ny % tile != 0 and tile > HPAD:
@@ -730,18 +792,15 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     offsets = tuple(_offsets(cfg, top.grid_spacing, has_shear, has_bend))
-    tearing = cfg.tear.enabled
-    if tearing:
-        alive_to_planes, planes_to_alive = tear_plane_maps(
-            top, offsets, ny, nx
-        )
+    feat = cfg.tear.enabled or cfg.plasticity.enabled
+    if feat:
+        to_planes, finish = _feature_plane_maps(top, cfg, offsets, ny, nx)
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         xp3 = state.x_prev.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
-        a3 = (alive_to_planes(state.edge_alive) if tearing
-              else jnp.zeros((1, 1, 1), jnp.float32))
+        a3 = to_planes(state) if feat else jnp.zeros((1, 1, 1), jnp.float32)
         spheres = _pack_spheres(top)
         xo, xpo, ao = _tiled_verlet_substeps(
             x3, xp3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
@@ -750,11 +809,10 @@ def make_tiled_verlet_step(top: Topology, cfg: SimConfig, tile: int = 0,
         )
         x = xo.reshape(3, -1).T
         xp = xpo.reshape(3, -1).T
-        alive = state.edge_alive
-        if tearing:
-            ao = tear_update_grid(xo, offsets, ao, cfg.tear.strain_limit)
-            alive = planes_to_alive(ao)
-        return State(x=x, v=(x - xp) / dt, x_prev=xp, edge_alive=alive)
+        alive, scale = ((finish(xo, ao, state)) if feat
+                        else (state.edge_alive, state.rest_scale))
+        return State(x=x, v=(x - xp) / dt, x_prev=xp, edge_alive=alive,
+                     rest_scale=scale)
 
     return fn
 
@@ -787,12 +845,15 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     n_off = len(xoffsets)
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
+    n_feat = n_off * (int(tearing) + int(plastic))
     mu = cfg.collision.friction
     alpha_ts = [alpha / (dt * dt) for _, _, alpha, _ in xoffsets]
     ext = tile + 2 * xh
 
     def kernel(*refs):
-        if tearing:
+        if feat:
             (plane_ref, sph_ref, cap_ref, box_ref, first_ref, x_hbm, v_hbm,
              im_hbm, a_hbm, xo_ref, vo_ref, ao_ref, xs, vs, ims, as_,
              sem) = refs
@@ -814,9 +875,9 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         xs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
         vs[:, tile + xh :, :] = jnp.zeros((3, xh, nx), jnp.float32)
         ims[tile + xh :, :] = jnp.zeros((xh, nx), jnp.float32)
-        if tearing:
-            as_[:, 0:xh, :] = jnp.zeros((n_off, xh, nx), jnp.float32)
-            as_[:, tile + xh :, :] = jnp.zeros((n_off, xh, nx), jnp.float32)
+        if feat:
+            as_[:, 0:xh, :] = jnp.zeros((n_feat, xh, nx), jnp.float32)
+            as_[:, tile + xh :, :] = jnp.zeros((n_feat, xh, nx), jnp.float32)
 
         cps = [
             pltpu.make_async_copy(
@@ -829,7 +890,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 im_hbm.at[pl.ds(tile0, tile), :],
                 ims.at[pl.ds(xh, tile), :], sem.at[2]),
         ]
-        if tearing:
+        if feat:
             cps.append(pltpu.make_async_copy(
                 a_hbm.at[:, pl.ds(tile0, tile), :],
                 as_.at[:, pl.ds(xh, tile), :], sem.at[9]))
@@ -849,7 +910,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     im_hbm.at[pl.ds(tile_up, xh), :],
                     ims.at[pl.ds(0, xh), :], sem.at[5]),
             ]
-            if tearing:
+            if feat:
                 ups.append(pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_up, xh), :],
                     as_.at[:, pl.ds(0, xh), :], sem.at[10]))
@@ -871,7 +932,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                     im_hbm.at[pl.ds(tile_dn, xh), :],
                     ims.at[pl.ds(tile + xh, xh), :], sem.at[8]),
             ]
-            if tearing:
+            if feat:
                 dns.append(pltpu.make_async_copy(
                     a_hbm.at[:, pl.ds(tile_dn, xh), :],
                     as_.at[:, pl.ds(tile + xh, xh), :], sem.at[11]))
@@ -887,15 +948,24 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         movable = w > 0.0
         xw = xs[:]
         vw = vs[:]
-        if tearing:
-            # tear-at-start (see _make_kernel); ok wrap garbage sits in the
-            # bottom 2 window rows — the xh budget reserves them, so the
-            # per-sweep contamination creep still never reaches the interior
+        sw = None
+        if feat:
+            # feature-update-at-start (see _make_kernel); wrap garbage sits
+            # in the bottom 2 window rows — the xh budget reserves them, so
+            # the per-sweep contamination creep never reaches the interior
+            from .pallas_substep import _plastic_planes_kroll
             from .stencil import tear_ok_planes
 
             first = first_ref[0, 0]
+            if plastic:
+                sw = [as_[n_off * int(tearing) + o] for o in range(n_off)]
+                new_sw = _plastic_planes_kroll(xw, xoffsets, sw,
+                                               cfg.plasticity)
+                sw = [jnp.where(first > 0.5, sw[o], new_sw[o])
+                      for o in range(n_off)]
+        if tearing:
             ok = tear_ok_planes(xw, xoffsets, cfg.tear.strain_limit,
-                                shift=_kroll)
+                                shift=_kroll, rest_scale=sw)
             masks = [
                 as_[o] * jnp.where(first > 0.5, 1.0, ok[o])
                 for o in range(n_off)
@@ -905,6 +975,12 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 _global_edge_mask(ext, nx, ny, row0, di, dj)
                 for di, dj, _, _ in xoffsets
             ]
+        # plastic rest scales are substep-constant (oracle: the flow
+        # updates at substep END, i.e. at the next launch's start)
+        rest_effs = [
+            rest if sw is None else rest * sw[o]
+            for o, (_, _, _, rest) in enumerate(xoffsets)
+        ]
         cnt = jnp.zeros((ext, nx), jnp.float32)
         for (di, dj, _, _), m in zip(xoffsets, masks):
             cnt = cnt + m + _kroll(m, -di, -dj)
@@ -940,7 +1016,7 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
                 inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
                 length = d2 * inv_len
-                c_val = length - rest
+                c_val = length - rest_effs[o]
                 wn = _kroll(w, di, dj)
                 inv_denom = masks[o] / jnp.maximum(w + wn + alpha_ts[o], 1e-12)
                 dlam = -(c_val + alpha_ts[o] * lams[o]) * inv_denom
@@ -1017,9 +1093,10 @@ def _make_xpbd_tiled_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
         for c in range(3):
             xo_ref[c] = sl(xp[c] + dlf[c])
             vo_ref[c] = sl(dlf[c] * (1.0 / dt))
-        if tearing:
-            for o in range(n_off):
-                ao_ref[o] = masks[o][xh : xh + tile, :]
+        if feat:
+            planes = (masks if tearing else []) + (sw if plastic else [])
+            for p, w_ in enumerate(planes):
+                ao_ref[p] = w_[xh : xh + tile, :]
 
     return kernel
 
@@ -1037,7 +1114,10 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
     n_capsules = capsules.shape[0]
     n_boxes = boxes.shape[0]
     tearing = cfg.tear.enabled
+    plastic = cfg.plasticity.enabled
+    feat = tearing or plastic
     n_off = len(xoffsets)
+    n_feat = n_off * (int(tearing) + int(plastic))
     kernel = _make_xpbd_tiled_kernel(cfg, xoffsets, ny, nx, tile, xh, dt,
                                      n_spheres, n_capsules, n_boxes)
     sph = spheres if n_spheres > 0 else jnp.zeros((1, 7), jnp.float32)
@@ -1053,7 +1133,7 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
         pl.BlockSpec(memory_space=pltpu.SMEM),      # capsules [C,10]
         pl.BlockSpec(memory_space=pltpu.SMEM),      # boxes [B,18]
     ]
-    if tearing:
+    if feat:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # first flag
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM
@@ -1062,13 +1142,13 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
     ]
     out_shape = (state_shape, state_shape)
     out_specs = (state_spec, state_spec)
-    if tearing:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # alive HBM
+    if feat:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # feat HBM
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((n_off, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_feat, ny, nx), jnp.float32),
         )
         out_specs = out_specs + (
-            pl.BlockSpec((n_off, tile, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((n_feat, tile, nx), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         )
 
@@ -1082,16 +1162,16 @@ def _tiled_xpbd_substeps(x3, v3, inv_mass2d, alive3, plane_h, spheres,
             pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
             pltpu.VMEM((3, tile + 2 * xh, nx), jnp.float32),
             pltpu.VMEM((tile + 2 * xh, nx), jnp.float32),
-        ] + ([pltpu.VMEM((n_off, tile + 2 * xh, nx), jnp.float32)]
-             if tearing else [])
-        + [pltpu.SemaphoreType.DMA((12 if tearing else 9,))],
+        ] + ([pltpu.VMEM((n_feat, tile + 2 * xh, nx), jnp.float32)]
+             if feat else [])
+        + [pltpu.SemaphoreType.DMA((12 if feat else 9,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
-    if tearing:
+    if feat:
         def body(carry, k):
             x3, v3, a3 = carry
             first = (k == 0).astype(jnp.float32).reshape(1, 1)
@@ -1125,24 +1205,18 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             "sdf (mesh) colliders are not supported in the fused kernels; "
             "the stencil/jnp paths resolve them"
         )
-    from .stencil import tear_plane_maps, tear_update_grid
-
     ny, nx = top.grid_shape
-    if cfg.plasticity.enabled:
-        raise ValueError(
-            "the row-tiled kernels do not carry rest-scale planes; "
-            ">VMEM plastic grids run on the stencil path"
-        )
     has_shear = EDGE_SHEAR in top.edge_classes_present
     has_bend = EDGE_BEND in top.edge_classes_present
     reach = 2 if has_bend else 1
     # +1 halo row when wind lift is on (the predict's normal read
     # contaminates one extra row per side before the sweeps start); +2
-    # when tearing (the start-of-launch tear check's wrap garbage sits in
-    # the outermost 2 window rows)
+    # when tearing/plasticity (the start-of-launch feature updates' wrap
+    # garbage sits in the outermost 2 window rows)
     lift_pad = 1 if cfg.wind.lift != 0.0 else 0
-    tear_pad = 2 if cfg.tear.enabled else 0
-    xh = -(-(reach * cfg.xpbd.n_iterations + lift_pad + tear_pad)
+    feat = cfg.tear.enabled or cfg.plasticity.enabled
+    feat_pad = 2 if feat else 0
+    xh = -(-(reach * cfg.xpbd.n_iterations + lift_pad + feat_pad)
            // HPAD) * HPAD
     if tile == 0:
         tile = max(xh, ((48 * 1024) // nx) // HPAD * HPAD)
@@ -1154,18 +1228,14 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
             f"the halo {xh}"
         )
     xoffsets = tuple(_xpbd_offsets(cfg, top.grid_spacing, has_shear, has_bend))
-    tearing = cfg.tear.enabled
-    if tearing:
-        alive_to_planes, planes_to_alive = tear_plane_maps(
-            top, xoffsets, ny, nx
-        )
+    if feat:
+        to_planes, finish = _feature_plane_maps(top, cfg, xoffsets, ny, nx)
 
     def fn(state: State, dt: float, n_substeps: int) -> State:
         x3 = state.x.T.reshape(3, ny, nx)
         v3 = state.v.T.reshape(3, ny, nx)
         im = top.inv_mass.reshape(ny, nx)
-        a3 = (alive_to_planes(state.edge_alive) if tearing
-              else jnp.zeros((1, 1, 1), jnp.float32))
+        a3 = to_planes(state) if feat else jnp.zeros((1, 1, 1), jnp.float32)
         spheres = _pack_spheres(top)
         xo, vo, ao = _tiled_xpbd_substeps(
             x3, v3, im, a3, _pack_plane(top), spheres, _pack_capsules(top),
@@ -1174,10 +1244,9 @@ def make_tiled_xpbd_step(top: Topology, cfg: SimConfig, tile: int = 0,
         )
         x = xo.reshape(3, -1).T
         v = vo.reshape(3, -1).T
-        alive = state.edge_alive
-        if tearing:
-            ao = tear_update_grid(xo, xoffsets, ao, cfg.tear.strain_limit)
-            alive = planes_to_alive(ao)
-        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive)
+        alive, scale = ((finish(xo, ao, state)) if feat
+                        else (state.edge_alive, state.rest_scale))
+        return State(x=x, v=v, x_prev=x - dt * v, edge_alive=alive,
+                     rest_scale=scale)
 
     return fn

@@ -614,6 +614,32 @@ def cloth_tearing_262k():
     return top, cfg
 
 
+@register("cloth_plastic_262k")
+def cloth_plastic_262k():
+    """512x512 = 262k-vertex permanently-sagging banner — past the
+    whole-VMEM kernel's (halved) plasticity cap, so it runs on the
+    row-tiled Pallas kernel (kernels/pallas_tiled.py): rest-scale planes
+    travel HBM->VMEM with the state and plastic flow applies at launch
+    start (first-launch flag + end-of-frame update in the wrapper),
+    reproducing the oracle scale sequence exactly."""
+    from ..core.config import PlasticityParams
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=300.0, k_shear=150.0, k_bend=60.0,
+                             damping=0.3),
+        plasticity=PlasticityParams(enabled=True, yield_strain=0.03,
+                                    creep=0.05),
+        global_damping=0.1,
+    )
+    top = cloth_grid(
+        512, 512, spacing=0.005, shear=True, bend=True, pinned=("top",),
+        springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-50.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
 @register("cloth_wind_64k")
 def cloth_wind_64k():
     """64k cloth in a strong cross-wind (WindParams drag + lift): the lift

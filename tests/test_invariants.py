@@ -265,7 +265,7 @@ def test_move_pins_kinematic_attachment(solver):
 @pytest.mark.parametrize(
     "preset", ["cloth_bench_64k", "cloth_bench_262k", "cloth_bench_1m",
                "softbody_cube_64k", "softbody_cube_64k_verlet",
-               "voxel_sphere_50k"]
+               "voxel_sphere_50k", "cloth_plastic_262k"]
 )
 def test_big_presets_stay_finite(preset):
     """Integrator stability of the scale presets: the benchmark harness
