@@ -26,6 +26,7 @@ from .core.config import (
     PlasticityParams,
     PressureParams,
     SelfCollisionParams,
+    ShapeMatchParams,
     SimConfig,
     Solver,
     SpringParams,
@@ -45,6 +46,7 @@ from .core.topology import (
     attach_box,
     cloth_grid,
     enable_pressure,
+    enable_shape_matching,
     from_tet_mesh,
     from_triangle_mesh,
     icosphere_mesh,
@@ -70,12 +72,13 @@ __all__ = [
     "diagnostics", "contact_impulses", "contact_impulses_batched",
     "apply_impulse", "suggest_dt",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
-    "TearParams", "PlasticityParams", "PressureParams",
+    "TearParams", "PlasticityParams", "PressureParams", "ShapeMatchParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",
     "merge_bodies", "stitch", "presets",
-    "enable_pressure", "icosphere_mesh", "anchor", "attach", "attach_box",
+    "enable_pressure", "enable_shape_matching",
+    "icosphere_mesh", "anchor", "attach", "attach_box",
     "add_rigid_joint",
     "terrain_mesh",
     "lattice_from_mesh",

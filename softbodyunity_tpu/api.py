@@ -180,6 +180,11 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                      if host.joint_limit is not None else None),
         joint_motor=(f32(host.joint_motor)
                      if host.joint_motor is not None else None),
+        cluster_id=(i32(host.cluster_id) if host.cluster_id is not None
+                    else None),
+        cluster_rest=(f32(host.cluster_rest)
+                      if host.cluster_rest is not None else None),
+        n_clusters=host.n_clusters,
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
@@ -241,6 +246,19 @@ def ensure_plastic_state(top: Topology, cfg: SimConfig, state: State) -> State:
     return state
 
 
+def ensure_shapematch_state(top: Topology, cfg: SimConfig,
+                            state: State) -> State:
+    """Populate ``State.cluster_quat`` (identity rotations) when a
+    shape-matching config meets a state without it — OUTSIDE jit (pytree
+    structure changes).  No-op when the scene has no clusters
+    (``enable_shape_matching`` was never called)."""
+    if (cfg.shape_match.enabled and top.n_clusters > 0
+            and state.cluster_quat is None):
+        q = jnp.zeros((top.n_clusters, 4), state.x.dtype).at[:, 0].set(1.0)
+        state = state.replace(cluster_quat=q)
+    return state
+
+
 def step(
     top: Topology,
     cfg: SimConfig,
@@ -253,6 +271,7 @@ def step(
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)
     state = ensure_plastic_state(top, cfg, state)
+    state = ensure_shapematch_state(top, cfg, state)
     return _compiled_step(cfg, dt, n)(top, state)
 
 
@@ -285,6 +304,7 @@ def rollout(
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)
     state = ensure_plastic_state(top, cfg, state)
+    state = ensure_shapematch_state(top, cfg, state)
     return _compiled_rollout(cfg, dt, n, int(n_steps))(top, state)
 
 
@@ -319,6 +339,7 @@ def step_coupled(top: Topology, cfg: SimConfig, state: State, rigid,
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
     state = ensure_tear_state(top, cfg, state)
     state = ensure_plastic_state(top, cfg, state)
+    state = ensure_shapematch_state(top, cfg, state)
     return _compiled_coupled_step(cfg, dt, n)(top, state, rigid)
 
 

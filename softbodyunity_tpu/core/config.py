@@ -183,6 +183,42 @@ class PressureParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class ShapeMatchParams:
+    """Meshless shape matching (Muller et al., "Meshless Deformations
+    Based on Shape Matching") — the other classic Unity soft-body
+    technique next to mass-spring/pressure: vertex CLUSTERS remember
+    their rest shape and are pulled toward the best-fit rigid transform
+    of it every substep, giving rubbery, volume-ish bodies from ANY
+    mesh with unconditional stability (goal positions never overshoot).
+
+    Semantics (oracle/reference.py::shape_match_dx is binding).  Per
+    cluster k (built by :func:`core.topology.enable_shape_matching`;
+    weights ``m_i = 1/inv_mass`` over the cluster's MOVABLE vertices,
+    pinned vertices don't participate)::
+
+        c_k  = sum m_i x_i / sum m_i                  # current centroid
+        A_k  = sum m_i (x_i - c_k) q_i^T              # q_i = rest offset
+        R_k  = rotation part of A_k                   # warm-started APD
+        g_i  = R_k q_i + c_k                          # goal positions
+        dx_i = stiffness * (g_i - x_i)                # movable only
+
+    Rest offsets use the same mass-weighted rest centroid, so
+    ``sum m_i q_i = 0`` and shape matching conserves linear momentum
+    exactly (``sum m_i dx_i = 0``); the rotation extraction is the
+    branchless warm-started quaternion iteration of Muller et al. 2016
+    ("A Robust Method to Extract the Rotational Part of Deformations"),
+    ``iterations`` sweeps per substep from the previous substep's
+    quaternion (``State.cluster_quat``, populated lazily by api.step).
+    Runs after the tet volume projection, before collision, on all
+    three solvers; general jnp path (clusters are irregular — the fast
+    grid kernels gate off loudly)."""
+
+    enabled: bool = False
+    stiffness: float = 1.0      # per-substep pull toward the goal, in [0,1]
+    iterations: int = 4         # APD rotation-extraction sweeps per substep
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -255,6 +291,7 @@ class SimConfig:
     tear: TearParams = TearParams()
     plasticity: PlasticityParams = PlasticityParams()
     pressure: PressureParams = PressureParams()
+    shape_match: ShapeMatchParams = ShapeMatchParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

@@ -38,6 +38,11 @@ class State:
     # f32[E] starting at 1.0, or None when plasticity is off (populated
     # lazily by api.step like edge_alive).
     rest_scale: "jax.Array | None" = None
+    # Per-cluster rotation quaternions (wxyz) for shape matching
+    # (ShapeMatchParams): f32[K, 4] starting at identity, or None when
+    # shape matching is off (populated lazily by api.step).  Warm-starts
+    # the rotation extraction each substep.
+    cluster_quat: "jax.Array | None" = None
 
     @property
     def n_vertices(self) -> int:

@@ -122,7 +122,14 @@ class Topology:
     joint_ref_b: jax.Array = None     # f32[J, 3]
     joint_limit: jax.Array = None     # f32[J, 2] (lo, hi) rad; lo>hi = off
     joint_motor: jax.Array = None     # f32[J, 2] (rad/s, max torque)
+    # --- shape-matching clusters (enable_shape_matching; None = off;
+    #     behaviour set by ShapeMatchParams) -------------------------------
+    cluster_id: jax.Array = None      # i32[N] cluster per vertex (-1 = none)
+    cluster_rest: jax.Array = None    # f32[N, 3] rest offset from the
+    #                                   cluster's mass-weighted rest centroid
+    #                                   (zeros for non-members / pinned)
     # --- static metadata (aux / hashable) ---------------------------------
+    n_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
     grid_shape: Optional[Tuple[int, int]] = dataclasses.field(
         metadata=dict(static=True), default=None
@@ -343,6 +350,13 @@ class HostTopology:
     joint_motor: Optional[np.ndarray] = None          # f64[J, 2] hinge
     #                                  motor (target rad/s, max torque);
     #                                  max torque 0 = off
+    # shape-matching clusters (None = none; see enable_shape_matching):
+    # per-vertex cluster id (-1 = no cluster) + rest offset from the
+    # cluster's mass-weighted rest centroid; behaviour set by
+    # ShapeMatchParams
+    cluster_id: Optional[np.ndarray] = None           # i64[N]
+    cluster_rest: Optional[np.ndarray] = None         # f64[N, 3]
+    n_clusters: int = 0
 
 
 def add_colliders(
@@ -556,6 +570,78 @@ def enable_pressure(host: HostTopology, triangle_ids=None) -> HostTopology:
     body[sel] = vols.shape[0]
     host.tri_body = body
     host.pressure_rest_volume = np.concatenate([vols, [v0]])
+    return host
+
+
+def enable_shape_matching(host: HostTopology, cluster_ids=None, *,
+                          cell_size: "float | None" = None) -> HostTopology:
+    """Turn any built body into a shape-matching soft body (Muller-style
+    meshless deformation — the classic Unity "jelly" component next to
+    mass-spring and pressure; behaviour set by
+    :class:`~softbodyunity_tpu.core.config.ShapeMatchParams`).
+
+    Cluster assignment, one of:
+
+    * default (both args None): ONE cluster over every vertex — the whole
+      body remembers its rest shape (rubbery-rigid jelly);
+    * ``cluster_ids`` i64[N]: explicit per-vertex cluster ids, compact in
+      ``[0, K)``; ``-1`` leaves a vertex out of shape matching entirely;
+    * ``cell_size``: spatial clustering — vertices are grouped by the
+      rest-position voxel of edge ``cell_size`` they fall in (smaller
+      cells = softer, more local shape memory).
+
+    Weights are the build masses ``1/inv_mass`` over each cluster's
+    MOVABLE vertices; pinned vertices never participate (they are held by
+    the pin, and excluding them keeps ``sum m_i q_i = 0`` so shape
+    matching conserves linear momentum exactly).  Every cluster must keep
+    at least one movable vertex (a fully pinned cluster has no degrees of
+    freedom to match).  Call BEFORE :func:`merge_bodies`; merging offsets
+    the cluster ids so each body keeps independent clusters.  Enable the
+    force with ``SimConfig(shape_match=ShapeMatchParams(enabled=True))``.
+    """
+    n = host.positions0.shape[0]
+    if cluster_ids is not None and cell_size is not None:
+        raise ValueError(
+            "enable_shape_matching: pass cluster_ids OR cell_size, not both")
+    if cell_size is not None:
+        if cell_size <= 0.0:
+            raise ValueError("enable_shape_matching: cell_size must be > 0")
+        cells = np.floor(np.asarray(host.positions0, np.float64)
+                         / float(cell_size)).astype(np.int64)
+        _, cid = np.unique(cells, axis=0, return_inverse=True)
+        cid = cid.astype(np.int64)
+    elif cluster_ids is None:
+        cid = np.zeros(n, np.int64)
+    else:
+        cid = np.asarray(cluster_ids, np.int64).reshape(-1)
+        if cid.shape[0] != n:
+            raise ValueError(
+                f"enable_shape_matching: cluster_ids has {cid.shape[0]} "
+                f"entries for {n} vertices")
+    member = cid >= 0
+    if not member.any():
+        raise ValueError("enable_shape_matching: no cluster members")
+    k = int(cid[member].max()) + 1
+    inv_m = np.asarray(host.inv_mass, np.float64)
+    m = np.where((inv_m > 0.0) & member, 1.0 / np.maximum(inv_m, 1e-30), 0.0)
+    mass_k = np.zeros(k)
+    np.add.at(mass_k, cid[member], m[member])
+    if (mass_k <= 0.0).any():
+        bad = int((mass_k <= 0.0).sum())
+        raise ValueError(
+            f"enable_shape_matching: {bad} cluster id(s) in [0, {k}) have "
+            "no movable mass (empty label or fully pinned cluster); use "
+            "compact ids and keep at least one movable vertex per cluster")
+    cx = np.zeros((k, 3))
+    np.add.at(cx, cid[member], m[member, None]
+              * np.asarray(host.positions0, np.float64)[member])
+    c0 = cx / mass_k[:, None]
+    q = np.zeros((n, 3))
+    part = m > 0.0
+    q[part] = np.asarray(host.positions0, np.float64)[part] - c0[cid[part]]
+    host.cluster_id = cid
+    host.cluster_rest = q
+    host.n_clusters = k
     return host
 
 
@@ -1654,7 +1740,29 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
             lambda h: (0 if h.sdf_spacings is None
                        else h.sdf_spacings.shape[0])),
         **_merge_attachments(hosts, offs),
+        **_merge_clusters(hosts),
     )
+
+
+def _merge_clusters(hosts):
+    """Offset each host's shape-matching cluster ids by the clusters before
+    it (vertices of bodies without clusters stay -1); rest offsets are
+    body-local so they concatenate unchanged."""
+    if not any(h.cluster_id is not None for h in hosts):
+        return dict(cluster_id=None, cluster_rest=None, n_clusters=0)
+    ids, rests, off = [], [], 0
+    for h in hosts:
+        nv = h.positions0.shape[0]
+        if h.cluster_id is None:
+            ids.append(np.full(nv, -1, np.int64))
+            rests.append(np.zeros((nv, 3)))
+        else:
+            ci = np.asarray(h.cluster_id, np.int64)
+            ids.append(np.where(ci >= 0, ci + off, -1))
+            rests.append(np.asarray(h.cluster_rest, np.float64))
+            off += int(h.n_clusters)
+    return dict(cluster_id=np.concatenate(ids),
+                cluster_rest=np.concatenate(rests), n_clusters=off)
 
 
 def _merge_attachments(hosts, offs):

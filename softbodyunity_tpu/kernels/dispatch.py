@@ -23,6 +23,17 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if cfg.shape_match.enabled and top.n_clusters > 0:
+        # shape-matching clusters are irregular vertex subsets; the
+        # general jnp path IS the implementation (cluster reductions as
+        # MXU one-hot matmuls, see solver/shapematch.py + docs/PERF.md)
+        if backend == "pallas":
+            _warn_once(
+                ("shapematch", top.n_vertices, cfg.solver),
+                "pallas requested but shape matching routes to the "
+                "general XLA path (MXU one-hot cluster reductions)",
+            )
+        return None
     if cfg.pressure.enabled and top.n_pressure_bodies > 0:
         # pressure bodies are irregular closed shells (never grids or
         # regular lattices in practice); the exact jnp path is the

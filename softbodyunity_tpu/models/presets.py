@@ -17,6 +17,7 @@ from ..core.config import (
     CollisionParams,
     PressureParams,
     SelfCollisionParams,
+    ShapeMatchParams,
     SimConfig,
     Solver,
     SpringParams,
@@ -26,6 +27,7 @@ from ..core.topology import (
     HostTopology,
     cloth_grid,
     enable_pressure,
+    enable_shape_matching,
     from_triangle_mesh,
     icosphere_mesh,
     merge_bodies,
@@ -247,6 +249,30 @@ def balloon_drop():
     host = from_triangle_mesh(pos, tris, mass=0.02, springs=cfg.springs,
                               xpbd=cfg.xpbd, plane_height=0.0)
     return enable_pressure(host), cfg
+
+
+@register("jelly_ball_drop")
+def jelly_ball_drop():
+    """Shape-matched soft body (the Unity "jelly" demo, Muller-style
+    meshless deformation): a 642-vertex icosphere with soft surface
+    springs plus TWO spatial shape-matching clusters per quadrant-ish
+    voxel, dropped on the ground plane — squashes on impact, the cluster
+    shape memory pulls it back round (ShapeMatchParams semantics; oracle
+    shape_match_dx is binding).  Pins down the warm-started rotation
+    extraction + goal-pull against the oracle in the f64 tier."""
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        shape_match=ShapeMatchParams(enabled=True, stiffness=0.3),
+        springs=SpringParams(k_structural=40.0, k_shear=20.0,
+                             k_bend=8.0, damping=0.4),
+        collision=CollisionParams(enable_plane=True, friction=0.3),
+        global_damping=0.8,
+    )
+    pos, tris = icosphere_mesh(radius=0.25, subdivisions=2,
+                               center=(0.0, 0.6, 0.0))
+    host = from_triangle_mesh(pos, tris, mass=0.02, springs=cfg.springs,
+                              xpbd=cfg.xpbd, plane_height=0.0)
+    return enable_shape_matching(host, cell_size=0.3), cfg
 
 
 @register("cloth_bench_64k")

@@ -651,6 +651,84 @@ def plastic_update(top: HostTopology, cfg: SimConfig, x, scale):
                    pp.min_scale, pp.max_scale)
 
 
+def _quat_to_matrix(q):
+    """Unit quaternion (wxyz) -> rotation matrix."""
+    w, qx, qy, qz = q
+    return np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - w * qz),
+         2 * (qx * qz + w * qy)],
+        [2 * (qx * qy + w * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - w * qx)],
+        [2 * (qx * qz - w * qy), 2 * (qy * qz + w * qx),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
+
+
+def extract_rotations(A, quats, iterations):
+    """Rotation part of each cluster's shape matrix ``A`` f64[K,3,3] —
+    the branchless warm-started quaternion iteration of Muller et al.
+    2016 ("A Robust Method to Extract the Rotational Part of
+    Deformations"), the BINDING extraction for ShapeMatchParams (the
+    device twin solver/shapematch.py runs the identical fixed-iteration
+    recurrence, so oracle and device agree to rounding, not merely in
+    the converged limit).  Per sweep, with R = R(q) and columns r_i/a_i::
+
+        omega = sum_i r_i x a_i / (|sum_i r_i . a_i| + 1e-9)
+        q     = normalize(exp(omega / 2) * q)
+
+    Returns the updated quaternions f64[K, 4] (wxyz)."""
+    q = np.array(quats, np.float64)
+    for _ in range(iterations):
+        for k in range(A.shape[0]):
+            R = _quat_to_matrix(q[k])
+            num = (np.cross(R[:, 0], A[k][:, 0])
+                   + np.cross(R[:, 1], A[k][:, 1])
+                   + np.cross(R[:, 2], A[k][:, 2]))
+            den = abs(float((R * A[k]).sum())) + 1e-9
+            qn = _quat_mul(_quat_from_rotvec(num / den), q[k])
+            q[k] = qn / np.linalg.norm(qn)
+    return q
+
+
+def shape_match_dx(top: HostTopology, cfg: SimConfig, x, quats):
+    """Shape-matching position correction (ShapeMatchParams semantics,
+    binding).  Per cluster (enable_shape_matching; weights ``m_i =
+    1/inv_mass`` over the cluster's movable vertices): current mass
+    centroid ``c``, shape matrix ``A = sum m_i (x_i - c) q_i^T`` (the
+    rest offsets ``q_i = top.cluster_rest`` are centered so
+    ``sum m_i q_i = 0`` and the centroid term drops), rotation ``R``
+    from :func:`extract_rotations` warm-started at ``quats``, goals
+    ``g_i = R q_i + c``, correction ``dx_i = stiffness * (g_i - x_i)``
+    on movable members (zero net momentum by construction).  Returns
+    ``(dx, quats')``."""
+    sm = cfg.shape_match
+    k = int(top.n_clusters)
+    cid = np.maximum(np.asarray(top.cluster_id, np.int64), 0)
+    member = (np.asarray(top.cluster_id, np.int64) >= 0) & (top.inv_mass > 0.0)
+    m = np.where(member, 1.0 / np.maximum(top.inv_mass, 1e-30), 0.0)
+    mass = np.zeros(k)
+    np.add.at(mass, cid, m)
+    cx = np.zeros((k, 3))
+    np.add.at(cx, cid, m[:, None] * x)
+    c = cx / np.maximum(mass, 1e-30)[:, None]
+    A = np.zeros((k, 3, 3))
+    np.add.at(A, cid, m[:, None, None]
+              * x[:, :, None] * top.cluster_rest[:, None, :])
+    quats = extract_rotations(A, quats, sm.iterations)
+    # vectorized _quat_rotate: v + 2 qv x (qv x v + qw v)
+    qn = quats[cid]
+    qv, qw = qn[:, 1:], qn[:, 0:1]
+    r = top.cluster_rest
+    g = r + 2.0 * np.cross(qv, np.cross(qv, r) + qw * r) + c[cid]
+    dx = sm.stiffness * (g - x)
+    return np.where(member[:, None], dx, 0.0), quats
+
+
+def _shape_match_enabled(top: HostTopology, cfg: SimConfig) -> bool:
+    return (cfg.shape_match.enabled and top.cluster_id is not None
+            and top.n_clusters > 0)
+
+
 def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
     f = spring_forces(top, x, v, cfg=cfg, alive=alive, rest_scale=rest_scale)
     if cfg.self_collision.enabled:
@@ -720,9 +798,15 @@ def _resolve_after_spheres(top: HostTopology, cfg: SimConfig, x, v, movable,
 
 
 def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                  alive=None, scale=None):
+                  alive=None, scale=None, quats=None):
     x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
                                              alive=alive, scale=scale)
+    if quats is not None:
+        # shape matching runs after the (volume-projected) integration,
+        # before collision — the contact projection always wins
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
+        v = v + dxs / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     if cfg.collision.enable_spheres:
         x, v = resolve_spheres(
@@ -735,12 +819,13 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
-    return x, v, x_prev, alive, scale
+    out = (x, v, x_prev, alive, scale)
+    return out if quats is None else out + (quats,)
 
 
 def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                           rc, rv, r_inv_mass, dt, alive=None, scale=None,
-                          romega=None, rq=None, boxes=None):
+                          romega=None, rq=None, boxes=None, quats=None):
     """Two-way coupled Euler substep (binding): the scene's spheres are
     DYNAMIC rigid bodies (centers ``rc`` f64[S,3], velocities ``rv``,
     angular velocities ``romega``, inverse masses ``r_inv_mass``;
@@ -796,6 +881,13 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
 
     x, v, x_prev, movable = _euler_integrate(top, cfg, x, v, dt,
                                              alive=alive, scale=scale)
+    if quats is not None:
+        # shape matching after integration, before all contact (the same
+        # slot as the uncoupled substep_euler); the contact stages —
+        # including the measured rigid exchanges below — always win
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
+        v = v + dxs / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     romega = np.array(romega, np.float64)
@@ -904,6 +996,8 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
     out = (x, v, x_prev, rc, rv, romega, alive, scale)
+    if quats is not None:
+        out = out + (quats,)
     if rq is not None:
         out = out + (rq,)
     return out if boxes is None else out + (boxes,)
@@ -1975,7 +2069,7 @@ def _verlet_integrate(top: HostTopology, cfg: SimConfig, x, x_prev, dt,
 
 def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                            rc, rv, r_inv_mass, dt, romega=None, rq=None,
-                           boxes=None):
+                           boxes=None, quats=None):
     """Coupled Verlet substep (binding): Verlet resolves contacts as
     position projections, so the momentum the cloth receives from sphere
     s is the projection impulse ``J_s = sum_i m_i dx_i / dt`` and the
@@ -1997,6 +2091,11 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         bc, bv, bom, bq, bw = _boxes_predict(cfg, boxes, dt)
 
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt)
+    if quats is not None:
+        # shape matching after integration, before contact (same slot as
+        # the uncoupled substep_verlet; position-only)
+        dxs, quats = shape_match_dx(top, cfg, x_new, quats)
+        x_new = x_new + dxs
     # projection order mirrors project_positions_only: plane, spheres
     # (measured, at the rigid centers), dynamic boxes (measured), then
     # the static rest
@@ -2063,6 +2162,8 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         boxes = (bc, bv, bom, bq, bw)
     v_new = (x_new - x) / dt
     out = (x_new, v_new, x, rc, rv, romega)
+    if quats is not None:
+        out = out + (quats,)
     if rq is not None:
         out = out + (rq,)
     return out if boxes is None else out + (boxes,)
@@ -2102,7 +2203,7 @@ def _project_static_rest(top: HostTopology, cfg: SimConfig, x, movable,
 
 def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
                          rc, rv, r_inv_mass, dt, romega=None, rq=None,
-                         boxes=None):
+                         boxes=None, quats=None):
     """Coupled XPBD substep (binding): contacts project inside the Jacobi
     loop, and each iteration's measured projection impulse reacts on the
     body IMMEDIATELY (velocity ``-j w_b`` and the complementary position
@@ -2146,6 +2247,28 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     contact = np.zeros(x.shape[0], bool)
     for it in range(cfg.xpbd.n_iterations):
         x, lam, lam_vol = xpbd_iteration(top, cfg, x, lam, lam_vol, dt)
+        pc = plane_contact_preclamp(top, cfg, x, movable)
+        contact |= pc
+        if cfg.collision.enable_plane:
+            x[:, 1] = np.where(pc, top.plane_height, x[:, 1])
+        x, jl = _project_spheres_measured(x, movable, m, rc, radii, dt,
+                                          r_inv_mass)
+        rv = rv - jl * r_inv_mass[:, None]
+        rc = rc - (jl * dt) * r_inv_mass[:, None]
+        if boxes is not None:
+            x, jb = _project_boxes_measured(top, x, movable, m, bc, bq,
+                                            dt, bw)
+            bv = bv - jb * bw[:, None]
+            bc = bc - (jb * dt) * bw[:, None]
+        x = _project_static_rest(top, cfg, x, movable,
+                                 skip_boxes=boxes is not None)
+    if quats is not None:
+        # shape matching after the Jacobi loop (same slot as the uncoupled
+        # substep_xpbd), then ONE more contact pass so the goal pull never
+        # leaves penetration behind — with the measured rigid reactions of
+        # an in-loop iteration (the bodies stay momentum-consistent)
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
         pc = plane_contact_preclamp(top, cfg, x, movable)
         contact |= pc
         if cfg.collision.enable_plane:
@@ -2207,6 +2330,8 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
     x = np.where(movable[:, None], x, x_prev)
     v = (x - x_prev) / dt
     out = (x, v, x_prev, rc, rv, romega)
+    if quats is not None:
+        out = out + (quats,)
     if rq is not None:
         out = out + (rq,)
     return out if boxes is None else out + (boxes,)
@@ -2221,10 +2346,11 @@ _SUBSTEP_COUPLED = {
 
 def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
                  r_inv_mass, dt=None, n_substeps=None, romega=None,
-                 rq=None, boxes=None):
+                 rq=None, boxes=None, quats=None):
     """n_substeps coupled substeps (solver from cfg); returns
-    (x, v, x_prev, rc, rv, romega) — plus the ball orientations ``rq``
-    appended when given (required when the topology carries rigid
+    (x, v, x_prev, rc, rv, romega) — plus the shape-matching cluster
+    quaternions ``quats`` appended when given, plus the ball orientations
+    ``rq`` appended when given (required when the topology carries rigid
     attachments), plus the dynamic-box state 5-tuple
     ``(bc, bv, bom, bq, bw)`` appended LAST when ``boxes`` is given."""
     dt = cfg.dt if dt is None else dt
@@ -2240,31 +2366,46 @@ def step_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev, rc, rv,
         rq = np.array(rq, np.float64)
     if boxes is not None:
         boxes = tuple(np.array(b, np.float64) for b in boxes)
+    use_q = quats if _shape_match_enabled(top, cfg) else None
+    if use_q is not None:
+        use_q = np.array(use_q, np.float64)
     for _ in range(n):
         if cfg.solver == Solver.SEMI_IMPLICIT_EULER:
             out = substep_euler_coupled(
                 top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                romega=romega, rq=rq, boxes=boxes)
+                romega=romega, rq=rq, boxes=boxes, quats=use_q)
             x, v, x_prev, rc, rv, romega = out[0], out[1], out[2], \
                 out[3], out[4], out[5]
-            rq = out[8] if rq is not None else None
+            i = 8
         else:
             fn = _SUBSTEP_COUPLED[cfg.solver]
             out = fn(top, cfg, x, v, x_prev, rc, rv, r_inv_mass, dt,
-                     romega=romega, rq=rq, boxes=boxes)
+                     romega=romega, rq=rq, boxes=boxes, quats=use_q)
             x, v, x_prev, rc, rv, romega = out[:6]
-            rq = out[6] if rq is not None else None
+            i = 6
+        if use_q is not None:
+            use_q = out[i]
+            i += 1
+        if rq is not None:
+            rq = out[i]
         boxes = out[-1] if boxes is not None else None
     base = (x, v, x_prev, rc, rv, romega)
+    if quats is not None:
+        base = base + ((use_q if use_q is not None else quats),)
     if rq is not None:
         base = base + (rq,)
     return base if boxes is None else base + (boxes,)
 
 
 def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                   alive=None, scale=None):
+                   alive=None, scale=None, quats=None):
     x_new, movable = _verlet_integrate(top, cfg, x, x_prev, dt,
                                        alive=alive, scale=scale)
+    if quats is not None:
+        # shape matching after integration, before contact (position-only
+        # on the projection solvers; Verlet recovers v from positions)
+        dxs, quats = shape_match_dx(top, cfg, x_new, quats)
+        x_new = x_new + dxs
     contact = plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = project_positions_only(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
@@ -2275,7 +2416,8 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         scale = plastic_update(top, cfg, x_new, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x_new, alive, rest_scale=scale)
-    return x_new, v_new, x, alive, scale
+    out = (x_new, v_new, x, alive, scale)
+    return out if quats is None else out + (quats,)
 
 
 def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt,
@@ -2335,7 +2477,7 @@ def xpbd_iteration(top: HostTopology, cfg: SimConfig, x, lam, lam_vol, dt,
 
 
 def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
-                 alive=None, scale=None):
+                 alive=None, scale=None, quats=None):
     movable = top.inv_mass > 0.0
     g = np.asarray(cfg.gravity)
     accel = g[None, :]
@@ -2369,6 +2511,13 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         # PBD/XPBD ordering interleaves them.
         contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
+    if quats is not None:
+        # shape matching after the Jacobi loop, then ONE more contact
+        # projection so the goal pull never leaves penetration behind
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
+        contact |= plane_contact_preclamp(top, cfg, x, movable)
+        x = project_positions_only(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)
     x = sphere_friction_positions(top, cfg, x, x_prev, dt, movable)
     x = rest_friction_positions(top, cfg, x, x_prev, dt, movable)
@@ -2378,7 +2527,8 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         scale = plastic_update(top, cfg, x, scale)
     if alive is not None:
         alive = tear_update(top, cfg, x, alive, rest_scale=scale)
-    return x, v, x_prev, alive, scale
+    out = (x, v, x_prev, alive, scale)
+    return out if quats is None else out + (quats,)
 
 
 _SUBSTEP = {
@@ -2389,27 +2539,34 @@ _SUBSTEP = {
 
 
 def step(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt=None,
-         n_substeps=None, alive=None, rest_scale=None):
+         n_substeps=None, alive=None, rest_scale=None, quats=None):
     """One frame = n_substeps substeps (mirrors FixedUpdate + inner loop).
     Returns ``(x, v, x_prev)``, plus ``alive`` when an edge liveness mask
     was passed (TearParams), plus ``rest_scale`` when a plastic scale was
-    passed (PlasticityParams)."""
+    passed (PlasticityParams), plus ``quats`` when cluster quaternions
+    were passed (ShapeMatchParams)."""
     dt = cfg.dt if dt is None else dt
     n = cfg.n_substeps if n_substeps is None else n_substeps
     fn = _SUBSTEP[cfg.solver]
-    # tearing/plasticity only act when the CONFIG enables them
-    # (device-path parity: solver/step.py _tear_alive/_plastic_scale); a
-    # mask passed with the feature disabled is inert, returned unchanged
+    # tearing/plasticity/shape-matching only act when the CONFIG enables
+    # them (device-path parity: solver/step.py _tear_alive/_plastic_scale);
+    # a mask passed with the feature disabled is inert, returned unchanged
     use = alive if cfg.tear.enabled else None
     use_s = rest_scale if cfg.plasticity.enabled else None
+    use_q = quats if _shape_match_enabled(top, cfg) else None
     for _ in range(n):
-        x, v, x_prev, use, use_s = fn(top, cfg, x, v, x_prev, dt,
-                                      alive=use, scale=use_s)
+        res = fn(top, cfg, x, v, x_prev, dt, alive=use, scale=use_s,
+                 quats=use_q)
+        x, v, x_prev, use, use_s = res[:5]
+        if use_q is not None:
+            use_q = res[5]
     out = (x, v, x_prev)
     if alive is not None:
         out = out + ((use if cfg.tear.enabled else alive),)
     if rest_scale is not None:
         out = out + ((use_s if cfg.plasticity.enabled else rest_scale),)
+    if quats is not None:
+        out = out + ((use_q if use_q is not None else quats),)
     return out
 
 
@@ -2419,9 +2576,16 @@ def run_trajectory(top: HostTopology, cfg: SimConfig, n_steps: int, record_every
     x = top.positions0.copy()
     v = np.zeros_like(x)
     x_prev = x.copy()
+    quats = None
+    if _shape_match_enabled(top, cfg):
+        quats = np.zeros((top.n_clusters, 4))
+        quats[:, 0] = 1.0
     rec = []
     for i in range(n_steps):
-        x, v, x_prev = step(top, cfg, x, v, x_prev)
+        if quats is None:
+            x, v, x_prev = step(top, cfg, x, v, x_prev)
+        else:
+            x, v, x_prev, quats = step(top, cfg, x, v, x_prev, quats=quats)
         if (i + 1) % record_every == 0:
             rec.append(x.copy())
     return np.stack(rec, axis=0)

@@ -36,12 +36,16 @@ def batch_state(state: State, batch: int, jitter: Optional[jax.Array] = None) ->
     scale = state.rest_scale
     if scale is not None:
         scale = jnp.broadcast_to(scale[None], (batch,) + scale.shape)
+    quat = state.cluster_quat
+    if quat is not None:
+        quat = jnp.broadcast_to(quat[None], (batch,) + quat.shape)
     return State(
         x=bx,
         v=jnp.zeros_like(bx),
         x_prev=bx,
         edge_alive=alive,
         rest_scale=scale,
+        cluster_quat=quat,
     )
 
 
@@ -56,6 +60,11 @@ def _ensure_tear_batched(top: Topology, cfg: SimConfig, states: State) -> State:
         b = states.x.shape[0]
         scale = jnp.ones((b, top.edges.shape[0]), states.x.dtype)
         states = states.replace(rest_scale=scale)
+    if (cfg.shape_match.enabled and top.n_clusters > 0
+            and states.cluster_quat is None):
+        b = states.x.shape[0]
+        quat = jnp.zeros((b, top.n_clusters, 4), states.x.dtype)
+        states = states.replace(cluster_quat=quat.at[:, :, 0].set(1.0))
     return states
 
 

@@ -183,6 +183,7 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     """
     alive = _step._tear_alive(cfg, s)
     scale = _step._plastic_scale(cfg, s)
+    quats = _step._cluster_quats(cfg, s)
 
     # 1. rigid predict
     rc, rv, romega, radii, inv_i, rq = _rigid_predict(top, cfg, r, dt)
@@ -190,6 +191,14 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
     # 2. cloth substep: shared integrate + plane stage ...
     x, v, x_prev, movable = _step.euler_integrate(top, cfg, s, dt, alive,
                                                   scale)
+    if quats is not None:
+        # shape matching after integration, before all contact (oracle
+        # substep_euler_coupled slot)
+        from .shapematch import shape_match_dx
+
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
+        v = v + dxs / dt
     x, v = collide.resolve_plane_stage(top, cfg, x, v, movable)
     # ... spheres at the rigid centers: each contacting vertex sees the
     # sphere's SURFACE velocity at its own contact point (linear + spin),
@@ -276,7 +285,8 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
             top, cfg, x, v, bc, bv, bom, bq, bw, dt)
 
     return (
-        _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale),
+        _step.finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale,
+                                   quats=quats),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
                    omega=romega, quat=rq,
                    **(dict(box_centers=bc, box_velocities=bv,
@@ -1301,6 +1311,14 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     if boxed:
         bc, bv, bom, bq, bw = _boxes_predict(cfg, r, dt)
     x_new, movable = _step.verlet_integrate(top, cfg, s, dt, None, None)
+    quats = _step._cluster_quats(cfg, s)
+    if quats is not None:
+        # shape matching after integration, before contact (oracle
+        # substep_verlet_coupled slot; position-only)
+        from .shapematch import shape_match_dx
+
+        dxs, quats = shape_match_dx(top, cfg, x_new, quats)
+        x_new = x_new + dxs
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = _project_plane_only(top, cfg, x_new, movable)
@@ -1349,7 +1367,8 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
     v_new = (x_new - s.x) / dt
     return (
         State(x=x_new, v=v_new, x_prev=s.x, edge_alive=s.edge_alive,
-              rest_scale=s.rest_scale),
+              rest_scale=s.rest_scale,
+              cluster_quat=quats if quats is not None else s.cluster_quat),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
                    omega=romega, quat=rq,
                    **(dict(box_centers=bc, box_velocities=bv,
@@ -1428,6 +1447,30 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     (delta, _, _, rc, rv, bc, bv, contact), _ = jax.lax.scan(
         body, (dt * v, lam0, lam_vol0, rc, rv, bc, bv, cf0), None,
         length=cfg.xpbd.n_iterations)
+    quats = _step._cluster_quats(cfg, s)
+    if quats is not None:
+        # shape matching after the Jacobi loop, then ONE more contact pass
+        # with measured rigid reactions (oracle substep_xpbd_coupled slot)
+        from .shapematch import shape_match_dx
+
+        xe = x_prev + delta
+        dxs, quats = shape_match_dx(top, cfg, xe, quats)
+        delta = delta + dxs
+        xe = x_prev + delta
+        pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
+        contact = contact | pc
+        xe2 = _project_plane_only(top, cfg, xe, movable)
+        xe3, jl = _project_spheres_measured(xe2, movable, m, rc, radii,
+                                            dt, r.inv_mass)
+        rv = rv - jl * r.inv_mass[:, None]
+        rc = rc - (jl * dt) * r.inv_mass[:, None]
+        if boxed:
+            xe3, jb = _project_boxes_measured(top, xe3, movable, m, bc,
+                                              bq, dt, bw)
+            bv = bv - jb * bw[:, None]
+            bc = bc - (jb * dt) * bw[:, None]
+        xe4 = _project_static_rest(top, cfg, xe3, movable, skip_boxes=boxed)
+        delta = delta + (xe4 - xe)
     # plane friction ONCE per substep at the OR'd pre-clamp contact mask
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
     # sphere friction at the dynamic centers (delta rebased, reaction on
@@ -1479,7 +1522,8 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
     x = x_prev + delta
     return (
         State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=s.edge_alive,
-              rest_scale=s.rest_scale),
+              rest_scale=s.rest_scale,
+              cluster_quat=quats if quats is not None else s.cluster_quat),
         RigidState(centers=rc, velocities=rv, inv_mass=r.inv_mass,
                    omega=romega, quat=rq,
                    **(dict(box_centers=bc, box_velocities=bv,

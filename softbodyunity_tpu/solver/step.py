@@ -149,6 +149,14 @@ def _plastic_scale(cfg: SimConfig, s: State):
             if cfg.plasticity.enabled and s.rest_scale is not None else None)
 
 
+def _cluster_quats(cfg: SimConfig, s: State):
+    """The shape-matching warm-start quaternions this substep runs with
+    (None = shape matching inactive)."""
+    return (s.cluster_quat
+            if cfg.shape_match.enabled and s.cluster_quat is not None
+            else None)
+
+
 def euler_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
                     alive, scale):
     """The Euler substep BEFORE contact resolve: spring/feature forces,
@@ -170,22 +178,33 @@ def euler_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
 
 
 def finish_euler_substep(top: Topology, cfg: SimConfig, s: State, x, v,
-                         x_prev, alive, scale) -> State:
+                         x_prev, alive, scale, quats=None) -> State:
     """End-of-substep feature updates + State assembly (shared with the
     coupled substep)."""
     scale = plastic_update(top, cfg, x, scale) if scale is not None else None
     alive = (tear_update(top, cfg, x, alive, rest_scale=scale)
              if alive is not None else s.edge_alive)
     return State(x=x, v=v, x_prev=x_prev, edge_alive=alive,
-                 rest_scale=scale if scale is not None else s.rest_scale)
+                 rest_scale=scale if scale is not None else s.rest_scale,
+                 cluster_quat=quats if quats is not None else s.cluster_quat)
 
 
 def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = _tear_alive(cfg, s)
     scale = _plastic_scale(cfg, s)
+    quats = _cluster_quats(cfg, s)
     x, v, x_prev, movable = euler_integrate(top, cfg, s, dt, alive, scale)
+    if quats is not None:
+        # shape matching after the (volume-projected) integration, before
+        # collision — the contact resolve always wins (oracle substep_euler)
+        from .shapematch import shape_match_dx
+
+        dxs, quats = shape_match_dx(top, cfg, x, quats)
+        x = x + dxs
+        v = v + dxs / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
-    return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale)
+    return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale,
+                                quats=quats)
 
 
 def verlet_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
@@ -209,7 +228,15 @@ def verlet_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
 def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = _tear_alive(cfg, s)
     scale = _plastic_scale(cfg, s)
+    quats = _cluster_quats(cfg, s)
     x_new, movable = verlet_integrate(top, cfg, s, dt, alive, scale)
+    if quats is not None:
+        # shape matching after integration, before contact (position-only
+        # on the projection solvers; oracle substep_verlet)
+        from .shapematch import shape_match_dx
+
+        dxs, quats = shape_match_dx(top, cfg, x_new, quats)
+        x_new = x_new + dxs
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
@@ -224,7 +251,8 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = (tear_update(top, cfg, x_new, alive, rest_scale=scale)
              if alive is not None else s.edge_alive)
     return State(x=x_new, v=v_new, x_prev=s.x, edge_alive=alive,
-                 rest_scale=scale if scale is not None else s.rest_scale)
+                 rest_scale=scale if scale is not None else s.rest_scale,
+                 cluster_quat=quats if quats is not None else s.cluster_quat)
 
 
 def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
@@ -239,6 +267,7 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     movable = top.inv_mass > 0.0
     alive = _tear_alive(cfg, s)
     scale = _plastic_scale(cfg, s)
+    quats = _cluster_quats(cfg, s)
     g = jnp.asarray(cfg.gravity, dtype=s.x.dtype)
     accel = g[None, :]
     if cfg.wind.enabled:
@@ -308,6 +337,15 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
             body, (delta0, lam0, lam_vol0, contact0), None,
             length=cfg.xpbd.n_iterations
         )
+    if quats is not None:
+        # shape matching after the Jacobi loop, then ONE more contact
+        # projection so the goal pull never leaves penetration behind
+        # (oracle substep_xpbd)
+        from .shapematch import shape_match_dx
+
+        dxs, quats = shape_match_dx(top, cfg, x_prev + delta, quats)
+        delta, pc = _project_delta(delta + dxs)
+        contact = contact | pc
     # plane friction ONCE per substep, from the OR of the iterations'
     # pre-clamp contact masks (oracle substep_xpbd semantics)
     delta = collide.plane_friction_delta(top, cfg, delta, dt, contact)
@@ -323,7 +361,8 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = (tear_update(top, cfg, x, alive, rest_scale=scale)
              if alive is not None else s.edge_alive)
     return State(x=x, v=delta / dt, x_prev=x_prev, edge_alive=alive,
-                 rest_scale=scale if scale is not None else s.rest_scale)
+                 rest_scale=scale if scale is not None else s.rest_scale,
+                 cluster_quat=quats if quats is not None else s.cluster_quat)
 
 
 _SUBSTEP = {

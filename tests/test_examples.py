@@ -152,3 +152,8 @@ def test_example_parachute_crate():
 
 def test_example_jointed_flail():
     _load("25_jointed_flail.py").main(n_frames=40)
+
+
+def test_example_jelly_ball():
+    r_end = _load("26_jelly_ball.py").main(n_frames=60, subdivisions=1)
+    assert r_end > 0.8

@@ -27,6 +27,7 @@ TOLERANCES = {
     "cloth_batch_rl": 5e-2,         # self-collision contact chaos
     "curtain_stitched": 1e-4,       # merged bodies + stitch seams, smooth
     "balloon_drop": 5e-2,           # pressure body; plane-impact chaos
+    "jelly_ball_drop": 5e-2,        # shape matching; plane-impact chaos
     "rope_swing": 1e-4,             # 1D chain, smooth (no contact)
 }
 
