@@ -389,9 +389,14 @@ def main():
     # completed part, so whenever the process dies the last stdout line is
     # a complete, valid artifact of everything measured so far; (2) every
     # part — headline included — runs under one global soft deadline.
+    # Default raised 1500 -> 3300 s: a tunnel-noisy session measured only
+    # 5/17 parts in 1500 s.  The incremental emit above makes a LONGER
+    # internal deadline strictly better — if the driver's own timeout
+    # fires first, the last stdout line is still a complete artifact of
+    # everything measured so far.
     import os
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_SECS", 1500.0)
+        os.environ.get("BENCH_DEADLINE_SECS", 3300.0)
     )
     substeps_per_sec = 0.0
     secondary = {}

@@ -27,6 +27,7 @@ from .core.config import (
     PressureParams,
     SelfCollisionParams,
     ShapeMatchParams,
+    StrainLimitParams,
     SimConfig,
     Solver,
     SpringParams,
@@ -73,6 +74,7 @@ __all__ = [
     "apply_impulse", "suggest_dt",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams", "PlasticityParams", "PressureParams", "ShapeMatchParams",
+    "StrainLimitParams",
     "CollisionParams", "SelfCollisionParams",
     "State", "make_state", "Topology", "HostTopology",
     "cloth_grid", "tet_cube", "rope", "from_triangle_mesh", "from_tet_mesh",

@@ -219,6 +219,37 @@ class ShapeMatchParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class StrainLimitParams:
+    """Strain limiting (Provot 1995) — the production-cloth hard bound on
+    stretch that spring stiffness alone can't give: springs within the
+    band stay soft, but no edge may stretch past ``max_stretch`` (or
+    compress past ``max_compress``, when set).  Prevents the rubbery
+    super-elongation of heavy/fast cloth without exploding dt.
+
+    Semantics (oracle/reference.py::strain_limit_dx is binding).  After
+    integration and shape matching, before contact, ``iterations``
+    Jacobi sweeps over the edge list::
+
+        L      = |x_b - x_a|
+        target = clip(L, rest*(1 - max_compress), rest*(1 + max_stretch))
+        C      = L - target                      # 0 inside the band
+        dx_a  += w_a / (w_a + w_b) * C * n;  dx_b -= w_b / (w_a + w_b) ...
+        x     += dx / count(alive edges at the vertex)   # Jacobi mean
+
+    ``rest`` honours plasticity's rest scale, torn edges are inert, and
+    pinned vertices never move (w = 0).  The contact resolve runs after
+    and always wins.  On the Euler solver the position change feeds back
+    into velocity (``v += dx/dt``); Verlet/XPBD are position-level.
+    ``max_compress < 0`` disables the compression bound (cloth folds
+    freely — the common setting)."""
+
+    enabled: bool = False
+    max_stretch: float = 0.1    # relative elongation bound (0.1 = 10%)
+    max_compress: float = -1.0  # relative compression bound; < 0 = off
+    iterations: int = 4         # Jacobi sweeps per substep
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -292,6 +323,7 @@ class SimConfig:
     plasticity: PlasticityParams = PlasticityParams()
     pressure: PressureParams = PressureParams()
     shape_match: ShapeMatchParams = ShapeMatchParams()
+    strain_limit: StrainLimitParams = StrainLimitParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

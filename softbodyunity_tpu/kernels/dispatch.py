@@ -34,6 +34,17 @@ def maybe_fast_step(top, cfg, backend):
                 "general XLA path (MXU one-hot cluster reductions)",
             )
         return None
+    if cfg.strain_limit.enabled:
+        # strain limiting sweeps the edge list between integration and
+        # contact; the general jnp path is the implementation (a banded /
+        # fused variant is a known future fast path)
+        if backend == "pallas":
+            _warn_once(
+                ("strainlimit", top.n_vertices, cfg.solver),
+                "pallas requested but strain limiting routes to the jnp "
+                "gather path",
+            )
+        return None
     if cfg.pressure.enabled and top.n_pressure_bodies > 0:
         # pressure bodies are irregular closed shells (never grids or
         # regular lattices in practice); the exact jnp path is the

@@ -275,6 +275,30 @@ def jelly_ball_drop():
     return enable_shape_matching(host, cell_size=0.3), cfg
 
 
+@register("cloth_strain_limited")
+def cloth_strain_limited():
+    """Strain-limited hanging banner (StrainLimitParams semantics; oracle
+    strain_limit_dx is binding): deliberately SOFT springs would stretch
+    >40% under gravity — the 10% hard limit holds the weave together
+    (the production-cloth stretch bound).  Pins down the Jacobi edge
+    clamp against the oracle in the golden/f64 tiers."""
+    from ..core.config import StrainLimitParams
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.1),
+        springs=SpringParams(k_structural=25.0, k_shear=12.0, k_bend=5.0,
+                             damping=0.5),
+        global_damping=0.5,
+    )
+    host = cloth_grid(
+        16, 16, spacing=0.06, mass=0.05, pinned=("top",), shear=True,
+        bend=True, springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-50.0,
+        orientation="xy",
+    )
+    return host, cfg
+
+
 @register("cloth_bench_64k")
 def cloth_bench_64k():
     """Headline benchmark scene: 256x256 = 65,536-vertex cloth

@@ -729,6 +729,51 @@ def _shape_match_enabled(top: HostTopology, cfg: SimConfig) -> bool:
             and top.n_clusters > 0)
 
 
+def strain_limit_dx(top: HostTopology, cfg: SimConfig, x, alive=None,
+                    rest_scale=None):
+    """Strain-limiting position correction (StrainLimitParams semantics,
+    binding; Provot-style).  ``iterations`` Jacobi sweeps: every edge
+    outside the ``[rest*(1-max_compress), rest*(1+max_stretch)]`` length
+    band is projected back to the nearest bound, endpoints weighted by
+    inverse mass, vertex updates averaged over the VIOLATING edges
+    incident to it.  ``rest`` honours plasticity's scale; torn edges are
+    inert; pinned vertices never move.  Returns the total dx."""
+    sl = cfg.strain_limit
+    w = top.inv_mass
+    a_idx = top.edges[:, 0]
+    b_idx = top.edges[:, 1]
+    rest = (top.rest_length if rest_scale is None
+            else top.rest_length * rest_scale)
+    hi = rest * (1.0 + sl.max_stretch)
+    lo = (rest * (1.0 - sl.max_compress) if sl.max_compress >= 0.0
+          else np.zeros_like(rest))
+    x = np.array(x, np.float64)
+    x0 = x.copy()
+    # Jacobi mean over the ALIVE incident edges (the xpbd_iteration
+    # convention) — a violating-edge count would be DISCONTINUOUS in x,
+    # letting f64 scatter-order noise flip counts and diverge device vs
+    # oracle discretely; the alive count is constant per substep
+    e_cnt = np.ones(a_idx.shape[0]) if alive is None else alive
+    cnt = np.zeros(x.shape[0])
+    np.add.at(cnt, a_idx, e_cnt)
+    np.add.at(cnt, b_idx, e_cnt)
+    inv_cnt = 1.0 / np.maximum(cnt, 1.0)
+    for _ in range(sl.iterations):
+        d = x[b_idx] - x[a_idx]
+        length = np.linalg.norm(d, axis=1)
+        n = d / np.maximum(length, 1e-12)[:, None]
+        c_val = length - np.clip(length, lo, hi)
+        if alive is not None:
+            c_val = c_val * alive
+        denom = w[a_idx] + w[b_idx]
+        corr = c_val / np.maximum(denom, 1e-12)
+        dx = np.zeros_like(x)
+        np.add.at(dx, a_idx, (w[a_idx] * corr)[:, None] * n)
+        np.add.at(dx, b_idx, -(w[b_idx] * corr)[:, None] * n)
+        x = x + dx * inv_cnt[:, None]
+    return x - x0
+
+
 def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
     f = spring_forces(top, x, v, cfg=cfg, alive=alive, rest_scale=rest_scale)
     if cfg.self_collision.enabled:
@@ -807,6 +852,12 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         dxs, quats = shape_match_dx(top, cfg, x, quats)
         x = x + dxs
         v = v + dxs / dt
+    if cfg.strain_limit.enabled:
+        # strain limiting after shape matching, before collision; the
+        # position clamp feeds back into velocity on the Euler solver
+        dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
+        x = x + dxl
+        v = v + dxl / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     if cfg.collision.enable_spheres:
         x, v = resolve_spheres(
@@ -888,6 +939,10 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         dxs, quats = shape_match_dx(top, cfg, x, quats)
         x = x + dxs
         v = v + dxs / dt
+    if cfg.strain_limit.enabled:
+        dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
+        x = x + dxl
+        v = v + dxl / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     romega = np.array(romega, np.float64)
@@ -2096,6 +2151,8 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         # the uncoupled substep_verlet; position-only)
         dxs, quats = shape_match_dx(top, cfg, x_new, quats)
         x_new = x_new + dxs
+    if cfg.strain_limit.enabled:
+        x_new = x_new + strain_limit_dx(top, cfg, x_new)
     # projection order mirrors project_positions_only: plane, spheres
     # (measured, at the rigid centers), dynamic boxes (measured), then
     # the static rest
@@ -2262,13 +2319,17 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             bc = bc - (jb * dt) * bw[:, None]
         x = _project_static_rest(top, cfg, x, movable,
                                  skip_boxes=boxes is not None)
-    if quats is not None:
-        # shape matching after the Jacobi loop (same slot as the uncoupled
-        # substep_xpbd), then ONE more contact pass so the goal pull never
-        # leaves penetration behind — with the measured rigid reactions of
-        # an in-loop iteration (the bodies stay momentum-consistent)
-        dxs, quats = shape_match_dx(top, cfg, x, quats)
-        x = x + dxs
+    if quats is not None or cfg.strain_limit.enabled:
+        # shape matching + strain limiting after the Jacobi loop (same
+        # slots as the uncoupled substep_xpbd), then ONE more contact pass
+        # so the corrections never leave penetration behind — with the
+        # measured rigid reactions of an in-loop iteration (the bodies
+        # stay momentum-consistent)
+        if quats is not None:
+            dxs, quats = shape_match_dx(top, cfg, x, quats)
+            x = x + dxs
+        if cfg.strain_limit.enabled:
+            x = x + strain_limit_dx(top, cfg, x)
         pc = plane_contact_preclamp(top, cfg, x, movable)
         contact |= pc
         if cfg.collision.enable_plane:
@@ -2406,6 +2467,10 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         # on the projection solvers; Verlet recovers v from positions)
         dxs, quats = shape_match_dx(top, cfg, x_new, quats)
         x_new = x_new + dxs
+    if cfg.strain_limit.enabled:
+        # strain limiting after shape matching, before contact
+        x_new = x_new + strain_limit_dx(top, cfg, x_new, alive=alive,
+                                        rest_scale=scale)
     contact = plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = project_positions_only(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
@@ -2512,10 +2577,15 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
     if quats is not None:
-        # shape matching after the Jacobi loop, then ONE more contact
-        # projection so the goal pull never leaves penetration behind
+        # shape matching after the Jacobi loop
         dxs, quats = shape_match_dx(top, cfg, x, quats)
         x = x + dxs
+    if cfg.strain_limit.enabled:
+        # strain limiting after shape matching
+        x = x + strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
+    if quats is not None or cfg.strain_limit.enabled:
+        # ONE more contact projection so the goal pull / strain clamp
+        # never leaves penetration behind
         contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)

@@ -199,6 +199,12 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         dxs, quats = shape_match_dx(top, cfg, x, quats)
         x = x + dxs
         v = v + dxs / dt
+    if cfg.strain_limit.enabled:
+        from .strainlimit import strain_limit_dx
+
+        dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
+        x = x + dxl
+        v = v + dxl / dt
     x, v = collide.resolve_plane_stage(top, cfg, x, v, movable)
     # ... spheres at the rigid centers: each contacting vertex sees the
     # sphere's SURFACE velocity at its own contact point (linear + spin),
@@ -1319,6 +1325,10 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
 
         dxs, quats = shape_match_dx(top, cfg, x_new, quats)
         x_new = x_new + dxs
+    if cfg.strain_limit.enabled:
+        from .strainlimit import strain_limit_dx
+
+        x_new = x_new + strain_limit_dx(top, cfg, x_new)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = _project_plane_only(top, cfg, x_new, movable)
@@ -1448,14 +1458,19 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         body, (dt * v, lam0, lam_vol0, rc, rv, bc, bv, cf0), None,
         length=cfg.xpbd.n_iterations)
     quats = _step._cluster_quats(cfg, s)
-    if quats is not None:
-        # shape matching after the Jacobi loop, then ONE more contact pass
-        # with measured rigid reactions (oracle substep_xpbd_coupled slot)
-        from .shapematch import shape_match_dx
+    if quats is not None or cfg.strain_limit.enabled:
+        # shape matching + strain limiting after the Jacobi loop, then ONE
+        # more contact pass with measured rigid reactions (oracle
+        # substep_xpbd_coupled slot)
+        if quats is not None:
+            from .shapematch import shape_match_dx
 
-        xe = x_prev + delta
-        dxs, quats = shape_match_dx(top, cfg, xe, quats)
-        delta = delta + dxs
+            dxs, quats = shape_match_dx(top, cfg, x_prev + delta, quats)
+            delta = delta + dxs
+        if cfg.strain_limit.enabled:
+            from .strainlimit import strain_limit_dx
+
+            delta = delta + strain_limit_dx(top, cfg, x_prev + delta)
         xe = x_prev + delta
         pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
         contact = contact | pc

@@ -202,6 +202,14 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         dxs, quats = shape_match_dx(top, cfg, x, quats)
         x = x + dxs
         v = v + dxs / dt
+    if cfg.strain_limit.enabled:
+        # strain limiting after shape matching, before collision; the
+        # clamp feeds back into velocity (oracle substep_euler)
+        from .strainlimit import strain_limit_dx
+
+        dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
+        x = x + dxl
+        v = v + dxl / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
     return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale,
                                 quats=quats)
@@ -237,6 +245,13 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
         dxs, quats = shape_match_dx(top, cfg, x_new, quats)
         x_new = x_new + dxs
+    if cfg.strain_limit.enabled:
+        # strain limiting after shape matching, before contact (oracle
+        # substep_verlet)
+        from .strainlimit import strain_limit_dx
+
+        x_new = x_new + strain_limit_dx(top, cfg, x_new, alive=alive,
+                                        rest_scale=scale)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = collide.project_positions_only(top, cfg, x_new, movable)
     x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
@@ -337,14 +352,22 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
             body, (delta0, lam0, lam_vol0, contact0), None,
             length=cfg.xpbd.n_iterations
         )
-    if quats is not None:
-        # shape matching after the Jacobi loop, then ONE more contact
-        # projection so the goal pull never leaves penetration behind
-        # (oracle substep_xpbd)
-        from .shapematch import shape_match_dx
+    if quats is not None or cfg.strain_limit.enabled:
+        # shape matching + strain limiting after the Jacobi loop, then ONE
+        # more contact projection so the corrections never leave
+        # penetration behind (oracle substep_xpbd)
+        dxc = jnp.zeros_like(delta)
+        if quats is not None:
+            from .shapematch import shape_match_dx
 
-        dxs, quats = shape_match_dx(top, cfg, x_prev + delta, quats)
-        delta, pc = _project_delta(delta + dxs)
+            dxs, quats = shape_match_dx(top, cfg, x_prev + delta, quats)
+            dxc = dxc + dxs
+        if cfg.strain_limit.enabled:
+            from .strainlimit import strain_limit_dx
+
+            dxc = dxc + strain_limit_dx(top, cfg, x_prev + delta + dxc,
+                                        alive=alive, rest_scale=scale)
+        delta, pc = _project_delta(delta + dxc)
         contact = contact | pc
     # plane friction ONCE per substep, from the OR of the iterations'
     # pre-clamp contact masks (oracle substep_xpbd semantics)

@@ -157,3 +157,8 @@ def test_example_jointed_flail():
 def test_example_jelly_ball():
     r_end = _load("26_jelly_ball.py").main(n_frames=60, subdivisions=1)
     assert r_end > 0.8
+
+
+def test_example_strain_limited():
+    strains = _load("27_strain_limited_cloth.py").main(n_frames=80, n=10)
+    assert strains["limited"] < 0.13
