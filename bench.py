@@ -205,6 +205,7 @@ def _bench_preset_substeps(preset: str, small: int, big: int):
     top, state = api.init(host)
     state = api.ensure_tear_state(top, cfg, state)
     state = api.ensure_plastic_state(top, cfg, state)
+    state = api.ensure_shapematch_state(top, cfg, state)
 
     def make_run(n_substeps):
         @jax.jit
@@ -259,6 +260,17 @@ def bench_cube_xpbd_64k():
     """Substeps/sec, 64k tet cube XPBD (8 Jacobi iters, fused lattice
     kernel)."""
     return _bench_preset_substeps("softbody_cube_64k_xpbd", 4, 32)
+
+
+def bench_strain_64k():
+    """Substeps/sec, 64k strain-limited cloth (in-kernel Jacobi sweeps)."""
+    return _bench_preset_substeps("cloth_strain_64k", 8, 408)
+
+
+def bench_jelly_voxel_50k():
+    """Substeps/sec, shape-matched voxel jelly (97k raster / 51k live):
+    banded lattice springs + volume + MXU one-hot cluster reductions."""
+    return _bench_preset_substeps("jelly_voxel_50k", 8, 88)
 
 
 def bench_selfcollide_16k():
@@ -324,6 +336,8 @@ _PARTS = {
     "plastic64k": bench_plastic_64k,
     "plastic262k": bench_plastic_262k,
     "wind64k": bench_wind_64k,
+    "jelly50k": bench_jelly_voxel_50k,
+    "strain64k": bench_strain_64k,
 }
 
 
@@ -343,6 +357,8 @@ _SECONDARY_ORDER = [
     ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
     ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
     ("voxsphere", "substeps_per_sec_voxel_sphere_97k_raster"),
+    ("strain64k", "substeps_per_sec_64k_strain_limited"),
+    ("jelly50k", "substeps_per_sec_jelly_voxel_50k"),
     ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
     ("262k", "substeps_per_sec_262k_cloth"),
     ("tear262k", "substeps_per_sec_262k_tearing"),
@@ -427,7 +443,7 @@ def main():
         # let one attempt outlive the global deadline.
         heavy = part in ("cube", "cubexpbd", "cubeverlet", "voxsphere",
                          "xpbd64k", "1m", "262k", "tear262k",
-                         "batch", "coupled")
+                         "batch", "coupled", "jelly50k")
         base = max(90.0, min(600.0 if heavy else 420.0, remaining - 30.0))
         try:
             val = _run_part_subprocess(part, timeout=base, attempts=1)

@@ -9,6 +9,9 @@ contract.
 
 from .api import (
     apply_impulse,
+    ensure_plastic_state,
+    ensure_shapematch_state,
+    ensure_tear_state,
     init,
     move_colliders,
     move_pins,
@@ -72,6 +75,7 @@ __all__ = [
     "add_colliders", "raycast", "pick_vertex",
     "diagnostics", "contact_impulses", "contact_impulses_batched",
     "apply_impulse", "suggest_dt",
+    "ensure_tear_state", "ensure_plastic_state", "ensure_shapematch_state",
     "SimConfig", "Solver", "SpringParams", "XPBDParams", "WindParams",
     "TearParams", "PlasticityParams", "PressureParams", "ShapeMatchParams",
     "StrainLimitParams",

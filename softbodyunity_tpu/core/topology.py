@@ -606,10 +606,18 @@ def enable_shape_matching(host: HostTopology, cluster_ids=None, *,
     if cell_size is not None:
         if cell_size <= 0.0:
             raise ValueError("enable_shape_matching: cell_size must be > 0")
+        # cluster only MOVABLE vertices: pinned/ghost vertices never
+        # participate, and a pinned-only voxel must not become an (empty)
+        # cluster — e.g. lattice_from_mesh rasters carry ~50% frozen
+        # ghosts outside the mesh
+        movable = np.asarray(host.inv_mass, np.float64) > 0.0
+        if not movable.any():
+            raise ValueError("enable_shape_matching: no movable vertices")
         cells = np.floor(np.asarray(host.positions0, np.float64)
                          / float(cell_size)).astype(np.int64)
-        _, cid = np.unique(cells, axis=0, return_inverse=True)
-        cid = cid.astype(np.int64)
+        _, inv = np.unique(cells[movable], axis=0, return_inverse=True)
+        cid = np.full(n, -1, np.int64)
+        cid[movable] = inv.astype(np.int64)
     elif cluster_ids is None:
         cid = np.zeros(n, np.int64)
     else:

@@ -36,13 +36,39 @@ def maybe_fast_step(top, cfg, backend):
         return None
     if cfg.strain_limit.enabled:
         # strain limiting sweeps the edge list between integration and
-        # contact; the general jnp path is the implementation (a banded /
-        # fused variant is a known future fast path)
+        # contact: the fused Euler/Verlet grid kernels run the sweeps
+        # VMEM-resident (kernels/pallas_substep.py _strain_limit_planes,
+        # composing with tearing/plasticity planes); everything else —
+        # XPBD, lattices, over-cap grids, stencil requests — takes the
+        # banded/gather jnp path (solver/strainlimit.py).  The stencil
+        # path does NOT implement the sweeps, so it must never be the
+        # fallback here.
+        if (backend == "pallas" and top.grid_shape is not None
+                and top.grid_spacing is not None and top.n_tets == 0
+                and not cfg.self_collision.enabled
+                and cfg.solver != Solver.XPBD):
+            try:
+                from .pallas_substep import (
+                    MAX_VMEM_VERTICES,
+                    make_pallas_step,
+                    make_pallas_verlet_step,
+                )
+
+                ny, nx = top.grid_shape
+                cap = MAX_VMEM_VERTICES // (
+                    1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
+                )
+                if ny * nx <= cap:
+                    if cfg.solver == Solver.VERLET:
+                        return make_pallas_verlet_step(top, cfg)
+                    return make_pallas_step(top, cfg)
+            except (ImportError, ValueError):
+                pass
         if backend == "pallas":
             _warn_once(
                 ("strainlimit", top.n_vertices, cfg.solver),
                 "pallas requested but strain limiting routes to the jnp "
-                "gather path",
+                "banded/gather path for this scene",
             )
         return None
     if cfg.pressure.enabled and top.n_pressure_bodies > 0:

@@ -298,6 +298,43 @@ def _project_capsules_boxes_smem(xz, movable, cap_ref, n_capsules,
     return xz
 
 
+def _strain_limit_planes(xz, offsets, masks, im, sl, scales=None):
+    """Strain-limit Jacobi sweeps on component-plane lists (oracle
+    strain_limit_dx twin, solver/strainlimit.py banded form with the
+    Pallas wrap-roll as the shift): edges outside the rest-length band
+    project back to the nearest bound, vertex updates averaged over the
+    alive incident edges.  ``masks`` is the live edge-ownership planes
+    (the tear liveness planes when tearing is on — torn edges stop
+    limiting, the oracle rule); ``scales`` rescales rest (plasticity).
+    Returns the total dx planes [3, ny, nx]."""
+    cnt = jnp.zeros_like(im)
+    for (di, dj, _, _), m in zip(offsets, masks):
+        cnt = cnt + m + _kroll(m, -di, -dj)
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+    xst0 = jnp.stack(xz)
+    xst = xst0
+    for _ in range(sl.iterations):
+        dx = jnp.zeros_like(xst)
+        for o, ((di, dj, _, rest), mask) in enumerate(zip(offsets, masks)):
+            xn = _kroll(xst, di, dj)
+            d = xn - xst
+            d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            inv_len = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+            length = d2 * inv_len
+            n = d * inv_len[None]
+            rest_eff = rest if scales is None else rest * scales[o]
+            hi = rest_eff * (1.0 + sl.max_stretch)
+            lo = (rest_eff * (1.0 - sl.max_compress)
+                  if sl.max_compress >= 0.0 else 0.0)
+            c_val = (length - jnp.clip(length, lo, hi)) * mask
+            wn = _kroll(im, di, dj)
+            corr = c_val / jnp.maximum(im + wn, 1e-12)
+            dx = dx + (im * corr)[None] * n \
+                - _kroll((wn * corr)[None] * n, -di, -dj)
+        xst = xst + dx * inv_cnt[None]
+    return xst - xst0
+
+
 def _tear_planes_kroll(xst, offsets, alive, strain_limit, rest_scale=None):
     """Per-substep tear update inside a kernel: the single-source stencil
     tear check with the Pallas wrap-roll as its shift primitive."""
@@ -330,7 +367,10 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    strain_on = cfg.strain_limit.enabled
+    sl = cfg.strain_limit
     n_off = len(offsets)
+    inv_dt = 1.0 / dt
 
     def kernel(plane_ref, sph_ref, cap_ref, box_ref, x_ref, v_ref, im_ref,
                *refs):
@@ -371,6 +411,16 @@ def _make_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 vc = (vs[c] + dt * (gc + f[c] * im)) * (1.0 - gdamp * dt)
                 vz.append(jnp.where(movable, vc, 0.0))
             xz = [xs[c] + dt * vz[c] for c in range(3)]
+            if strain_on:
+                # strain limiting after integration, before contact; the
+                # clamp feeds back into velocity (oracle substep_euler)
+                dxl = _strain_limit_planes(
+                    xz, offsets, mlist, im, sl,
+                    scales=scale if plastic else None,
+                )
+                for c in range(3):
+                    xz[c] = xz[c] + dxl[c]
+                    vz[c] = vz[c] + dxl[c] * inv_dt
             if plane_on:
                 wp = [plane_ref[0, 1 + c] for c in range(3)]
                 contact = (xz[1] < plane_y) & movable
@@ -582,6 +632,8 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    strain_on = cfg.strain_limit.enabled
+    sl = cfg.strain_limit
     mu = cfg.collision.friction
     n_off = len(offsets)
     inv_dt = 1.0 / dt
@@ -624,6 +676,14 @@ def _make_verlet_kernel(cfg: SimConfig, offsets, ny: int, nx: int,
                 accel = gc + f[c] * im
                 xn = xs[c] + (xs[c] - ps[c]) * (1.0 - gdamp * dt) + accel * (dt * dt)
                 xz.append(jnp.where(movable, xn, xs[c]))
+            if strain_on:
+                # strain limiting after integration, before contact
+                # (position-only; oracle substep_verlet)
+                dxl = _strain_limit_planes(
+                    xz, offsets, mlist, im, sl,
+                    scales=scale if plastic else None,
+                )
+                xz = [xz[c] + dxl[c] for c in range(3)]
             # position-only collide (kernels/stencil.py verlet twin)
             if plane_on:
                 contact = (xz[1] < plane_y) & movable

@@ -633,6 +633,14 @@ def make_stencil_step(top: Topology, cfg: SimConfig):
     """
     from ..core.config import Solver
 
+    if cfg.strain_limit.enabled:
+        # the stencil path does not implement the strain-limit sweeps;
+        # silently dropping them would be a semantics bug — the dispatcher
+        # routes strain-limited scenes to the fused kernels or the jnp
+        # banded path instead
+        raise ValueError(
+            "strain limiting is not implemented on the stencil path")
+
     ny, nx = top.grid_shape
     spacing = top.grid_spacing
     has_shear = EDGE_SHEAR in top.edge_classes_present

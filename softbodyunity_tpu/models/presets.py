@@ -498,6 +498,34 @@ def voxel_sphere_50k():
     return top, cfg
 
 
+@register("jelly_voxel_50k")
+def jelly_voxel_50k():
+    """Shape-matched VOXEL jelly at benchmark scale: the voxel_sphere_50k
+    lattice (97k raster / ~51k live vertices) with spatial shape-matching
+    clusters — soft springs + local shape memory, the big-jelly workload.
+    Shape matching gates the fused lattice kernel off, so the substep is
+    banded (roll-based) springs + volume projection + MXU one-hot
+    cluster reductions (solver/shapematch.py; 45 us at this scale,
+    docs/PERF.md), all XLA."""
+    from ..core.topology import icosphere_mesh, lattice_from_mesh
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        shape_match=ShapeMatchParams(enabled=True, stiffness=0.2),
+        springs=SpringParams(k_structural=200.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+        volume_stiffness=0.3,
+    )
+    pos, tri = icosphere_mesh(radius=0.45, center=(0.0, 0.55, 0.0),
+                              subdivisions=2)
+    top = lattice_from_mesh(
+        pos, tri, resolution=45, mass=0.01, springs=cfg.springs,
+        xpbd=cfg.xpbd, plane_height=0.0, sdf_resolution=45,
+    )
+    return enable_shape_matching(top, cell_size=0.2), cfg
+
+
 @register("softbody_cube_64k_verlet")
 def softbody_cube_64k_verlet():
     """Verlet variant of the 64k tet cube: damped position update + banded
@@ -686,6 +714,28 @@ def cloth_plastic_262k():
         512, 512, spacing=0.005, shear=True, bend=True, pinned=("top",),
         springs=cfg.springs, xpbd=cfg.xpbd,
         plane_height=-50.0, origin=(0.0, 0.0, 0.0), orientation="xy",
+    )
+    return top, cfg
+
+
+@register("cloth_strain_64k")
+def cloth_strain_64k():
+    """64k cloth with strain limiting (soft springs, 10% hard bound) —
+    the sweeps run VMEM-resident inside the fused Pallas kernel
+    (kernels/pallas_substep.py _strain_limit_planes)."""
+    from ..core.config import StrainLimitParams
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.1),
+        springs=SpringParams(k_structural=60.0, k_shear=30.0, k_bend=12.0,
+                             damping=0.4),
+        global_damping=0.3,
+    )
+    top = cloth_grid(
+        256, 256, spacing=0.01, mass=0.02, pinned=("top",), shear=True,
+        bend=True, springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-50.0,
+        orientation="xy",
     )
     return top, cfg
 

@@ -98,6 +98,17 @@ def diagnostics(top: Topology, cfg: SimConfig, state: State) -> Dict[str, float]
             out["self_collision_cell_overflows"] = int(
                 hash_overflow_count(state.x, p)
             )
+    if cfg.strain_limit.enabled:
+        # worst relative elongation over alive edges vs the (plastic-
+        # scaled) rest — should hover at/under max_stretch + the Jacobi
+        # residual; a runaway value means the sweeps can't keep up
+        a, b = top.edges[:, 0], top.edges[:, 1]
+        rest = (top.rest_length if state.rest_scale is None
+                else top.rest_length * state.rest_scale)
+        length = jnp.linalg.norm(state.x[b] - state.x[a], axis=1)
+        strain = (length - rest) / jnp.maximum(rest, 1e-12)
+        out["max_strain"] = float(jnp.max(jnp.where(alive > 0.0, strain,
+                                                    -jnp.inf)))
     if cfg.pressure.enabled and top.n_pressure_bodies > 0:
         from ..solver.pressure import body_volumes
 

@@ -217,15 +217,109 @@ def test_f64_parity_coupled():
     assert np.max(np.abs(np.asarray(rigid.centers) - rc)) < 1e-6
 
 
-def test_gates_fast_paths_off():
+def _grid_scene(solver, tear=False, plastic=False):
+    """Soft 16x16 grid with plane contact — the fused-kernel workload."""
+    cfg = SimConfig(
+        solver=solver,
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.08),
+        springs=SpringParams(k_structural=30.0, k_shear=15.0, k_bend=6.0,
+                             damping=0.5),
+        tear=TearParams(enabled=tear, strain_limit=0.2),
+        plasticity=PlasticityParams(enabled=plastic, yield_strain=0.02,
+                                    creep=0.1),
+        global_damping=0.4,
+    )
+    host = cloth_grid(16, 16, spacing=0.08, mass=0.04, pinned=("top",),
+                      shear=True, bend=True, springs=cfg.springs,
+                      xpbd=cfg.xpbd, plane_height=-0.9, orientation="xy")
+    return host, cfg
+
+
+@pytest.mark.parametrize("solver,tear,plastic", [
+    (Solver.SEMI_IMPLICIT_EULER, False, False),
+    (Solver.VERLET, False, False),
+    (Solver.SEMI_IMPLICIT_EULER, True, True),
+    (Solver.VERLET, True, False),
+])
+def test_fused_kernel_matches_jnp(solver, tear, plastic):
+    """The fused Pallas kernel's in-kernel strain-limit sweeps == the jnp
+    banded/gather path (interpret mode; rsqrt vs sqrt rounding only),
+    composing with tearing/plasticity planes."""
+    from softbodyunity_tpu.api import ensure_plastic_state, ensure_tear_state
+    from softbodyunity_tpu.kernels.pallas_substep import (
+        make_pallas_step, make_pallas_verlet_step)
+    from softbodyunity_tpu.solver.step import step_scan
+
+    host, cfg = _grid_scene(solver, tear=tear, plastic=plastic)
+    top, state = api.init(host)
+    state = ensure_tear_state(top, cfg, state)
+    state = ensure_plastic_state(top, cfg, state)
+    make = (make_pallas_verlet_step if solver == Solver.VERLET
+            else make_pallas_step)
+    pal = make(top, cfg, interpret=True)
+    s_ref = jax.jit(
+        lambda t, s: step_scan(t, cfg, s, cfg.dt, 64))(top, state)
+    s_pal = pal(state, cfg.dt, 64)
+    # kernel rsqrt vs jnp sqrt rounding; tearing scenes accumulate a bit
+    # more through the repeated clamp-at-boundary dynamics
+    np.testing.assert_allclose(np.asarray(s_pal.x), np.asarray(s_ref.x),
+                               atol=2e-4 if tear else 3e-5)
+    if tear:
+        np.testing.assert_array_equal(np.asarray(s_pal.edge_alive),
+                                      np.asarray(s_ref.edge_alive))
+    # the limiter was actually active (soft springs stretch past 8%)
+    assert _max_strain(host, np.asarray(s_ref.x)) > 0.05
+
+
+def test_dispatch_routes_strainlimit_to_fused_kernel():
+    """A strain-limited grid lowers to a pallas_call on the pallas
+    backend (never silently the stencil path, which lacks the sweeps)."""
     from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _grid_scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    fn = dispatch.maybe_fast_step(top, cfg, "pallas")
+    assert fn is not None
+    # XPBD and stencil requests stay on the jnp path
+    assert dispatch.maybe_fast_step(
+        top, cfg.replace(solver=Solver.XPBD), "pallas") is None
+    assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
+
+
+def test_banded_twin_matches_gather():
+    """The banded (roll-based) sweep == the gather sweep to f32 rounding
+    on a fully-banded grid (the banded path is what grids actually run)."""
+    from softbodyunity_tpu.solver import strainlimit
+
+    host, cfg = _scene(Solver.SEMI_IMPLICIT_EULER)
+    top, state = api.init(host)
+    assert top.offset_groups.n_residual == 0
+    rng = np.random.default_rng(2)
+    x = state.x + jnp.asarray(
+        rng.normal(0, 0.08, state.x.shape).astype(np.float32))
+    dx_banded = strainlimit.strain_limit_dx(top, cfg, x)
+    # force the gather path by threading an (all-ones) alive mask
+    dx_gather = strainlimit.strain_limit_dx(
+        top, cfg, x, alive=jnp.ones(host.edges.shape[0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(dx_banded),
+                               np.asarray(dx_gather), atol=2e-6)
+    assert float(jnp.abs(dx_banded).max()) > 0.0
+
+
+def test_gates_fast_paths_off():
+    """Non-fused-kernel scenes must never silently drop the sweeps: the
+    stencil backend refuses strain-limit configs outright."""
+    from softbodyunity_tpu.kernels import dispatch
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
 
     grid = cloth_grid(16, 16, spacing=0.05, shear=True, bend=True)
     top, _ = api.init(grid)
     cfg_on = SimConfig(strain_limit=StrainLimitParams(enabled=True))
     cfg_off = SimConfig()
-    assert dispatch.maybe_fast_step(top, cfg_on, "pallas") is None
+    assert dispatch.maybe_fast_step(top, cfg_on, "stencil") is None
     assert dispatch.maybe_fast_step(top, cfg_off, "stencil") is not None
+    with pytest.raises(ValueError, match="strain limiting"):
+        make_stencil_step(top, cfg_on)
 
 
 def test_batched_matches_single():
