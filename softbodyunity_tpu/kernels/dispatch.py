@@ -24,9 +24,21 @@ def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
     if cfg.shape_match.enabled and top.n_clusters > 0:
-        # shape-matching clusters are irregular vertex subsets; the
-        # general jnp path IS the implementation (cluster reductions as
-        # MXU one-hot matmuls, see solver/shapematch.py + docs/PERF.md)
+        # shape-matching clusters are irregular vertex subsets, so the
+        # cluster reductions always run as MXU one-hot matmuls in XLA
+        # (solver/shapematch.py) — but on banded lattices the
+        # integrate+volume stage still fuses: the HYBRID path launches
+        # the lattice kernel one substep at a time (contact gated off)
+        # and runs shape matching + contact outside, preserving the
+        # oracle's integrate -> shape-match -> collide order
+        if backend == "pallas" and top.n_tets > 0:
+            from .pallas_lattice import (
+                lattice_shapematch_applicable,
+                make_lattice_shapematch_step,
+            )
+
+            if lattice_shapematch_applicable(top, cfg):
+                return make_lattice_shapematch_step(top, cfg)
         if backend == "pallas":
             _warn_once(
                 ("shapematch", top.n_vertices, cfg.solver),

@@ -36,6 +36,7 @@ banded path and therefore to the float64 oracle; tests assert equality.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -1010,5 +1011,128 @@ def make_lattice_step(top: Topology, cfg: SimConfig, interpret: bool = False):
         return State(x=x, v=v, x_prev=x - dt * v,
                      edge_alive=state.edge_alive,
                      rest_scale=state.rest_scale)
+
+    return fn
+
+
+def lattice_shapematch_applicable(top: Topology, cfg: SimConfig) -> bool:
+    """Static gate for the HYBRID shape-matched lattice step: the fused
+    lattice kernel runs the integrate+volume stage one substep at a time
+    with in-kernel contact disabled, then the MXU one-hot shape matching
+    and the jnp contact resolve run outside — preserving the oracle's
+    integrate -> shape-match -> collide order.  Euler/Verlet only; any
+    per-edge feature state (tearing/plasticity/strain limiting) or
+    pressure routes to the general jnp path instead."""
+    if not (cfg.shape_match.enabled and top.n_clusters > 0):
+        return False
+    if (cfg.strain_limit.enabled or cfg.plasticity.enabled
+            or cfg.tear.enabled
+            or (cfg.pressure.enabled and top.n_pressure_bodies > 0)):
+        return False
+    if top.n_tets == 0:
+        return False
+    if cfg.solver not in (Solver.SEMI_IMPLICIT_EULER, Solver.VERLET):
+        return False
+    return _lattice_gate_common(top, cfg, cfg.solver)
+
+
+def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
+                                 interpret: bool = False):
+    """Build ``fn(state, dt, n_substeps) -> state`` for shape-matched
+    lattices (jelly bodies): per substep, ONE fused-kernel launch
+    (banded springs + integrate + volume projection, contact gated OFF
+    inside the kernel) feeds the MXU one-hot shape matching
+    (solver/shapematch.py) and the jnp contact resolve — all under one
+    ``lax.scan``, so the frame is still a single XLA program.  Callers
+    gate on :func:`lattice_shapematch_applicable`.  Semantics ==
+    solver/step.py::substep_euler / substep_verlet with shape matching
+    (oracle order: integrate -> shape-match -> collide, contact wins)."""
+    from ..solver import collide
+    from ..solver.shapematch import shape_match_dx
+    from ..solver.step import verlet_contact_project
+
+    g = top.offset_groups
+    t = top.tet_groups
+    egroups = tuple(
+        (delta, k, rest)
+        for delta, (k, rest, _alpha) in zip(g.deltas, g.uniform)
+    )
+    use_volume = len(t.deltas) > 0 and cfg.volume_stiffness != 0.0
+    tgroups = tuple(
+        (pattern, rv)
+        for pattern, rv in zip(t.deltas, t.uniform_rest_volume)
+    ) if use_volume else ()
+    n = top.n_vertices
+    s_dim = pl.cdiv(n, LANES)
+    # contact moves OUTSIDE the kernel (after shape matching)
+    cfg_nc = cfg.replace(collision=dataclasses.replace(
+        cfg.collision, enable_plane=False, enable_spheres=False,
+        enable_capsules=False, enable_boxes=False,
+    ))
+    verlet = cfg.solver == Solver.VERLET
+
+    def fn(state: State, dt: float, n_substeps: int) -> State:
+        if state.cluster_quat is None:
+            # dormant shape matching (api.ensure_shapematch_state not
+            # called): identical to the plain lattice kernels
+            make = (make_lattice_verlet_step if verlet
+                    else make_lattice_step)
+            return make(top, cfg, interpret=interpret)(state, dt,
+                                                       n_substeps)
+        movable = top.inv_mass > 0.0
+        im2 = _fold(top.inv_mass, s_dim)
+        emask = _fold(g.mask, s_dim)
+        tmask = (_fold(t.mask, s_dim) if use_volume
+                 else jnp.zeros((1, s_dim, LANES), jnp.float32))
+        plane = _pack_plane(top)
+        spheres = _pack_spheres(top)
+        capsules = _pack_capsules(top)
+        boxes = _pack_boxes(top)
+        dt_f = float(dt)
+
+        def euler_body(carry, _):
+            x, v, quats = carry
+            xo, vo = _pallas_lattice_substeps(
+                _fold(x.T, s_dim), _fold(v.T, s_dim), im2, emask, tmask,
+                plane, spheres, capsules, boxes,
+                cfg_nc, egroups, tgroups, dt_f, 1, interpret,
+            )
+            x = xo.reshape(3, -1).T[:n]
+            v = vo.reshape(3, -1).T[:n]
+            dxs, quats = shape_match_dx(top, cfg, x, quats)
+            x = x + dxs
+            v = v + dxs / dt_f
+            x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
+            return (x, v, quats), None
+
+        def verlet_body(carry, _):
+            x, xp, quats = carry
+            xo, _ = _pallas_lattice_verlet_substeps(
+                _fold(x.T, s_dim), _fold(xp.T, s_dim), im2, emask, tmask,
+                plane, spheres, capsules, boxes,
+                cfg_nc, egroups, tgroups, dt_f, 1, interpret,
+            )
+            x_new = xo.reshape(3, -1).T[:n]
+            # position-only on the projection solvers (oracle
+            # substep_verlet)
+            dxs, quats = shape_match_dx(top, cfg, x_new, quats)
+            x_new = x_new + dxs
+            x_new = verlet_contact_project(top, cfg, x_new, x, dt_f,
+                                           movable)
+            return (x_new, x, quats), None
+
+        if verlet:
+            (x, xp, quats), _ = jax.lax.scan(
+                verlet_body, (state.x, state.x_prev, state.cluster_quat),
+                None, length=int(n_substeps))
+            return State(x=x, v=(x - xp) / dt_f, x_prev=xp,
+                         edge_alive=state.edge_alive,
+                         rest_scale=state.rest_scale, cluster_quat=quats)
+        (x, v, quats), _ = jax.lax.scan(
+            euler_body, (state.x, state.v, state.cluster_quat),
+            None, length=int(n_substeps))
+        return State(x=x, v=v, x_prev=x - dt_f * v,
+                     edge_alive=state.edge_alive,
+                     rest_scale=state.rest_scale, cluster_quat=quats)
 
     return fn

@@ -503,10 +503,10 @@ def jelly_voxel_50k():
     """Shape-matched VOXEL jelly at benchmark scale: the voxel_sphere_50k
     lattice (97k raster / ~51k live vertices) with spatial shape-matching
     clusters — soft springs + local shape memory, the big-jelly workload.
-    Shape matching gates the fused lattice kernel off, so the substep is
-    banded (roll-based) springs + volume projection + MXU one-hot
-    cluster reductions (solver/shapematch.py; 45 us at this scale,
-    docs/PERF.md), all XLA."""
+    Runs the HYBRID path (kernels/pallas_lattice.py::
+    make_lattice_shapematch_step): fused lattice kernel per substep
+    (contact gated off inside) + MXU one-hot cluster reductions + jnp
+    contact, 5.7k substeps/s on one chip (docs/PERF.md)."""
     from ..core.topology import icosphere_mesh, lattice_from_mesh
 
     cfg = SimConfig(

@@ -233,6 +233,23 @@ def verlet_integrate(top: Topology, cfg: SimConfig, s: State, dt: float,
     return x_new, movable
 
 
+def verlet_contact_project(top: Topology, cfg: SimConfig, x_new, x_old,
+                           dt: float, movable):
+    """The Verlet substep's position-level contact chain (pre-clamp
+    record, projection, plane/sphere/capsule-box friction) — shared with
+    the hybrid lattice shape-matching path
+    (kernels/pallas_lattice.py::make_lattice_shapematch_step)."""
+    contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
+    x_new = collide.project_positions_only(top, cfg, x_new, movable)
+    x_new = collide.plane_friction_positions(top, cfg, x_new, x_old, dt,
+                                             contact)
+    x_new = collide.sphere_friction_positions(top, cfg, x_new, x_old, dt,
+                                              movable)
+    x_new = collide.rest_friction_positions(top, cfg, x_new, x_old, dt,
+                                            movable)
+    return x_new
+
+
 def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
     alive = _tear_alive(cfg, s)
     scale = _plastic_scale(cfg, s)
@@ -252,14 +269,7 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
         x_new = x_new + strain_limit_dx(top, cfg, x_new, alive=alive,
                                         rest_scale=scale)
-    contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
-    x_new = collide.project_positions_only(top, cfg, x_new, movable)
-    x_new = collide.plane_friction_positions(top, cfg, x_new, s.x, dt,
-                                             contact)
-    x_new = collide.sphere_friction_positions(top, cfg, x_new, s.x, dt,
-                                              movable)
-    x_new = collide.rest_friction_positions(top, cfg, x_new, s.x, dt,
-                                            movable)
+    x_new = verlet_contact_project(top, cfg, x_new, s.x, dt, movable)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)
              if scale is not None else None)

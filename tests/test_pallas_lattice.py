@@ -257,3 +257,68 @@ def test_lattice_xpbd_sphere_collider_matches():
         np.asarray(s_ref.x) - np.array([0.2, -0.02, 0.2]), axis=1
     )
     assert d.min() < 0.31
+
+
+def _jelly_lattice_scene(solver):
+    """Banded tet lattice with spatial shape-matching clusters — the
+    hybrid-path workload (jelly_voxel_50k shrunk to test size)."""
+    from softbodyunity_tpu.core.config import ShapeMatchParams, Solver
+    from softbodyunity_tpu.core.topology import enable_shape_matching
+
+    cfg = SimConfig(
+        solver=solver,
+        shape_match=ShapeMatchParams(enabled=True, stiffness=0.25),
+        springs=SpringParams(k_structural=300.0, damping=0.8),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.4,
+        volume_stiffness=0.3,
+    )
+    host = tet_cube(
+        6, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, -0.01, 0.0),
+    )
+    return enable_shape_matching(host, cell_size=0.18), cfg
+
+
+@pytest.mark.parametrize("solver_name", ["euler", "verlet"])
+def test_lattice_shapematch_hybrid_matches_jnp(solver_name):
+    """The hybrid step (fused kernel integrate+volume, MXU shape matching
+    + contact outside) == the general jnp path to kernel rounding."""
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels.pallas_lattice import (
+        lattice_shapematch_applicable,
+        make_lattice_shapematch_step,
+    )
+
+    solver = (Solver.VERLET if solver_name == "verlet"
+              else Solver.SEMI_IMPLICIT_EULER)
+    host, cfg = _jelly_lattice_scene(solver)
+    top, state = api.init(host)
+    state = api.ensure_shapematch_state(top, cfg, state)
+    assert lattice_shapematch_applicable(top, cfg)
+    hyb = make_lattice_shapematch_step(top, cfg, interpret=True)
+    s_h = hyb(state, cfg.dt, 48)
+    s_ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))(top, state)
+    np.testing.assert_allclose(np.asarray(s_h.x), np.asarray(s_ref.x),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(s_h.cluster_quat),
+                               np.asarray(s_ref.cluster_quat), atol=3e-5)
+    # contact was exercised (the scene STARTS penetrating the plane and
+    # ends pushed out) and the clusters actually rotated
+    assert host.positions0[:, 1].min() < 0.0
+    assert np.asarray(s_ref.x)[:, 1].min() >= -1e-6
+    assert float(np.abs(np.asarray(s_ref.cluster_quat)[:, 1:]).max()) > 1e-4
+
+
+def test_lattice_shapematch_dispatch_routes_to_hybrid():
+    """A shape-matched banded lattice lowers through the hybrid path on
+    the pallas backend; dormant quats fall back to the plain kernel."""
+    from softbodyunity_tpu.core.config import Solver
+    from softbodyunity_tpu.kernels import dispatch
+
+    host, cfg = _jelly_lattice_scene(Solver.SEMI_IMPLICIT_EULER)
+    top, _ = api.init(host)
+    assert dispatch.maybe_fast_step(top, cfg, "pallas") is not None
+    # XPBD has no hybrid (λ state lives inside the Jacobi loop)
+    assert dispatch.maybe_fast_step(
+        top, cfg.replace(solver=Solver.XPBD), "pallas") is None
