@@ -48,17 +48,16 @@ def maybe_fast_step(top, cfg, backend):
         return None
     if cfg.strain_limit.enabled:
         # strain limiting sweeps the edge list between integration and
-        # contact: the fused Euler/Verlet grid kernels run the sweeps
-        # VMEM-resident (kernels/pallas_substep.py _strain_limit_planes,
-        # composing with tearing/plasticity planes); everything else —
-        # XPBD, lattices, over-cap grids, stencil requests — takes the
-        # banded/gather jnp path (solver/strainlimit.py).  The stencil
-        # path does NOT implement the sweeps, so it must never be the
-        # fallback here.
+        # contact: the fused Euler/Verlet/XPBD grid kernels run the
+        # sweeps VMEM-resident (kernels/pallas_substep.py
+        # _strain_limit_planes, composing with tearing/plasticity
+        # planes); everything else — lattices, over-cap grids, stencil
+        # requests — takes the banded/gather jnp path
+        # (solver/strainlimit.py).  The stencil path does NOT implement
+        # the sweeps, so it must never be the fallback here.
         if (backend == "pallas" and top.grid_shape is not None
                 and top.grid_spacing is not None and top.n_tets == 0
-                and not cfg.self_collision.enabled
-                and cfg.solver != Solver.XPBD):
+                and not cfg.self_collision.enabled):
             try:
                 from .pallas_substep import (
                     MAX_VMEM_VERTICES,
@@ -71,6 +70,9 @@ def maybe_fast_step(top, cfg, backend):
                     1 + int(cfg.tear.enabled) + int(cfg.plasticity.enabled)
                 )
                 if ny * nx <= cap:
+                    if cfg.solver == Solver.XPBD:
+                        from .pallas_xpbd import make_pallas_xpbd_step
+                        return make_pallas_xpbd_step(top, cfg)
                     if cfg.solver == Solver.VERLET:
                         return make_pallas_verlet_step(top, cfg)
                     return make_pallas_step(top, cfg)

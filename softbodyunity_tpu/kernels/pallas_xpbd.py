@@ -53,6 +53,8 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
     wind_on = cfg.wind.enabled
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    strain_on = cfg.strain_limit.enabled
+    sl = cfg.strain_limit
     mu = cfg.collision.friction
     n_off = len(xoffsets)
 
@@ -180,11 +182,46 @@ def _make_kernel(cfg: SimConfig, xoffsets, ny: int, nx: int,
                 unroll=1
             )
             dl = [jnp.where(movable, out[c], 0.0) for c in range(3)]
+            cf = out[3]
+            if strain_on:
+                from .pallas_substep import _strain_limit_planes
+
+                # strain limiting after the Jacobi loop, then ONE more
+                # contact projection so the sweeps never leave penetration
+                # behind (oracle substep_xpbd); dx self-masks at pinned
+                # vertices (inv-mass weighting)
+                masks = (alive if tearing
+                         else [_edge_mask(ny, nx, di, dj)
+                               for di, dj, _a, _r in xoffsets])
+                xe = [xp[c] + dl[c] for c in range(3)]
+                dxl = _strain_limit_planes(
+                    xe, xoffsets, masks, w, sl,
+                    scales=scale if plastic else None,
+                )
+                dl = [dl[c] + dxl[c] for c in range(3)]
+                if plane_on:
+                    xe1 = xp[1] + dl[1]
+                    contact = (xe1 < plane_y) & movable
+                    dl[1] = jnp.where(contact, plane_y - xp[1], dl[1])
+                    cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
+                if spheres_on:
+                    xe = [xp[c] + dl[c] for c in range(3)]
+                    xpr = _project_spheres_positions(
+                        list(xe), movable, sph_ref, n_spheres
+                    )
+                    dl = [dl[c] + (xpr[c] - xe[c]) for c in range(3)]
+                if n_caps_on or n_boxes_on:
+                    xe = [xp[c] + dl[c] for c in range(3)]
+                    xpr = _project_capsules_boxes_smem(
+                        list(xe), movable, cap_ref, n_caps_on,
+                        box_ref, n_boxes_on,
+                    )
+                    dl = [dl[c] + (xpr[c] - xe[c]) for c in range(3)]
             if plane_on and mu != 0.0:
                 # plane friction ONCE per substep (stencil xpbd twin):
                 # damp the tangential delta relative to the plane surface
                 # velocity at the OR'd pre-clamp contact mask
-                fric = out[3] > 0.0
+                fric = cf > 0.0
                 for ax in (0, 2):
                     wdt = plane_ref[0, 1 + ax] * dt
                     dl[ax] = jnp.where(

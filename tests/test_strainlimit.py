@@ -218,12 +218,17 @@ def test_f64_parity_coupled():
 
 
 def _grid_scene(solver, tear=False, plastic=False):
-    """Soft 16x16 grid with plane contact — the fused-kernel workload."""
+    """Soft 16x16 grid with plane contact — the fused-kernel workload.
+    High XPBD compliance keeps the springs stretchy there too, so the
+    limiter does real work on all three solvers."""
+    from softbodyunity_tpu.core.config import XPBDParams
+
     cfg = SimConfig(
         solver=solver,
         strain_limit=StrainLimitParams(enabled=True, max_stretch=0.08),
         springs=SpringParams(k_structural=30.0, k_shear=15.0, k_bend=6.0,
                              damping=0.5),
+        xpbd=XPBDParams(compliance_distance=5e-3, compliance_bend=5e-2),
         tear=TearParams(enabled=tear, strain_limit=0.2),
         plasticity=PlasticityParams(enabled=plastic, yield_strain=0.02,
                                     creep=0.1),
@@ -238,8 +243,10 @@ def _grid_scene(solver, tear=False, plastic=False):
 @pytest.mark.parametrize("solver,tear,plastic", [
     (Solver.SEMI_IMPLICIT_EULER, False, False),
     (Solver.VERLET, False, False),
+    (Solver.XPBD, False, False),
     (Solver.SEMI_IMPLICIT_EULER, True, True),
     (Solver.VERLET, True, False),
+    (Solver.XPBD, True, False),
 ])
 def test_fused_kernel_matches_jnp(solver, tear, plastic):
     """The fused Pallas kernel's in-kernel strain-limit sweeps == the jnp
@@ -248,14 +255,16 @@ def test_fused_kernel_matches_jnp(solver, tear, plastic):
     from softbodyunity_tpu.api import ensure_plastic_state, ensure_tear_state
     from softbodyunity_tpu.kernels.pallas_substep import (
         make_pallas_step, make_pallas_verlet_step)
+    from softbodyunity_tpu.kernels.pallas_xpbd import make_pallas_xpbd_step
     from softbodyunity_tpu.solver.step import step_scan
 
     host, cfg = _grid_scene(solver, tear=tear, plastic=plastic)
     top, state = api.init(host)
     state = ensure_tear_state(top, cfg, state)
     state = ensure_plastic_state(top, cfg, state)
-    make = (make_pallas_verlet_step if solver == Solver.VERLET
-            else make_pallas_step)
+    make = {Solver.VERLET: make_pallas_verlet_step,
+            Solver.XPBD: make_pallas_xpbd_step,
+            Solver.SEMI_IMPLICIT_EULER: make_pallas_step}[solver]
     pal = make(top, cfg, interpret=True)
     s_ref = jax.jit(
         lambda t, s: step_scan(t, cfg, s, cfg.dt, 64))(top, state)
@@ -280,9 +289,10 @@ def test_dispatch_routes_strainlimit_to_fused_kernel():
     top, _ = api.init(host)
     fn = dispatch.maybe_fast_step(top, cfg, "pallas")
     assert fn is not None
-    # XPBD and stencil requests stay on the jnp path
+    # all three solvers route to their fused kernels; stencil requests
+    # stay on the jnp path (the stencil twin lacks the sweeps)
     assert dispatch.maybe_fast_step(
-        top, cfg.replace(solver=Solver.XPBD), "pallas") is None
+        top, cfg.replace(solver=Solver.XPBD), "pallas") is not None
     assert dispatch.maybe_fast_step(top, cfg, "stencil") is None
 
 
