@@ -15,6 +15,7 @@ from .api import (
     init,
     move_colliders,
     move_pins,
+    move_tethers,
     normals,
     pick_vertex,
     raycast,
@@ -26,6 +27,7 @@ from .api import (
 from .solver.rigid import RigidState, make_rigid_state
 from .core.config import (
     CollisionParams,
+    MotionConstraintParams,
     PlasticityParams,
     PressureParams,
     SelfCollisionParams,
@@ -57,6 +59,7 @@ from .core.topology import (
     lattice_from_mesh,
     merge_bodies,
     rope,
+    set_motion_constraints,
     stitch,
     terrain_mesh,
     tet_cube,
@@ -72,6 +75,7 @@ from .utils.render import render_frame, render_rollout
 __version__ = "0.1.0"
 __all__ = [
     "init", "step", "rollout", "normals", "move_colliders", "move_pins",
+    "move_tethers", "set_motion_constraints", "MotionConstraintParams",
     "add_colliders", "raycast", "pick_vertex",
     "diagnostics", "contact_impulses", "contact_impulses_batched",
     "apply_impulse", "suggest_dt",

@@ -184,6 +184,12 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                     else None),
         cluster_rest=(f32(host.cluster_rest)
                       if host.cluster_rest is not None else None),
+        tether_anchor=(f32(host.tether_anchor)
+                       if getattr(host, "tether_anchor", None) is not None
+                       else None),
+        tether_radius=(f32(host.tether_radius)
+                       if getattr(host, "tether_radius", None) is not None
+                       else None),
         n_clusters=host.n_clusters,
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
@@ -481,4 +487,30 @@ def move_colliders(
     ):
         if val is not None:
             kw[name] = jnp.asarray(val, f32)
+    return dataclasses.replace(top, **kw)
+
+
+def move_tethers(top: Topology, anchors=None, radii=None,
+                 indices=None) -> Topology:
+    """Animate the motion-constraint tether anchors/radii (the per-frame
+    skinned-body targets of Unity Cloth's ``maxDistance``): array data on
+    Topology, zero recompiles, vmap/sharding-safe.  ``indices`` updates a
+    subset (anchors/radii then have one row per index); the topology must
+    already carry constraints (``set_motion_constraints``)."""
+    import dataclasses
+
+    if top.tether_anchor is None:
+        raise ValueError(
+            "move_tethers: topology has no motion constraints; build with "
+            "core.topology.set_motion_constraints first")
+    f32 = top.tether_anchor.dtype
+    kw = {}
+    if anchors is not None:
+        a = jnp.asarray(anchors, f32)
+        kw["tether_anchor"] = (top.tether_anchor.at[indices].set(a)
+                               if indices is not None else a)
+    if radii is not None:
+        r = jnp.asarray(radii, f32)
+        kw["tether_radius"] = (top.tether_radius.at[indices].set(r)
+                               if indices is not None else r)
     return dataclasses.replace(top, **kw)

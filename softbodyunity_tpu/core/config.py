@@ -250,6 +250,39 @@ class StrainLimitParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class MotionConstraintParams:
+    """Per-vertex motion constraints — the Unity Cloth ``maxDistance``
+    coefficient: every vertex is tethered inside a sphere of radius
+    ``tether_radius[i]`` around its anchor point ``tether_anchor[i]``
+    (painted per-vertex in the Unity editor; here set by
+    :func:`core.topology.set_motion_constraints`, animated with
+    :func:`api.move_tethers`).  The workhorse of character cloth: the
+    simulated surface may flutter freely but can never leave the
+    animated body by more than the painted slack.
+
+    Semantics (oracle/reference.py::tether_dx is binding).  After
+    integration, shape matching and strain limiting, before contact::
+
+        d      = x_i - anchor_i
+        excess = max(|d| - radius_i * scale, 0)
+        x_i   -= excess * d / |d|                 # movable vertices only
+
+    A radius of ``inf`` leaves a vertex unconstrained; pinned vertices
+    never move.  On the Euler solver the clamp feeds back into velocity
+    (``v += dx/dt``); Verlet/XPBD are position-level.  The contact
+    resolve runs after and always wins (anchors inside a collider do
+    not push cloth through it).  ``scale`` is the global slack
+    multiplier (Unity's Max Distance scale): 0 hard-welds every
+    constrained vertex to its anchor.  Anchors/radii are Topology
+    ARRAY data — animate them per frame (skinned-body targets) with
+    zero recompiles.  General jnp path on all three solvers (the fast
+    grid/lattice kernels gate off loudly)."""
+
+    enabled: bool = False
+    scale: float = 1.0          # global multiplier on the painted radii
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionParams:
     """Environment collision behaviour ("plane/sphere collision resolve",
     BASELINE.json:5).  The collider *geometry* (plane height, sphere
@@ -324,6 +357,7 @@ class SimConfig:
     pressure: PressureParams = PressureParams()
     shape_match: ShapeMatchParams = ShapeMatchParams()
     strain_limit: StrainLimitParams = StrainLimitParams()
+    motion: MotionConstraintParams = MotionConstraintParams()
     # Volume preservation for tet meshes (BASELINE.json:10): PBD-style
     # projection strength in [0,1] applied after integration when tets exist.
     volume_stiffness: float = 1.0

@@ -128,6 +128,11 @@ class Topology:
     cluster_rest: jax.Array = None    # f32[N, 3] rest offset from the
     #                                   cluster's mass-weighted rest centroid
     #                                   (zeros for non-members / pinned)
+    # --- per-vertex motion constraints (Unity Cloth maxDistance; None =
+    #     none; see set_motion_constraints / MotionConstraintParams;
+    #     anchors are movable array data — animate with api.move_tethers) --
+    tether_anchor: jax.Array = None   # f32[N, 3] tether sphere centers
+    tether_radius: jax.Array = None   # f32[N]    max distance (inf = free)
     # --- static metadata (aux / hashable) ---------------------------------
     n_clusters: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_vertices: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -357,6 +362,11 @@ class HostTopology:
     cluster_id: Optional[np.ndarray] = None           # i64[N]
     cluster_rest: Optional[np.ndarray] = None         # f64[N, 3]
     n_clusters: int = 0
+    # per-vertex motion constraints (None = none; see
+    # set_motion_constraints): tether sphere anchor + max distance per
+    # vertex (inf = unconstrained); behaviour set by MotionConstraintParams
+    tether_anchor: Optional[np.ndarray] = None        # f64[N, 3]
+    tether_radius: Optional[np.ndarray] = None        # f64[N]
 
 
 def add_colliders(
@@ -650,6 +660,57 @@ def enable_shape_matching(host: HostTopology, cluster_ids=None, *,
     host.cluster_id = cid
     host.cluster_rest = q
     host.n_clusters = k
+    return host
+
+
+def set_motion_constraints(host: HostTopology, max_distance, *,
+                           anchors=None, indices=None) -> HostTopology:
+    """Tether vertices inside spheres around anchor points — the Unity
+    Cloth ``maxDistance`` motion constraint (painted per-vertex in the
+    editor; the workhorse of character cloth: simulate freely, never
+    leave the animated body by more than the painted slack).
+
+    * ``max_distance``: scalar or per-vertex f64 radii; ``np.inf`` leaves
+      a vertex unconstrained.
+    * ``anchors`` f64[N,3] (default: the rest positions) — the tether
+      sphere centers.  Animate per frame with :func:`api.move_tethers`
+      (array data, zero recompiles) to follow a skinned body.
+    * ``indices``: constrain only these vertex ids (scalar
+      ``max_distance`` broadcast over them; everything else ``inf``).
+
+    Enable with ``SimConfig(motion=MotionConstraintParams(enabled=True,
+    scale=...))``; semantics in :class:`MotionConstraintParams` /
+    ``oracle/reference.py::tether_dx``.  Call after any BFS-reordering
+    builder (ids are final) and before :func:`merge_bodies` only if every
+    merged body carries constraints (merge keeps per-body arrays)."""
+    n = host.positions0.shape[0]
+    r = np.asarray(max_distance, np.float64)
+    if indices is not None:
+        ids = np.asarray(indices, np.int64).reshape(-1)
+        if r.ndim == 0:
+            r = np.broadcast_to(r, ids.shape)
+        elif r.shape != ids.shape:
+            raise ValueError(
+                "set_motion_constraints: per-vertex max_distance must "
+                "match indices")
+        full = np.full(n, np.inf)
+        full[ids] = r
+        r = full
+    elif r.ndim == 0:
+        r = np.full(n, float(r))
+    elif r.shape != (n,):
+        raise ValueError(
+            f"set_motion_constraints: max_distance has {r.shape[0]} "
+            f"entries for {n} vertices")
+    if (r < 0.0).any():
+        raise ValueError("set_motion_constraints: max_distance must be >= 0")
+    a = (np.array(host.positions0, np.float64) if anchors is None
+         else np.asarray(anchors, np.float64))
+    if a.shape != (n, 3):
+        raise ValueError(
+            f"set_motion_constraints: anchors shape {a.shape} != ({n}, 3)")
+    host.tether_anchor = a
+    host.tether_radius = np.asarray(r, np.float64)
     return host
 
 
@@ -1749,6 +1810,7 @@ def merge_bodies(*hosts: HostTopology) -> HostTopology:
                        else h.sdf_spacings.shape[0])),
         **_merge_attachments(hosts, offs),
         **_merge_clusters(hosts),
+        **_merge_tethers(hosts),
     )
 
 
@@ -1771,6 +1833,24 @@ def _merge_clusters(hosts):
             off += int(h.n_clusters)
     return dict(cluster_id=np.concatenate(ids),
                 cluster_rest=np.concatenate(rests), n_clusters=off)
+
+
+def _merge_tethers(hosts):
+    """Concatenate per-vertex motion constraints; bodies without them get
+    ``inf`` radii (unconstrained) with their own rest positions as inert
+    anchors, so merged topologies keep every body's tethers intact."""
+    if not any(h.tether_anchor is not None for h in hosts):
+        return dict(tether_anchor=None, tether_radius=None)
+    anchors, radii = [], []
+    for h in hosts:
+        if h.tether_anchor is None:
+            anchors.append(np.array(h.positions0, np.float64))
+            radii.append(np.full(h.positions0.shape[0], np.inf))
+        else:
+            anchors.append(np.asarray(h.tether_anchor, np.float64))
+            radii.append(np.asarray(h.tether_radius, np.float64))
+    return dict(tether_anchor=np.concatenate(anchors),
+                tether_radius=np.concatenate(radii))
 
 
 def _merge_attachments(hosts, offs):

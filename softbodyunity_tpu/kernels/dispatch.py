@@ -23,6 +23,19 @@ def _warn_once(key, msg):
 def maybe_fast_step(top, cfg, backend):
     from ..core.config import Solver
 
+    if cfg.motion.enabled and top.tether_anchor is not None:
+        # motion constraints (Unity Cloth maxDistance) are per-vertex
+        # elementwise clamps implemented on the general jnp path
+        # (solver/tether.py); neither the fused kernels nor the stencil
+        # twin run them, so ANY fast path here would silently drop the
+        # tethers
+        if backend == "pallas":
+            _warn_once(
+                ("motion", top.n_vertices, cfg.solver),
+                "pallas requested but motion constraints route to the "
+                "general jnp path",
+            )
+        return None
     if cfg.shape_match.enabled and top.n_clusters > 0:
         # shape-matching clusters are irregular vertex subsets, so the
         # cluster reductions always run as MXU one-hot matmuls in XLA

@@ -774,6 +774,33 @@ def strain_limit_dx(top: HostTopology, cfg: SimConfig, x, alive=None,
     return x - x0
 
 
+def tether_dx(top: HostTopology, cfg: SimConfig, x):
+    """Motion-constraint position correction (MotionConstraintParams
+    semantics, binding; the Unity Cloth ``maxDistance`` coefficient).
+    Every movable vertex is clamped inside a sphere of radius
+    ``tether_radius[i] * scale`` around ``tether_anchor[i]`` (``inf`` =
+    unconstrained)::
+
+        d      = x_i - anchor_i
+        excess = max(|d| - radius_i * scale, 0)
+        dx_i   = -excess * d / |d|
+
+    Runs after integration / shape matching / strain limiting, before
+    contact (contact always wins).  Returns dx."""
+    d = x - top.tether_anchor
+    dist = np.linalg.norm(d, axis=1)
+    r = top.tether_radius * cfg.motion.scale
+    excess = np.maximum(dist - r, 0.0)
+    n = d / np.maximum(dist, 1e-12)[:, None]
+    dx = -excess[:, None] * n
+    return np.where((top.inv_mass > 0.0)[:, None], dx, 0.0)
+
+
+def _motion_enabled(top: HostTopology, cfg: SimConfig) -> bool:
+    return (cfg.motion.enabled
+            and getattr(top, "tether_anchor", None) is not None)
+
+
 def _total_forces(top, cfg, x, v, alive=None, rest_scale=None):
     f = spring_forces(top, x, v, cfg=cfg, alive=alive, rest_scale=rest_scale)
     if cfg.self_collision.enabled:
@@ -858,6 +885,12 @@ def substep_euler(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
         x = x + dxl
         v = v + dxl / dt
+    if _motion_enabled(top, cfg):
+        # motion constraints after strain limiting, before collision
+        # (contact always wins); velocity feedback on the Euler solver
+        dxt = tether_dx(top, cfg, x)
+        x = x + dxt
+        v = v + dxt / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     if cfg.collision.enable_spheres:
         x, v = resolve_spheres(
@@ -943,6 +976,10 @@ def substep_euler_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
         x = x + dxl
         v = v + dxl / dt
+    if _motion_enabled(top, cfg):
+        dxt = tether_dx(top, cfg, x)
+        x = x + dxt
+        v = v + dxt / dt
     x, v = _resolve_plane_stage(top, cfg, x, v, movable)
     m = np.where(movable, 1.0 / np.maximum(top.inv_mass, 1e-12), 0.0)
     romega = np.array(romega, np.float64)
@@ -2153,6 +2190,8 @@ def substep_verlet_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
         x_new = x_new + dxs
     if cfg.strain_limit.enabled:
         x_new = x_new + strain_limit_dx(top, cfg, x_new)
+    if _motion_enabled(top, cfg):
+        x_new = x_new + tether_dx(top, cfg, x_new)
     # projection order mirrors project_positions_only: plane, spheres
     # (measured, at the rigid centers), dynamic boxes (measured), then
     # the static rest
@@ -2319,17 +2358,20 @@ def substep_xpbd_coupled(top: HostTopology, cfg: SimConfig, x, v, x_prev,
             bc = bc - (jb * dt) * bw[:, None]
         x = _project_static_rest(top, cfg, x, movable,
                                  skip_boxes=boxes is not None)
-    if quats is not None or cfg.strain_limit.enabled:
-        # shape matching + strain limiting after the Jacobi loop (same
-        # slots as the uncoupled substep_xpbd), then ONE more contact pass
-        # so the corrections never leave penetration behind — with the
-        # measured rigid reactions of an in-loop iteration (the bodies
-        # stay momentum-consistent)
+    if (quats is not None or cfg.strain_limit.enabled
+            or _motion_enabled(top, cfg)):
+        # shape matching + strain limiting + motion constraints after the
+        # Jacobi loop (same slots as the uncoupled substep_xpbd), then ONE
+        # more contact pass so the corrections never leave penetration
+        # behind — with the measured rigid reactions of an in-loop
+        # iteration (the bodies stay momentum-consistent)
         if quats is not None:
             dxs, quats = shape_match_dx(top, cfg, x, quats)
             x = x + dxs
         if cfg.strain_limit.enabled:
             x = x + strain_limit_dx(top, cfg, x)
+        if _motion_enabled(top, cfg):
+            x = x + tether_dx(top, cfg, x)
         pc = plane_contact_preclamp(top, cfg, x, movable)
         contact |= pc
         if cfg.collision.enable_plane:
@@ -2471,6 +2513,10 @@ def substep_verlet(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
         # strain limiting after shape matching, before contact
         x_new = x_new + strain_limit_dx(top, cfg, x_new, alive=alive,
                                         rest_scale=scale)
+    if _motion_enabled(top, cfg):
+        # motion constraints after strain limiting, before contact
+        # (position-only on the projection solvers)
+        x_new = x_new + tether_dx(top, cfg, x_new)
     contact = plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = project_positions_only(top, cfg, x_new, movable)
     x_new = plane_friction_positions(top, cfg, x_new, x, dt, contact)
@@ -2583,9 +2629,13 @@ def substep_xpbd(top: HostTopology, cfg: SimConfig, x, v, x_prev, dt,
     if cfg.strain_limit.enabled:
         # strain limiting after shape matching
         x = x + strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
-    if quats is not None or cfg.strain_limit.enabled:
-        # ONE more contact projection so the goal pull / strain clamp
-        # never leaves penetration behind
+    if _motion_enabled(top, cfg):
+        # motion constraints after strain limiting (position-only)
+        x = x + tether_dx(top, cfg, x)
+    if (quats is not None or cfg.strain_limit.enabled
+            or _motion_enabled(top, cfg)):
+        # ONE more contact projection so the goal pull / strain clamp /
+        # tether clamp never leaves penetration behind
         contact |= plane_contact_preclamp(top, cfg, x, movable)
         x = project_positions_only(top, cfg, x, movable)
     x = plane_friction_positions(top, cfg, x, x_prev, dt, contact)

@@ -170,6 +170,9 @@ _COLLIDER_FIELDS = (
     # per-scene kinematic collider velocities (relative-frame contact)
     "plane_velocity", "sphere_velocities", "capsule_velocities",
     "box_velocities", "sdf_velocities",
+    # per-scene motion-constraint tethers (each scene's skinned-body
+    # anchor targets; see api.move_tethers)
+    "tether_anchor", "tether_radius",
 )
 
 
@@ -200,7 +203,9 @@ def step_batched_colliders(
     ``plane_height`` (f32[B]), ``sphere_centers``/``sphere_radii``,
     ``capsule_p0``/``capsule_p1``/``capsule_radii``,
     ``box_centers``/``box_half_extents``/``box_rotations``, or
-    ``sdf_origins`` (per-scene placement of the shared baked SDF grids)
+    ``sdf_origins`` (per-scene placement of the shared baked SDF grids),
+    or ``tether_anchor``/``tether_radius`` (per-scene motion-constraint
+    targets — each RL scene's skinned body somewhere else)
     with a leading batch axis; unlisted geometry is shared from ``top``.
     One compiled
     executable per (cfg, field-set) — moving geometry between calls never

@@ -291,6 +291,25 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "plasticity is not supported in the halo-sharded lattice "
             "paths; use the single-device step"
         )
+    # round-3 features none of the halo substeps implement yet: reject
+    # loudly rather than silently dropping the constraint (the same
+    # contract as the collider gates above)
+    if cfg.shape_match.enabled and top.n_clusters > 0:
+        raise NotImplementedError(
+            "shape matching is not supported in the halo-sharded paths; "
+            "use batch sharding or the single-device step"
+        )
+    if cfg.strain_limit.enabled:
+        raise NotImplementedError(
+            "strain limiting is not supported in the halo-sharded paths; "
+            "use batch sharding or the single-device step"
+        )
+    if cfg.motion.enabled and top.tether_anchor is not None:
+        raise NotImplementedError(
+            "motion constraints (tethers) are not supported in the "
+            "halo-sharded paths; use batch sharding or the single-device "
+            "step"
+        )
 
 
 def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):

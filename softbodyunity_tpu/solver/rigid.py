@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..core.config import SimConfig, Solver
 from ..core.state import State
 from ..core.topology import Topology
-from . import collide, step as _step
+from . import collide, step as _step, tether
 
 
 def _highp(fn):
@@ -205,6 +205,10 @@ def substep_euler_coupled(top: Topology, cfg: SimConfig, s: State,
         dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
         x = x + dxl
         v = v + dxl / dt
+    if tether.motion_enabled(top, cfg):
+        dxt = tether.tether_dx(top, cfg, x)
+        x = x + dxt
+        v = v + dxt / dt
     x, v = collide.resolve_plane_stage(top, cfg, x, v, movable)
     # ... spheres at the rigid centers: each contacting vertex sees the
     # sphere's SURFACE velocity at its own contact point (linear + spin),
@@ -1329,6 +1333,8 @@ def substep_verlet_coupled(top: Topology, cfg: SimConfig, s: State,
         from .strainlimit import strain_limit_dx
 
         x_new = x_new + strain_limit_dx(top, cfg, x_new)
+    if tether.motion_enabled(top, cfg):
+        x_new = x_new + tether.tether_dx(top, cfg, x_new)
     m = jnp.where(movable, 1.0 / jnp.maximum(top.inv_mass, 1e-12), 0.0)
     contact = collide.plane_contact_preclamp(top, cfg, x_new, movable)
     x_new = _project_plane_only(top, cfg, x_new, movable)
@@ -1458,10 +1464,11 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
         body, (dt * v, lam0, lam_vol0, rc, rv, bc, bv, cf0), None,
         length=cfg.xpbd.n_iterations)
     quats = _step._cluster_quats(cfg, s)
-    if quats is not None or cfg.strain_limit.enabled:
-        # shape matching + strain limiting after the Jacobi loop, then ONE
-        # more contact pass with measured rigid reactions (oracle
-        # substep_xpbd_coupled slot)
+    if (quats is not None or cfg.strain_limit.enabled
+            or tether.motion_enabled(top, cfg)):
+        # shape matching + strain limiting + motion constraints after the
+        # Jacobi loop, then ONE more contact pass with measured rigid
+        # reactions (oracle substep_xpbd_coupled slot)
         if quats is not None:
             from .shapematch import shape_match_dx
 
@@ -1471,6 +1478,8 @@ def substep_xpbd_coupled(top: Topology, cfg: SimConfig, s: State,
             from .strainlimit import strain_limit_dx
 
             delta = delta + strain_limit_dx(top, cfg, x_prev + delta)
+        if tether.motion_enabled(top, cfg):
+            delta = delta + tether.tether_dx(top, cfg, x_prev + delta)
         xe = x_prev + delta
         pc = collide.plane_contact_preclamp(top, cfg, xe, movable)
         contact = contact | pc

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.config import SimConfig, Solver
 from ..core.state import State
 from ..core.topology import Topology
-from . import collide, forces, hashgrid, xpbd
+from . import collide, forces, hashgrid, tether, xpbd
 
 
 def wind_forces(top: Topology, cfg: SimConfig, x, v):
@@ -210,6 +210,12 @@ def substep_euler(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
         dxl = strain_limit_dx(top, cfg, x, alive=alive, rest_scale=scale)
         x = x + dxl
         v = v + dxl / dt
+    if tether.motion_enabled(top, cfg):
+        # motion constraints after strain limiting, before collision
+        # (contact always wins); velocity feedback on the Euler solver
+        dxt = tether.tether_dx(top, cfg, x)
+        x = x + dxt
+        v = v + dxt / dt
     x, v = collide.resolve_velocity_level(top, cfg, x, v, movable)
     return finish_euler_substep(top, cfg, s, x, v, x_prev, alive, scale,
                                 quats=quats)
@@ -269,6 +275,10 @@ def substep_verlet(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
         x_new = x_new + strain_limit_dx(top, cfg, x_new, alive=alive,
                                         rest_scale=scale)
+    if tether.motion_enabled(top, cfg):
+        # motion constraints after strain limiting, before contact
+        # (position-only on the projection solvers; oracle substep_verlet)
+        x_new = x_new + tether.tether_dx(top, cfg, x_new)
     x_new = verlet_contact_project(top, cfg, x_new, s.x, dt, movable)
     v_new = (x_new - s.x) / dt
     scale = (plastic_update(top, cfg, x_new, scale)
@@ -362,10 +372,11 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
             body, (delta0, lam0, lam_vol0, contact0), None,
             length=cfg.xpbd.n_iterations
         )
-    if quats is not None or cfg.strain_limit.enabled:
-        # shape matching + strain limiting after the Jacobi loop, then ONE
-        # more contact projection so the corrections never leave
-        # penetration behind (oracle substep_xpbd)
+    if (quats is not None or cfg.strain_limit.enabled
+            or tether.motion_enabled(top, cfg)):
+        # shape matching + strain limiting + motion constraints after the
+        # Jacobi loop, then ONE more contact projection so the corrections
+        # never leave penetration behind (oracle substep_xpbd)
         dxc = jnp.zeros_like(delta)
         if quats is not None:
             from .shapematch import shape_match_dx
@@ -377,6 +388,8 @@ def substep_xpbd(top: Topology, cfg: SimConfig, s: State, dt: float) -> State:
 
             dxc = dxc + strain_limit_dx(top, cfg, x_prev + delta + dxc,
                                         alive=alive, rest_scale=scale)
+        if tether.motion_enabled(top, cfg):
+            dxc = dxc + tether.tether_dx(top, cfg, x_prev + delta + dxc)
         delta, pc = _project_delta(delta + dxc)
         contact = contact | pc
     # plane friction ONCE per substep, from the OR of the iterations'
