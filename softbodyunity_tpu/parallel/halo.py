@@ -66,7 +66,7 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
                   alive=None, scale=None, capsules=None, boxes=None,
-                  sdfs=None, plane_velocity=None):
+                  sdfs=None, plane_velocity=None, anchors=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
     state) subsumes the static ownership masks; ``scale`` (plastic
@@ -105,6 +105,18 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
     v3 = (v3 + dt * (g + f * inv_mass2)) * (1.0 - cfg.global_damping * dt)
     v3 = jnp.where(movable, v3, 0.0)
     x3 = x3 + dt * v3
+    if cfg.strain_limit.enabled:
+        # strain limiting before contact, velocity feedback on the Euler
+        # solver (oracle substep_euler ordering)
+        dxl = _strain_limit_halo(x3, offsets, cfg, inv_mass2, ny_global,
+                                 axis_name, ae=ae, se=se)
+        x3 = x3 + dxl
+        v3 = v3 + dxl / dt
+    if anchors is not None:
+        # motion constraints after strain limiting, before contact
+        dxt = _tether_dx_planes(x3, anchors[0], anchors[1], cfg, movable)
+        x3 = x3 + dxt
+        v3 = v3 + dxt / dt
     x3, v3 = _resolve_colliders(x3, v3, movable, cfg, plane_height, spheres,
                                 capsules, boxes, sdfs,
                                 plane_velocity=plane_velocity)
@@ -248,7 +260,9 @@ def _project_capsules_boxes(x3, movable, capsules, boxes):
 def _check_halo_colliders(top: Topology, cfg: SimConfig,
                           wind: str = "full", tear: str = "planes",
                           caps: str = "components",
-                          sdf: str = "components") -> None:
+                          sdf: str = "components",
+                          strain: str = "none",
+                          motion: str = "none") -> None:
     """What each halo-sharded path supports, enforced loudly.  ``wind``:
     cloth paths take drag + lift ("full"), lattice paths drag only ("drag"
     — lift needs surface triangles, which the banded single-device path
@@ -291,24 +305,27 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "plasticity is not supported in the halo-sharded lattice "
             "paths; use the single-device step"
         )
-    # round-3 features none of the halo substeps implement yet: reject
-    # loudly rather than silently dropping the constraint (the same
-    # contract as the collider gates above)
+    # features only the cloth halo substeps implement: the lattice paths
+    # reject loudly rather than silently dropping the constraint (the same
+    # contract as the collider gates above).  ``strain``: cloth paths run
+    # the Jacobi sweeps with one halo exchange per sweep ("sweeps");
+    # ``motion``: cloth paths take row-sharded tether anchor/radius planes
+    # ("planes").
     if cfg.shape_match.enabled and top.n_clusters > 0:
         raise NotImplementedError(
             "shape matching is not supported in the halo-sharded paths; "
             "use batch sharding or the single-device step"
         )
-    if cfg.strain_limit.enabled:
+    if strain == "none" and cfg.strain_limit.enabled:
         raise NotImplementedError(
-            "strain limiting is not supported in the halo-sharded paths; "
-            "use batch sharding or the single-device step"
+            "strain limiting is not supported in the halo-sharded lattice "
+            "paths; use batch sharding or the single-device step"
         )
-    if cfg.motion.enabled and top.tether_anchor is not None:
+    if motion == "none" and cfg.motion.enabled and top.tether_anchor is not None:
         raise NotImplementedError(
             "motion constraints (tethers) are not supported in the "
-            "halo-sharded paths; use batch sharding or the single-device "
-            "step"
+            "halo-sharded lattice paths; use batch sharding or the "
+            "single-device step"
         )
 
 
@@ -350,6 +367,81 @@ def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):
     return alive, scale
 
 
+def _strain_limit_halo(x3, offsets, cfg, inv_mass2, ny_global, axis_name,
+                       ae=None, se=None):
+    """Strain-limit Jacobi sweeps on a row-sharded block (oracle
+    ``strain_limit_dx`` twin; same plane form as the fused kernel's
+    ``pallas_substep._strain_limit_planes`` with the halo exchange as the
+    shift boundary).  Each sweep re-exchanges the positions: the updated
+    owned rows become the next sweep's halo, so any number of sweeps stays
+    exact with the fixed 2-row halo (one ppermute pair per sweep over
+    ICI).  ``ae``/``se`` are the already-exchanged tear-liveness /
+    plastic rest-scale planes — torn edges stop limiting, plasticity
+    rescales the band (the single-device rules).  Returns the total dx on
+    the owned rows."""
+    sl = cfg.strain_limit
+    ny_local, nx = x3.shape[-2], x3.shape[-1]
+    dev = jax.lax.axis_index(axis_name)
+    we = _exchange_halo(inv_mass2, axis_name)[0]
+    masks = [
+        (ae[o] if ae is not None
+         else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
+        for o, (di, dj, _k, _r) in enumerate(offsets)
+    ]
+    # Jacobi mean over the alive incident edges (owned + owning — the
+    # oracle's count), judged on the extended block then sliced
+    cnt = jnp.zeros_like(we)
+    for (di, dj, _k, _r), m in zip(offsets, masks):
+        cnt = cnt + m + st._shift(m[None], -di, -dj)[0]
+    inv_cnt = (1.0 / jnp.maximum(cnt, 1.0))[HALO : HALO + ny_local, :]
+    x0 = x3
+    for _ in range(sl.iterations):
+        xe = _exchange_halo(x3, axis_name)
+        dx = jnp.zeros_like(xe)
+        for o, ((di, dj, _k, rest), m) in enumerate(zip(offsets, masks)):
+            xn = st._shift(xe, di, dj)
+            d = xn - xe
+            length = jnp.sqrt(jnp.sum(d * d, axis=0))
+            n = d / jnp.maximum(length, 1e-12)
+            rest_eff = rest if se is None else rest * se[o]
+            hi = rest_eff * (1.0 + sl.max_stretch)
+            lo = (rest_eff * (1.0 - sl.max_compress)
+                  if sl.max_compress >= 0.0 else 0.0)
+            c_val = (length - jnp.clip(length, lo, hi)) * m
+            wn = st._shift(we[None], di, dj)[0]
+            corr = c_val / jnp.maximum(we + wn, 1e-12)
+            dx = dx + (we * corr)[None] * n \
+                - st._shift((wn * corr)[None] * n, -di, -dj)
+        x3 = x3 + dx[:, HALO : HALO + ny_local, :] * inv_cnt[None]
+    return x3 - x0
+
+
+def _tether_dx_planes(x3, anchor3, radius1, cfg, movable):
+    """Motion-constraint clamp on plane-layout blocks (oracle ``tether_dx``
+    twin): pointwise, so sharding needs no exchange.  ``inf`` radii leave
+    vertices unconstrained (``dist - inf = -inf`` clamps the excess to
+    zero)."""
+    d = x3 - anchor3
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+    r = radius1[0] * cfg.motion.scale
+    excess = jnp.maximum(dist - r, 0.0)
+    n = d / jnp.maximum(dist, 1e-12)
+    return jnp.where(movable, -excess[None] * n, 0.0)
+
+
+def shard_motion_planes(top: Topology, mesh: Mesh):
+    """Tether anchors/radii (Topology arrays) -> row-sharded planes
+    ``(anchor3 f32[3, ny, nx], radius1 f32[1, ny, nx])`` for the halo
+    steppers' ``tether_anchors``/``tether_radii`` inputs."""
+    ny, nx = top.grid_shape
+    spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    a3 = jax.device_put(
+        jnp.asarray(top.tether_anchor).T.reshape(3, ny, nx), spec)
+    r1 = jax.device_put(
+        jnp.asarray(top.tether_radius).reshape(1, ny, nx), spec)
+    return a3, r1
+
+
 def _drag_force(cfg: SimConfig, v3: jax.Array) -> jax.Array:
     """Isotropic wind drag on plane-layout blocks (pointwise; the lattice
     halo paths gate lift off — see _check_halo_colliders)."""
@@ -373,7 +465,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     None)``; use :func:`shard_grid_state` to produce them from a ``State``.
     Sphere colliders are supported (geometry replicated — it is global).
     """
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, strain="sweeps", motion="planes")
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     from ..solver.collide import _needs_capsule_box, _needs_sdf
@@ -381,6 +473,7 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     sdf_on = _needs_sdf(top, cfg)
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
     n_dev = mesh.shape[ROWS_AXIS]
     assert ny % n_dev == 0, f"ny={ny} must divide over {n_dev} devices"
     has_shear = EDGE_SHEAR in top.edge_classes_present
@@ -396,7 +489,8 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                       capsules=None, boxes=None, scale3=None,
                       sdf_grids=None, sdf_origins=None, sdf_spacings=None,
                       plane_velocity=None, sphere_velocities=None,
-                      sdf_velocities=None):
+                      sdf_velocities=None, tether_anchors=None,
+                      tether_radii=None):
         # collider geometry and liveness/rest-scale planes arrive as
         # shard_map INPUTS (replicated / sharded respectively), never jit
         # closure constants (trace-time value fetches stall on this
@@ -419,6 +513,11 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             raise ValueError(
                 "cfg enables sdf colliders: pass sdf_grids/sdf_origins/"
                 "sdf_spacings (pack_sdf_geometry(top))"
+            )
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_planes(top, mesh))"
             )
 
         def local(x3b, v3b, imb, ph, *rest):
@@ -453,13 +552,17 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if sdf_on:
                 sd = sd + (rest[i],)
                 i += 1
+            anchors = None
+            if motion_on:
+                anchors = (rest[i], rest[i + 1])
+                i += 2
 
             def body(carry, _):
                 out = _halo_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
-                    plane_velocity=pv,
+                    plane_velocity=pv, anchors=anchors,
                 )
                 return out, None
 
@@ -506,6 +609,9 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             args.append(jnp.zeros((sdf_spacings.shape[0], 3), jnp.float32)
                         if sdf_velocities is None else sdf_velocities)
             specs.append(P())
+        if motion_on:
+            args += [tether_anchors, tether_radii]
+            specs += [spec, spec]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -558,7 +664,7 @@ def tear_plane_shard_maps(top: Topology, cfg: SimConfig, mesh: Mesh):
 def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
                        plane_height, ny_global, axis_name, cnt_inv,
                        spheres=None, alive=None, scale=None, capsules=None,
-                       boxes=None, sdfs=None):
+                       boxes=None, sdfs=None, anchors=None):
     """One XPBD substep on a row-sharded block (inside shard_map).
 
     Jacobi iterations exchange BOTH positions and the per-offset lambda
@@ -591,6 +697,7 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     # plastic rest scale is substep-constant: one exchange serves every
     # Jacobi iteration (oracle: the update runs after the loop)
     se = _exchange_halo(scale, axis_name) if scale is not None else None
+    ae = None
     if alive is not None:
         # liveness planes subsume the static ownership masks; the Jacobi
         # count follows the live constraints, recomputed per substep
@@ -599,6 +706,49 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         for o, (di, dj, _a, _r) in enumerate(xoffsets):
             cnt = cnt + ae[o] + st._shift(ae[o][None], -di, -dj)[0]
         cnt_inv = 1.0 / jnp.maximum(cnt[HALO : HALO + ny_local, :], 1.0)
+
+    def project_contacts(delta, cf):
+        """Position-only contact projection in delta form (shared by the
+        Jacobi iterations and the post-strain/tether extra projection —
+        oracle project_positions_only)."""
+        if cfg.collision.enable_plane:
+            # OR of the pre-clamp masks -> substep-end friction (f32 0/1
+            # plane, keeping the shard_map varying-axis type)
+            xe1 = x_prev[1] + delta[1]
+            contact = (xe1 < plane_height) & movable[0]
+            delta = delta.at[1].set(
+                jnp.where(contact, plane_height - x_prev[1], delta[1])
+            )
+            cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
+        if cfg.collision.enable_spheres and spheres is not None:
+            # position-only sphere projection, delta-rebased (same forms
+            # as collide.project_positions_delta)
+            centers, radii = spheres
+            xev = x_prev + delta
+            xproj = xev
+            for si in range(radii.shape[0]):
+                c = centers[si].reshape(3, 1, 1)
+                d = xproj - c
+                dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                pen = radii[si] - dist
+                contact = (pen > 0.0) & movable[0]
+                n = d / jnp.maximum(dist, 1e-12)
+                xproj = xproj + jnp.where(contact, pen, 0.0) * n
+            delta = delta + (xproj - xev)
+        if (capsules is not None and capsules.shape[0]) or (
+                boxes is not None and boxes.shape[0]):
+            # capsule/box projection, delta-rebased (same ordering as the
+            # stencil XPBD twin)
+            xev = x_prev + delta
+            xproj = _project_capsules_boxes(xev, movable, capsules, boxes)
+            delta = delta + (xproj - xev)
+        if sdfs is not None:
+            # SDF projection, delta-rebased (same ordering as the stencil
+            # XPBD twin: after capsules/boxes)
+            xev = x_prev + delta
+            xproj = _project_sdfs_planes(xev, movable, sdfs)
+            delta = delta + (xproj - xev)
+        return delta, cf
 
     def iteration(carry, _):
         delta, lams, cf = carry
@@ -622,43 +772,7 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
             new_lams.append(dlam[HALO : HALO + ny_local, :] + lams[o])
             dx = dx + (-(we * dlam)) * n + st._shift((wn * dlam) * n, -di, -dj)
         delta = delta + cfg.xpbd.relaxation * dx[:, HALO : HALO + ny_local, :] * cnt_inv
-        if cfg.collision.enable_plane:
-            # OR of the pre-clamp masks -> substep-end friction (f32 0/1
-            # plane, keeping the shard_map varying-axis type)
-            xe1 = x_prev[1] + delta[1]
-            contact = (xe1 < plane_height) & movable[0]
-            delta = delta.at[1].set(
-                jnp.where(contact, plane_height - x_prev[1], delta[1])
-            )
-            cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
-        if cfg.collision.enable_spheres and spheres is not None:
-            # position-only sphere projection inside the loop, delta-rebased
-            # (same forms as collide.project_positions_delta)
-            centers, radii = spheres
-            xev = x_prev + delta
-            xproj = xev
-            for si in range(radii.shape[0]):
-                c = centers[si].reshape(3, 1, 1)
-                d = xproj - c
-                dist = jnp.sqrt(jnp.sum(d * d, axis=0))
-                pen = radii[si] - dist
-                contact = (pen > 0.0) & movable[0]
-                n = d / jnp.maximum(dist, 1e-12)
-                xproj = xproj + jnp.where(contact, pen, 0.0) * n
-            delta = delta + (xproj - xev)
-        if (capsules is not None and capsules.shape[0]) or (
-                boxes is not None and boxes.shape[0]):
-            # capsule/box projection inside the loop, delta-rebased (same
-            # ordering as the stencil XPBD twin)
-            xev = x_prev + delta
-            xproj = _project_capsules_boxes(xev, movable, capsules, boxes)
-            delta = delta + (xproj - xev)
-        if sdfs is not None:
-            # SDF projection inside the loop, delta-rebased (same ordering
-            # as the stencil XPBD twin: after capsules/boxes)
-            xev = x_prev + delta
-            xproj = _project_sdfs_planes(xev, movable, sdfs)
-            delta = delta + (xproj - xev)
+        delta, cf = project_contacts(delta, cf)
         return (delta, tuple(new_lams), cf), None
 
     # derive zeros from the sharded input so the scan carry keeps the
@@ -668,6 +782,20 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
     (delta, _, cff), _ = jax.lax.scan(
         iteration, (delta0, lams0, cf0), None, length=cfg.xpbd.n_iterations
     )
+    if cfg.strain_limit.enabled or anchors is not None:
+        # strain limiting then motion constraints after the Jacobi loop,
+        # then ONE more contact projection so the clamps never leave
+        # penetration behind (oracle substep_xpbd ordering)
+        xev = x_prev + delta
+        if cfg.strain_limit.enabled:
+            xev = xev + _strain_limit_halo(xev, xoffsets, cfg, inv_mass2,
+                                           ny_global, axis_name, ae=ae,
+                                           se=se)
+        if anchors is not None:
+            xev = xev + _tether_dx_planes(xev, anchors[0], anchors[1], cfg,
+                                          movable)
+        delta = xev - x_prev
+        delta, cff = project_contacts(delta, cff)
     mu = cfg.collision.friction
     if cfg.collision.enable_plane and mu != 0.0:
         # plane friction ONCE per substep at the OR'd pre-clamp mask
@@ -748,7 +876,7 @@ def _rest_friction_planes(x_new, x_start, movable, cfg, capsules, boxes,
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                          plane_height, ny_global, axis_name, spheres=None,
                          alive=None, scale=None, capsules=None, boxes=None,
-                         sdfs=None):
+                         sdfs=None, anchors=None):
     """One position-Verlet substep on a row-sharded block (oracle
     substep_verlet semantics; halo forces as in _halo_substep).  Returns
     ``(x_new, x3, alive, scale)`` with Nones preserved."""
@@ -783,6 +911,16 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
     accel = g + f * inv_mass2
     x_new = x3 + (x3 - xp3) * (1.0 - cfg.global_damping * dt) + accel * dt * dt
     x_new = jnp.where(movable, x_new, x3)
+    if cfg.strain_limit.enabled:
+        # strain limiting before contact, position-only on the projection
+        # solvers (oracle substep_verlet ordering)
+        x_new = x_new + _strain_limit_halo(x_new, offsets, cfg, inv_mass2,
+                                           ny_global, axis_name, ae=ae,
+                                           se=se)
+    if anchors is not None:
+        # motion constraints after strain limiting, before contact
+        x_new = x_new + _tether_dx_planes(x_new, anchors[0], anchors[1],
+                                          cfg, movable)
     # position-only projection (Verlet path, oracle project_positions_only)
     contact_pf = (x_new[1] < plane_height) & movable[0]  # pre-clamp mask
     if cfg.collision.enable_plane:
@@ -822,7 +960,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
 def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Row-sharded position-Verlet stepping; interface as make_halo_step but
     carries (x, x_prev) and returns (x, v=(x - x_prev)/dt)."""
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, strain="sweeps", motion="planes")
     ny, nx = top.grid_shape
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     from ..solver.collide import _needs_capsule_box, _needs_sdf
@@ -837,11 +975,18 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
 
     def sharded_steps(x3, xp3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
                       capsules=None, boxes=None, scale3=None,
-                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None,
+                      tether_anchors=None, tether_radii=None):
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_planes(top, mesh))"
+            )
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
@@ -880,12 +1025,19 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 sb = rest[i]
                 i += 1
             sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
+            if sdf_on:
+                i += 3
+            anchors = None
+            if motion_on:
+                anchors = (rest[i], rest[i + 1])
+                i += 2
 
             def body(carry, _):
                 out = _halo_verlet_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
+                    anchors=anchors,
                 )
                 return out, None
 
@@ -918,6 +1070,9 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if sdf_on:
             args += [sdf_grids, sdf_origins, sdf_spacings]
             specs += [P(), P(), P()]
+        if motion_on:
+            args += [tether_anchors, tether_radii]
+            specs += [spec, spec]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)
@@ -927,7 +1082,7 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
 def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Row-sharded XPBD stepping (see make_halo_step for the interface)."""
-    _check_halo_colliders(top, cfg)
+    _check_halo_colliders(top, cfg, strain="sweeps", motion="planes")
     from ..kernels.stencil import _xpbd_offsets
 
     ny, nx = top.grid_shape
@@ -945,13 +1100,20 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     tearing = cfg.tear.enabled
     plastic = cfg.plasticity.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
 
     def sharded_steps(x3, v3, inv_mass3, plane_height, dt, n_substeps,
                       sphere_centers=None, sphere_radii=None, alive3=None,
                       capsules=None, boxes=None, scale3=None,
-                      sdf_grids=None, sdf_origins=None, sdf_spacings=None):
+                      sdf_grids=None, sdf_origins=None, sdf_spacings=None,
+                      tether_anchors=None, tether_radii=None):
         # XPBD contact is position-projection (oracle project_positions_only)
         # — kinematic collider velocities do not enter this solver.
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_planes(top, mesh))"
+            )
         if tearing and alive3 is None:
             raise ValueError(
                 "cfg enables tearing: pass alive3 (tear_plane_shard_maps)"
@@ -990,6 +1152,12 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 sb = rest[i]
                 i += 1
             sd = (rest[i], rest[i + 1], rest[i + 2]) if sdf_on else None
+            if sdf_on:
+                i += 3
+            anchors = None
+            if motion_on:
+                anchors = (rest[i], rest[i + 1])
+                i += 2
             ny_local = x3b.shape[-2]
             dev = jax.lax.axis_index(ROWS_AXIS)
             if tearing:
@@ -1010,6 +1178,7 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     carry[0], carry[1], imb, xoffsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, cnt_inv, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
+                    anchors=anchors,
                 )
                 return out, None
 
@@ -1041,6 +1210,9 @@ def make_halo_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if sdf_on:
             args += [sdf_grids, sdf_origins, sdf_spacings]
             specs += [P(), P(), P()]
+        if motion_on:
+            args += [tether_anchors, tether_radii]
+            specs += [spec, spec]
         return jax.shard_map(
             local, mesh=mesh, in_specs=tuple(specs), out_specs=outs
         )(*args)

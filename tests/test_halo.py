@@ -465,3 +465,130 @@ def test_halo_voxel_lattice_matches_single_device(n_dev):
     # ghost vertices stay bit-frozen across the sharded path too
     ghosts = np.asarray(host.inv_mass) == 0.0
     np.testing.assert_array_equal(got_x[ghosts], np.asarray(state.x)[ghosts])
+
+
+@pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
+def test_halo_strain_tether_matches_single_device(solver):
+    """Row-sharded strain limiting (one halo exchange per Jacobi sweep) +
+    motion-constraint tether planes == the single-device jnp path, on all
+    three cloth solvers."""
+    from softbodyunity_tpu.core.config import (
+        MotionConstraintParams, Solver, StrainLimitParams)
+    from softbodyunity_tpu.core.topology import set_motion_constraints
+    from softbodyunity_tpu.solver.step import step_scan
+
+    sv = {"euler": Solver.SEMI_IMPLICIT_EULER, "verlet": Solver.VERLET,
+          "xpbd": Solver.XPBD}[solver]
+    # deliberately SOFT springs (the test_strainlimit.py scene design):
+    # gravity stretches far past the limit so the clamp does real work —
+    # a tight band on stiff springs makes the clamp<->velocity feedback
+    # resonate (the f64 oracle itself reaches ~30 m/s from rest there)
+    # and chaotic f32 trajectories defeat the equality assertion
+    cfg = SimConfig(
+        solver=sv,
+        springs=SpringParams(k_structural=20.0, k_shear=10.0, k_bend=4.0,
+                             damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.5,
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.1,
+                                       iterations=2),
+        motion=MotionConstraintParams(enabled=True, scale=1.0),
+    )
+    host = cloth_grid(
+        16, 32, spacing=0.05, mass=0.05, shear=True, bend=True,
+        pinned=("top",), springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-0.9, orientation="xy",
+    )
+    host = set_motion_constraints(host, 0.25)
+    top, state = api.init(host)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    make = {"euler": halo.make_halo_step,
+            "verlet": halo.make_halo_verlet_step,
+            "xpbd": halo.make_halo_xpbd_step}[solver]
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    a3, r1 = halo.shard_motion_planes(top, mesh)
+    second = v3 if solver != "verlet" else x3  # verlet carries (x, xp)
+    xf, vf = sharded(x3, second, im3, ph, cfg.dt, 96,
+                     tether_anchors=a3, tether_radii=r1)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+
+    from softbodyunity_tpu.solver.step import step_scan
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
+    # euler feeds the clamp dx back into v (dx/dt ~ x960): formulation
+    # rounding noise between the banded single-device sweeps and the halo
+    # shifts is amplified accordingly (the halo path itself is bit-equal
+    # across 1/4/8 shards; measured 7e-5 @ 96 substeps)
+    atol = 3e-4 if solver == "euler" else 2e-5
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=atol)
+
+    if solver == "euler":
+        # the decomposition itself is exact: the per-sweep halo exchange
+        # makes 1-shard and 4-shard runs bit-identical
+        mesh1 = Mesh(np.array(jax.devices()[:1]), (halo.ROWS_AXIS,))
+        f1 = jax.jit(make(top, cfg, mesh1), static_argnums=(5,))
+        x31, v31, im31, ph1 = halo.shard_grid_state(top, state, mesh1)
+        a31, r11 = halo.shard_motion_planes(top, mesh1)
+        xf1, _ = f1(x31, v31, im31, ph1, cfg.dt, 96,
+                    tether_anchors=a31, tether_radii=r11)
+        np.testing.assert_array_equal(np.asarray(xf), np.asarray(xf1))
+
+    # both features actually engaged: disabling either changes the result
+    import dataclasses as dc
+    cfg_ns = dc.replace(cfg, strain_limit=StrainLimitParams(enabled=False))
+    off = jax.jit(lambda t, s: step_scan(t, cfg_ns, s, cfg.dt, 96))(top, state)
+    assert float(jnp.abs(off.x - ref.x).max()) > 1e-4, "strain limit inert"
+    cfg_nt = dc.replace(cfg, motion=MotionConstraintParams(enabled=False))
+    off2 = jax.jit(lambda t, s: step_scan(t, cfg_nt, s, cfg.dt, 96))(top, state)
+    assert float(jnp.abs(off2.x - ref.x).max()) > 1e-4, "tethers inert"
+
+
+def test_halo_strain_with_tearing_matches_single_device():
+    """Strain limiting composed with tearing + plasticity on the halo path:
+    the sweeps must honour the live-edge masks and plastic rest scales
+    (oracle rules) — equality vs the single-device jnp path, masks
+    included."""
+    import dataclasses as dc
+
+    from softbodyunity_tpu.core.config import (
+        PlasticityParams, Solver, StrainLimitParams, TearParams)
+    from softbodyunity_tpu.solver.step import step_scan
+
+    cfg = SimConfig(
+        solver=Solver.SEMI_IMPLICIT_EULER,
+        springs=SpringParams(k_structural=500.0, k_shear=250.0,
+                             k_bend=100.0, damping=0.6),
+        collision=CollisionParams(enable_plane=True),
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.06,
+                                       max_compress=-1.0, iterations=2),
+        tear=TearParams(enabled=True, strain_limit=0.25),
+        plasticity=PlasticityParams(enabled=True, yield_strain=0.03,
+                                    creep=0.2),
+    )
+    host = cloth_grid(
+        12, 16, spacing=0.05, shear=True, bend=True, pinned=("tl", "tr"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-5.0,
+        orientation="xy",
+    )
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    state = api.ensure_plastic_state(top, cfg, state)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    shard_planes, unshard_planes = halo.tear_plane_shard_maps(top, cfg, mesh)
+    sharded = jax.jit(halo.make_halo_step(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    xf, vf, af, sf = sharded(x3, v3, im3, ph, cfg.dt, 48,
+                             alive3=shard_planes(state.edge_alive),
+                             scale3=shard_planes(state.rest_scale))
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 48))(top, state)
+    np.testing.assert_array_equal(np.asarray(unshard_planes(af)),
+                                  np.asarray(ref.edge_alive))
+    np.testing.assert_allclose(np.asarray(unshard_planes(sf)),
+                               np.asarray(ref.rest_scale), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=3e-5)

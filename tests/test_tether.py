@@ -303,20 +303,34 @@ def test_dispatch_gates_fast_paths_off():
     assert dispatch.maybe_fast_step(plain, cfg_on, "pallas") is not None
 
 
-def test_halo_gates_off():
-    """The halo-sharded paths reject motion constraints loudly (no
-    silent drop on multi-chip)."""
+def test_halo_gates():
+    """The cloth halo paths take motion constraints (as row-sharded tether
+    planes — missing inputs rejected loudly); the lattice paths still
+    reject the feature loudly (no silent drop on multi-chip).  Equality
+    is covered by tests/test_halo.py::
+    test_halo_strain_tether_matches_single_device."""
     from jax.sharding import Mesh
 
-    from softbodyunity_tpu.parallel.halo import make_halo_step
+    from softbodyunity_tpu.parallel import halo
 
     host = cloth_grid(16, 16, spacing=0.05, shear=True, bend=True)
     host = set_motion_constraints(host, 0.05)
-    top, _ = api.init(host)
+    top, state = api.init(host)
     cfg = SimConfig(motion=MotionConstraintParams(enabled=True))
     mesh = Mesh(np.array(jax.devices()[:2]), ("rows",))
+    fn = halo.make_halo_step(top, cfg, mesh)  # builds fine
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    with pytest.raises(ValueError, match="tether_anchors"):
+        fn(x3, v3, im3, ph, cfg.dt, 1)  # but the planes must be passed
+
+    from softbodyunity_tpu.core.topology import tet_cube
+
+    cube = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=0.0)
+    cube = set_motion_constraints(cube, 0.05)
+    ctop, _ = api.init(cube)
     with pytest.raises(NotImplementedError, match="motion constraints"):
-        make_halo_step(top, cfg, mesh)
+        halo.make_halo_lattice_step(ctop, cfg, mesh)
 
 
 def test_batched_matches_single():
