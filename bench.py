@@ -341,10 +341,21 @@ _PARTS = {
 }
 
 
-# secondary parts ordered by information value: if the budget runs out,
-# the parts recorded first carry the coverage story (volumetric, XPBD,
-# scale, solvers, features; the 262k variants are corroborating)
+# secondary parts ordered by information value.  Parts whose numbers have
+# NEVER appeared in a driver-captured BENCH_r*.json run FIRST (rounds 1-3
+# all died to the driver's external timeout before reaching them); the
+# known-slow/flaky self-collision parts run LAST so a 400-second stall
+# there can no longer starve everything ordered after it (that exact
+# failure nulled 10 parts in round 3).
 _SECONDARY_ORDER = [
+    # never captured in r1-r3 artifacts
+    ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
+    ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
+    ("strain64k", "substeps_per_sec_64k_strain_limited"),
+    ("jelly50k", "substeps_per_sec_jelly_voxel_50k"),
+    ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
+    ("voxsphere", "substeps_per_sec_voxel_sphere_97k_raster"),
+    # captured in r3 (corroborating re-measurements)
     ("cube", "substeps_per_sec_64k_tet_cube"),
     ("xpbd64k", "substeps_per_sec_64k_xpbd"),
     ("1m", "substeps_per_sec_1m_cloth"),
@@ -352,27 +363,25 @@ _SECONDARY_ORDER = [
     ("tear64k", "substeps_per_sec_64k_tearing"),
     ("plastic64k", "substeps_per_sec_64k_plastic"),
     ("wind64k", "substeps_per_sec_64k_wind"),
-    ("sc16k", "substeps_per_sec_16k_selfcollide"),
-    ("sc64k", "substeps_per_sec_64k_selfcollide"),
-    ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
-    ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
-    ("voxsphere", "substeps_per_sec_voxel_sphere_97k_raster"),
-    ("strain64k", "substeps_per_sec_64k_strain_limited"),
-    ("jelly50k", "substeps_per_sec_jelly_voxel_50k"),
-    ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
     ("262k", "substeps_per_sec_262k_cloth"),
     ("tear262k", "substeps_per_sec_262k_tearing"),
     ("plastic262k", "substeps_per_sec_262k_plastic"),
+    # known-slow/flaky: strictly last
+    ("sc16k", "substeps_per_sec_16k_selfcollide"),
+    ("sc64k", "substeps_per_sec_64k_selfcollide"),
 ]
 
 
-def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3) -> float:
+def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3,
+                         deadline: float | None = None) -> float:
     last_err = ""
     for i in range(attempts):
         # escalate the budget on retries: a cold Mosaic compile of a 64k
         # fused kernel can exceed 480s over the tunnel (the persistent
         # cache makes warm attempts fast, so the first try stays short)
         t = timeout * (1 + i)
+        if deadline is not None:
+            t = min(t, max(60.0, deadline - time.monotonic() - 15.0))
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--part", part],
@@ -399,69 +408,86 @@ def main():
         print(_PARTS[sys.argv[2]]())
         return
     target = 10_000.0  # BASELINE.json:5 floor, substeps/sec per TPU core
-    # The driver wraps `python bench.py` in its own `timeout` (round 2's run
-    # was killed rc=124 with NO JSON on stdout -> parsed:null).  Two
-    # defences: (1) a cumulative JSON line is (re)printed after EVERY
-    # completed part, so whenever the process dies the last stdout line is
-    # a complete, valid artifact of everything measured so far; (2) every
-    # part — headline included — runs under one global soft deadline.
-    # Default raised 1500 -> 3300 s: a tunnel-noisy session measured only
-    # 5/17 parts in 1500 s.  The incremental emit above makes a LONGER
-    # internal deadline strictly better — if the driver's own timeout
-    # fires first, the last stdout line is still a complete artifact of
-    # everything measured so far.
+    # The driver wraps `python bench.py` in its own `timeout` and that
+    # timeout fired in BOTH round 2 and round 3 (rc=124, tail truncated
+    # mid-part), so the internal deadline must sit BELOW the driver's kill
+    # point: 2400 s (round 3's 3300 s default demonstrably outlived the
+    # wrapper).  Defences: (1) a cumulative JSON line is (re)printed after
+    # EVERY completed part, so whenever the process dies the last stdout
+    # line is a complete, valid artifact of everything measured so far;
+    # (2) every part runs under the global soft deadline; (3) part
+    # failures are recorded in the artifact itself under "failures"
+    # (round 3's headline read 0.0 with no recorded cause — the kernel was
+    # fine, the harness lost the number).
     import os
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_SECS", 3300.0)
+        os.environ.get("BENCH_DEADLINE_SECS", 2400.0)
     )
     substeps_per_sec = 0.0
     secondary = {}
+    failures = {}
 
     def emit():
-        print(
-            json.dumps(
-                {
-                    "metric": "substeps/sec (64k-vertex cloth, 1 TPU core)",
-                    "value": round(substeps_per_sec, 1),
-                    "unit": "substeps/s",
-                    "vs_baseline": round(substeps_per_sec / target, 2),
-                    "secondary": secondary,
-                }
-            ),
-            flush=True,
-        )
+        out = {
+            "metric": "substeps/sec (64k-vertex cloth, 1 TPU core)",
+            "value": round(substeps_per_sec, 1),
+            "unit": "substeps/s",
+            "vs_baseline": round(substeps_per_sec / target, 2),
+            "secondary": secondary,
+        }
+        if failures:
+            out["failures"] = failures
+        print(json.dumps(out), flush=True)
 
-    def run_part(part, key):
+    def run_part(part, key, attempts=1):
         remaining = deadline - time.monotonic()
         if remaining < 90.0:
             secondary.setdefault(key, None)
+            failures.setdefault(part, "skipped: global deadline")
             _log(f"bench: {part} SKIPPED (deadline)")
             return None
-        # heavy Mosaic programs (lattice / 8-iteration XPBD / row-tiled)
-        # can take several minutes to compile when the remote helper misses
-        # its persistent cache; warm-cache runs finish in ~1-2 min.  Never
+        # heavy Mosaic programs (lattice / 8-iteration XPBD / row-tiled /
+        # the 64k fused headline / block-sparse self-collision) can take
+        # several minutes to compile when the remote helper misses its
+        # persistent cache; warm-cache runs finish in ~1-2 min.  Never
         # let one attempt outlive the global deadline.
-        heavy = part in ("cube", "cubexpbd", "cubeverlet", "voxsphere",
+        heavy = part in ("64k", "cube", "cubexpbd", "cubeverlet", "voxsphere",
                          "xpbd64k", "1m", "262k", "tear262k",
-                         "batch", "coupled", "jelly50k")
+                         "batch", "coupled", "jelly50k", "sc64k", "sc16k")
         base = max(90.0, min(600.0 if heavy else 420.0, remaining - 30.0))
         try:
-            val = _run_part_subprocess(part, timeout=base, attempts=1)
+            val = _run_part_subprocess(part, timeout=base, attempts=attempts,
+                                       deadline=deadline)
         except RuntimeError as e:
             secondary.setdefault(key, None)
+            failures[part] = str(e)[:500]
             _log(f"bench: {part} FAILED ({e})")
             return None
         secondary[key] = round(val, 1)
+        failures.pop(part, None)
         _log(f"bench: {part} done ({val:,.0f} /s)")
         return val
 
+    def run_headline(attempts):
+        nonlocal substeps_per_sec
+        v = run_part("64k", "_headline", attempts=attempts)
+        secondary.pop("_headline", None)
+        if v is not None:
+            substeps_per_sec = v
+        emit()
+        return v
+
+    # Headline FIRST with in-part retry, and on failure retry IMMEDIATELY
+    # (before any secondary part): round 3 deferred the headline retry
+    # behind 18 secondaries and the driver's timeout killed it — the most
+    # important number in the artifact was lost to ordering.
     _log("bench: 64k cloth (headline) ...")
-    v = run_part("64k", "_headline")
-    secondary.pop("_headline", None)
-    if v is not None:
-        substeps_per_sec = v
-    emit()
-    v = run_part("batch", "env_steps_per_sec_per_chip_1024_scenes")
+    v = run_headline(attempts=2)
+    if v is None:
+        _log("bench: headline failed; immediate recovery attempt")
+        time.sleep(30.0)
+        v = run_headline(attempts=2)
+    run_part("batch", "env_steps_per_sec_per_chip_1024_scenes")
     emit()
     for part, key in _SECONDARY_ORDER:
         run_part(part, key)
@@ -469,17 +495,13 @@ def main():
     # second chance: parts nulled by a transient chip wedge (or a cold
     # compile that outlived its first budget — the cache is warm now)
     # usually pass on retry; spend whatever deadline budget is left.
-    retry = [("64k", "_headline")] if substeps_per_sec == 0.0 else []
-    retry += [(p, k) for p, k in _SECONDARY_ORDER if secondary.get(k) is None]
-    for part, key in retry:
+    if substeps_per_sec == 0.0:
+        run_headline(attempts=2)
+    for part, key in [(p, k) for p, k in _SECONDARY_ORDER
+                      if secondary.get(k) is None]:
         if deadline - time.monotonic() < 120.0:
             break
-        v = run_part(part, key)
-        if part == "64k":
-            secondary.pop("_headline", None)
-            if v is not None:
-                substeps_per_sec = v
-        if v is not None:
+        if run_part(part, key) is not None:
             _log(f"bench: {part} recovered")
         emit()
     emit()

@@ -368,7 +368,7 @@ def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):
 
 
 def _strain_limit_halo(x3, offsets, cfg, inv_mass2, ny_global, axis_name,
-                       ae=None, se=None):
+                       ae=None, se=None, we=None):
     """Strain-limit Jacobi sweeps on a row-sharded block (oracle
     ``strain_limit_dx`` twin; same plane form as the fused kernel's
     ``pallas_substep._strain_limit_planes`` with the halo exchange as the
@@ -377,12 +377,16 @@ def _strain_limit_halo(x3, offsets, cfg, inv_mass2, ny_global, axis_name,
     exact with the fixed 2-row halo (one ppermute pair per sweep over
     ICI).  ``ae``/``se`` are the already-exchanged tear-liveness /
     plastic rest-scale planes — torn edges stop limiting, plasticity
-    rescales the band (the single-device rules).  Returns the total dx on
-    the owned rows."""
+    rescales the band (the single-device rules).  ``we`` is the exchanged
+    inverse-mass halo when the caller already holds it (the XPBD substep
+    does) — the halo is loop-invariant, so reusing it saves one redundant
+    ppermute pair per substep on the ICI.  Returns the total dx on the
+    owned rows."""
     sl = cfg.strain_limit
     ny_local, nx = x3.shape[-2], x3.shape[-1]
     dev = jax.lax.axis_index(axis_name)
-    we = _exchange_halo(inv_mass2, axis_name)[0]
+    if we is None:
+        we = _exchange_halo(inv_mass2, axis_name)[0]
     masks = [
         (ae[o] if ae is not None
          else _owned_mask_ext(ny_local, nx, ny_global, di, dj, dev))
@@ -433,6 +437,12 @@ def shard_motion_planes(top: Topology, mesh: Mesh):
     """Tether anchors/radii (Topology arrays) -> row-sharded planes
     ``(anchor3 f32[3, ny, nx], radius1 f32[1, ny, nx])`` for the halo
     steppers' ``tether_anchors``/``tether_radii`` inputs."""
+    if top.tether_anchor is None:
+        raise ValueError(
+            "topology has no motion constraints: call "
+            "set_motion_constraints(top, anchors, radii) before "
+            "shard_motion_planes"
+        )
     ny, nx = top.grid_shape
     spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
     a3 = jax.device_put(
@@ -790,7 +800,7 @@ def _halo_xpbd_substep(x3, v3, inv_mass2, xoffsets, cfg, dt,
         if cfg.strain_limit.enabled:
             xev = xev + _strain_limit_halo(xev, xoffsets, cfg, inv_mass2,
                                            ny_global, axis_name, ae=ae,
-                                           se=se)
+                                           se=se, we=we)
         if anchors is not None:
             xev = xev + _tether_dx_planes(xev, anchors[0], anchors[1], cfg,
                                           movable)

@@ -514,7 +514,6 @@ def test_halo_strain_tether_matches_single_device(solver):
                      tether_anchors=a3, tether_radii=r1)
     got = halo.unshard_to_state(xf, vf, cfg.dt)
 
-    from softbodyunity_tpu.solver.step import step_scan
     ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
     # euler feeds the clamp dx back into v (dx/dt ~ x960): formulation
     # rounding noise between the banded single-device sweeps and the halo
