@@ -262,6 +262,14 @@ def bench_cube_xpbd_64k():
     return _bench_preset_substeps("softbody_cube_64k_xpbd", 4, 32)
 
 
+def bench_cube_xpbd_substep_64k():
+    """Substeps/sec, 64k tet cube substepped XPBD: 1 Jacobi iteration per
+    substep (fused lattice kernel) — the substep-instead-of-iterate lever
+    (Macklin et al. 2019); per-iteration cost equals the Euler kernel's
+    per-substep cost, so this runs ~8x the 8-iteration variant."""
+    return _bench_preset_substeps("softbody_cube_64k_xpbd_sub", 8, 160)
+
+
 def bench_strain_64k():
     """Substeps/sec, 64k strain-limited cloth (in-kernel Jacobi sweeps)."""
     return _bench_preset_substeps("cloth_strain_64k", 8, 408)
@@ -331,6 +339,7 @@ _PARTS = {
     "cubeverlet": bench_cube_verlet_64k,
     "voxsphere": bench_voxel_sphere,
     "cubexpbd": bench_cube_xpbd_64k,
+    "cubexpbdsub": bench_cube_xpbd_substep_64k,
     "tear64k": bench_tearing_64k,
     "tear262k": bench_tearing_262k,
     "plastic64k": bench_plastic_64k,
@@ -350,6 +359,7 @@ _PARTS = {
 _SECONDARY_ORDER = [
     # never captured in r1-r3 artifacts
     ("coupled", "env_steps_per_sec_per_chip_1024_coupled_rigid"),
+    ("cubexpbdsub", "substeps_per_sec_64k_tet_cube_xpbd_substep"),
     ("cubexpbd", "substeps_per_sec_64k_tet_cube_xpbd"),
     ("strain64k", "substeps_per_sec_64k_strain_limited"),
     ("jelly50k", "substeps_per_sec_jelly_voxel_50k"),
@@ -451,7 +461,8 @@ def main():
         # several minutes to compile when the remote helper misses its
         # persistent cache; warm-cache runs finish in ~1-2 min.  Never
         # let one attempt outlive the global deadline.
-        heavy = part in ("64k", "cube", "cubexpbd", "cubeverlet", "voxsphere",
+        heavy = part in ("64k", "cube", "cubexpbd", "cubexpbdsub",
+                         "cubeverlet", "voxsphere",
                          "xpbd64k", "1m", "262k", "tear262k",
                          "batch", "coupled", "jelly50k", "sc64k", "sc16k")
         base = max(90.0, min(600.0 if heavy else 420.0, remaining - 30.0))

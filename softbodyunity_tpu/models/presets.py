@@ -568,6 +568,65 @@ def softbody_cube_64k_xpbd():
     return top, cfg
 
 
+@register("softbody_cube_xpbd_sub")
+def softbody_cube_xpbd_sub():
+    """Small substepped-XPBD tet cube for the oracle-parity / invariant
+    tiers: ONE Jacobi iteration per substep with proportionally more,
+    shorter substeps — XPBD's own recommendation ("Small Steps in Physics
+    Simulation", Macklin et al. 2019; SURVEY.md §7 "XPBD Jacobi
+    convergence").  Same frame time as an 8-iteration config (1/60 s over
+    n_substeps*dt) at the same total sweep count, but each sweep projects
+    constraints at a 4x smaller dt where the linearization is tighter —
+    measured lower residual at matched work (docs/PERF.md)."""
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        dt=1.0 / 60.0 / 32.0,
+        n_substeps=32,
+        xpbd=XPBDParams(
+            compliance_distance=1e-6,
+            compliance_volume=1e-7,
+            n_iterations=1,
+            relaxation=1.0,
+        ),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+    )
+    top = tet_cube(
+        6, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 0.4, 0.0),
+    )
+    return top, cfg
+
+
+@register("softbody_cube_64k_xpbd_sub")
+def softbody_cube_64k_xpbd_sub():
+    """Substepped-XPBD variant of the 64k tet cube: 1 Jacobi iteration x
+    64 substeps per frame instead of 8 iterations x 16 substeps (same
+    physical frame time, half the total sweeps).  Per-iteration
+    throughput of the fused XPBD lattice kernel equals the Euler kernel's
+    per-substep throughput (docs/PERF.md "roll-parity"), so trading
+    iterations for substeps lifts substeps/sec ~8x at BETTER constraint
+    residual per unit walltime (Macklin et al. 2019, "Small Steps")."""
+    cfg = SimConfig(
+        solver=Solver.XPBD,
+        dt=1.0 / 60.0 / 64.0,
+        n_substeps=64,
+        xpbd=XPBDParams(
+            compliance_distance=1e-6,
+            compliance_volume=1e-7,
+            n_iterations=1,
+            relaxation=1.0,
+        ),
+        collision=CollisionParams(enable_plane=True, friction=0.4),
+        global_damping=0.5,
+    )
+    top = tet_cube(
+        40, spacing=0.02, mass=0.01, springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=0.0, origin=(0.0, 1.0, 0.0),
+    )
+    return top, cfg
+
+
 @register("cloth_bench_1m")
 def cloth_bench_1m():
     """Scaling showcase: 1024x1024 = 1,048,576-vertex curtain (6.3M springs).

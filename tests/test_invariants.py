@@ -118,6 +118,72 @@ def test_tet_volume_preserved():
     assert abs(vol.sum() - total0) / total0 < 0.05, "total volume within 5%"
 
 
+def test_substepped_xpbd_volume_preserved():
+    """The substep-instead-of-iterate XPBD regime (1 Jacobi iteration per
+    substep) keeps the tet-volume invariant as well as the 8-iteration
+    config: total volume within 5% after the drop settles."""
+    host, cfg = presets.build("softbody_cube_xpbd_sub")
+    top, state = api.init(host)
+    state = _run(top, cfg, state, 100)
+    x = np.asarray(state.x, dtype=np.float64)
+    t = host.tets
+    p0, p1, p2, p3 = x[t[:, 0]], x[t[:, 1]], x[t[:, 2]], x[t[:, 3]]
+    vol = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+    total0 = host.rest_volume.sum()
+    assert abs(vol.sum() - total0) / total0 < 0.05, "total volume within 5%"
+
+
+def _cube_residuals(host, base, n_substeps, n_iter, frames):
+    import dataclasses as dc
+
+    cfg = dc.replace(
+        base, dt=(1.0 / 60.0) / n_substeps, n_substeps=n_substeps,
+        xpbd=dc.replace(base.xpbd, n_iterations=n_iter),
+    )
+    top, state = api.init(host)
+    state = _run(top, cfg, state, frames)
+    x = np.asarray(state.x, dtype=np.float64)
+    d = x[host.edges[:, 1]] - x[host.edges[:, 0]]
+    r = np.abs(np.linalg.norm(d, axis=1) - host.rest_length).max()
+    t = host.tets
+    p0, p1, p2, p3 = x[t[:, 0]], x[t[:, 1]], x[t[:, 2]], x[t[:, 3]]
+    vol = np.einsum("ij,ij->i", np.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+    rv = np.mean(np.abs(vol - host.rest_volume) / np.abs(host.rest_volume))
+    return r, rv
+
+
+def test_xpbd_residual_decreases_with_substeps():
+    """The substepped regime's convergence guard (the n_iterations=1
+    analogue of test_xpbd_residual_decreases_with_iterations): at one
+    Jacobi sweep per substep, more/smaller substeps reach a lower
+    settled constraint residual (measured 8x1: rmax 4.2e-3 / volerr
+    4.1e-1 -> 64x1: 1.8e-3 / 7.6e-3 at 90 frames)."""
+    host, base = presets.build("softbody_cube_xpbd_sub")
+    r_8, rv_8 = _cube_residuals(host, base, 8, 1, frames=90)
+    r_64, rv_64 = _cube_residuals(host, base, 64, 1, frames=90)
+    assert r_64 < r_8, f"distance residual: 64x1 {r_64:.2e} !< 8x1 {r_8:.2e}"
+    assert rv_64 < rv_8, f"volume residual: 64x1 {rv_64:.2e} !< 8x1 {rv_8:.2e}"
+
+
+@pytest.mark.slow
+def test_xpbd_substeps_match_iterations_at_matched_work():
+    """Small Steps (Macklin et al. 2019): at the SAME total Jacobi-sweep
+    count per frame (128), 128 substeps x 1 iteration settles to a
+    residual at least as low as 16 substeps x 8 iterations (measured
+    7.3e-4 vs 7.6e-4 max at 240 frames) — while each 1-iteration substep
+    costs ~1/8th of an 8-iteration substep in the fused lattice kernel,
+    which is why the production 64k preset trades iterations for
+    substeps.  The half-budget point (64x1) already matches the
+    8-iteration residual to ~10% (docs/PERF.md)."""
+    host, base = presets.build("softbody_cube_xpbd_sub")
+    r_iter, rv_iter = _cube_residuals(host, base, 16, 8, frames=240)
+    r_sub, rv_sub = _cube_residuals(host, base, 128, 1, frames=240)
+    assert r_sub < r_iter * 1.05, \
+        f"matched-work distance residual: {r_sub:.2e} vs {r_iter:.2e}"
+    assert rv_sub < rv_iter * 1.05, \
+        f"matched-work volume residual: {rv_sub:.2e} vs {rv_iter:.2e}"
+
+
 def test_verlet_tracks_euler_roughly():
     """Both integrators solve the same physics: trajectories agree to the
     integration-order tolerance over a short horizon."""
@@ -265,6 +331,7 @@ def test_move_pins_kinematic_attachment(solver):
 @pytest.mark.parametrize(
     "preset", ["cloth_bench_64k", "cloth_bench_262k", "cloth_bench_1m",
                "softbody_cube_64k", "softbody_cube_64k_verlet",
+               "softbody_cube_64k_xpbd_sub",
                "voxel_sphere_50k", "cloth_plastic_262k"]
 )
 def test_big_presets_stay_finite(preset):

@@ -44,6 +44,9 @@ PRESETS = [
     "balloon_drop",
     # 1D chain primitive (structural+bend, fully banded)
     "rope_swing",
+    # substep-instead-of-iterate XPBD (1 Jacobi iteration, 32 substeps):
+    # the semantics of the high-throughput volumetric XPBD regime
+    "softbody_cube_xpbd_sub",
 ]
 assert set(PRESETS) <= set(presets.names())
 
