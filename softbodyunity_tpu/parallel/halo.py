@@ -305,27 +305,17 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "plasticity is not supported in the halo-sharded lattice "
             "paths; use the single-device step"
         )
-    # features only the cloth halo substeps implement: the lattice paths
-    # reject loudly rather than silently dropping the constraint (the same
-    # contract as the collider gates above).  ``strain``: cloth paths run
-    # the Jacobi sweeps with one halo exchange per sweep ("sweeps");
-    # ``motion``: cloth paths take row-sharded tether anchor/radius planes
-    # ("planes").
+    # ``strain``/``motion`` document HOW each path implements the feature
+    # (every halo path now supports both): cloth paths run the strain
+    # Jacobi sweeps with one halo exchange per sweep ("sweeps") and take
+    # row-sharded tether anchor/radius planes ("planes"); lattice paths
+    # run slab sweeps (also "sweeps") and take slab-sharded tether planes
+    # ("slabs", shard_motion_slabs).
+    del strain, motion
     if cfg.shape_match.enabled and top.n_clusters > 0:
         raise NotImplementedError(
             "shape matching is not supported in the halo-sharded paths; "
             "use batch sharding or the single-device step"
-        )
-    if strain == "none" and cfg.strain_limit.enabled:
-        raise NotImplementedError(
-            "strain limiting is not supported in the halo-sharded lattice "
-            "paths; use batch sharding or the single-device step"
-        )
-    if motion == "none" and cfg.motion.enabled and top.tether_anchor is not None:
-        raise NotImplementedError(
-            "motion constraints (tethers) are not supported in the "
-            "halo-sharded lattice paths; use batch sharding or the "
-            "single-device step"
         )
 
 
@@ -1291,6 +1281,69 @@ def _rev(a: jax.Array, di: int, r: int) -> jax.Array:
     return out
 
 
+def _strain_limit_slab_inv_cnt(sgroups, we, eme, n_local):
+    """Owned-slab inverse incident-edge count for the strain-limit sweeps
+    (static per call — compute ONCE outside the substep scan, the count
+    only depends on the exchanged masks)."""
+    cnt = jnp.zeros_like(we)
+    for (di, r, _rest), m in zip(sgroups, eme):
+        cnt = cnt + m + _rev(m, di, r)
+    return (1.0 / jnp.maximum(cnt, 1.0))[SLAB_HALO : SLAB_HALO + n_local, :]
+
+
+def _strain_limit_slab(xb, sgroups, cfg, we, eme, inv_cnt, n_local,
+                       axis_name):
+    """Strain-limit Jacobi sweeps on slab-sharded lattice blocks — the 3D
+    counterpart of :func:`_strain_limit_halo` (oracle ``strain_limit_dx``
+    twin over the banded offset groups).  ``sgroups`` is
+    ``((di, r, rest), ...)``; ``we``/``eme``/``inv_cnt`` are the caller's
+    already-exchanged inverse-mass / group-mask slabs and the precomputed
+    :func:`_strain_limit_slab_inv_cnt` (all loop-invariant — no redundant
+    ppermute).  Each sweep re-exchanges the positions so any sweep count
+    stays exact with the 1-slab halo.  Returns the total dx on the owned
+    slabs."""
+    sl = cfg.strain_limit
+    x0 = xb
+    for _ in range(sl.iterations):
+        xe = _exchange_slab(xb, axis_name)
+        dx = jnp.zeros_like(xe)
+        for gi, (di, r, rest) in enumerate(sgroups):
+            xn = _nbr(xe, di, r)
+            d = xn - xe
+            length = jnp.sqrt(jnp.sum(d * d, axis=0))
+            nrm = d / jnp.maximum(length, 1e-12)
+            hi = rest * (1.0 + sl.max_stretch)
+            lo = (rest * (1.0 - sl.max_compress)
+                  if sl.max_compress >= 0.0 else 0.0)
+            c_val = (length - jnp.clip(length, lo, hi)) * eme[gi]
+            wn = _nbr(we, di, r)
+            corr = c_val / jnp.maximum(we + wn, 1e-12)
+            dx = dx + (we * corr) * nrm - _rev((wn * corr) * nrm, di, r)
+        xb = xb + dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * inv_cnt
+    return xb - x0
+
+
+def shard_motion_slabs(top: Topology, mesh: Mesh):
+    """Tether anchors/radii -> slab-sharded lattice planes
+    ``(anchor3 f32[3, n, n^2], radius1 f32[1, n, n^2])`` for the lattice
+    halo steppers' ``tether_anchors``/``tether_radii`` inputs (the
+    :func:`shard_motion_planes` counterpart)."""
+    if top.tether_anchor is None:
+        raise ValueError(
+            "topology has no motion constraints: call "
+            "set_motion_constraints(top, anchors, radii) before "
+            "shard_motion_slabs"
+        )
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n2 = n * n
+    spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    a3 = jax.device_put(
+        jnp.asarray(top.tether_anchor).T.reshape(3, n, n2), spec)
+    r1 = jax.device_put(
+        jnp.asarray(top.tether_radius).reshape(1, n, n2), spec)
+    return a3, r1
+
+
 def lattice_halo_applicable(top: Topology) -> bool:
     """Static gate: fully banded uniform lattice with an n^3 vertex count."""
     g = top.offset_groups
@@ -1311,12 +1364,15 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     """Slab-sharded Euler stepping for the banded tet lattice.
 
     Returns ``fn(x3, v3, im3, plane_h, emask, tmask, dt, n_substeps,
-    sphere_centers=None, sphere_radii=None)`` over ``f32[3, n, n^2]``
-    plane-layout arrays sharded ``P(None, ROWS_AXIS, None)``; use
-    :func:`shard_lattice_state`.  Semantics mirror solver/step.py
-    substep_euler on the banded path (tested vs single device)."""
+    sphere_centers=None, sphere_radii=None, tether_anchors=None,
+    tether_radii=None)`` over ``f32[3, n, n^2]`` plane-layout arrays
+    sharded ``P(None, ROWS_AXIS, None)``; use :func:`shard_lattice_state`
+    (and :func:`shard_motion_slabs` for the tether planes).  Semantics
+    mirror solver/step.py substep_euler on the banded path (tested vs
+    single device): strain limiting and motion tethers run after the
+    volume projection with velocity feedback, before contact."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none")
+                          sdf="none", strain="sweeps", motion="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1336,18 +1392,37 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     vol_stiff = cfg.volume_stiffness
     damping = cfg.springs.damping
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    strain_on = cfg.strain_limit.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sgroups = tuple((di, r, rest) for (di, r, _k, rest) in egroups)
 
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
-                      n_substeps, sphere_centers=None, sphere_radii=None):
-        def local(x3b, v3b, imb, ph, emb, tmb, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+                      n_substeps, sphere_centers=None, sphere_radii=None,
+                      tether_anchors=None, tether_radii=None):
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_slabs(top, mesh))"
+            )
+
+        def local(x3b, v3b, imb, ph, emb, tmb, *rest_args):
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest_args[0], rest_args[1])
+                i = 2
+            anchors = ((rest_args[i], rest_args[i + 1])
+                       if motion_on else None)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             # static per call: extended masks, inv-mass, volume count plane
             we = _exchange_slab(imb, ROWS_AXIS)[0]         # [L+2, n2]
             eme = _exchange_slab(emb, ROWS_AXIS)           # [Ge, L+2, n2]
+            if strain_on:
+                sl_inv_cnt = _strain_limit_slab_inv_cnt(sgroups, we, eme,
+                                                        n_local)
             if use_volume:
                 tme = _exchange_slab(tmb, ROWS_AXIS)       # [Gt, L+2, n2]
                 cnt = jnp.zeros_like(we)
@@ -1424,6 +1499,20 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     dxi = jnp.where(movable, dxi, 0.0)
                     xb = xb + dxi
                     vb = vb + dxi / dt
+                if strain_on:
+                    # strain limiting before collision; the clamp feeds
+                    # back into velocity (oracle substep_euler ordering)
+                    dxl = _strain_limit_slab(xb, sgroups, cfg, we, eme,
+                                             sl_inv_cnt, n_local, ROWS_AXIS)
+                    xb = xb + dxl
+                    vb = vb + dxl / dt
+                if motion_on:
+                    # tethers after strain limiting, before collision
+                    # (contact always wins); velocity feedback on Euler
+                    dxt = _tether_dx_planes(xb, anchors[0], anchors[1],
+                                            cfg, movable)
+                    xb = xb + dxt
+                    vb = vb + dxt / dt
                 xb, vb = _resolve_colliders(xb, vb, movable, cfg, ph[0], spheres)
                 return (xb, vb), None
 
@@ -1439,6 +1528,9 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 raise ValueError("cfg enables spheres: pass sphere geometry")
             args += (sphere_centers, sphere_radii)
             specs += (P(), P())
+        if motion_on:
+            args += (tether_anchors, tether_radii)
+            specs += (spec, spec)
         return jax.shard_map(
             local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
         )(*args)
@@ -1472,9 +1564,12 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     (solver/step.py substep_verlet semantics on the banded path).
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
-    sphere_centers=None, sphere_radii=None) -> (x, v)``."""
+    sphere_centers=None, sphere_radii=None, tether_anchors=None,
+    tether_radii=None) -> (x, v)``.  Strain limiting and motion tethers
+    run position-only after the volume projection, before contact
+    (oracle substep_verlet ordering)."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none")
+                          sdf="none", strain="sweeps", motion="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1494,16 +1589,35 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     vol_stiff = cfg.volume_stiffness
     damping = cfg.springs.damping
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    strain_on = cfg.strain_limit.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sgroups = tuple((di, r, rest) for (di, r, _k, rest) in egroups)
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, xp3, im3, plane_height, emask, tmask, dt,
-                      n_substeps, sphere_centers=None, sphere_radii=None):
-        def local(x3b, xp3b, imb, ph, emb, tmb, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+                      n_substeps, sphere_centers=None, sphere_radii=None,
+                      tether_anchors=None, tether_radii=None):
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_slabs(top, mesh))"
+            )
+
+        def local(x3b, xp3b, imb, ph, emb, tmb, *rest_args):
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest_args[0], rest_args[1])
+                i = 2
+            anchors = ((rest_args[i], rest_args[i + 1])
+                       if motion_on else None)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             we = _exchange_slab(imb, ROWS_AXIS)[0]
             eme = _exchange_slab(emb, ROWS_AXIS)
+            if strain_on:
+                sl_inv_cnt = _strain_limit_slab_inv_cnt(sgroups, we, eme,
+                                                        n_local)
             if use_volume:
                 tme = _exchange_slab(tmb, ROWS_AXIS)
                 cnt = jnp.zeros_like(we)
@@ -1583,6 +1697,16 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 x_new = jnp.where(movable, x_new, xb)
                 if use_volume:
                     x_new = x_new + volume_dx_interior(x_new)
+                if strain_on:
+                    # strain limiting before contact, position-only on
+                    # the projection solvers (oracle substep_verlet)
+                    x_new = x_new + _strain_limit_slab(
+                        x_new, sgroups, cfg, we, eme, sl_inv_cnt, n_local,
+                        ROWS_AXIS)
+                if motion_on:
+                    # tethers after strain limiting, before contact
+                    x_new = x_new + _tether_dx_planes(
+                        x_new, anchors[0], anchors[1], cfg, movable)
                 # position-only collide (oracle project_positions_only)
                 contact_pf = (x_new[1] < ph[0]) & movable[0]  # pre-clamp
                 if cfg.collision.enable_plane:
@@ -1625,6 +1749,9 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 raise ValueError("cfg enables spheres: pass sphere geometry")
             args += (sphere_centers, sphere_radii)
             specs += (P(), P())
+        if motion_on:
+            args += (tether_anchors, tether_radii)
+            specs += (spec, spec)
         return jax.shard_map(
             local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
         )(*args)
@@ -1637,9 +1764,11 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     sweep exchanges positions AND the per-group lambda planes (the cloth
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
-    substep_xpbd banded twin)."""
+    substep_xpbd banded twin).  Strain limiting and motion tethers run
+    after the Jacobi loop, then ONE more contact projection so the
+    clamps never leave penetration behind (oracle substep_xpbd)."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none")
+                          sdf="none", strain="sweeps", motion="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1658,20 +1787,38 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     omega = cfg.xpbd.relaxation
     n_iter = cfg.xpbd.n_iterations
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
+    strain_on = cfg.strain_limit.enabled
+    motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sgroups = tuple((di, r, rest) for (di, r, rest, _a) in egroups)
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
-                      n_substeps, sphere_centers=None, sphere_radii=None):
+                      n_substeps, sphere_centers=None, sphere_radii=None,
+                      tether_anchors=None, tether_radii=None):
         alpha_ts = [alpha / (dt * dt) for _, _, _, alpha in egroups]
         alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
+        if motion_on and tether_anchors is None:
+            raise ValueError(
+                "cfg enables motion constraints: pass tether_anchors/"
+                "tether_radii (shard_motion_slabs(top, mesh))"
+            )
 
-        def local(x3b, v3b, imb, ph, emb, tmb, *sph):
-            spheres = (sph[0], sph[1]) if sph else None
+        def local(x3b, v3b, imb, ph, emb, tmb, *rest_args):
+            i = 0
+            spheres = None
+            if spheres_on:
+                spheres = (rest_args[0], rest_args[1])
+                i = 2
+            anchors = ((rest_args[i], rest_args[i + 1])
+                       if motion_on else None)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             we = _exchange_slab(imb, ROWS_AXIS)[0]
             eme = _exchange_slab(emb, ROWS_AXIS)
             tme = _exchange_slab(tmb, ROWS_AXIS)
+            if strain_on:
+                sl_inv_cnt = _strain_limit_slab_inv_cnt(sgroups, we, eme,
+                                                        n_local)
             # constraint count: owned + owning edges and tet corners
             cnt = jnp.zeros_like(we)
             for gi in range(len(egroups)):
@@ -1697,6 +1844,33 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 vb = jnp.where(movable, vb, 0.0)
                 x_prev = xb
                 delta0 = dt * vb
+
+                def project_contacts(delta, cf):
+                    # plane + sphere projection in delta form, recording
+                    # the OR'd pre-clamp plane mask for substep-end
+                    # friction (shared by the Jacobi loop and the
+                    # post-clamp re-projection)
+                    if cfg.collision.enable_plane:
+                        xe1 = x_prev[1] + delta[1]
+                        contact = (xe1 < ph[0]) & movable[0]
+                        delta = delta.at[1].set(
+                            jnp.where(contact, ph[0] - x_prev[1], delta[1])
+                        )
+                        cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
+                    if cfg.collision.enable_spheres and spheres is not None:
+                        centers, radii = spheres
+                        xev = x_prev + delta
+                        xproj = xev
+                        for si in range(radii.shape[0]):
+                            c = centers[si].reshape(3, 1, 1)
+                            d = xproj - c
+                            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+                            pen = radii[si] - dist
+                            contact = (pen > 0.0) & movable[0]
+                            nrm = d / jnp.maximum(dist, 1e-12)
+                            xproj = xproj + jnp.where(contact, pen, 0.0) * nrm
+                        delta = delta + (xproj - xev)
+                    return delta, cf
 
                 def iteration(carry_it, _2):
                     delta, lams, lamv, cf = carry_it
@@ -1761,27 +1935,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                             di, r = corners[ci]
                             dx = dx + _rev((wc[ci] * dlam_v) * gv, di, r)
                     delta = delta + dx[:, SLAB_HALO : SLAB_HALO + n_local, :] * cnt_inv
-                    if cfg.collision.enable_plane:
-                        # OR of the pre-clamp masks -> substep-end friction
-                        xe1 = x_prev[1] + delta[1]
-                        contact = (xe1 < ph[0]) & movable[0]
-                        delta = delta.at[1].set(
-                            jnp.where(contact, ph[0] - x_prev[1], delta[1])
-                        )
-                        cf = jnp.maximum(cf, jnp.where(contact, 1.0, 0.0))
-                    if cfg.collision.enable_spheres and spheres is not None:
-                        centers, radii = spheres
-                        xev = x_prev + delta
-                        xproj = xev
-                        for si in range(radii.shape[0]):
-                            c = centers[si].reshape(3, 1, 1)
-                            d = xproj - c
-                            dist = jnp.sqrt(jnp.sum(d * d, axis=0))
-                            pen = radii[si] - dist
-                            contact = (pen > 0.0) & movable[0]
-                            nrm = d / jnp.maximum(dist, 1e-12)
-                            xproj = xproj + jnp.where(contact, pen, 0.0) * nrm
-                        delta = delta + (xproj - xev)
+                    delta, cf = project_contacts(delta, cf)
                     return (delta, tuple(new_lams), tuple(new_lamv), cf), None
 
                 # zeros derived from sharded input to keep {V:rows} typing
@@ -1792,6 +1946,21 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     iteration, (delta0, lams0, lamv0, cf0), None,
                     length=n_iter
                 )
+                if strain_on or motion_on:
+                    # strain limiting then motion constraints after the
+                    # Jacobi loop, then ONE more contact projection so the
+                    # clamps never leave penetration behind (oracle
+                    # substep_xpbd ordering)
+                    xev = x_prev + delta
+                    if strain_on:
+                        xev = xev + _strain_limit_slab(
+                            xev, sgroups, cfg, we, eme, sl_inv_cnt,
+                            n_local, ROWS_AXIS)
+                    if motion_on:
+                        xev = xev + _tether_dx_planes(
+                            xev, anchors[0], anchors[1], cfg, movable)
+                    delta = xev - x_prev
+                    delta, cff = project_contacts(delta, cff)
                 mu = cfg.collision.friction
                 if cfg.collision.enable_plane and mu != 0.0:
                     # plane friction ONCE per substep at the OR'd mask
@@ -1819,6 +1988,9 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 raise ValueError("cfg enables spheres: pass sphere geometry")
             args += (sphere_centers, sphere_radii)
             specs += (P(), P())
+        if motion_on:
+            args += (tether_anchors, tether_radii)
+            specs += (spec, spec)
         return jax.shard_map(
             local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
         )(*args)

@@ -107,21 +107,22 @@ def step_sharded(
 def _compiled_coupled_sharded(cfg: SimConfig, dt: float, n_substeps: int,
                               mesh: Mesh):
     """SPMD coupled step: cloth State AND RigidState batch-shard together
-    (rigid props are per-scene), zero inner-loop collectives."""
-    from ..solver.rigid import RigidState, step_coupled_scan
+    (rigid props are per-scene), zero inner-loop collectives.  The output
+    shardings are pinned leaf-by-leaf with ``with_sharding_constraint``
+    (not a fixed out_shardings pytree) so optional leaves — tear liveness
+    / plastic rest-scale planes, ball quaternions, promoted boxes —
+    shard on the batch axis whenever present."""
+    from ..solver.rigid import step_coupled_scan
 
     sh = NamedSharding(mesh, P(BATCH_AXIS))
 
-    @functools.partial(
-        jax.jit,
-        out_shardings=(
-            State(x=sh, v=sh, x_prev=sh, edge_alive=None, rest_scale=None),
-            RigidState(centers=sh, velocities=sh, inv_mass=sh, omega=sh),
-        ),
-    )
+    @jax.jit
     def impl(top: Topology, states: State, rigids):
         fn = lambda s, r: step_coupled_scan(top, cfg, s, r, dt, n_substeps)
-        return jax.vmap(fn)(states, rigids)
+        out_s, out_r = jax.vmap(fn)(states, rigids)
+        pin = lambda t: jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, sh), t)
+        return pin(out_s), pin(out_r)
 
     return impl
 
@@ -136,14 +137,19 @@ def step_coupled_sharded(
     n_substeps: Optional[int] = None,
 ):
     """Advance batch-sharded coupled scenes (cloth + per-scene dynamic
-    rigid spheres) one frame on every chip; returns (states, rigids).
-    Tearing/plasticity feature planes are not supported on this entry
-    (coupled RL scenes are plain cloth; compose manually if needed)."""
-    if states.edge_alive is not None or states.rest_scale is not None:
-        raise NotImplementedError(
-            "step_coupled_sharded does not thread tearing/plasticity "
-            "planes; use step_sharded or the unsharded coupled path"
-        )
+    rigid spheres/boxes) one frame on every chip; returns
+    ``(states, rigids)``.  Tearing/plasticity feature planes shard on the
+    batch axis like the vertex arrays (Euler solver — the coupled
+    Verlet/XPBD substeps reject them upstream in step_coupled_scan,
+    matching the single-device contract)."""
+    from .batch import _ensure_tear_batched
+
     dt = cfg.dt if dt is None else float(dt)
     n = cfg.n_substeps if n_substeps is None else int(n_substeps)
+    before = (states.edge_alive is not None, states.rest_scale is not None)
+    states = _ensure_tear_batched(top, cfg, states)
+    if (states.edge_alive is not None,
+            states.rest_scale is not None) != before:
+        # lazily-created feature planes: place them like the rest
+        states = shard_batched_state(states, mesh)
     return _compiled_coupled_sharded(cfg, dt, n, mesh)(top, states, rigids)

@@ -340,6 +340,54 @@ def test_coupled_sharded_matches_single():
                                    np.asarray(r1.omega), atol=1e-5)
 
 
+def test_coupled_sharded_threads_tear_plastic():
+    """Tear liveness / plastic rest-scale planes shard through the
+    coupled batch entry (round-3 VERDICT hole: step_coupled_sharded
+    raised NotImplementedError): 8-device equality vs the single-scene
+    coupled Euler step, feature planes included."""
+    from softbodyunity_tpu.core.config import PlasticityParams, TearParams
+    from softbodyunity_tpu.parallel.batch import batch_state
+    from softbodyunity_tpu.parallel.sharding import (
+        make_mesh,
+        replicate_topology,
+        shard_batched_state,
+        step_coupled_sharded,
+    )
+
+    host, cfg = _trampoline(n=6)
+    # strain past the tear limit under the ball, plastic flow before it
+    cfg = cfg.replace(tear=TearParams(enabled=True, strain_limit=0.03),
+                      plasticity=PlasticityParams(enabled=True,
+                                                  yield_strain=0.02,
+                                                  creep=0.02))
+    top, state = api.init(host)
+    state = api.ensure_tear_state(top, cfg, state)
+    state = api.ensure_plastic_state(top, cfg, state)
+    rigid = make_rigid_state(top, [8.0])   # heavy ball: strains past tear
+    mesh = make_mesh()
+    tops = replicate_topology(top, mesh)
+    states = shard_batched_state(batch_state(state, 8), mesh)
+    rigids = shard_batched_state(
+        jax.tree.map(lambda a: jnp.stack([a] * 8), rigid), mesh)
+    s1, r1 = state, rigid
+    for _ in range(14):   # enough frames that flow + tear both engage
+        s1, r1 = api.step_coupled(top, cfg, s1, r1)
+        states, rigids = step_coupled_sharded(tops, cfg, states, rigids,
+                                              mesh)
+    assert float(jnp.sum(s1.edge_alive)) < s1.edge_alive.shape[0], \
+        "scene never tore — test scene needs retuning"
+    assert float(jnp.max(s1.rest_scale)) > 1.0, "no plastic flow"
+    for b in range(8):
+        np.testing.assert_allclose(np.asarray(states.x[b]),
+                                   np.asarray(s1.x), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(states.edge_alive[b]),
+                                      np.asarray(s1.edge_alive))
+        np.testing.assert_allclose(np.asarray(states.rest_scale[b]),
+                                   np.asarray(s1.rest_scale), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rigids.centers[b]),
+                                   np.asarray(r1.centers), atol=1e-6)
+
+
 def test_hand_built_rigidstate_without_omega():
     """RigidState's omega default (None) must not break the scan carry —
     step_coupled normalizes it to zeros."""

@@ -323,6 +323,71 @@ def test_halo_lattice_xpbd_matches_single_device(n_dev):
 
 
 @pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
+def test_halo_lattice_strain_tether_matches_single_device(solver):
+    """Slab-sharded strain limiting (one slab exchange per Jacobi sweep)
+    + motion-constraint tether slabs on the lattice halo paths == the
+    single-device banded path, all three solvers (round-3 VERDICT hole:
+    the lattice paths rejected both features)."""
+    from softbodyunity_tpu.core.config import (
+        MotionConstraintParams, Solver, StrainLimitParams, XPBDParams)
+    from softbodyunity_tpu.core.topology import (
+        set_motion_constraints, tet_cube)
+    from softbodyunity_tpu.solver.step import step_scan
+
+    sv = {"euler": Solver.SEMI_IMPLICIT_EULER, "verlet": Solver.VERLET,
+          "xpbd": Solver.XPBD}[solver]
+    # soft springs so hanging under gravity stretches far past the band
+    # and the clamp does real work (the cloth strain/tether test's scene
+    # design, in 3D)
+    cfg = SimConfig(
+        solver=sv,
+        springs=SpringParams(k_structural=20.0, damping=0.5),
+        xpbd=XPBDParams(compliance_distance=1e-4, compliance_volume=1e-5,
+                        n_iterations=4, relaxation=1.0),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.5,
+        volume_stiffness=0.3,
+        strain_limit=StrainLimitParams(enabled=True, max_stretch=0.02,
+                                       max_compress=0.02, iterations=2),
+        motion=MotionConstraintParams(enabled=True, scale=1.0),
+    )
+    host = tet_cube(8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=0.0, origin=(0.0, 0.3, 0.0), mass=0.5)
+    host.inv_mass[:64] = 0.0  # pin one face: gravity stretches the rest
+    host = set_motion_constraints(host, 0.03)
+    top, state = api.init(host)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    make = {"euler": halo.make_halo_lattice_step,
+            "verlet": halo.make_halo_lattice_verlet_step,
+            "xpbd": halo.make_halo_lattice_xpbd_step}[solver]
+    fn = jax.jit(make(top, cfg, mesh), static_argnums=(7,))
+    x3, v3, im3, ph, emask, tmask = halo.shard_lattice_state(top, state,
+                                                             mesh)
+    a3, r1 = halo.shard_motion_slabs(top, mesh)
+    second = v3 if solver != "verlet" else x3  # verlet carries (x, xp)
+    xf, vf = fn(x3, second, im3, ph, emask, tmask, cfg.dt, 96,
+                tether_anchors=a3, tether_radii=r1)
+    got_x = np.asarray(xf).reshape(3, -1).T
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
+    # euler feeds the clamp dx back into v (x960 amplification of
+    # formulation rounding noise — see the cloth test's comment); xpbd
+    # stacks volume + distance + clamp corrections (measured 2.5e-5)
+    atol = {"euler": 3e-4, "verlet": 2e-5, "xpbd": 5e-5}[solver]
+    np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=atol)
+
+    # both features actually engaged: disabling either changes the result
+    import dataclasses as dc
+    cfg_ns = dc.replace(cfg, strain_limit=StrainLimitParams(enabled=False))
+    off = jax.jit(lambda t, s: step_scan(t, cfg_ns, s, cfg.dt, 96))(top, state)
+    assert float(jnp.abs(off.x - ref.x).max()) > 1e-4, "strain limit inert"
+    cfg_nt = dc.replace(cfg, motion=MotionConstraintParams(enabled=False))
+    off2 = jax.jit(lambda t, s: step_scan(t, cfg_nt, s, cfg.dt, 96))(top, state)
+    assert float(jnp.abs(off2.x - ref.x).max()) > 1e-4, "tethers inert"
+
+
+@pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
 def test_halo_capsule_box_matches_single_device(solver):
     """Capsule + oriented-box colliders on the row-sharded paths (geometry
     as replicated inputs, shared component primitives): equality vs the
