@@ -36,17 +36,17 @@ TOLERANCES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(TOLERANCES))
-def test_golden_replay(name):
+def _replay(name: str, method: "str | None" = None):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     data = np.load(path)
     golden = data["positions"]            # [R, N, 3]
     record_every = int(data["record_every"])
 
     host, cfg = presets.build(name)
-    if cfg.self_collision.enabled:
+    if method is not None:
         cfg = cfg.replace(
-            self_collision=dataclasses.replace(cfg.self_collision, method="dense")
+            self_collision=dataclasses.replace(cfg.self_collision,
+                                               method=method)
         )
     top, state = api.init(host)
     tol = TOLERANCES[name]
@@ -57,3 +57,21 @@ def test_golden_replay(name):
         assert drift < tol, (
             f"{name}: drift {drift:.3e} > {tol} at frame {(r+1)*record_every}"
         )
+
+
+@pytest.mark.parametrize("name", sorted(TOLERANCES))
+def test_golden_replay(name):
+    """Replay with each preset's SHIPPING config — cloth_batch_rl runs its
+    production ``dense_mxu`` self-collision (round-3 VERDICT: the replay
+    tier used to swap in ``dense`` and never touched the production
+    method)."""
+    _replay(name)
+
+
+@pytest.mark.parametrize("method", ["dense", "block", "hash"])
+def test_golden_replay_selfcollision_methods(method):
+    """Every self-collision formulation replays the same golden
+    trajectory: the methods are pair-set-identical (tests/test_hashgrid
+    tier), so each must track the oracle within the contact-chaos
+    bound."""
+    _replay("cloth_batch_rl", method=method)
