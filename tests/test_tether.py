@@ -304,11 +304,11 @@ def test_dispatch_gates_fast_paths_off():
 
 
 def test_halo_gates():
-    """The cloth halo paths take motion constraints (as row-sharded tether
-    planes — missing inputs rejected loudly); the lattice paths still
-    reject the feature loudly (no silent drop on multi-chip).  Equality
-    is covered by tests/test_halo.py::
-    test_halo_strain_tether_matches_single_device."""
+    """Every halo path takes motion constraints as sharded tether planes
+    — and rejects MISSING inputs loudly at call time (no silent drop on
+    multi-chip; round-3 VERDICT closed the lattice hole).  Equality is
+    covered by tests/test_halo.py::
+    test_halo_strain_tether_matches_single_device (+_lattice_)."""
     from jax.sharding import Mesh
 
     from softbodyunity_tpu.parallel import halo
@@ -325,12 +325,14 @@ def test_halo_gates():
 
     from softbodyunity_tpu.core.topology import tet_cube
 
-    cube = tet_cube(4, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
+    cube = tet_cube(8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
                     plane_height=0.0)
     cube = set_motion_constraints(cube, 0.05)
-    ctop, _ = api.init(cube)
-    with pytest.raises(NotImplementedError, match="motion constraints"):
-        halo.make_halo_lattice_step(ctop, cfg, mesh)
+    ctop, cstate = api.init(cube)
+    cfn = halo.make_halo_lattice_step(ctop, cfg, mesh)  # builds fine now
+    args = halo.shard_lattice_state(ctop, cstate, mesh)
+    with pytest.raises(ValueError, match="tether_anchors"):
+        cfn(*args, cfg.dt, 1)  # same missing-inputs contract as cloth
 
 
 def test_batched_matches_single():
