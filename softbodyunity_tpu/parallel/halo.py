@@ -66,7 +66,7 @@ def _owned_mask_ext(ny_local: int, nx: int, ny_global: int, di: int, dj: int,
 def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
                   plane_height, ny_global, axis_name, spheres=None,
                   alive=None, scale=None, capsules=None, boxes=None,
-                  sdfs=None, plane_velocity=None, anchors=None):
+                  sdfs=None, plane_velocity=None, anchors=None, we=None):
     """One Euler substep on a row-sharded block (inside shard_map).
     ``alive`` (tear liveness planes [n_off, ny_local, nx], sharded like the
     state) subsumes the static ownership masks; ``scale`` (plastic
@@ -109,7 +109,7 @@ def _halo_substep(x3, v3, inv_mass_ext_builder, offsets, cfg, dt,
         # strain limiting before contact, velocity feedback on the Euler
         # solver (oracle substep_euler ordering)
         dxl = _strain_limit_halo(x3, offsets, cfg, inv_mass2, ny_global,
-                                 axis_name, ae=ae, se=se)
+                                 axis_name, ae=ae, se=se, we=we)
         x3 = x3 + dxl
         v3 = v3 + dxl / dt
     if anchors is not None:
@@ -557,12 +557,18 @@ def make_halo_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 anchors = (rest[i], rest[i + 1])
                 i += 2
 
+            # the inverse-mass halo is loop-invariant: exchange it ONCE
+            # before the scan (XLA does not hoist collectives out of scan
+            # bodies) and thread it to the per-substep strain limiter
+            we = (_exchange_halo(imb, ROWS_AXIS)[0]
+                  if cfg.strain_limit.enabled else None)
+
             def body(carry, _):
                 out = _halo_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
-                    plane_velocity=pv, anchors=anchors,
+                    plane_velocity=pv, anchors=anchors, we=we,
                 )
                 return out, None
 
@@ -876,7 +882,7 @@ def _rest_friction_planes(x_new, x_start, movable, cfg, capsules, boxes,
 def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
                          plane_height, ny_global, axis_name, spheres=None,
                          alive=None, scale=None, capsules=None, boxes=None,
-                         sdfs=None, anchors=None):
+                         sdfs=None, anchors=None, we=None):
     """One position-Verlet substep on a row-sharded block (oracle
     substep_verlet semantics; halo forces as in _halo_substep).  Returns
     ``(x_new, x3, alive, scale)`` with Nones preserved."""
@@ -916,7 +922,7 @@ def _halo_verlet_substep(x3, xp3, inv_mass2, offsets, cfg, dt,
         # solvers (oracle substep_verlet ordering)
         x_new = x_new + _strain_limit_halo(x_new, offsets, cfg, inv_mass2,
                                            ny_global, axis_name, ae=ae,
-                                           se=se)
+                                           se=se, we=we)
     if anchors is not None:
         # motion constraints after strain limiting, before contact
         x_new = x_new + _tether_dx_planes(x_new, anchors[0], anchors[1],
@@ -1032,12 +1038,17 @@ def make_halo_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 anchors = (rest[i], rest[i + 1])
                 i += 2
 
+            # loop-invariant inverse-mass halo: one exchange, not one per
+            # substep (see make_halo_step's body)
+            we = (_exchange_halo(imb, ROWS_AXIS)[0]
+                  if cfg.strain_limit.enabled else None)
+
             def body(carry, _):
                 out = _halo_verlet_substep(
                     carry[0], carry[1], imb, offsets, cfg, dt, ph[0], ny,
                     ROWS_AXIS, spheres=spheres, alive=carry[2],
                     scale=carry[3], capsules=cb[0], boxes=cb[1], sdfs=sd,
-                    anchors=anchors,
+                    anchors=anchors, we=we,
                 )
                 return out, None
 
