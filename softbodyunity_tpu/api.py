@@ -58,6 +58,26 @@ def suggest_dt(host: HostTopology, cfg: SimConfig, *,
     return float(safety * 2.0 / omega_max)
 
 
+def _kron_fields(host: HostTopology, f32):
+    """Kronecker shape-match factors for raster lattices (see
+    solver/shapematch.py::kron_factors_host) — built HERE because this is
+    the last point where cluster_id is concrete (under jit dispatch the
+    Topology arrays are tracers)."""
+    shape = getattr(host, "lattice_shape", None)
+    if (host.cluster_id is None or shape is None
+            or shape[0] * shape[1] * shape[2]
+            != host.positions0.shape[0]):
+        return {}
+    from .solver.shapematch import kron_factors_host
+
+    factors = kron_factors_host(host.cluster_id, shape, host.n_clusters)
+    if factors is None:
+        return {}
+    ox, oy, oz, occ = factors
+    return dict(cluster_kron_x=f32(ox), cluster_kron_y=f32(oy),
+                cluster_kron_z=f32(oz), cluster_kron_cells=f32(occ))
+
+
 def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
     """Cast the float64 host topology to device arrays (f32 for the perf
     path; tests pass f64 to prove exact semantic parity with the oracle)."""
@@ -184,6 +204,7 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
                     else None),
         cluster_rest=(f32(host.cluster_rest)
                       if host.cluster_rest is not None else None),
+        **_kron_fields(host, f32),
         tether_anchor=(f32(host.tether_anchor)
                        if getattr(host, "tether_anchor", None) is not None
                        else None),
@@ -194,6 +215,7 @@ def device_topology(host: HostTopology, dtype=jnp.float32) -> Topology:
         n_vertices=host.positions0.shape[0],
         grid_shape=host.grid_shape,
         grid_spacing=host.grid_spacing,
+        lattice_shape=getattr(host, "lattice_shape", None),
         edge_classes_present=host.edge_classes_present,
     )
 

@@ -128,6 +128,15 @@ class Topology:
     cluster_rest: jax.Array = None    # f32[N, 3] rest offset from the
     #                                   cluster's mass-weighted rest centroid
     #                                   (zeros for non-members / pinned)
+    # Kronecker factors of the cluster field on a raster lattice (built
+    # host-side in api.device_topology via shapematch.kron_factors_host;
+    # None when clusters are not raster-separable): per-axis one-hots +
+    # the occupied-cell -> cluster map.  Enables the near-zero-traffic
+    # per-axis shape-match reductions (solver/shapematch.py)
+    cluster_kron_x: jax.Array = None    # f32[nx, ncx]
+    cluster_kron_y: jax.Array = None    # f32[ny, ncy]
+    cluster_kron_z: jax.Array = None    # f32[nz, ncz]
+    cluster_kron_cells: jax.Array = None  # f32[ncx*ncy*ncz, K]
     # --- per-vertex motion constraints (Unity Cloth maxDistance; None =
     #     none; see set_motion_constraints / MotionConstraintParams;
     #     anchors are movable array data — animate with api.move_tethers) --
@@ -142,6 +151,11 @@ class Topology:
     grid_spacing: Optional[float] = dataclasses.field(
         metadata=dict(static=True), default=None
     )  # uniform rest spacing of the grid (enables the stencil fast path)
+    lattice_shape: Optional[Tuple[int, int, int]] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )  # (nx, ny, nz) raster dims when the body is a regular lattice with
+    #    vid(i,j,k) = (i*ny + j)*nz + k (tet_cube / lattice_from_mesh);
+    #    enables raster-separable (Kronecker) shape-match reductions
     edge_classes_present: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=(0,)
     )  # which spring classes the edge list contains (static, for dispatch)
@@ -367,6 +381,10 @@ class HostTopology:
     # vertex (inf = unconstrained); behaviour set by MotionConstraintParams
     tether_anchor: Optional[np.ndarray] = None        # f64[N, 3]
     tether_radius: Optional[np.ndarray] = None        # f64[N]
+    # raster dims (nx, ny, nz) when the body is a regular lattice with
+    # vid(i,j,k) = (i*ny + j)*nz + k (set by tet_cube / lattice_from_mesh;
+    # None for general topologies and merged scenes)
+    lattice_shape: Optional[Tuple[int, int, int]] = None
 
 
 def add_colliders(
@@ -1180,6 +1198,7 @@ def tet_cube(
         sphere_centers=np.zeros((0, 3), np.float64),
         sphere_radii=np.zeros((0,), np.float64),
         grid_shape=None,
+        lattice_shape=(n, n, n),
     )
 
 
@@ -1374,6 +1393,7 @@ def lattice_from_mesh(
         sphere_centers=np.zeros((0, 3), np.float64),
         sphere_radii=np.zeros((0,), np.float64),
         grid_shape=None,
+        lattice_shape=(nx, ny, nz),
     )
 
 

@@ -9,12 +9,31 @@ indexing: no HBM intermediates, no per-pair grid/DMA overhead (a
 (B, K)-grid variant measured slower than the XLA twin from exactly that
 overhead).
 
+Work-skipping levels (both driven by SMEM scalars, so dead work costs a
+scalar branch, not plane ops):
+
+1. dynamic partner trip counts — partners are sorted interacting-first,
+   so only the first ``nvalid[i]`` of the K budget run at all;
+2. subrow gating — each surviving (tile, partner) pair unrolls over
+   ``chunks`` 32-vertex SUBROWS of the partner tile, each predicated on
+   the second-level bbox gate (solver/blocksparse.py::_chunk_masks):
+   Morton subrows are spatially compact, so most subrows of a partner
+   tile sit further than ``radius`` from tile i and their [32, BLOCK]
+   pair slab is skipped entirely.  The mask is a bbox superset gate, so
+   skipping never changes the force (same argument as the tile gate).
+
 Math notes vs the jnp twin (tested equal to 5e-4):
 * distances are direct per-component VPU broadcasts — a [BLOCK,3]@[3,BLOCK]
   MXU Gram pads the 3-long contraction to 128 lanes (~40x wasted flops,
   measured slower), and the broadcast form has NO cancellation, so it
   needs neither ``Precision.HIGHEST`` nor bbox centering for conditioning
-  (centering is kept only to match the twin's clamp semantics).
+  (direct f32 differences of nearby points are exact to rounding; the
+  twin's centered form agrees to f32 tolerance).
+* padded tail vertices enter at FAR coordinates (+1e6) instead of
+  carrying [BLOCK]-wide validity planes: d2 to any real vertex exceeds
+  ``radius`` by construction, so they drop out of ``w`` for free; forces
+  computed among the padded vertices themselves land on discarded output
+  rows.  (64k/16k presets have no tail at all: 256 | N.)
 * Mosaic only supports minor-dim inserts on 32-bit types: every
   [BLOCK] -> [BLOCK, 1] broadcast goes through f32, never bool.
 
@@ -32,66 +51,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import SelfCollisionParams
-from ..solver.blocksparse import _sorted_tiles, _tile_partners
+from ..solver.blocksparse import _chunk_masks, _sorted_tiles, _tile_partners
+
+# subrows per tile for the second-level gate: 256/8 = 32-vertex subrows.
+# 8 keeps the scalar branch count at ~8 per surviving pair (negligible)
+# while a 32-vertex Morton subrow is compact enough that folded piles
+# keep only ~2-3 of 8 slabs alive.
+CHUNKS = 8
 
 
 def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
-                 blk: int):
-    def kernel(partners_ref, nvalid_ref, pvalid_ref, x_ref, v_ref, fo_ref):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-        eye = rows == cols
-        big = 1e18
+                 blk: int, chunks: int):
+    cs = blk // chunks
+    eps2 = (1e-3 * radius) ** 2
+    r2 = radius * radius
+
+    def kernel(partners_ref, nvalid_ref, cmask_ref, x_ref, fo_ref, f_acc):
+        # per-chunk diagonal masks (self-pair exclusion), hoisted: row r of
+        # chunk c is sorted-global j = c*cs + r, excluded when j == i_lane
+        cols = jax.lax.broadcasted_iota(jnp.int32, (cs, blk), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cs, blk), 0)
+        eye_c = [
+            jnp.where(rows + c * cs == cols, 1e12, 0.0).astype(jnp.float32)
+            for c in range(chunks)
+        ]
 
         def tile_body(i, carry):
-            xi = x_ref[i]                    # [3, BLOCK]
-            vif = v_ref[i]                   # [1, BLOCK] f32 0/1
-            vi_on = vif > 0.0
-            mn = jnp.min(jnp.where(vi_on, xi, big), axis=1)
-            mx = jnp.max(jnp.where(vi_on, xi, -big), axis=1)
-            ctr = 0.5 * (mn + mx)
-            xci = xi - ctr[:, None]
-            vcol = vif.reshape(blk, 1)
+            xi = x_ref[i]                        # [3, BLOCK], i on lanes
+            xi0 = xi[0][None, :]
+            xi1 = xi[1][None, :]
+            xi2 = xi[2][None, :]
+            f_acc[...] = jnp.zeros((3, blk), jnp.float32)
 
-            def k_body(k, fi):
-                # layout: rows = NEIGHBOUR j (sublanes), cols = SELF i
-                # (lanes) — the per-i reduction then runs over sublanes
-                # (cheap on the VPU) and lands i on lanes, matching the
-                # [3, BLOCK] output layout with no transpose
+            def k_body(k, c2):
                 pk = partners_ref[i, k]
-                pv = pvalid_ref[i, k]
-                xj = x_ref[pk]
-                vjf = v_ref[pk]
-                xcj = xj - ctr[:, None]
-                dx0 = xci[0][None, :] - xcj[0][:, None]    # [j, i]
-                dx1 = xci[1][None, :] - xcj[1][:, None]
-                dx2 = xci[2][None, :] - xcj[2][:, None]
-                d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
-                inv_d = jax.lax.rsqrt(jnp.maximum(d2, (1e-3 * radius) ** 2))
-                not_self = jnp.logical_or(~eye, pk != i)
-                # w = k*(r-d)/d = k*(r*inv_d - 1); active iff d < r
-                w = jnp.where(
-                    (d2 * inv_d < radius) & not_self,
-                    stiffness * (radius * inv_d - 1.0), 0.0,
-                ) * (vjf.reshape(blk, 1) * vcol.reshape(1, blk)) * pv
-                # f_i = sum_j w_ij (x_i - x_j): sublane reductions
-                return (
-                    fi
-                    + jnp.stack([
-                        jnp.sum(w * dx0, axis=0),
-                        jnp.sum(w * dx1, axis=0),
-                        jnp.sum(w * dx2, axis=0),
-                    ])
-                )
+                xj = x_ref[pk]                   # [3, BLOCK]
+                xj0 = xj[0][:, None]             # [BLOCK, 1], j on sublanes
+                xj1 = xj[1][:, None]
+                xj2 = xj[2][:, None]
+                self_big = jnp.where(pk == i, 1.0, 0.0)
+                for c in range(chunks):
+                    @pl.when(cmask_ref[i, k * chunks + c] > 0.0)
+                    def _(c=c):
+                        sl = slice(c * cs, (c + 1) * cs)
+                        dx0 = xi0 - xj0[sl]      # [cs, BLOCK]
+                        dx1 = xi1 - xj1[sl]
+                        dx2 = xi2 - xj2[sl]
+                        d2 = (dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                              + self_big * eye_c[c])
+                        inv_d = jax.lax.rsqrt(jnp.maximum(d2, eps2))
+                        w = jnp.where(
+                            d2 < r2, stiffness * (radius * inv_d - 1.0), 0.0
+                        )
+                        f_acc[...] = f_acc[...] + jnp.stack([
+                            jnp.sum(w * dx0, axis=0),
+                            jnp.sum(w * dx1, axis=0),
+                            jnp.sum(w * dx2, axis=0),
+                        ])
+                return c2
 
             # dynamic trip count: partners are sorted interacting-first, so
             # only the first nvalid[i] of the K budget do real work (the
             # mean is ~K/3 for cloth scenes — a ~2-3x saving)
-            fi = jax.lax.fori_loop(
-                0, nvalid_ref[i], k_body,
-                jnp.zeros((3, blk), jnp.float32), unroll=1,
-            )
-            fo_ref[i] = fi
+            jax.lax.fori_loop(0, nvalid_ref[i], k_body, 0, unroll=1)
+            fo_ref[i] = f_acc[...]
             return carry
 
         jax.lax.fori_loop(0, b, tile_body, 0, unroll=1)
@@ -102,31 +125,31 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
 @functools.partial(
     jax.jit, static_argnames=("radius", "stiffness", "k_budget", "interpret")
 )
-def _block_pairs_pallas(x_tiles, valid, partners, pvalid, radius, stiffness,
+def _block_pairs_pallas(x_tiles, nvalid, partners, cmask, radius, stiffness,
                         k_budget, interpret=False):
-    """x_tiles f32[B, 3, BLOCK], valid f32[B, 1, BLOCK], partners i32[B, K],
-    pvalid f32[B, K] -> forces f32[B, 3, BLOCK] (sorted-tile space)."""
+    """x_tiles f32[B, 3, BLOCK] (padded tail at far coords), nvalid i32[B],
+    partners i32[B, K], cmask f32[B, K*CHUNKS] -> forces f32[B, 3, BLOCK]
+    (sorted-tile space)."""
     b, _, blk = x_tiles.shape
-    kernel = _make_kernel(radius, stiffness, b, k_budget, blk)
-    nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)   # [B]
+    kernel = _make_kernel(radius, stiffness, b, k_budget, blk, CHUNKS)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 3, blk), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [B, K]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # nvalid   [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # pvalid   [B, K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # cmask    [B, K*C]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # tiles    [B, 3, BLOCK]
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # valid    [B, 1, BLOCK]
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, blk), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=b * k_budget * blk * blk * 25,
             bytes_accessed=2 * b * 3 * blk * 4,
             transcendentals=b * k_budget * blk * blk,
         ),
         interpret=interpret,
-    )(partners, nvalid, pvalid, x_tiles, valid)
+    )(partners, nvalid, cmask, x_tiles)
 
 
 def self_collision_forces_block_pallas(
@@ -137,10 +160,17 @@ def self_collision_forces_block_pallas(
     xb, valid, order, b = _sorted_tiles(x, p.cell_size, p.block_size)
     k = min(p.block_partners, b)
     partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
+    cmask = _chunk_masks(xb, valid, partners, p.radius, CHUNKS)
+    # gate dead slots out through the chunk mask too (slots past nvalid
+    # never run; this keeps the mask meaningful if they ever did)
+    cmask = cmask * pvalid[..., None]
+    nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)   # [B]
+    # padded tail at far coordinates (see module docstring)
+    xb = jnp.where(valid[..., None], xb, 1e6)
     x_tiles = jnp.swapaxes(xb, 1, 2)                  # [B, 3, BLOCK]
     f_tiles = _block_pairs_pallas(
-        x_tiles, valid.astype(jnp.float32)[:, None, :],
-        partners.astype(jnp.int32), pvalid.astype(jnp.float32),
+        x_tiles, nvalid, partners.astype(jnp.int32),
+        cmask.reshape(b, -1).astype(jnp.float32),
         float(p.radius), float(p.stiffness), int(k), interpret,
     )
     f_sorted = jnp.swapaxes(f_tiles, 1, 2).reshape(-1, 3)[:n]

@@ -1036,6 +1036,79 @@ def lattice_shapematch_applicable(top: Topology, cfg: SimConfig) -> bool:
     return _lattice_gate_common(top, cfg, cfg.solver)
 
 
+def _euler_contact_flat(cfg, xz, vz, movable, plane4, sph, caps, boxes,
+                        n_spheres, n_caps, n_boxes):
+    """Velocity-level contact resolve on flat component rows (mirror of
+    the in-kernel block in :func:`_make_kernel`; pure jnp, runs OUTSIDE
+    the kernel in the shape-match hybrid where contact must follow the
+    shape matching).  ``xz``/``vz`` are length-3 lists of ``f32[S*128]``
+    rows."""
+    restitution = cfg.collision.restitution
+    friction = cfg.collision.friction
+    if cfg.collision.enable_plane:
+        plane_y = plane4[0, 0]
+        wp = [plane4[0, 1 + c] for c in range(3)]
+        contact = (xz[1] < plane_y) & movable
+        xz[1] = jnp.where(contact, plane_y, xz[1])
+        uy = vz[1] - wp[1]
+        vz[1] = jnp.where(
+            contact,
+            jnp.where(uy < 0.0, wp[1] - restitution * uy, vz[1]), vz[1]
+        )
+        fr = 1.0 - friction
+        vz[0] = jnp.where(contact, wp[0] + (vz[0] - wp[0]) * fr, vz[0])
+        vz[2] = jnp.where(contact, wp[2] + (vz[2] - wp[2]) * fr, vz[2])
+    if n_spheres:
+        xz, vz = _resolve_spheres_velocity(
+            xz, vz, movable, sph, n_spheres, restitution, friction
+        )
+    if n_caps or n_boxes:
+        xz, vz = _resolve_capsules_boxes_smem(
+            xz, vz, movable, caps, n_caps, boxes, n_boxes,
+            restitution, friction,
+        )
+    return xz, vz
+
+
+def _verlet_contact_flat(cfg, xz, xsz, movable, dt, plane4, sph, caps,
+                         boxes, n_spheres, n_caps, n_boxes):
+    """Position-projection contact on flat component rows (mirror of the
+    in-kernel block in :func:`_make_verlet_kernel`): clamp + substep-end
+    position friction against ``xsz`` (substep-start rows)."""
+    from .pallas_substep import (
+        _rest_friction_smem,
+        _sphere_friction_positions,
+    )
+
+    mu = cfg.collision.friction
+    contact = None
+    if cfg.collision.enable_plane:
+        plane_y = plane4[0, 0]
+        contact = (xz[1] < plane_y) & movable
+        xz[1] = jnp.where(contact, plane_y, xz[1])
+    if n_spheres:
+        xz = _project_spheres_positions(xz, movable, sph, n_spheres)
+    if n_caps or n_boxes:
+        xz = _project_capsules_boxes_smem(
+            xz, movable, caps, n_caps, boxes, n_boxes
+        )
+    if cfg.collision.enable_plane and mu != 0.0:
+        for ax in (0, 2):
+            target = xsz[ax] + plane4[0, 1 + ax] * dt
+            xz[ax] = jnp.where(
+                contact, target + (xz[ax] - target) * (1.0 - mu), xz[ax]
+            )
+    if n_spheres and mu != 0.0:
+        xz = _sphere_friction_positions(
+            xz, xsz, movable, sph, n_spheres, mu, dt
+        )
+    if (n_caps or n_boxes) and mu != 0.0:
+        xz = _rest_friction_smem(
+            xz, xsz, movable, caps, n_caps, boxes, n_boxes, mu, dt
+        )
+    return xz
+
+
 def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
                                  interpret: bool = False):
     """Build ``fn(state, dt, n_substeps) -> state`` for shape-matched
@@ -1046,9 +1119,25 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
     ``lax.scan``, so the frame is still a single XLA program.  Callers
     gate on :func:`lattice_shapematch_applicable`.  Semantics ==
     solver/step.py::substep_euler / substep_verlet with shape matching
-    (oracle order: integrate -> shape-match -> collide, contact wins)."""
+    (oracle order: integrate -> shape-match -> collide, contact wins).
+
+    The scan carries the kernel's OWN ``[3, S, 128]`` plane layout and
+    the shape matching + contact run on flat ``[3, S*128]`` component
+    rows (free bitcasts of the planes): the per-substep ``[N, 3]``
+    fold/unfold transposes of the first hybrid are gone, elementwise
+    work runs full-lane, and the frame folds/unfolds exactly once.
+    Scenes whose padded one-hot outgrows
+    ``shapematch.MXU_ONEHOT_MAX_ELEMS`` keep the vertex-layout body
+    (segment_sum reductions)."""
     from ..solver import collide
-    from ..solver.shapematch import shape_match_dx
+    from ..solver.shapematch import (
+        MXU_ONEHOT_MAX_ELEMS,
+        shape_match_dx,
+        shape_match_dx_flat,
+        shape_match_dx_kron,
+        shape_match_flat_statics,
+        shape_match_kron_statics,
+    )
     from ..solver.step import verlet_contact_project
 
     g = top.offset_groups
@@ -1071,6 +1160,17 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
     ))
     verlet = cfg.solver == Solver.VERLET
 
+    npad = s_dim * LANES
+    # reduction backend, best first: Kronecker per-axis factors (raster
+    # lattices with spatial cells — near-zero one-hot traffic), dense
+    # [N, K] one-hot MXU matmuls, vertex-layout segment_sum fallback
+    kron = shape_match_kron_statics(top)
+    flat_oh = (kron is None
+               and npad * int(top.n_clusters) <= MXU_ONEHOT_MAX_ELEMS)
+    n_spheres = (top.n_spheres if cfg.collision.enable_spheres else 0)
+    n_caps = (top.n_capsules if cfg.collision.enable_capsules else 0)
+    n_boxes = (top.n_boxes if cfg.collision.enable_boxes else 0)
+
     def fn(state: State, dt: float, n_substeps: int) -> State:
         if state.cluster_quat is None:
             # dormant shape matching (api.ensure_shapematch_state not
@@ -1089,6 +1189,80 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
         capsules = _pack_capsules(top)
         boxes = _pack_boxes(top)
         dt_f = float(dt)
+
+        if kron is not None or flat_oh:
+            # plane-layout scan: the carries ARE the kernel's planes
+            smd = (kron if kron is not None
+                   else shape_match_flat_statics(top, s_dim, LANES))
+            mov_f = im2.reshape(-1) > 0.0
+
+            def sm_apply(xf, quats):
+                if kron is not None:
+                    dxn, quats = shape_match_dx_kron(
+                        cfg, smd, xf[:, :n], quats)
+                    return jnp.pad(dxn, ((0, 0), (0, npad - n))), quats
+                return shape_match_dx_flat(cfg, smd, xf, quats)
+
+            def euler_body_planes(carry, _):
+                x3, v3, quats = carry
+                xo, vo = _pallas_lattice_substeps(
+                    x3, v3, im2, emask, tmask, plane, spheres, capsules,
+                    boxes, cfg_nc, egroups, tgroups, dt_f, 1, interpret,
+                )
+                xf = xo.reshape(3, -1)
+                vf = vo.reshape(3, -1)
+                dxf, quats = sm_apply(xf, quats)
+                xf = xf + dxf
+                vf = vf + dxf * (1.0 / dt_f)
+                xz = [xf[0], xf[1], xf[2]]
+                vz = [vf[0], vf[1], vf[2]]
+                xz, vz = _euler_contact_flat(
+                    cfg, xz, vz, mov_f, plane, spheres, capsules, boxes,
+                    n_spheres, n_caps, n_boxes,
+                )
+                return (jnp.stack(xz).reshape(3, s_dim, LANES),
+                        jnp.stack(vz).reshape(3, s_dim, LANES), quats), None
+
+            def verlet_body_planes(carry, _):
+                x3, xp3, quats = carry
+                xo, xpo = _pallas_lattice_verlet_substeps(
+                    x3, xp3, im2, emask, tmask, plane, spheres, capsules,
+                    boxes, cfg_nc, egroups, tgroups, dt_f, 1, interpret,
+                )
+                xf = xo.reshape(3, -1)
+                xsf = xpo.reshape(3, -1)      # substep-start positions
+                dxf, quats = sm_apply(xf, quats)
+                xf = xf + dxf                 # position-only (oracle
+                xz = [xf[0], xf[1], xf[2]]    # substep_verlet)
+                xsz = [xsf[0], xsf[1], xsf[2]]
+                xz = _verlet_contact_flat(
+                    cfg, xz, xsz, mov_f, dt_f, plane, spheres, capsules,
+                    boxes, n_spheres, n_caps, n_boxes,
+                )
+                return (jnp.stack(xz).reshape(3, s_dim, LANES),
+                        xpo, quats), None
+
+            x3 = _fold(state.x.T, s_dim)
+            if verlet:
+                xp3 = _fold(state.x_prev.T, s_dim)
+                (x3, xp3, quats), _ = jax.lax.scan(
+                    verlet_body_planes, (x3, xp3, state.cluster_quat),
+                    None, length=int(n_substeps))
+                x = x3.reshape(3, -1).T[:n]
+                xp = xp3.reshape(3, -1).T[:n]
+                return State(x=x, v=(x - xp) / dt_f, x_prev=xp,
+                             edge_alive=state.edge_alive,
+                             rest_scale=state.rest_scale,
+                             cluster_quat=quats)
+            v3 = _fold(state.v.T, s_dim)
+            (x3, v3, quats), _ = jax.lax.scan(
+                euler_body_planes, (x3, v3, state.cluster_quat),
+                None, length=int(n_substeps))
+            x = x3.reshape(3, -1).T[:n]
+            v = v3.reshape(3, -1).T[:n]
+            return State(x=x, v=v, x_prev=x - dt_f * v,
+                         edge_alive=state.edge_alive,
+                         rest_scale=state.rest_scale, cluster_quat=quats)
 
         def euler_body(carry, _):
             x, v, quats = carry

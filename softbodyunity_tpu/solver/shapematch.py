@@ -89,6 +89,219 @@ def extract_rotations(A, quats, iterations: int):
 MXU_ONEHOT_MAX_ELEMS = 2 ** 24
 
 
+def shape_match_flat_statics(top: Topology, s_dim: int, lanes: int = 128):
+    """Fold the cluster data to the zero-padded flat raster layout the
+    fused lattice kernels use (``[S*128]`` vectors / ``[3, S*128]``
+    component rows; kernels/pallas_lattice.py ``_fold``).  Everything
+    here is loop-invariant: built once per step builder, hoisted out of
+    the substep scan by XLA.  Returns a dict consumed by
+    :func:`shape_match_dx_flat`."""
+    n = top.n_vertices
+    npad = s_dim * lanes
+    cid = jnp.pad(jnp.asarray(top.cluster_id, jnp.int32), (0, npad - n),
+                  constant_values=-1)
+    im = jnp.pad(top.inv_mass, (0, npad - n))
+    member = (cid >= 0) & (im > 0.0)
+    m = jnp.where(member, 1.0 / jnp.maximum(im, 1e-30), 0.0)
+    r3 = jnp.pad(top.cluster_rest.T.astype(jnp.float32),
+                 ((0, 0), (0, npad - n)))
+    k = int(top.n_clusters)
+    oh = (cid[:, None] == jnp.arange(k, dtype=jnp.int32)
+          ).astype(jnp.float32)
+    mass = jnp.sum(m[:, None] * oh, axis=0)
+    return dict(m=m, r3=r3, oh=oh, member=member,
+                inv_mass_k=1.0 / jnp.maximum(mass, 1e-30))
+
+
+def _cross_rows(a, b):
+    """Cross product on [3, ...] component-row stacks."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _separable_axes(cid3):
+    """Per-axis cell labels for a raster-separable cluster field, or None.
+
+    ``cid3`` is the cluster id reshaped ``[nx, ny, nz]`` (-1 = no
+    cluster).  Spatial-cell clustering (``enable_shape_matching
+    (cell_size=...)``) on a regular lattice factors per raster axis:
+    ``cid[i,j,k] = kmap[ax[i], ay[j], az[k]]`` with each axis label a
+    CONSECUTIVE RUN of indices (cells are intervals of a monotone
+    coordinate).  Run boundaries are detected from the data: slices i and
+    i+1 belong to different cells iff any position movable in both
+    carries different ids (same x-cell => identical ids wherever both are
+    movable).  Ambiguous boundaries (no commonly-movable position) split
+    conservatively; the caller VERIFIES the reconstruction exactly and
+    falls back to the one-hot path on any mismatch, so this is never
+    load-bearing for correctness."""
+    import numpy as np
+
+    axes = []
+    for a in range(3):
+        c = np.moveaxis(cid3, a, 0).reshape(cid3.shape[a], -1)
+        both = (c[:-1] >= 0) & (c[1:] >= 0)
+        differs = (c[:-1] != c[1:]) & both
+        boundary = differs.any(axis=1) | ~both.any(axis=1)
+        axes.append(np.concatenate([[0], np.cumsum(boundary)]).astype(
+            np.int64))
+    return axes
+
+
+def kron_factors_host(cid, lattice_shape, n_clusters):
+    """Host-side (concrete numpy) Kronecker factorization of a cluster
+    field on a raster lattice: per-axis one-hots ``(f32[nx, ncx],
+    f32[ny, ncy], f32[nz, ncz])`` and the occupied-cell map
+    ``f32[ncx*ncy*ncz, K]``, or None when the field is not separable.
+
+    Runs ONCE in :func:`softbodyunity_tpu.api.device_topology` (the
+    host->device boundary — ``cluster_id`` is still concrete there; under
+    jit dispatch it is a tracer) and the factors travel on the Topology
+    as array data.  Exactness: the reconstruction
+    ``kmap[ax[i], ay[j], az[k]] == cid[i,j,k]`` is verified entry by
+    entry on the movable support; any mismatch returns None and callers
+    keep the general one-hot path."""
+    import numpy as np
+
+    nx, ny, nz = lattice_shape
+    cid3 = np.asarray(cid).reshape(nx, ny, nz)
+    ax, ay, az = _separable_axes(cid3)
+    ncx, ncy, ncz = int(ax[-1]) + 1, int(ay[-1]) + 1, int(az[-1]) + 1
+    k = int(n_clusters)
+    if ncx * ncy * ncz > max(4 * k, 64):
+        # badly over-fragmented axes: not the cell structure we expect
+        return None
+    kmap = np.full((ncx, ncy, ncz), -1, np.int64)
+    gx, gy, gz = np.meshgrid(ax, ay, az, indexing="ij")
+    mov = cid3 >= 0
+    kmap[gx[mov], gy[mov], gz[mov]] = cid3[mov]
+    if not np.array_equal(kmap[gx, gy, gz][mov], cid3[mov]):
+        return None                          # not separable: keep one-hot
+    occ_oh = (kmap.reshape(-1)[:, None] == np.arange(k)).astype(np.float32)
+    one_hot = lambda lbl, nc: (lbl[:, None] == np.arange(nc)).astype(
+        np.float32)
+    return one_hot(ax, ncx), one_hot(ay, ncy), one_hot(az, ncz), occ_oh
+
+
+def shape_match_kron_statics(top: Topology):
+    """Kronecker-factored cluster reduction data for raster lattices, or
+    None when the Topology carries no factors (non-lattice or
+    non-separable clusters — see :func:`kron_factors_host`).
+
+    Spatial shape-matching clusters on a ``lattice_shape`` raster factor
+    as a Kronecker product of three per-axis one-hots: the [N, K]
+    one-hot matmuls of :func:`shape_match_dx_flat` (~40 MB of HBM per
+    read at 97k x 104 — the measured jelly bottleneck, docs/PERF.md)
+    become three tiny per-axis contractions over the ``[nx, ny, nz]``
+    reshaped raster plus an [n_cells, K] occupied-cell map, with traffic
+    ~= the state planes themselves.  Tracer-safe: everything here is
+    jnp on Topology arrays (loop-invariant — XLA hoists it out of the
+    substep scan)."""
+    if top.cluster_kron_x is None or top.cluster_id is None:
+        return None
+    ox, oy, oz = top.cluster_kron_x, top.cluster_kron_y, top.cluster_kron_z
+    occ_oh = top.cluster_kron_cells
+    dims = (ox.shape[0], oy.shape[0], oz.shape[0])
+    if dims[0] * dims[1] * dims[2] != top.n_vertices:
+        return None
+    member = (top.cluster_id >= 0) & (top.inv_mass > 0.0)
+    m = jnp.where(member, 1.0 / jnp.maximum(top.inv_mass, 1e-30), 0.0)
+    # merged y*z factor: [ny*nz, ncy*ncz].  The reduction runs as
+    # (x-batched) matmuls over the merged minor axis — a [46,46,46]
+    # 3-factor chain measured ~7x slower from sub-lane-width relayouts
+    # (minor dims 46 << 128 idle most lanes and every reshape copies)
+    oyz = (oy[:, None, :, None] * oz[None, :, None, :]).reshape(
+        oy.shape[0] * oz.shape[0], -1)
+    # per-cluster mass through the same factorization (loop-invariant)
+    nx = dims[0]
+    g = (m.reshape(nx, -1) @ oyz).reshape(1, nx, -1)
+    g = jnp.einsum("cxw,xa->caw", g, ox)
+    mass = jnp.einsum("cg,gk->ck", g.reshape(1, -1), occ_oh)[0]
+    return dict(
+        dims=dims, ox=ox, oyz=oyz, occ_oh=occ_oh,
+        m=m, member=member, r3=top.cluster_rest.T,
+        inv_mass_k=1.0 / jnp.maximum(mass, 1e-30),
+    )
+
+
+def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
+    """Raster-separable twin of :func:`shape_match_dx_flat`: same centered
+    semantics and HIGHEST precision, with the [N, K] one-hot contractions
+    replaced by per-axis Kronecker factors (see
+    :func:`shape_match_kron_statics`).  ``x3f f32[3, n]`` are UNPADDED
+    flat component rows in raster order.  Returns ``(dx f32[3, n],
+    quats' f32[K, 4])``."""
+    sm = cfg.shape_match
+    hp = jax.lax.Precision.HIGHEST
+    nx, ny, nz = statics["dims"]
+    ox, oyz = statics["ox"], statics["oyz"]
+    occ_oh = statics["occ_oh"]
+    m, r3 = statics["m"], statics["r3"]
+    n = nx * ny * nz
+    ncx, ncyz = ox.shape[1], oyz.shape[1]
+
+    def reduce(u):                                   # [C, n] -> [C, K]
+        c = u.shape[0]
+        g = jnp.einsum("rw,wm->rm", u.reshape(-1, ny * nz), oyz,
+                       precision=hp).reshape(c, nx, ncyz)
+        g = jnp.einsum("cxw,xa->caw", g, ox, precision=hp)
+        return jnp.einsum("cg,gk->ck", g.reshape(c, -1), occ_oh,
+                          precision=hp)
+
+    def bcast(v):                                    # [C, K] -> [C, n]
+        c = v.shape[0]
+        g = jnp.einsum("ck,gk->cg", v, occ_oh, precision=hp)
+        g = g.reshape(c, ncx, ncyz)
+        g = jnp.einsum("caw,xa->cxw", g, ox, precision=hp)
+        g = jnp.einsum("rm,wm->rw", g.reshape(-1, ncyz), oyz,
+                       precision=hp)
+        return g.reshape(c, n)
+
+    wx = m[None] * x3f
+    c = reduce(wx) * statics["inv_mass_k"][None, :]       # [3, K]
+    cb = bcast(c)                                         # c[cid]
+    xc = x3f - cb
+    p9 = ((m[None] * xc)[:, None, :] * r3[None, :, :]).reshape(9, -1)
+    A = reduce(p9).reshape(3, 3, -1).transpose(2, 0, 1)   # [K, 3, 3]
+    quats = extract_rotations(A, quats, sm.iterations)
+    qn = bcast(quats.T)                                   # quats[cid], [4, n]
+    qw, qv = qn[0:1], qn[1:]
+    g = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
+    dx = sm.stiffness * (g - x3f)
+    return jnp.where(statics["member"][None], dx, 0.0), quats
+
+
+def shape_match_dx_flat(cfg: SimConfig, statics, x3f, quats):
+    """Plane-layout twin of :func:`shape_match_dx` for the fused-lattice
+    hybrid (kernels/pallas_lattice.py): operates on ``x3f f32[3, S*128]``
+    component rows — the kernel's ``[3, S, 128]`` planes bitcast flat, so
+    NO per-substep ``[N, 3]`` transposes — with the loop-invariant
+    cluster data from :func:`shape_match_flat_statics`.  Same centered
+    one-hot MXU formulation and HIGHEST precision as the vertex-layout
+    path (the reductions feed ``x - c`` / ``g - x`` cancellations —
+    CLAUDE.md "TPU numerics"); elementwise work runs on full-lane
+    ``[S*128]`` rows instead of 3-lane ``[N, 3]`` columns.  Returns
+    ``(dx f32[3, S*128], quats' f32[K, 4])``."""
+    sm = cfg.shape_match
+    hp = jax.lax.Precision.HIGHEST
+    m, r3, oh = statics["m"], statics["r3"], statics["oh"]
+    wx = m[None] * x3f
+    cx = jnp.einsum("dn,nk->dk", wx, oh, precision=hp)
+    c = cx * statics["inv_mass_k"][None]
+    cb = jnp.einsum("dk,nk->dn", c, oh, precision=hp)        # c[cid]
+    xc = x3f - cb
+    p9 = (m[None] * xc)[:, None, :] * r3[None, :, :]         # [d, e, n]
+    A = jnp.einsum("den,nk->kde", p9, oh, precision=hp)
+    quats = extract_rotations(A, quats, sm.iterations)
+    qn = jnp.einsum("kq,nk->qn", quats, oh, precision=hp)    # quats[cid]
+    qw, qv = qn[0:1], qn[1:]
+    g = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
+    dx = sm.stiffness * (g - x3f)
+    return jnp.where(statics["member"][None], dx, 0.0), quats
+
+
 def shape_match_dx(top: Topology, cfg: SimConfig, x, quats):
     """Per-substep shape-matching position correction (oracle
     ``shape_match_dx`` twin): per cluster, current mass centroid ``c``,

@@ -426,3 +426,65 @@ def test_jelly_1k_frames_stable():
     ext0 = (np.asarray(host.positions0).max(axis=0)
             - np.asarray(host.positions0).min(axis=0))
     assert np.all(ext < 1.3 * ext0) and np.all(ext > 0.6 * ext0)
+
+
+def test_kron_statics_match_onehot_on_lattice():
+    """Raster lattices with spatial cells take the Kronecker-factored
+    reduction (solver/shapematch.py shape_match_kron_statics): per-axis
+    one-hots + occupied-cell map reproduce the general one-hot path to
+    f32 rounding on a voxelized sphere."""
+    from softbodyunity_tpu.core.topology import (
+        enable_shape_matching, icosphere_mesh, lattice_from_mesh)
+    from softbodyunity_tpu.solver import shapematch as sm
+
+    cfg = SimConfig(shape_match=ShapeMatchParams(enabled=True,
+                                                 stiffness=0.3))
+    pos, tri = icosphere_mesh(radius=0.3, center=(0.0, 0.4, 0.0),
+                              subdivisions=1)
+    host = lattice_from_mesh(pos, tri, resolution=12, mass=0.05,
+                             plane_height=-1.0)
+    host = enable_shape_matching(host, cell_size=0.2)
+    top, state = api.init(host)
+    state = api.ensure_shapematch_state(top, cfg, state)
+    kr = sm.shape_match_kron_statics(top)
+    assert kr is not None, "lattice + cell clustering must be separable"
+    x = state.x + 0.02 * jax.random.normal(jax.random.PRNGKey(1),
+                                           state.x.shape)
+    dx_ref, q_ref = sm.shape_match_dx(top, cfg, x, state.cluster_quat)
+    dx_k, q_k = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
+                                       state.cluster_quat)
+    np.testing.assert_allclose(np.asarray(dx_k.T), np.asarray(dx_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
+                               atol=1e-6)
+
+
+def test_kron_statics_decline_non_separable():
+    """Explicit per-vertex cluster ids that do not factor per raster axis
+    make shape_match_kron_statics return None (the general one-hot path
+    keeps serving them) — the verification is exact, never heuristic."""
+    from softbodyunity_tpu.core.topology import (
+        enable_shape_matching, tet_cube)
+    from softbodyunity_tpu.solver import shapematch as sm
+
+    host = tet_cube(6, spacing=0.1, mass=0.05)
+    rng = np.random.default_rng(3)
+    cids = rng.integers(0, 4, host.positions0.shape[0])
+    host = enable_shape_matching(host, cluster_ids=cids)
+    top, _ = api.init(host)
+    assert sm.shape_match_kron_statics(top) is None
+
+
+def test_kron_statics_accept_tet_cube_cells():
+    """tet_cube carries lattice_shape, so spatial cells on it factor."""
+    from softbodyunity_tpu.core.topology import (
+        enable_shape_matching, tet_cube)
+    from softbodyunity_tpu.solver import shapematch as sm
+
+    host = tet_cube(8, spacing=0.1, mass=0.05)
+    host = enable_shape_matching(host, cell_size=0.25)
+    top, _ = api.init(host)
+    kr = sm.shape_match_kron_statics(top)
+    assert kr is not None
+    nx, ny, nz = kr["dims"]
+    assert (nx, ny, nz) == (8, 8, 8)
