@@ -277,8 +277,11 @@ def bench_strain_64k():
 
 def bench_jelly_voxel_50k():
     """Substeps/sec, shape-matched voxel jelly (97k raster / 51k live):
-    banded lattice springs + volume + MXU one-hot cluster reductions."""
-    return _bench_preset_substeps("jelly_voxel_50k", 8, 88)
+    fused lattice kernel + Kronecker-factored cluster reductions.  Wide
+    spread: at ~130 us/substep an 80-substep delta sits at the edge of
+    the ~8 ms tunnel dispatch noise (measured 6.3k vs 7.5k run-to-run);
+    240 substeps clear it."""
+    return _bench_preset_substeps("jelly_voxel_50k", 8, 248)
 
 
 def bench_selfcollide_16k():

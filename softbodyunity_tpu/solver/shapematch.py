@@ -214,27 +214,87 @@ def shape_match_kron_statics(top: Topology):
     # (minor dims 46 << 128 idle most lanes and every reshape copies)
     oyz = (oy[:, None, :, None] * oz[None, :, None, :]).reshape(
         oy.shape[0] * oz.shape[0], -1)
-    # per-cluster mass through the same factorization (loop-invariant)
+    r3 = top.cluster_rest.T
+    # loop-invariant cluster reductions: mass and the rest-offset sums
+    # S_r[e, k] = sum_n w r_e (~0 by mass-centering; subtracting c*S_r
+    # makes the UNCENTERED shape matrix equal the centered one exactly
+    # in real arithmetic — shape_match_dx_kron runs uncentered to halve
+    # the per-substep reduce/broadcast calls)
     nx = dims[0]
-    g = (m.reshape(nx, -1) @ oyz).reshape(1, nx, -1)
-    g = jnp.einsum("cxw,xa->caw", g, ox)
-    mass = jnp.einsum("cg,gk->ck", g.reshape(1, -1), occ_oh)[0]
+
+    def _reduce(u):
+        g = (u.reshape(-1, oyz.shape[0]) @ oyz).reshape(u.shape[0], nx, -1)
+        g = jnp.einsum("cxw,xa->caw", g, ox)
+        return jnp.einsum("cg,gk->ck", g.reshape(u.shape[0], -1), occ_oh)
+
+    mass = _reduce(m[None])[0]
+    s_r = _reduce(m[None] * r3)
     return dict(
         dims=dims, ox=ox, oyz=oyz, occ_oh=occ_oh,
-        m=m, member=member, r3=top.cluster_rest.T,
+        m=m, member=member, r3=r3, s_r=s_r,
         inv_mass_k=1.0 / jnp.maximum(mass, 1e-30),
     )
 
 
+def extract_rotations_cols(A, q, iterations: int):
+    """Column-layout twin of :func:`extract_rotations`: ``A f32[3, 3, K]``
+    (d, e, cluster) and ``q f32[4, K]`` with the cluster axis LAST — K
+    rides the TPU lanes, so every op in the iteration is a full-lane
+    elementwise op instead of ~60 sub-lane-width relayouts on [K, 3, 3]
+    tiles (measured in the jelly hybrid).  Identical fixed-iteration
+    recurrence to the oracle's ``extract_rotations``."""
+    for _ in range(iterations):
+        w, x, y, z = q[0], q[1], q[2], q[3]
+        r00 = 1 - 2 * (y * y + z * z)
+        r01 = 2 * (x * y - w * z)
+        r02 = 2 * (x * z + w * y)
+        r10 = 2 * (x * y + w * z)
+        r11 = 1 - 2 * (x * x + z * z)
+        r12 = 2 * (y * z - w * x)
+        r20 = 2 * (x * z - w * y)
+        r21 = 2 * (y * z + w * x)
+        r22 = 1 - 2 * (x * x + y * y)
+        rcols = (jnp.stack([r00, r10, r20]), jnp.stack([r01, r11, r21]),
+                 jnp.stack([r02, r12, r22]))                   # [3, K] each
+        num = sum(_cross_rows(rcols[i], A[:, i]) for i in range(3))
+        den = jnp.abs(sum(rcols[i][d] * A[d, i] for i in range(3)
+                          for d in range(3)))[None] + 1e-9
+        t = num / den
+        # quat exp map (oracle _quat_from_rotvec, column layout)
+        angle = jnp.sqrt(jnp.sum(t * t, axis=0, keepdims=True))
+        small = angle < 1e-12
+        axis = t / jnp.where(small, 1.0, angle)
+        h = 0.5 * angle
+        dw = jnp.where(small, 1.0, jnp.cos(h))[0]
+        dxyz = jnp.where(small, 0.5 * t, jnp.sin(h) * axis)
+        # Hamilton product (dw, dxyz) * q, column layout
+        qn = jnp.stack([
+            dw * w - dxyz[0] * x - dxyz[1] * y - dxyz[2] * z,
+            dw * x + dxyz[0] * w + dxyz[1] * z - dxyz[2] * y,
+            dw * y - dxyz[0] * z + dxyz[1] * w + dxyz[2] * x,
+            dw * z + dxyz[0] * y - dxyz[1] * x + dxyz[2] * w,
+        ])
+        q = qn / jnp.sqrt(jnp.sum(qn * qn, axis=0, keepdims=True))
+    return q
+
+
 def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
-    """Raster-separable twin of :func:`shape_match_dx_flat`: same centered
-    semantics and HIGHEST precision, with the [N, K] one-hot contractions
-    replaced by per-axis Kronecker factors (see
-    :func:`shape_match_kron_statics`).  ``x3f f32[3, n]`` are UNPADDED
-    flat component rows in raster order.  Returns ``(dx f32[3, n],
-    quats' f32[K, 4])``."""
+    """Raster-separable twin of :func:`shape_match_dx_flat` with the
+    [N, K] one-hot contractions replaced by per-axis Kronecker factors
+    (see :func:`shape_match_kron_statics`).  ``x3f f32[3, n]`` are
+    UNPADDED flat component rows in raster order.  Returns ``(dx
+    f32[3, n], quats' f32[K, 4])``.
+
+    Cost shape: ONE 12-row reduce (centroid + UNCENTERED shape matrix,
+    recentered exactly via the loop-invariant ``s_r`` sums) and ONE
+    7-row broadcast per substep; rotation extraction runs in column
+    layout (:func:`extract_rotations_cols`).  The wide matmuls contract
+    one-hot rows at ``Precision.HIGH`` (3-pass, ~f32-accurate — the
+    selector operand is exact 0/1, same argument as the batch
+    self-collision Gram, docs/PERF.md); everything feeding the ``x - c``
+    / ``g - x`` cancellations stays f32 elementwise."""
     sm = cfg.shape_match
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGH
     nx, ny, nz = statics["dims"]
     ox, oyz = statics["ox"], statics["oyz"]
     occ_oh = statics["occ_oh"]
@@ -260,17 +320,21 @@ def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
         return g.reshape(c, n)
 
     wx = m[None] * x3f
-    c = reduce(wx) * statics["inv_mass_k"][None, :]       # [3, K]
-    cb = bcast(c)                                         # c[cid]
-    xc = x3f - cb
-    p9 = ((m[None] * xc)[:, None, :] * r3[None, :, :]).reshape(9, -1)
-    A = reduce(p9).reshape(3, 3, -1).transpose(2, 0, 1)   # [K, 3, 3]
-    quats = extract_rotations(A, quats, sm.iterations)
-    qn = bcast(quats.T)                                   # quats[cid], [4, n]
+    p12 = jnp.concatenate(
+        [wx, (wx[:, None, :] * r3[None, :, :]).reshape(9, -1)])
+    red = reduce(p12)                                     # [12, K]
+    c = red[:3] * statics["inv_mass_k"][None, :]          # [3, K]
+    # recenter: A[d,e] = sum w x_d r_e - c_d S_r[e]  (exact in real
+    # arithmetic since sum w r = 0 by construction)
+    A = (red[3:].reshape(3, 3, -1)
+         - c[:, None, :] * statics["s_r"][None, :, :])    # [3, 3, K]
+    q = extract_rotations_cols(A, quats.T, sm.iterations)  # [4, K]
+    b = bcast(jnp.concatenate([c, q]))                    # [7, n]
+    cb, qn = b[:3], b[3:]
     qw, qv = qn[0:1], qn[1:]
     g = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
     dx = sm.stiffness * (g - x3f)
-    return jnp.where(statics["member"][None], dx, 0.0), quats
+    return jnp.where(statics["member"][None], dx, 0.0), q.T
 
 
 def shape_match_dx_flat(cfg: SimConfig, statics, x3f, quats):
