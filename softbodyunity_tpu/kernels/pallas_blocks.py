@@ -15,12 +15,12 @@ scalar branch, not plane ops):
 1. dynamic partner trip counts — partners are sorted interacting-first,
    so only the first ``nvalid[i]`` of the K budget run at all;
 2. subrow gating — each surviving (tile, partner) pair unrolls over
-   ``chunks`` 32-vertex SUBROWS of the partner tile, each predicated on
-   the second-level bbox gate (solver/blocksparse.py::_chunk_masks):
-   Morton subrows are spatially compact, so most subrows of a partner
-   tile sit further than ``radius`` from tile i and their [32, BLOCK]
-   pair slab is skipped entirely.  The mask is a bbox superset gate, so
-   skipping never changes the force (same argument as the tile gate).
+   ``chunks`` 32-vertex SUBROWS of tile i, each predicated on the
+   second-level bbox gate (solver/blocksparse.py::_chunk_masks): Morton
+   subrows are spatially compact, so most subrows of tile i sit further
+   than ``radius`` from a given partner and their [32, BLOCK] pair slab
+   is skipped entirely.  The mask is a bbox superset gate, so skipping
+   never changes the force (same argument as the tile gate).
 
 Math notes vs the jnp twin (tested equal to 5e-4):
 * distances are direct per-component VPU broadcasts — a [BLOCK,3]@[3,BLOCK]
@@ -66,9 +66,16 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
     eps2 = (1e-3 * radius) ** 2
     r2 = radius * radius
 
-    def kernel(partners_ref, nvalid_ref, cmask_ref, x_ref, fo_ref, f_acc):
-        # per-chunk diagonal masks (self-pair exclusion), hoisted: row r of
-        # chunk c is sorted-global j = c*cs + r, excluded when j == i_lane
+    def kernel(partners_ref, nvalid_ref, x_ref, fo_ref, f_acc):
+        # pair planes are [i_subrow, j_lane]: the PARTNER side (per pair)
+        # reads free [1, BLOCK] row slices of x_ref[pk]; only tile i (per
+        # TILE) pays the lane->sublane relayouts.  The first orientation
+        # ([j_sub, i_lane]) transposed the partner per PAIR — measured
+        # ~1 us x 3 relayouts x sum(nvalid) pairs, the dominant kernel
+        # cost at 64k.
+        #
+        # per-chunk diagonal masks (self-pair exclusion), hoisted: row r
+        # of chunk c is sorted-global i = c*cs + r, excluded when == j
         cols = jax.lax.broadcasted_iota(jnp.int32, (cs, blk), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (cs, blk), 0)
         eye_c = [
@@ -77,44 +84,51 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
         ]
 
         def tile_body(i, carry):
-            xi = x_ref[i]                        # [3, BLOCK], i on lanes
-            xi0 = xi[0][None, :]
-            xi1 = xi[1][None, :]
-            xi2 = xi[2][None, :]
-            f_acc[...] = jnp.zeros((3, blk), jnp.float32)
+            xi = x_ref[i]                        # [3, BLOCK]
+            xi0 = xi[0][:, None]                 # [BLOCK, 1], i on sublanes
+            xi1 = xi[1][:, None]                 # (3 relayouts per TILE)
+            xi2 = xi[2][:, None]
+            f_acc[...] = jnp.zeros((blk, 8), jnp.float32)
 
             def k_body(k, c2):
-                pk = partners_ref[i, k]
+                entry = partners_ref[i, k]
+                pk = entry & 0xFFFF              # low 16: partner tile id
                 xj = x_ref[pk]                   # [3, BLOCK]
-                xj0 = xj[0][:, None]             # [BLOCK, 1], j on sublanes
-                xj1 = xj[1][:, None]
-                xj2 = xj[2][:, None]
+                xj0 = xj[0][None, :]             # [1, BLOCK], free slices
+                xj1 = xj[1][None, :]
+                xj2 = xj[2][None, :]
                 self_big = jnp.where(pk == i, 1.0, 0.0)
                 for c in range(chunks):
-                    @pl.when(cmask_ref[i, k * chunks + c] > 0.0)
+                    @pl.when(((entry >> (16 + c)) & 1) > 0)
                     def _(c=c):
                         sl = slice(c * cs, (c + 1) * cs)
-                        dx0 = xi0 - xj0[sl]      # [cs, BLOCK]
-                        dx1 = xi1 - xj1[sl]
-                        dx2 = xi2 - xj2[sl]
+                        dx0 = xi0[sl] - xj0      # [cs, BLOCK]
+                        dx1 = xi1[sl] - xj1
+                        dx2 = xi2[sl] - xj2
                         d2 = (dx0 * dx0 + dx1 * dx1 + dx2 * dx2
                               + self_big * eye_c[c])
                         inv_d = jax.lax.rsqrt(jnp.maximum(d2, eps2))
                         w = jnp.where(
                             d2 < r2, stiffness * (radius * inv_d - 1.0), 0.0
                         )
-                        f_acc[...] = f_acc[...] + jnp.stack([
-                            jnp.sum(w * dx0, axis=0),
-                            jnp.sum(w * dx1, axis=0),
-                            jnp.sum(w * dx2, axis=0),
-                        ])
+                        # forces on tile i's rows: lane reductions land
+                        # [cs, 1] columns, accumulated per component
+                        f_acc[sl, 0:1] = f_acc[sl, 0:1] + jnp.sum(
+                            w * dx0, axis=1, keepdims=True)
+                        f_acc[sl, 1:2] = f_acc[sl, 1:2] + jnp.sum(
+                            w * dx1, axis=1, keepdims=True)
+                        f_acc[sl, 2:3] = f_acc[sl, 2:3] + jnp.sum(
+                            w * dx2, axis=1, keepdims=True)
                 return c2
 
             # dynamic trip count: partners are sorted interacting-first, so
             # only the first nvalid[i] of the K budget do real work (the
             # mean is ~K/3 for cloth scenes — a ~2-3x saving)
             jax.lax.fori_loop(0, nvalid_ref[i], k_body, 0, unroll=1)
-            fo_ref[i] = f_acc[...]
+            # back to the [3, BLOCK] row layout: ONE [BLOCK, 8] -> [8,
+            # BLOCK] transpose per tile (jnp.stack of the lane columns
+            # hits Mosaic "offset mismatch on non-concat dimension")
+            fo_ref[i] = jnp.transpose(f_acc[...])[:3]
             return carry
 
         jax.lax.fori_loop(0, b, tile_body, 0, unroll=1)
@@ -125,11 +139,12 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
 @functools.partial(
     jax.jit, static_argnames=("radius", "stiffness", "k_budget", "interpret")
 )
-def _block_pairs_pallas(x_tiles, nvalid, partners, cmask, radius, stiffness,
+def _block_pairs_pallas(x_tiles, nvalid, partners, radius, stiffness,
                         k_budget, interpret=False):
     """x_tiles f32[B, 3, BLOCK] (padded tail at far coords), nvalid i32[B],
-    partners i32[B, K], cmask f32[B, K*CHUNKS] -> forces f32[B, 3, BLOCK]
-    (sorted-tile space)."""
+    partners i32[B, K] (low 16 bits: partner tile id; bits 16..16+CHUNKS:
+    surviving-subrow mask — packed so a large exactness budget K keeps
+    SMEM small) -> forces f32[B, 3, BLOCK] (sorted-tile space)."""
     b, _, blk = x_tiles.shape
     kernel = _make_kernel(radius, stiffness, b, k_budget, blk, CHUNKS)
     return pl.pallas_call(
@@ -138,18 +153,17 @@ def _block_pairs_pallas(x_tiles, nvalid, partners, cmask, radius, stiffness,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [B, K]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # nvalid   [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # cmask    [B, K*C]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # tiles    [B, 3, BLOCK]
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3, blk), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, 8), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=b * k_budget * blk * blk * 25,
             bytes_accessed=2 * b * 3 * blk * 4,
             transcendentals=b * k_budget * blk * blk,
         ),
         interpret=interpret,
-    )(partners, nvalid, cmask, x_tiles)
+    )(partners, nvalid, x_tiles)
 
 
 def self_collision_forces_block_pallas(
@@ -161,16 +175,15 @@ def self_collision_forces_block_pallas(
     k = min(p.block_partners, b)
     partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
     cmask = _chunk_masks(xb, valid, partners, p.radius, CHUNKS)
-    # gate dead slots out through the chunk mask too (slots past nvalid
-    # never run; this keeps the mask meaningful if they ever did)
-    cmask = cmask * pvalid[..., None]
     nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)   # [B]
+    bits = jnp.sum(cmask.astype(jnp.int32)
+                   * (1 << jnp.arange(CHUNKS, dtype=jnp.int32)), axis=-1)
+    packed = partners.astype(jnp.int32) | (bits << 16)
     # padded tail at far coordinates (see module docstring)
     xb = jnp.where(valid[..., None], xb, 1e6)
     x_tiles = jnp.swapaxes(xb, 1, 2)                  # [B, 3, BLOCK]
     f_tiles = _block_pairs_pallas(
-        x_tiles, nvalid, partners.astype(jnp.int32),
-        cmask.reshape(b, -1).astype(jnp.float32),
+        x_tiles, nvalid, packed,
         float(p.radius), float(p.stiffness), int(k), interpret,
     )
     f_sorted = jnp.swapaxes(f_tiles, 1, 2).reshape(-1, 3)[:n]

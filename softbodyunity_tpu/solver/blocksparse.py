@@ -107,17 +107,18 @@ def _tile_partners(xb, valid, radius: float, k: int):
 
 def _chunk_masks(xb, valid, partners, radius: float, chunks: int):
     """Second-level bbox gate: for partner slot (i, k), which
-    ``blk/chunks``-vertex SUBROWS of the partner tile can interact with
-    tile i at all.  Returns f32[B, K, C] (1.0 = the subrow's bbox is
-    within ``radius`` of tile i's bbox).  Same superset argument as
-    :func:`_tile_partners` — a dropped subrow PROVABLY contains no
-    interacting vertex, so gating on this mask never changes the force.
+    ``blk/chunks``-vertex SUBROWS of TILE I can interact with the
+    partner tile at all.  Returns f32[B, K, C] (1.0 = subrow c of tile i
+    is within ``radius`` of partner ``partners[i, k]``'s bbox).  Same
+    superset argument as :func:`_tile_partners` — a dropped subrow
+    PROVABLY receives no force from that partner, so gating on this mask
+    never changes the force.
 
-    Morton-sorted subrows are spatially compact, so in a folded pile most
-    subrows of a partner tile sit further than ``radius`` from tile i:
-    the Pallas kernel (kernels/pallas_blocks.py) skips them at the
-    scalar level and the [chunk, BLOCK] pair-plane work shrinks by the
-    survival fraction (the measured lever behind sc64k)."""
+    Morton-sorted subrows are spatially compact, so in a folded pile
+    most subrows of tile i sit further than ``radius`` from any given
+    partner: the Pallas kernel (kernels/pallas_blocks.py) skips them at
+    the scalar level and the [chunk, BLOCK] pair-plane work shrinks by
+    the survival fraction."""
     b, blk, _ = xb.shape
     big = 1e18
     xs = xb.reshape(b, chunks, blk // chunks, 3)
@@ -126,12 +127,12 @@ def _chunk_masks(xb, valid, partners, radius: float, chunks: int):
     smx = jnp.max(jnp.where(vs, xs, -big), axis=2)
     tmn = jnp.min(jnp.where(valid[..., None], xb, big), axis=1)   # [B, 3]
     tmx = jnp.max(jnp.where(valid[..., None], xb, -big), axis=1)
-    pmn = smn[partners]                                  # [B, K, C, 3]
-    pmx = smx[partners]
+    pmn = tmn[partners]                                  # [B, K, 3]
+    pmx = tmx[partners]
     gap = jnp.maximum(
         0.0,
-        jnp.maximum(pmn - tmx[:, None, None, :],
-                    tmn[:, None, None, :] - pmx),
+        jnp.maximum(smn[:, None, :, :] - pmx[:, :, None, :],
+                    pmn[:, :, None, :] - smx[:, None, :, :]),
     )
     d2 = jnp.sum(gap * gap, axis=-1)                     # [B, K, C]
     return (d2 <= radius * radius).astype(jnp.float32)
