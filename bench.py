@@ -39,7 +39,7 @@ def _setup_jax():
     return jax
 
 
-def _best_time(run, args, repeats: int = 5) -> float:
+def _best_time(run, args, repeats: int = 3) -> float:
     """Min wall time of ``float(run(*args))`` — the float() fetch is the
     only reliable device barrier in this image."""
     best = float("inf")
@@ -409,14 +409,16 @@ _SECONDARY_ORDER = [
 ]
 
 
-def _run_part_subprocess(part: str, timeout: float = 480.0, attempts: int = 3,
+def _run_part_subprocess(part: str, timeout: float = 240.0, attempts: int = 3,
                          deadline: float | None = None) -> float:
     last_err = ""
     for i in range(attempts):
-        # escalate the budget on retries: a cold Mosaic compile of a 64k
-        # fused kernel can exceed 480s over the tunnel (the persistent
-        # cache makes warm attempts fast, so the first try stays short)
-        t = timeout * (1 + i)
+        # FAST-FAIL first attempt, escalate on retries: warm-cache parts
+        # finish in 90-120 s, so a first attempt that hits 240 s is a
+        # wedged compile helper — kill it early (a 600 s first budget ate
+        # 25% of the driver's window in round 4) and give the retry the
+        # long budget a genuinely cold Mosaic compile needs
+        t = timeout if i == 0 else max(600.0, timeout)
         if deadline is not None:
             t = min(t, max(60.0, deadline - time.monotonic() - 15.0))
         try:
@@ -456,9 +458,13 @@ def main():
     # failures are recorded in the artifact itself under "failures"
     # (round 3's headline read 0.0 with no recorded cause — the kernel was
     # fine, the harness lost the number).
+    # Round-4 postmortem: the 2400 s deadline sat AT the driver's observed
+    # kill point, so the recovery loop never ran and rc=124 truncated the
+    # artifact after the headline.  1700 s leaves the recovery loop real
+    # budget before the external kill.
     import os
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_SECS", 2400.0)
+        os.environ.get("BENCH_DEADLINE_SECS", 1700.0)
     )
     substeps_per_sec = 0.0
     secondary = {}
@@ -492,7 +498,7 @@ def main():
                          "cubeverlet", "voxsphere",
                          "xpbd64k", "1m", "262k", "tear262k",
                          "batch", "coupled", "jelly50k", "sc64k", "sc16k")
-        base = max(90.0, min(600.0 if heavy else 420.0, remaining - 30.0))
+        base = max(90.0, min(300.0 if heavy else 240.0, remaining - 30.0))
         try:
             val = _run_part_subprocess(part, timeout=base, attempts=attempts,
                                        deadline=deadline)

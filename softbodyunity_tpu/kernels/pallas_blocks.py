@@ -172,6 +172,15 @@ def self_collision_forces_block_pallas(
     """Pallas-tiled twin of blocksparse.self_collision_forces_block."""
     n = x.shape[0]
     xb, valid, order, b = _sorted_tiles(x, p.cell_size, p.block_size)
+    if b >= 1 << 16:
+        # partner tile ids are packed into the low 16 bits of the SMEM
+        # entry (see _block_pairs_pallas); beyond 65535 tiles they would
+        # silently alias into the chunk-mask bits — fail loudly instead
+        raise NotImplementedError(
+            f"block self-collision supports <{1 << 16} tiles, got {b} "
+            f"(~{b * p.block_size:,} vertices); raise block_size or use "
+            "method='hash'"
+        )
     k = min(p.block_partners, b)
     partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
     cmask = _chunk_masks(xb, valid, partners, p.radius, CHUNKS)

@@ -215,24 +215,26 @@ def shape_match_kron_statics(top: Topology):
     oyz = (oy[:, None, :, None] * oz[None, :, None, :]).reshape(
         oy.shape[0] * oz.shape[0], -1)
     r3 = top.cluster_rest.T
-    # loop-invariant cluster reductions: mass and the rest-offset sums
-    # S_r[e, k] = sum_n w r_e (~0 by mass-centering; subtracting c*S_r
-    # makes the UNCENTERED shape matrix equal the centered one exactly
-    # in real arithmetic — shape_match_dx_kron runs uncentered to halve
-    # the per-substep reduce/broadcast calls)
     nx = dims[0]
+    # loop-invariant (built once, hoisted out of the substep scan), so
+    # HIGHEST is free — at DEFAULT the bf16 MXU pass quantized the
+    # cluster masses to 2.3e-3 relative, which set a 1.3e-4 noise floor
+    # under every per-substep dx (measured on the real chip round 5)
+    hp = jax.lax.Precision.HIGHEST
 
     def _reduce(u):
-        g = (u.reshape(-1, oyz.shape[0]) @ oyz).reshape(u.shape[0], nx, -1)
-        g = jnp.einsum("cxw,xa->caw", g, ox)
-        return jnp.einsum("cg,gk->ck", g.reshape(u.shape[0], -1), occ_oh)
+        g = jnp.einsum("rw,wm->rm", u.reshape(-1, oyz.shape[0]), oyz,
+                       precision=hp).reshape(u.shape[0], nx, -1)
+        g = jnp.einsum("cxw,xa->caw", g, ox, precision=hp)
+        return jnp.einsum("cg,gk->ck", g.reshape(u.shape[0], -1), occ_oh,
+                          precision=hp)
 
     mass = _reduce(m[None])[0]
-    s_r = _reduce(m[None] * r3)
     return dict(
         dims=dims, ox=ox, oyz=oyz, occ_oh=occ_oh,
-        m=m, member=member, r3=r3, s_r=s_r,
+        m=m, member=member, r3=r3,
         inv_mass_k=1.0 / jnp.maximum(mass, 1e-30),
+        inv_mass_total=1.0 / jnp.maximum(jnp.sum(mass), 1e-30),
     )
 
 
@@ -285,14 +287,32 @@ def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
     UNPADDED flat component rows in raster order.  Returns ``(dx
     f32[3, n], quats' f32[K, 4])``.
 
-    Cost shape: ONE 12-row reduce (centroid + UNCENTERED shape matrix,
-    recentered exactly via the loop-invariant ``s_r`` sums) and ONE
-    7-row broadcast per substep; rotation extraction runs in column
-    layout (:func:`extract_rotations_cols`).  The wide matmuls contract
-    one-hot rows at ``Precision.HIGH`` (3-pass, ~f32-accurate — the
-    selector operand is exact 0/1, same argument as the batch
-    self-collision Gram, docs/PERF.md); everything feeding the ``x - c``
-    / ``g - x`` cancellations stays f32 elementwise."""
+    Cost shape: a CENTERED two-pass reduce — 3-row centroid reduce,
+    3-row centroid broadcast, 9-row moment reduce of ``m (x - c) r^T``
+    — plus a 4-row quat broadcast; rotation extraction runs in column
+    layout (:func:`extract_rotations_cols`).  Total row-ops (3+3+9+4)
+    equal the earlier single-pass form (12+7) because the centering
+    broadcast ``cb`` is REUSED for the goal positions, so centering is
+    free.  It is also required: the uncentered ``sum m x r`` reduce
+    accumulates O(|x|·r) terms whose f32 rounding survives the exact
+    real-arithmetic recentering — measured 2.3e-1 quat error at offset
+    (100, 100.4, 100) vs 1.7e-7 at the origin (round-4 advisor
+    finding; the far-from-origin twin test locks this in).  The wide
+    matmuls contract one-hot rows at ``Precision.HIGH`` (3-pass,
+    ~f32-accurate — the selector operand is exact 0/1 and, centered,
+    the value operand is O(extent), same argument as the batch
+    self-collision Gram, docs/PERF.md); everything feeding the
+    ``x - c`` / ``g - x`` cancellations stays f32 elementwise.
+
+    NOTHING at absolute-position scale enters the MXU: positions are
+    first shifted by the global mass centroid ``x0`` (a cheap VPU
+    reduce), and the shift cancels exactly in ``dx = s (g - x)``, so it
+    is never added back.  Measured on the real chip: contracting the
+    raw per-cluster centroids (~100 away from the origin) through even
+    HIGH-precision MXU passes left 4.7e-4 relative error in ``dx``
+    (0.047 per substep), which blew a resting jelly up to 112x its
+    extent within 250 frames; with the x0 shift the kron path matches
+    the HIGHEST one-hot path at any world offset."""
     sm = cfg.shape_match
     hp = jax.lax.Precision.HIGH
     nx, ny, nz = statics["dims"]
@@ -319,21 +339,23 @@ def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
                        precision=hp)
         return g.reshape(c, n)
 
-    wx = m[None] * x3f
-    p12 = jnp.concatenate(
-        [wx, (wx[:, None, :] * r3[None, :, :]).reshape(9, -1)])
-    red = reduce(p12)                                     # [12, K]
-    c = red[:3] * statics["inv_mass_k"][None, :]          # [3, K]
-    # recenter: A[d,e] = sum w x_d r_e - c_d S_r[e]  (exact in real
-    # arithmetic since sum w r = 0 by construction)
-    A = (red[3:].reshape(3, 3, -1)
-         - c[:, None, :] * statics["s_r"][None, :, :])    # [3, 3, K]
+    x0 = (jnp.sum(m[None] * x3f, axis=1, keepdims=True)
+          * statics["inv_mass_total"])                    # [3, 1], VPU
+    xr = x3f - x0
+    c = reduce(m[None] * xr) * statics["inv_mass_k"][None, :]  # [3, K]
+    cb = bcast(c)                                         # [3, n]
+    # centered moments: rounding in c is harmless here (first-order
+    # insensitivity: sum w r = 0 by mass-centering of the rest offsets)
+    p9 = ((m[None] * (xr - cb))[:, None, :]
+          * r3[None, :, :]).reshape(9, -1)
+    A = reduce(p9).reshape(3, 3, -1)                      # [3, 3, K]
     q = extract_rotations_cols(A, quats.T, sm.iterations)  # [4, K]
-    b = bcast(jnp.concatenate([c, q]))                    # [7, n]
-    cb, qn = b[:3], b[3:]
+    qn = bcast(q)                                         # [4, n]
     qw, qv = qn[0:1], qn[1:]
-    g = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
-    dx = sm.stiffness * (g - x3f)
+    # g - x = r3 + rot + (cb + x0) - x = r3 + rot + cb - xr: the x0
+    # shift cancels exactly, so absolute coordinates never re-enter
+    g_rel = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
+    dx = sm.stiffness * (g_rel - xr)
     return jnp.where(statics["member"][None], dx, 0.0), q.T
 
 

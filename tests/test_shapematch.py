@@ -459,6 +459,39 @@ def test_kron_statics_match_onehot_on_lattice():
                                atol=1e-6)
 
 
+def test_kron_matches_onehot_far_from_origin():
+    """The round-4 advisor finding: an UNCENTERED single-pass kron moment
+    reduce accumulates O(|x|*r) f32 rounding that the exact real-arithmetic
+    recentering cannot remove — quats were off by 2.3e-1 at offset
+    (100, 100.4, 100).  The centered two-pass form must agree with the
+    one-hot path far from the origin to the same tolerance as at it."""
+    from softbodyunity_tpu.core.topology import (
+        enable_shape_matching, icosphere_mesh, lattice_from_mesh)
+    from softbodyunity_tpu.solver import shapematch as sm
+
+    cfg = SimConfig(shape_match=ShapeMatchParams(enabled=True,
+                                                 stiffness=0.3))
+    pos, tri = icosphere_mesh(radius=0.3, center=(0.0, 0.4, 0.0),
+                              subdivisions=1)
+    host = lattice_from_mesh(pos, tri, resolution=12, mass=0.05,
+                             plane_height=-1.0)
+    host = enable_shape_matching(host, cell_size=0.2)
+    top, state = api.init(host)
+    state = api.ensure_shapematch_state(top, cfg, state)
+    kr = sm.shape_match_kron_statics(top)
+    assert kr is not None
+    offset = jnp.asarray([100.0, 100.4, 100.0])
+    x = (state.x + offset
+         + 0.02 * jax.random.normal(jax.random.PRNGKey(1), state.x.shape))
+    dx_ref, q_ref = sm.shape_match_dx(top, cfg, x, state.cluster_quat)
+    dx_k, q_k = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
+                                       state.cluster_quat)
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dx_k.T), np.asarray(dx_ref),
+                               atol=5e-5)
+
+
 def test_kron_statics_decline_non_separable():
     """Explicit per-vertex cluster ids that do not factor per raster axis
     make shape_match_kron_statics return None (the general one-hot path
