@@ -105,39 +105,6 @@ def _tile_partners(xb, valid, radius: float, k: int):
     return idx, pvalid, overflow
 
 
-def _chunk_masks(xb, valid, partners, radius: float, chunks: int):
-    """Second-level bbox gate: for partner slot (i, k), which
-    ``blk/chunks``-vertex SUBROWS of TILE I can interact with the
-    partner tile at all.  Returns f32[B, K, C] (1.0 = subrow c of tile i
-    is within ``radius`` of partner ``partners[i, k]``'s bbox).  Same
-    superset argument as :func:`_tile_partners` — a dropped subrow
-    PROVABLY receives no force from that partner, so gating on this mask
-    never changes the force.
-
-    Morton-sorted subrows are spatially compact, so in a folded pile
-    most subrows of tile i sit further than ``radius`` from any given
-    partner: the Pallas kernel (kernels/pallas_blocks.py) skips them at
-    the scalar level and the [chunk, BLOCK] pair-plane work shrinks by
-    the survival fraction."""
-    b, blk, _ = xb.shape
-    big = 1e18
-    xs = xb.reshape(b, chunks, blk // chunks, 3)
-    vs = valid.reshape(b, chunks, blk // chunks, 1)
-    smn = jnp.min(jnp.where(vs, xs, big), axis=2)       # [B, C, 3]
-    smx = jnp.max(jnp.where(vs, xs, -big), axis=2)
-    tmn = jnp.min(jnp.where(valid[..., None], xb, big), axis=1)   # [B, 3]
-    tmx = jnp.max(jnp.where(valid[..., None], xb, -big), axis=1)
-    pmn = tmn[partners]                                  # [B, K, 3]
-    pmx = tmx[partners]
-    gap = jnp.maximum(
-        0.0,
-        jnp.maximum(smn[:, None, :, :] - pmx[:, :, None, :],
-                    pmn[:, :, None, :] - smx[:, None, :, :]),
-    )
-    d2 = jnp.sum(gap * gap, axis=-1)                     # [B, K, C]
-    return (d2 <= radius * radius).astype(jnp.float32)
-
-
 def _block_forces_sorted(xb, valid, partners, pvalid, radius: float,
                          stiffness: float, b: int, k: int):
     """Forces in sorted-tile space: f32[B, BLOCK, 3]."""
