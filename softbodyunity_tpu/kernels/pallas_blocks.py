@@ -70,18 +70,29 @@ from ..solver.blocksparse import _sorted_tiles, _tile_partners
 
 
 def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
-                 blk: int):
+                 blk: int, dual: bool = False):
+    """``dual=False``: i-tiles and partner tiles come from the SAME tile
+    array (the single-device path).  ``dual=True``: partner tiles come
+    from a SECOND tile array (the halo form — local rows vs the
+    all-gathered cloth, parallel/halo.py).
+
+    No self-pair diagonal mask in either mode: the contribution of a
+    bit-coincident pair is ``w * dx`` with finite w (the eps2 clamp
+    bounds inv_d) and dx exactly 0.0, i.e. exactly zero — the oracle's
+    own ``w(d) * (xi - xj)`` form gives the identical zero, so masking
+    the diagonal (or the same vertex meeting itself through the gathered
+    copy) is unnecessary, and the two scalar branches it cost per pair
+    are gone."""
     eps2 = (1e-3 * radius) ** 2
     c1 = stiffness * radius
     c2f = stiffness
 
-    def kernel(partners_ref, nvalid_ref, x_ref, fo_ref, f_acc,
-               a0_ref, a1_ref, a2_ref):
-        # self-pair diagonal mask (d2 += 1e12 on i == j), hoisted; only
-        # the pk == i pair pays the extra add (branch below)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-        eye = jnp.where(rows == cols, 1e12, 0.0).astype(jnp.float32)
+    def kernel(partners_ref, nvalid_ref, x_ref, *rest):
+        if dual:
+            xj_ref, fo_ref, f_acc, a0_ref, a1_ref, a2_ref = rest
+        else:
+            fo_ref, f_acc, a0_ref, a1_ref, a2_ref = rest
+            xj_ref = x_ref
 
         def tile_body(i, carry):
             xi = x_ref[i]                        # [3, BLOCK]
@@ -94,31 +105,19 @@ def _make_kernel(radius: float, stiffness: float, b: int, k_budget: int,
 
             def k_body(k, c2):
                 pk = partners_ref[i, k]
-                xj = x_ref[pk]                   # [3, BLOCK]
+                xj = xj_ref[pk]                  # [3, BLOCK]
                 xj0 = xj[0][None, :]             # [1, BLOCK], free slices
                 xj1 = xj[1][None, :]
                 xj2 = xj[2][None, :]
-
-                def slab(with_eye):
-                    dx0 = xi0 - xj0              # [BLOCK, BLOCK]
-                    dx1 = xi1 - xj1
-                    dx2 = xi2 - xj2
-                    d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
-                    if with_eye:                 # self pair: mask diagonal
-                        d2 = d2 + eye
-                    inv_d = jax.lax.rsqrt(jnp.maximum(d2, eps2))
-                    w = jnp.maximum(c1 * inv_d - c2f, 0.0)
-                    a0_ref[...] = a0_ref[...] + w * dx0
-                    a1_ref[...] = a1_ref[...] + w * dx1
-                    a2_ref[...] = a2_ref[...] + w * dx2
-
-                @pl.when(pk != i)
-                def _():
-                    slab(False)
-
-                @pl.when(pk == i)
-                def _():
-                    slab(True)
+                dx0 = xi0 - xj0                  # [BLOCK, BLOCK]
+                dx1 = xi1 - xj1
+                dx2 = xi2 - xj2
+                d2 = dx0 * dx0 + dx1 * dx1 + dx2 * dx2
+                inv_d = jax.lax.rsqrt(jnp.maximum(d2, eps2))
+                w = jnp.maximum(c1 * inv_d - c2f, 0.0)
+                a0_ref[...] = a0_ref[...] + w * dx0
+                a1_ref[...] = a1_ref[...] + w * dx1
+                a2_ref[...] = a2_ref[...] + w * dx2
                 return c2
 
             # dynamic trip count: partners are sorted interacting-first, so
@@ -167,6 +166,68 @@ def _block_pairs_pallas(x_tiles, nvalid, partners, radius, stiffness,
         ),
         interpret=interpret,
     )(partners, nvalid, x_tiles)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "stiffness", "k_budget", "interpret")
+)
+def _block_pairs_dual_pallas(xi_tiles, xj_tiles, nvalid, partners, radius,
+                             stiffness, k_budget, interpret=False):
+    """Dual-array form: forces on ``xi_tiles`` f32[Bi, 3, BLOCK] from
+    partner tiles in ``xj_tiles`` f32[Bj, 3, BLOCK] (the halo path)."""
+    b_i, _, blk = xi_tiles.shape
+    kernel = _make_kernel(radius, stiffness, b_i, k_budget, blk, dual=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_i, 3, blk), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # partners [Bi, K]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # nvalid   [Bi]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # i tiles  [Bi,3,BLOCK]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # j tiles  [Bj,3,BLOCK]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((blk, 8), jnp.float32)]
+        + [pltpu.VMEM((blk, blk), jnp.float32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=b_i * k_budget * blk * blk * 25,
+            bytes_accessed=2 * b_i * 3 * blk * 4,
+            transcendentals=b_i * k_budget * blk * blk,
+        ),
+        interpret=interpret,
+    )(partners, nvalid, xi_tiles, xj_tiles)
+
+
+def self_collision_forces_block_dual_pallas(
+    xi: jax.Array, xall: jax.Array, p: SelfCollisionParams,
+    interpret: bool = False
+) -> jax.Array:
+    """Pallas twin of blocksparse.self_collision_forces_block_dual:
+    forces ON ``xi`` f32[ni, 3] (a subset of ``xall`` f32[N, 3]) from the
+    exact global pair set — the per-device body of the row-sharded halo
+    self-collision (parallel/halo.py)."""
+    from ..solver.blocksparse import (
+        self_collision_forces_block_dual as _dual_jnp)  # noqa: F401 (doc ref)
+
+    ni = xi.shape[0]
+    xb_i, valid_i, order_i, b_i = _sorted_tiles(xi, p.cell_size,
+                                                p.block_size)
+    xb_g, valid_g, _, b_g = _sorted_tiles(xall, p.cell_size, p.block_size)
+    k = min(p.block_partners, b_g)
+    partners, pvalid, _ = _tile_partners(
+        xb_i, valid_i, p.radius, k, xb_j=xb_g, valid_j=valid_g)
+    nvalid = jnp.sum(pvalid > 0.0, axis=1).astype(jnp.int32)
+    # opposite far signs so pad-vs-pad pairs across the two tilings are
+    # 2e6 apart (never coincident; real-vs-pad exceeds radius either way)
+    xb_i = jnp.where(valid_i[..., None], xb_i, -1e6)
+    xb_g = jnp.where(valid_g[..., None], xb_g, 1e6)
+    f_tiles = _block_pairs_dual_pallas(
+        jnp.swapaxes(xb_i, 1, 2), jnp.swapaxes(xb_g, 1, 2),
+        nvalid, partners.astype(jnp.int32),
+        float(p.radius), float(p.stiffness), int(k), interpret,
+    )
+    f_sorted = jnp.swapaxes(f_tiles, 1, 2).reshape(-1, 3)[:ni]
+    return f_sorted[jnp.argsort(order_i)]
 
 
 def self_collision_forces_block_pallas(

@@ -79,24 +79,34 @@ def _sorted_tiles(x: jax.Array, cell_size: float, blk: int = BLOCK):
     return xb, valid, order, b
 
 
-def _tile_partners(xb, valid, radius: float, k: int):
+def _tile_partners(xb, valid, radius: float, k: int, xb_j=None,
+                   valid_j=None):
     """Per-tile partner tiles by bbox gap: ([B,K] ids, [B,K] valid, overflow).
 
     A tile pair is a candidate iff the per-axis bbox gap distance is
     <= radius (superset of the true interacting pair set).  ``overflow`` is
     the number of candidate pairs DROPPED by the K budget (0 => the result
     is exactly the dense pair set).
+
+    With ``xb_j``/``valid_j`` the search is RECTANGULAR: i-tiles from
+    ``xb``, candidate partners from the second tile array (the halo dual
+    form — local rows vs the all-gathered cloth, parallel/halo.py).
     """
     big = 1e18
     mn = jnp.min(jnp.where(valid[..., None], xb, big), axis=1)    # [B,3]
     mx = jnp.max(jnp.where(valid[..., None], xb, -big), axis=1)   # [B,3]
+    if xb_j is None:
+        mn_j, mx_j = mn, mx
+    else:
+        mn_j = jnp.min(jnp.where(valid_j[..., None], xb_j, big), axis=1)
+        mx_j = jnp.max(jnp.where(valid_j[..., None], xb_j, -big), axis=1)
     gap = jnp.maximum(
         0.0,
-        jnp.maximum(mn[:, None, :] - mx[None, :, :],
-                    mn[None, :, :] - mx[:, None, :]),
-    )                                                             # [B,B,3]
+        jnp.maximum(mn[:, None, :] - mx_j[None, :, :],
+                    mn_j[None, :, :] - mx[:, None, :]),
+    )                                                             # [B,Bj,3]
     d2 = jnp.sum(gap * gap, axis=-1)
-    interact = d2 <= radius * radius                              # [B,B]
+    interact = d2 <= radius * radius                              # [B,Bj]
     # stable argsort of ~interact puts interacting tiles first, in
     # ascending tile order (deterministic)
     idx = jnp.argsort(~interact, axis=1, stable=True)[:, :k]      # [B,K]
@@ -105,64 +115,64 @@ def _tile_partners(xb, valid, radius: float, k: int):
     return idx, pvalid, overflow
 
 
-def _block_forces_sorted(xb, valid, partners, pvalid, radius: float,
-                         stiffness: float, b: int, k: int):
-    """Forces in sorted-tile space: f32[B, BLOCK, 3]."""
-    # center each tile-pair product on tile i's bbox midpoint so the Gram
-    # cancellation stays conditioned (same trick as dense_mxu, per-tile)
-    big = 1e18
-    mn = jnp.min(jnp.where(valid[..., None], xb, big), axis=1)
-    mx = jnp.max(jnp.where(valid[..., None], xb, -big), axis=1)
-    ctr = 0.5 * (mn + mx)                                         # [B,3]
-    xci = xb - ctr[:, None, :]
-    sqi = jnp.sum(xci * xci, axis=-1)                             # [B,BLOCK]
-    iblk = jnp.arange(b)
-    eye = jnp.eye(xb.shape[1], dtype=bool)
-    f = jnp.zeros_like(xb)
-    for kk in range(k):
-        pk = partners[:, kk]                                      # [B]
-        xj = xb[pk]                                               # [B,BLOCK,3] (3 KB tile fetch)
-        vj = valid[pk]
-        xcj = xj - ctr[:, None, :]
-        sqj = jnp.sum(xcj * xcj, axis=-1)
-        # Precision.HIGHEST is load-bearing (see forces.py dense_mxu)
-        gram = jnp.einsum(
-            "bid,bjd->bij", xci, xcj,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        d2 = sqi[:, :, None] + sqj[:, None, :] - 2.0 * gram
-        d = jnp.sqrt(jnp.maximum(d2, (1e-3 * radius) ** 2))
-        same_tile = (pk == iblk)[:, None, None] & eye[None]
-        active = (
-            (d < radius)
-            & valid[:, :, None] & vj[:, None, :]
-            & ~same_tile
-            & pvalid[:, kk, None, None]
-        )
-        w = jnp.where(active, stiffness * (radius - d) / d, 0.0)
-        row = jnp.sum(w, axis=2)                                  # [B,BLOCK]
-        wx = jnp.einsum(
-            "bij,bjd->bid", w, xcj,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        f = f + row[..., None] * xci - wx
-    return f
-
-
 def self_collision_forces_block(x: jax.Array, p: SelfCollisionParams) -> jax.Array:
     """Block-sparse vertex-vertex repulsion forces: f32[N,3].
 
     Oracle twin: reference.self_collision_forces (identical pair set when
     the partner budget suffices — check with
-    :func:`self_collision_block_diagnostics`)."""
-    n = x.shape[0]
-    xb, valid, order, b = _sorted_tiles(x, p.cell_size, p.block_size)
-    k = min(p.block_partners, b)
-    partners, pvalid, _ = _tile_partners(xb, valid, p.radius, k)
-    f_sorted = _block_forces_sorted(
-        xb, valid, partners, pvalid, p.radius, p.stiffness, b, k
-    ).reshape(-1, 3)[:n]
-    return jnp.zeros_like(x).at[order].set(f_sorted)
+    :func:`self_collision_block_diagnostics`).  Thin wrapper over the
+    dual form with both sides the same array: the earlier per-tile-pair
+    GRAM formulation (centered, Precision.HIGHEST) lost ALL precision
+    for near-coincident pairs — at the eps-clamp scale d ~ 1e-3*radius,
+    the Gram cancellation's f32 error matches d^2 itself, and a crushed
+    pile measured 6% force error against the oracle rule while the
+    direct per-component form held 3e-6 (round 5).  The direct form
+    needs no precision escape hatch and matches the Pallas kernel's
+    math exactly; this path is the CPU/testing fallback, so its extra
+    HBM traffic vs Gram is irrelevant."""
+    return self_collision_forces_block_dual(x, x, p)
+
+
+def self_collision_forces_block_dual(
+    xi: jax.Array, xall: jax.Array, p: SelfCollisionParams
+) -> jax.Array:
+    """Repulsion forces ON ``xi`` f32[ni, 3] from ALL of ``xall`` f32[N, 3]
+    (``xi`` must be a subset of ``xall``) — the row-sharded halo form
+    (parallel/halo.py): each device owns ``xi`` = its rows and all-gathers
+    ``xall``, so the force work shards by rows while the pair set stays
+    the EXACT global one.
+
+    Self/coincident pairs need no exclusion in this form: the oracle's
+    contribution is ``w(d) * (xi - xj)``, which is exactly 0 when the two
+    positions are bit-equal (w is finite by the eps clamp), so a vertex
+    meeting itself in ``xall`` adds zero — same argument as the kernel
+    twin (kernels/pallas_blocks.py).  Direct dx form throughout: no Gram
+    cancellation, so no HIGHEST/centering requirements."""
+    ni = xi.shape[0]
+    xb_i, valid_i, order_i, b_i = _sorted_tiles(xi, p.cell_size,
+                                                p.block_size)
+    xb_g, valid_g, _, b_g = _sorted_tiles(xall, p.cell_size, p.block_size)
+    k = min(p.block_partners, b_g)
+    partners, pvalid, _ = _tile_partners(
+        xb_i, valid_i, p.radius, k, xb_j=xb_g, valid_j=valid_g)
+    eps = 1e-3 * p.radius
+    xg = jnp.where(valid_g[..., None], xb_g, 1e6)
+    xiv = jnp.where(valid_i[..., None], xb_i, -1e6)   # opposite far sign:
+    # pad-vs-pad pairs across the two tilings sit 2e6 apart, never 0/0
+    f = jnp.zeros_like(xb_i)
+    for kk in range(k):
+        pk = partners[:, kk]                           # [Bi]
+        xj = xg[pk]                                    # [Bi, blk, 3]
+        diff = xiv[:, :, None, :] - xj[:, None, :, :]  # [Bi, blk, blk, 3]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d = jnp.sqrt(jnp.maximum(d2, eps * eps))
+        w = jnp.where(
+            (d < p.radius) & pvalid[:, kk, None, None],
+            p.stiffness * (p.radius - d) / d, 0.0,
+        )
+        f = f + jnp.sum(w[..., None] * diff, axis=2)
+    f_sorted = f.reshape(-1, 3)[:ni]
+    return f_sorted[jnp.argsort(order_i)]
 
 
 def self_collision_block_diagnostics(x: jax.Array, p: SelfCollisionParams):

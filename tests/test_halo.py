@@ -656,3 +656,79 @@ def test_halo_strain_with_tearing_matches_single_device():
                                np.asarray(ref.rest_scale), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                atol=3e-5)
+
+
+@pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
+def test_halo_self_collision_matches_single_device(solver):
+    """Row-sharded self-collision (all-gather + dual-tile block form,
+    halo._self_collision_rows) == the single-device block path, on all
+    three cloth solvers.  The sc radius deliberately exceeds the grid
+    spacing so in-plane neighbours repel from frame 0 — the force is
+    non-trivially active without waiting for a fold."""
+    from softbodyunity_tpu.core.config import SelfCollisionParams, Solver
+    from softbodyunity_tpu.solver.step import step_scan
+
+    sv = {"euler": Solver.SEMI_IMPLICIT_EULER, "verlet": Solver.VERLET,
+          "xpbd": Solver.XPBD}[solver]
+    cfg = SimConfig(
+        solver=sv,
+        springs=SpringParams(k_structural=300.0, k_shear=150.0,
+                             k_bend=60.0, damping=0.5),
+        collision=CollisionParams(enable_plane=True, friction=0.2),
+        global_damping=0.4,
+        self_collision=SelfCollisionParams(
+            enabled=True, method="block", radius=0.08, stiffness=20.0,
+            cell_size=0.16, block_partners=16,
+        ),
+    )
+    # plane far out of reach: XPBD Jacobi + deep contact is locally
+    # oscillatory and amplifies f32 op-ordering noise ~100x/iteration
+    # (same scene rule as test_halo_xpbd_matches_single_device); the sc
+    # force is active from frame 0 regardless since radius > spacing
+    host = cloth_grid(
+        16, 32, spacing=0.05, mass=0.05, shear=True, bend=True,
+        pinned=("top",), springs=cfg.springs, xpbd=cfg.xpbd,
+        plane_height=-5.0, orientation="xy",
+    )
+    top, state = api.init(host)
+
+    # the repulsion is genuinely active (reference force is nonzero)
+    from softbodyunity_tpu.solver.step import self_collision_force
+    f0 = self_collision_force(cfg, state.x)
+    assert float(jnp.abs(f0).max()) > 1e-3, "scene exercises no sc force"
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
+    make = {"euler": halo.make_halo_step,
+            "verlet": halo.make_halo_verlet_step,
+            "xpbd": halo.make_halo_xpbd_step}[solver]
+    sharded = jax.jit(make(top, cfg, mesh), static_argnums=(5,))
+    x3, v3, im3, ph = halo.shard_grid_state(top, state, mesh)
+    second = v3 if solver != "verlet" else x3
+    xf, vf = sharded(x3, second, im3, ph, cfg.dt, 96)
+    got = halo.unshard_to_state(xf, vf, cfg.dt)
+
+    ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
+    x = np.asarray(got.x)
+    assert np.isfinite(x).all()
+    atol = 3e-4 if solver == "euler" else 1.5e-4
+    np.testing.assert_allclose(x, np.asarray(ref.x), atol=atol)
+
+
+def test_halo_lattice_rejects_self_collision():
+    """The lattice slab paths reject self-collision loudly (the cloth-rows
+    paths run it; silent physics drop is never an option)."""
+    from softbodyunity_tpu.core.config import SelfCollisionParams
+    from softbodyunity_tpu.core.topology import tet_cube
+
+    cfg = SimConfig(
+        self_collision=SelfCollisionParams(enabled=True, method="block",
+                                           radius=0.05, stiffness=10.0,
+                                           cell_size=0.1),
+        volume_stiffness=0.5,
+    )
+    host = tet_cube(8, spacing=0.05, springs=cfg.springs, xpbd=cfg.xpbd,
+                    plane_height=-1.0)
+    top, _ = api.init(host)
+    mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
+    with pytest.raises(NotImplementedError, match="self-collision"):
+        halo.make_halo_lattice_step(top, cfg, mesh)
