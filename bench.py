@@ -284,6 +284,33 @@ def bench_jelly_voxel_50k():
     return _bench_preset_substeps("jelly_voxel_50k", 8, 248)
 
 
+def bench_grad_64k():
+    """Fwd+backward substeps/sec, 64k cloth, stencil path — the official
+    autodiff backend (the fused Mosaic kernels are forward-only).  One
+    unit = one substep differentiated end-to-end (jax.grad of a scalar of
+    the final state w.r.t. initial positions+velocities)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from softbodyunity_tpu import api
+    from softbodyunity_tpu.kernels.stencil import make_stencil_step
+    from softbodyunity_tpu.models import presets
+
+    host, cfg = presets.build("cloth_bench_64k")
+    top, state = api.init(host)
+    step = make_stencil_step(top, cfg)
+
+    def make_run(n_substeps):
+        def loss(x, v):
+            s2 = step(state.replace(x=x, v=v), cfg.dt, n_substeps)
+            return jnp.mean(s2.x)
+
+        g = jax.grad(loss, argnums=(0, 1))
+        return jax.jit(lambda t, st: jnp.mean(g(st.x, st.v)[0]))
+
+    return _marginal_throughput(make_run, (top, state), 8, 72, 1)
+
+
 def bench_selfcollide_16k():
     """Substeps/sec, 16k single-scene self-colliding cloth (block-sparse
     Morton-tiled self-collision + banded springs)."""
@@ -374,6 +401,7 @@ _PARTS = {
     "wind64k": bench_wind_64k,
     "jelly50k": bench_jelly_voxel_50k,
     "strain64k": bench_strain_64k,
+    "grad64k": bench_grad_64k,
 }
 
 
@@ -391,6 +419,7 @@ _SECONDARY_ORDER = [
     ("strain64k", "substeps_per_sec_64k_strain_limited"),
     ("jelly50k", "substeps_per_sec_jelly_voxel_50k"),
     ("cubeverlet", "substeps_per_sec_64k_tet_cube_verlet"),
+    ("grad64k", "substeps_per_sec_64k_backward_stencil"),
     ("voxsphere", "substeps_per_sec_voxel_sphere_97k_raster"),
     # captured in r3 (corroborating re-measurements)
     ("cube", "substeps_per_sec_64k_tet_cube"),

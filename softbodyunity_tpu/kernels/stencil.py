@@ -32,6 +32,7 @@ from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
 from ..solver import collide
+from ..solver.forces import safe_sqrt
 
 
 def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:
@@ -97,8 +98,15 @@ def stencil_spring_forces(
         xn = _shift(x3, di, dj)
         vn = _shift(v3, di, dj)
         d = xn - x3
-        length = jnp.sqrt(jnp.sum(d * d, axis=0))
-        inv_len = 1.0 / jnp.maximum(length, 1e-12)
+        # grad-safe norm: sqrt'(0) is a 0/0 NaN in the backward pass for
+        # zero-length PHANTOM boundary pairs (the zero-padded shift
+        # meeting the origin vertex) and for truly coincident vertices.
+        # Bit-identical forward — solver/forces.py edge_force_vectors.
+        d2 = jnp.sum(d * d, axis=0)
+        # keyed on d, not d2: f32 underflow makes d2 == 0 with d != 0
+        safe = jnp.any(d != 0.0, axis=0)
+        length = safe_sqrt(d2)
+        inv_len = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
         n = d * inv_len
         rel_v = jnp.sum((vn - v3) * n, axis=0)
         mask = (jnp.asarray(_valid_mask(ny, nx, di, dj))
@@ -121,7 +129,9 @@ def tear_ok_planes(x3, offsets, strain_limit: float, shift=_shift,
     for o, off in enumerate(offsets):
         di, dj, rest = off[0], off[1], off[3]
         d = shift(x3, di, dj) - x3
-        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        # safe_sqrt: bit-identical primal, grad-safe at 0 (see
+        # solver/forces.py)
+        length = safe_sqrt(jnp.sum(d * d, axis=0))
         rest_eff = rest if rest_scale is None else rest * rest_scale[o]
         ok.append((length <= rest_eff * (1.0 + strain_limit))
                   .astype(x3.dtype))
@@ -152,7 +162,9 @@ def plastic_update_grid(x3, offsets, scale, pp, shift=_shift):
     for o, off in enumerate(offsets):
         di, dj, rest = off[0], off[1], off[3]
         d = shift(x3, di, dj) - x3
-        length = jnp.sqrt(jnp.sum(d * d, axis=0))
+        # safe_sqrt: bit-identical primal, grad-safe at 0 (see
+        # solver/forces.py)
+        length = safe_sqrt(jnp.sum(d * d, axis=0))
         rest_eff = jnp.maximum(rest * scale[o], 1e-12)
         strain = (length - rest_eff) / rest_eff
         excess = jnp.sign(strain) * jnp.maximum(
@@ -199,7 +211,8 @@ def grid_vertex_normals(x3: jax.Array, shift=_shift, cell_mask=None) -> jax.Arra
         + shift(f2, 0, -1) + shift(f2, -1, 0) + shift(f2, -1, -1)
     )
     norm2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2]
-    return acc / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    # safe_sqrt: bit-identical primal, grad-safe for degenerate normals
+    return acc / jnp.maximum(safe_sqrt(norm2), 1e-12)
 
 
 def wind_forces_grid(x3, v3, cfg: SimConfig, shift=_shift, cell_mask=None):
@@ -485,8 +498,11 @@ def xpbd_substep_grid(
                 zip(xoffsets, masks, lams)):
             xn = _shift(xe, di, dj)
             d = xn - xe
-            length = jnp.sqrt(jnp.sum(d * d, axis=0))
-            n = d / jnp.maximum(length, 1e-12)
+            # grad-safe norm, bit-identical fwd (stencil_spring_forces)
+            d2 = jnp.sum(d * d, axis=0)
+            safe = jnp.any(d != 0.0, axis=0)  # d, not d2 (underflow)
+            length = safe_sqrt(d2)
+            n = jnp.where(safe, d / jnp.maximum(length, 1e-12), 0.0)
             # plastic rest scale is substep-constant (oracle: the update
             # runs after the iteration loop)
             rest_eff = rest if scale is None else rest * scale[o]

@@ -24,6 +24,32 @@ from ..core.config import SimConfig
 from ..core.topology import Topology
 
 
+@jax.custom_jvp
+def safe_sqrt(x):
+    """``jnp.sqrt`` with a grad-safe derivative at 0.
+
+    The PRIMAL is literally ``jnp.sqrt`` — compiled output is
+    bit-identical to the plain op (the f64-exact oracle tier and the
+    Pallas kernel twins pin spring forces to the bit; a
+    ``where(safe, sqrt(where(...)))`` rewrite measurably changed XLA
+    CPU codegen by ~50 ulps).  Only the JVP differs: sqrt'(0) = inf
+    makes the backward pass 0/0-NaN for zero-length spring vectors —
+    and truly coincident endpoints happen (a start-inside plane clamp
+    snaps neighbouring vertices to the same point; phantom zero-padded
+    stencil pairs meet the origin vertex).  The derivative evaluates
+    the unsafe lanes at x = 1 and selects 0, so their cotangent is 0
+    instead of NaN."""
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (tx,) = primals, tangents
+    safe = x > 0.0
+    dydx = jnp.where(safe, 0.5 / jnp.sqrt(jnp.where(safe, x, 1.0)), 0.0)
+    return jnp.sqrt(x), dydx * tx
+
+
 def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
                        cfg: SimConfig, alive=None, rest_scale=None):
     """Per-edge Hooke + axial-damper force on endpoint *a* (toward *b*):
@@ -32,8 +58,20 @@ def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     d = x[b] - x[a]
-    length = jnp.linalg.norm(d, axis=1)
-    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    # grad-safe norm (bit-identical forward): safe_sqrt fixes the
+    # sqrt'(0) backward NaN, and selecting the RESULT of the 1/max
+    # division zeroes the 1e12-scale inv_len that otherwise rides
+    # backward products into overflow for exactly-coincident endpoints
+    # (a start-inside plane clamp snaps neighbours to the same point).
+    # Unsafe is d2 == 0 EXACTLY: any positive threshold would rewrite
+    # the oracle's d/max(length, 1e-12) restoring force on COLLAPSED
+    # springs (rest-zero stitches legitimately reach ~0 lengths).
+    d2 = jnp.sum(d * d, axis=1)
+    # keyed on d, not d2: f32 underflow makes d2 == 0 with d != 0, and
+    # those lanes legitimately carry the oracle's eps-clamped force
+    safe = jnp.any(d != 0.0, axis=1)
+    length = safe_sqrt(d2)
+    inv_len = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
     n = d * inv_len[:, None]
     rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n,
                        precision=jax.lax.Precision.HIGHEST)
