@@ -1196,22 +1196,27 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
                    else shape_match_flat_statics(top, s_dim, LANES))
             mov_f = im2.reshape(-1) > 0.0
 
-            def sm_apply(xf, quats):
+            def sm_apply(xf, quats, x0):
+                # x0: warm global-centroid carry of the kron path (the
+                # single-pass reduce conditions on it; one-substep lag
+                # is irrelevant — see shape_match_dx_kron)
                 if kron is not None:
-                    dxn, quats = shape_match_dx_kron(
-                        cfg, smd, xf[:, :n], quats)
-                    return jnp.pad(dxn, ((0, 0), (0, npad - n))), quats
-                return shape_match_dx_flat(cfg, smd, xf, quats)
+                    dxn, quats, x0 = shape_match_dx_kron(
+                        cfg, smd, xf[:, :n], quats, x0)
+                    return (jnp.pad(dxn, ((0, 0), (0, npad - n))), quats,
+                            x0)
+                dxf, quats = shape_match_dx_flat(cfg, smd, xf, quats)
+                return dxf, quats, x0
 
             def euler_body_planes(carry, _):
-                x3, v3, quats = carry
+                x3, v3, quats, x0 = carry
                 xo, vo = _pallas_lattice_substeps(
                     x3, v3, im2, emask, tmask, plane, spheres, capsules,
                     boxes, cfg_nc, egroups, tgroups, dt_f, 1, interpret,
                 )
                 xf = xo.reshape(3, -1)
                 vf = vo.reshape(3, -1)
-                dxf, quats = sm_apply(xf, quats)
+                dxf, quats, x0 = sm_apply(xf, quats, x0)
                 xf = xf + dxf
                 vf = vf + dxf * (1.0 / dt_f)
                 xz = [xf[0], xf[1], xf[2]]
@@ -1221,17 +1226,18 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
                     n_spheres, n_caps, n_boxes,
                 )
                 return (jnp.stack(xz).reshape(3, s_dim, LANES),
-                        jnp.stack(vz).reshape(3, s_dim, LANES), quats), None
+                        jnp.stack(vz).reshape(3, s_dim, LANES), quats,
+                        x0), None
 
             def verlet_body_planes(carry, _):
-                x3, xp3, quats = carry
+                x3, xp3, quats, x0 = carry
                 xo, xpo = _pallas_lattice_verlet_substeps(
                     x3, xp3, im2, emask, tmask, plane, spheres, capsules,
                     boxes, cfg_nc, egroups, tgroups, dt_f, 1, interpret,
                 )
                 xf = xo.reshape(3, -1)
                 xsf = xpo.reshape(3, -1)      # substep-start positions
-                dxf, quats = sm_apply(xf, quats)
+                dxf, quats, x0 = sm_apply(xf, quats, x0)
                 xf = xf + dxf                 # position-only (oracle
                 xz = [xf[0], xf[1], xf[2]]    # substep_verlet)
                 xsz = [xsf[0], xsf[1], xsf[2]]
@@ -1240,13 +1246,22 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
                     boxes, n_spheres, n_caps, n_boxes,
                 )
                 return (jnp.stack(xz).reshape(3, s_dim, LANES),
-                        xpo, quats), None
+                        xpo, quats, x0), None
 
             x3 = _fold(state.x.T, s_dim)
+            # bootstrap the warm-centroid carry once per step call (the
+            # in-scan updates ride the [K]-sized reduce outputs)
+            if kron is not None:
+                xflat = x3.reshape(3, -1)[:, :n]
+                x00 = (jnp.sum(smd["m"][None] * xflat, axis=1,
+                               keepdims=True) * smd["inv_mass_total"])
+            else:
+                x00 = jnp.zeros((3, 1), jnp.float32)
             if verlet:
                 xp3 = _fold(state.x_prev.T, s_dim)
-                (x3, xp3, quats), _ = jax.lax.scan(
-                    verlet_body_planes, (x3, xp3, state.cluster_quat),
+                (x3, xp3, quats, _), _ = jax.lax.scan(
+                    verlet_body_planes,
+                    (x3, xp3, state.cluster_quat, x00),
                     None, length=int(n_substeps))
                 x = x3.reshape(3, -1).T[:n]
                 xp = xp3.reshape(3, -1).T[:n]
@@ -1255,8 +1270,8 @@ def make_lattice_shapematch_step(top: Topology, cfg: SimConfig,
                              rest_scale=state.rest_scale,
                              cluster_quat=quats)
             v3 = _fold(state.v.T, s_dim)
-            (x3, v3, quats), _ = jax.lax.scan(
-                euler_body_planes, (x3, v3, state.cluster_quat),
+            (x3, v3, quats, _), _ = jax.lax.scan(
+                euler_body_planes, (x3, v3, state.cluster_quat, x00),
                 None, length=int(n_substeps))
             x = x3.reshape(3, -1).T[:n]
             v = v3.reshape(3, -1).T[:n]

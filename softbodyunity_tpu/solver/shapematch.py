@@ -230,10 +230,18 @@ def shape_match_kron_statics(top: Topology):
                           precision=hp)
 
     mass = _reduce(m[None])[0]
+    # s_r[e, k] = sum_n w r_e: ~0 by mass-centering of the rest offsets;
+    # subtracting c*s_r makes the single-pass shape matrix equal the
+    # centered one exactly in real arithmetic (shape_match_dx_kron)
+    s_r = _reduce(m[None] * r3)
+    mass_k = jnp.maximum(mass, 1e-30)
     return dict(
         dims=dims, ox=ox, oyz=oyz, occ_oh=occ_oh,
-        m=m, member=member, r3=r3,
-        inv_mass_k=1.0 / jnp.maximum(mass, 1e-30),
+        m=m, member=member, r3=r3, s_r=s_r,
+        inv_mass_k=1.0 / mass_k,
+        # cluster mass fractions: the warm global-centroid update
+        # x0' = x0 + sum_k frac_k c_k needs only [K]-sized math
+        mass_frac=mass_k / jnp.maximum(jnp.sum(mass), 1e-30),
         inv_mass_total=1.0 / jnp.maximum(jnp.sum(mass), 1e-30),
     )
 
@@ -280,39 +288,40 @@ def extract_rotations_cols(A, q, iterations: int):
     return q
 
 
-def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
+def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats, x0=None):
     """Raster-separable twin of :func:`shape_match_dx_flat` with the
     [N, K] one-hot contractions replaced by per-axis Kronecker factors
     (see :func:`shape_match_kron_statics`).  ``x3f f32[3, n]`` are
     UNPADDED flat component rows in raster order.  Returns ``(dx
-    f32[3, n], quats' f32[K, 4])``.
+    f32[3, n], quats' f32[K, 4], x0' f32[3, 1])``.
 
-    Cost shape: a CENTERED two-pass reduce — 3-row centroid reduce,
-    3-row centroid broadcast, 9-row moment reduce of ``m (x - c) r^T``
-    — plus a 4-row quat broadcast; rotation extraction runs in column
-    layout (:func:`extract_rotations_cols`).  Total row-ops (3+3+9+4)
-    equal the earlier single-pass form (12+7) because the centering
-    broadcast ``cb`` is REUSED for the goal positions, so centering is
-    free.  It is also required: the uncentered ``sum m x r`` reduce
-    accumulates O(|x|·r) terms whose f32 rounding survives the exact
-    real-arithmetic recentering — measured 2.3e-1 quat error at offset
-    (100, 100.4, 100) vs 1.7e-7 at the origin (round-4 advisor
-    finding; the far-from-origin twin test locks this in).  The wide
-    matmuls contract one-hot rows at ``Precision.HIGH`` (3-pass,
-    ~f32-accurate — the selector operand is exact 0/1 and, centered,
-    the value operand is O(extent), same argument as the batch
-    self-collision Gram, docs/PERF.md); everything feeding the
-    ``x - c`` / ``g - x`` cancellations stays f32 elementwise.
+    Cost shape: ONE 12-row reduce (centroid + shape-matrix moments) and
+    ONE 7-row broadcast per substep; rotation extraction runs in column
+    layout (:func:`extract_rotations_cols`).  The moments are
+    accumulated about the WARM global mass centroid ``x0`` — the
+    previous substep's, carried through the scan (pass ``None`` to
+    bootstrap from the current positions with one VPU reduce) — and
+    recentered per cluster exactly via the loop-invariant ``s_r`` sums.
+    Any reference point near the body conditions the single-pass reduce
+    (the exactness of the recentering is reference-independent), so the
+    one-substep lag is irrelevant; the fresh centroid comes back out of
+    the SAME reduce via [K]-sized math, so the carry costs nothing.
 
-    NOTHING at absolute-position scale enters the MXU: positions are
-    first shifted by the global mass centroid ``x0`` (a cheap VPU
-    reduce), and the shift cancels exactly in ``dx = s (g - x)``, so it
-    is never added back.  Measured on the real chip: contracting the
-    raw per-cluster centroids (~100 away from the origin) through even
-    HIGH-precision MXU passes left 4.7e-4 relative error in ``dx``
-    (0.047 per substep), which blew a resting jelly up to 112x its
-    extent within 250 frames; with the x0 shift the kron path matches
-    the HIGHEST one-hot path at any world offset."""
+    NOTHING at absolute-position scale enters the MXU: without the
+    shift, the uncentered ``sum m x r`` reduce accumulates O(|x|·r)
+    rounding that survives the exact real-arithmetic recentering —
+    measured 2.3e-1 quat error at offset (100, 100.4, 100) vs 1.7e-7 at
+    the origin (round-4 advisor finding), and even the per-cluster
+    centroids contracted at absolute scale left 4.7e-4 relative error
+    in ``dx`` on the real chip (0.047 per substep — a resting jelly
+    blew up to 112x its extent within 250 frames).  The shift cancels
+    exactly in ``dx = s (g - x)``, so it is never added back; the
+    far-from-origin twin test locks the property in.  The wide matmuls
+    contract one-hot rows at ``Precision.HIGH`` (3-pass, ~f32-accurate
+    — the selector operand is exact 0/1 and, shifted, the value operand
+    is O(extent), same argument as the batch self-collision Gram,
+    docs/PERF.md); everything feeding the ``x - c`` / ``g - x``
+    cancellations stays f32 elementwise."""
     sm = cfg.shape_match
     hp = jax.lax.Precision.HIGH
     nx, ny, nz = statics["dims"]
@@ -339,24 +348,31 @@ def shape_match_dx_kron(cfg: SimConfig, statics, x3f, quats):
                        precision=hp)
         return g.reshape(c, n)
 
-    x0 = (jnp.sum(m[None] * x3f, axis=1, keepdims=True)
-          * statics["inv_mass_total"])                    # [3, 1], VPU
+    if x0 is None:                                   # bootstrap (VPU)
+        x0 = (jnp.sum(m[None] * x3f, axis=1, keepdims=True)
+              * statics["inv_mass_total"])           # [3, 1]
     xr = x3f - x0
-    c = reduce(m[None] * xr) * statics["inv_mass_k"][None, :]  # [3, K]
-    cb = bcast(c)                                         # [3, n]
-    # centered moments: rounding in c is harmless here (first-order
-    # insensitivity: sum w r = 0 by mass-centering of the rest offsets)
-    p9 = ((m[None] * (xr - cb))[:, None, :]
-          * r3[None, :, :]).reshape(9, -1)
-    A = reduce(p9).reshape(3, 3, -1)                      # [3, 3, K]
+    wx = m[None] * xr
+    p12 = jnp.concatenate(
+        [wx, (wx[:, None, :] * r3[None, :, :]).reshape(9, -1)])
+    red = reduce(p12)                                     # [12, K]
+    c = red[:3] * statics["inv_mass_k"][None, :]          # [3, K]
+    # recenter: A[d,e] = sum w xr_d r_e - c_d S_r[e] (exact in real
+    # arithmetic since sum w r = 0 by construction; conditioned because
+    # xr is O(extent))
+    A = (red[3:].reshape(3, 3, -1)
+         - c[:, None, :] * statics["s_r"][None, :, :])    # [3, 3, K]
     q = extract_rotations_cols(A, quats.T, sm.iterations)  # [4, K]
-    qn = bcast(q)                                         # [4, n]
+    b = bcast(jnp.concatenate([c, q]))                    # [7, n]
+    cb, qn = b[:3], b[3:]
     qw, qv = qn[0:1], qn[1:]
     # g - x = r3 + rot + (cb + x0) - x = r3 + rot + cb - xr: the x0
     # shift cancels exactly, so absolute coordinates never re-enter
     g_rel = r3 + 2.0 * _cross_rows(qv, _cross_rows(qv, r3) + qw * r3) + cb
     dx = sm.stiffness * (g_rel - xr)
-    return jnp.where(statics["member"][None], dx, 0.0), q.T
+    x0_new = x0 + jnp.sum(c * statics["mass_frac"][None, :], axis=1,
+                          keepdims=True)                  # [3, 1]
+    return jnp.where(statics["member"][None], dx, 0.0), q.T, x0_new
 
 
 def shape_match_dx_flat(cfg: SimConfig, statics, x3f, quats):

@@ -451,8 +451,9 @@ def test_kron_statics_match_onehot_on_lattice():
     x = state.x + 0.02 * jax.random.normal(jax.random.PRNGKey(1),
                                            state.x.shape)
     dx_ref, q_ref = sm.shape_match_dx(top, cfg, x, state.cluster_quat)
-    dx_k, q_k = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
-                                       state.cluster_quat)
+    dx_k, q_k, x0 = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
+                                           state.cluster_quat)
+    assert x0.shape == (3, 1) and bool(jnp.isfinite(x0).all())
     np.testing.assert_allclose(np.asarray(dx_k.T), np.asarray(dx_ref),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
@@ -484,8 +485,8 @@ def test_kron_matches_onehot_far_from_origin():
     x = (state.x + offset
          + 0.02 * jax.random.normal(jax.random.PRNGKey(1), state.x.shape))
     dx_ref, q_ref = sm.shape_match_dx(top, cfg, x, state.cluster_quat)
-    dx_k, q_k = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
-                                       state.cluster_quat)
+    dx_k, q_k, _ = sm.shape_match_dx_kron(cfg, kr, jnp.asarray(x.T),
+                                          state.cluster_quat)
     np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref),
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(dx_k.T), np.asarray(dx_ref),
