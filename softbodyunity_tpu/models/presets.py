@@ -513,8 +513,9 @@ def jelly_voxel_50k():
     clusters — soft springs + local shape memory, the big-jelly workload.
     Runs the HYBRID path (kernels/pallas_lattice.py::
     make_lattice_shapematch_step): fused lattice kernel per substep
-    (contact gated off inside) + MXU one-hot cluster reductions + jnp
-    contact, 5.7k substeps/s on one chip (docs/PERF.md)."""
+    (contact gated off inside) + Kronecker-factored MXU cluster
+    reductions + jnp contact, 6.3k-8.9k substeps/s on one chip
+    (run-to-run range; docs/PERF.md "Current numbers")."""
     from ..core.topology import icosphere_mesh, lattice_from_mesh
 
     cfg = SimConfig(
