@@ -32,7 +32,8 @@ from ..core.config import SimConfig
 from ..core.state import State
 from ..core.topology import EDGE_BEND, EDGE_SHEAR, Topology
 from ..solver import collide
-from ..solver.forces import safe_sqrt
+from ..solver.forces import (length_dir_planes,
+                             length_dir_planes_mul, safe_sqrt)
 
 
 def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:
@@ -101,13 +102,11 @@ def stencil_spring_forces(
         # grad-safe norm: sqrt'(0) is a 0/0 NaN in the backward pass for
         # zero-length PHANTOM boundary pairs (the zero-padded shift
         # meeting the origin vertex) and for truly coincident vertices.
-        # Bit-identical forward — solver/forces.py edge_force_vectors.
-        d2 = jnp.sum(d * d, axis=0)
-        # keyed on d, not d2: f32 underflow makes d2 == 0 with d != 0
-        safe = jnp.any(d != 0.0, axis=0)
-        length = safe_sqrt(d2)
-        inv_len = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
-        n = d * inv_len
+        # length_dir_planes_mul keeps the verbatim old ops as the
+        # compiled primal — even a where-select on the reciprocal
+        # shifted fusion rounding by 1 ulp and broke the step_coupled /
+        # batched-hetero bit contracts (solver/forces.py).
+        length, n = length_dir_planes_mul(d)
         rel_v = jnp.sum((vn - v3) * n, axis=0)
         mask = (jnp.asarray(_valid_mask(ny, nx, di, dj))
                 if alive is None else alive[o])
@@ -499,10 +498,7 @@ def xpbd_substep_grid(
             xn = _shift(xe, di, dj)
             d = xn - xe
             # grad-safe norm, bit-identical fwd (stencil_spring_forces)
-            d2 = jnp.sum(d * d, axis=0)
-            safe = jnp.any(d != 0.0, axis=0)  # d, not d2 (underflow)
-            length = safe_sqrt(d2)
-            n = jnp.where(safe, d / jnp.maximum(length, 1e-12), 0.0)
+            length, n = length_dir_planes(d)
             # plastic rest scale is substep-constant (oracle: the update
             # runs after the iteration loop)
             rest_eff = rest if scale is None else rest * scale[o]

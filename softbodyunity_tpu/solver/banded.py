@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
-from .forces import safe_sqrt
+from .forces import length_dir_planes
 
 
 @jax.tree_util.register_dataclass
@@ -138,14 +138,11 @@ def banded_spring_forces(
         xb = _roll_planes(xT, -delta)
         vb = _roll_planes(vT, -delta)
         d = xb - xT
-        d2 = jnp.sum(d * d, axis=0)
-        # sqrt+div (not rsqrt) so the jnp path matches the oracle's rounding
-        # to f64 exactness; the Pallas kernels use rsqrt for speed.
-        # safe_sqrt + selecting the division RESULT = grad-safe with a
-        # bit-identical forward (solver/forces.py edge_force_vectors).
-        safe = jnp.any(d != 0.0, axis=0)  # d, not d2: f32 underflow
-        length = safe_sqrt(d2)
-        nrm = jnp.where(safe, d / jnp.maximum(length, 1e-12), 0.0)
+        # sqrt+div (not rsqrt) so the jnp path matches the oracle's
+        # rounding to f64 exactness; the Pallas kernels use rsqrt for
+        # speed.  length_dir_planes keeps these EXACT ops as the compiled
+        # primal and only swaps in grad-safe tangents (solver/forces.py).
+        length, nrm = length_dir_planes(d)
         rel = jnp.sum((vb - vT) * nrm, axis=0)
         fmag = groups.mask[gi] * (
             groups.stiffness[gi] * (length - groups.rest[gi]) + damping * rel
@@ -347,11 +344,8 @@ def xpbd_iteration_banded(
         m = groups.mask[gi]
         xb = _roll_planes(xT, -delta)
         d = xb - xT
-        d2 = jnp.sum(d * d, axis=0)
         # grad-safe norm, bit-identical forward (see spring_forces_banded)
-        safe = jnp.any(d != 0.0, axis=0)  # d, not d2: f32 underflow
-        length = safe_sqrt(d2)
-        nrm = jnp.where(safe, d / jnp.maximum(length, 1e-12), 0.0)
+        length, nrm = length_dir_planes(d)
         c_val = length - groups.rest[gi]
         alpha_t = groups.compliance[gi] / (dt * dt)
         wn = _roll_planes(wN, -delta)

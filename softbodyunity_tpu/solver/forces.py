@@ -50,6 +50,87 @@ def _safe_sqrt_jvp(primals, tangents):
     return jnp.sqrt(x), dydx * tx
 
 
+@jax.custom_jvp
+def _length_dir(d):
+    """(length, unit-direction) of per-edge vectors ``d`` f32[E, 3].
+
+    The PRIMAL is literally the pre-round-5 ops — compiled output is
+    bit-identical (step_coupled vs step and the batched-hetero tests
+    pin the gather-path forces to the bit; even selecting the RESULT of
+    the 1/max division changed XLA fusion rounding by 1 ulp here).
+    Only the JVP differs: at d == 0 exactly, sqrt'(0) is a 0/0 NaN and
+    the 1e12-scale inv_len rides backward products into overflow — and
+    truly coincident endpoints happen (a start-inside plane clamp snaps
+    neighbours to the same point).  The tangents evaluate unsafe lanes
+    at length 1 and select 0.  "Unsafe" is keyed on d, not |d|^2 (f32
+    underflow makes d2 == 0 with d != 0, and those lanes legitimately
+    carry the oracle's eps-clamped force)."""
+    length = jnp.linalg.norm(d, axis=1)
+    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    return length, d * inv_len[:, None]
+
+
+@_length_dir.defjvp
+def _length_dir_jvp(primals, tangents):
+    (d,), (td,) = primals, tangents
+    length = jnp.linalg.norm(d, axis=1)
+    n = d * (1.0 / jnp.maximum(length, 1e-12))[:, None]
+    safe = jnp.any(d != 0.0, axis=1)
+    inv = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
+    tl = jnp.sum(d * td, axis=1) * inv             # d|d| = (d . td)/|d|
+    # dn = td/|d| - d (d . td)/|d|^3, clamped like the primal
+    tn = td * inv[:, None] - d * (tl * inv * inv)[:, None]
+    return (length, n), (tl, tn)
+
+
+@jax.custom_jvp
+def length_dir_planes(d):
+    """Plane-layout twin of :func:`_length_dir` for ``d`` f32[3, ...]
+    component rows (banded / stencil layouts): (length, unit-direction)
+    with the pre-round-5 ops as the verbatim primal (bit-identical
+    compiled forward — even a where-select on the division result
+    shifted XLA fusion rounding by 1 ulp and broke the step_coupled /
+    batched-hetero bit contracts) and grad-safe tangents at d == 0."""
+    d2 = jnp.sum(d * d, axis=0)
+    length = jnp.sqrt(d2)
+    return length, d / jnp.maximum(length, 1e-12)
+
+
+@length_dir_planes.defjvp
+def _length_dir_planes_jvp(primals, tangents):
+    (d,), (td,) = primals, tangents
+    length = jnp.sqrt(jnp.sum(d * d, axis=0))
+    n = d / jnp.maximum(length, 1e-12)
+    safe = jnp.any(d != 0.0, axis=0)
+    inv = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
+    tl = jnp.sum(d * td, axis=0) * inv
+    tn = td * inv[None] - d * (tl * inv * inv)[None]
+    return (length, n), (tl, tn)
+
+
+@jax.custom_jvp
+def length_dir_planes_mul(d):
+    """Multiply-form twin of :func:`length_dir_planes` (the stencil
+    Euler path multiplies by the reciprocal instead of dividing — the
+    two round differently, and the primal must be the verbatim old
+    ops for the bit contracts)."""
+    length = jnp.sqrt(jnp.sum(d * d, axis=0))
+    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    return length, d * inv_len
+
+
+@length_dir_planes_mul.defjvp
+def _length_dir_planes_mul_jvp(primals, tangents):
+    (d,), (td,) = primals, tangents
+    length = jnp.sqrt(jnp.sum(d * d, axis=0))
+    n = d * (1.0 / jnp.maximum(length, 1e-12))
+    safe = jnp.any(d != 0.0, axis=0)
+    inv = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
+    tl = jnp.sum(d * td, axis=0) * inv
+    tn = td * inv[None] - d * (tl * inv * inv)[None]
+    return (length, n), (tl, tn)
+
+
 def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
                        cfg: SimConfig, alive=None, rest_scale=None):
     """Per-edge Hooke + axial-damper force on endpoint *a* (toward *b*):
@@ -58,21 +139,7 @@ def edge_force_vectors(top: Topology, x: jax.Array, v: jax.Array,
     a = top.edges[:, 0]
     b = top.edges[:, 1]
     d = x[b] - x[a]
-    # grad-safe norm (bit-identical forward): safe_sqrt fixes the
-    # sqrt'(0) backward NaN, and selecting the RESULT of the 1/max
-    # division zeroes the 1e12-scale inv_len that otherwise rides
-    # backward products into overflow for exactly-coincident endpoints
-    # (a start-inside plane clamp snaps neighbours to the same point).
-    # Unsafe is d2 == 0 EXACTLY: any positive threshold would rewrite
-    # the oracle's d/max(length, 1e-12) restoring force on COLLAPSED
-    # springs (rest-zero stitches legitimately reach ~0 lengths).
-    d2 = jnp.sum(d * d, axis=1)
-    # keyed on d, not d2: f32 underflow makes d2 == 0 with d != 0, and
-    # those lanes legitimately carry the oracle's eps-clamped force
-    safe = jnp.any(d != 0.0, axis=1)
-    length = safe_sqrt(d2)
-    inv_len = jnp.where(safe, 1.0 / jnp.maximum(length, 1e-12), 0.0)
-    n = d * inv_len[:, None]
+    length, n = _length_dir(d)
     rel_v = jnp.einsum("ej,ej->e", v[b] - v[a], n,
                        precision=jax.lax.Precision.HIGHEST)
     rest = (top.rest_length if rest_scale is None
