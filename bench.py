@@ -438,6 +438,34 @@ _SECONDARY_ORDER = [
 ]
 
 
+def _run_group_subprocess(parts, timeout: float,
+                          deadline: float | None = None) -> dict:
+    """Run several parts in ONE subprocess ("a,b" child mode); returns
+    {part: float | error-string}.  Parts the child never reached (crash /
+    timeout) are absent from the dict — the caller's recovery loop
+    retries them individually."""
+    t = timeout
+    if deadline is not None:
+        t = min(t, max(60.0, deadline - time.monotonic() - 15.0))
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--part", ",".join(parts)],
+            capture_output=True, text=True, timeout=t,
+        )
+        lines = out.stdout.strip().splitlines()
+    except subprocess.TimeoutExpired as e:
+        lines = (e.stdout or b"").decode().strip().splitlines() if isinstance(
+            e.stdout, bytes) else (e.stdout or "").strip().splitlines()
+    res = {}
+    for line in lines:
+        if "=" in line:
+            part, val = line.split("=", 1)
+            if part in parts:
+                res[part] = (val if val.startswith("ERROR:")
+                             else float(val))
+    return res
+
+
 def _run_part_subprocess(part: str, timeout: float = 240.0, attempts: int = 3,
                          deadline: float | None = None) -> float:
     last_err = ""
@@ -473,7 +501,18 @@ def _run_part_subprocess(part: str, timeout: float = 240.0, attempts: int = 3,
 
 def main():
     if len(sys.argv) == 3 and sys.argv[1] == "--part":
-        print(_PARTS[sys.argv[2]]())
+        parts = sys.argv[2].split(",")
+        if len(parts) == 1:
+            print(_PARTS[parts[0]]())
+            return
+        # grouped mode: several parts share one process (the jax import +
+        # tunnel init costs ~20-40 s per subprocess; pairs amortize it).
+        # One part failing must not kill the rest of the group.
+        for part in parts:
+            try:
+                print(f"{part}={_PARTS[part]()}", flush=True)
+            except Exception as e:  # noqa: BLE001 - recorded per part
+                print(f"{part}=ERROR:{e!r:.300}", flush=True)
         return
     target = 10_000.0  # BASELINE.json:5 floor, substeps/sec per TPU core
     # The driver wraps `python bench.py` in its own `timeout` and that
@@ -562,8 +601,37 @@ def main():
         v = run_headline(attempts=2)
     run_part("batch", "env_steps_per_sec_per_chip_1024_scenes")
     emit()
-    for part, key in _SECONDARY_ORDER:
-        run_part(part, key)
+    # secondaries run in PAIRS sharing one subprocess: the jax import +
+    # tunnel init costs ~20-40 s per process, and the round-5 driver
+    # window fit only 11 of 21 parts at one process each.  A part the
+    # child never reached (crash/timeout) stays None and the recovery
+    # loop below retries it individually.
+    key_of = dict(_SECONDARY_ORDER)
+    order = [p for p, _ in _SECONDARY_ORDER]
+    for i in range(0, len(order), 2):
+        group = order[i:i + 2]
+        remaining = deadline - time.monotonic()
+        if remaining < 90.0:
+            for part in group:
+                secondary.setdefault(key_of[part], None)
+                failures.setdefault(part, "skipped: global deadline")
+                _log(f"bench: {part} SKIPPED (deadline)")
+            continue
+        budget = max(120.0, min(300.0 + 150.0 * (len(group) - 1),
+                                remaining - 30.0))
+        _log(f"bench: group {'+'.join(group)} ...")
+        res = _run_group_subprocess(group, budget, deadline=deadline)
+        for part in group:
+            val = res.get(part)
+            if isinstance(val, float):
+                secondary[key_of[part]] = round(val, 1)
+                failures.pop(part, None)
+                _log(f"bench: {part} done ({val:,.0f} /s)")
+            else:
+                secondary.setdefault(key_of[part], None)
+                failures[part] = (val or "no output (group timeout/crash)"
+                                  )[:500]
+                _log(f"bench: {part} FAILED in group")
         emit()
     # second chance: parts nulled by a transient chip wedge (or a cold
     # compile that outlived its first budget — the cache is warm now)
