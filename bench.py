@@ -429,12 +429,15 @@ _SECONDARY_ORDER = [
     ("tear64k", "substeps_per_sec_64k_tearing"),
     ("plastic64k", "substeps_per_sec_64k_plastic"),
     ("wind64k", "substeps_per_sec_64k_wind"),
+    # the round-5 kernel rewrite made the self-collision pair fast to
+    # MEASURE (~50 s warm as a group) — it no longer needs the
+    # strictly-last quarantine that cost it the artifact in r05's
+    # validation run; the heavy 262k tier closes instead
+    ("sc16k", "substeps_per_sec_16k_selfcollide"),
+    ("sc64k", "substeps_per_sec_64k_selfcollide"),
     ("262k", "substeps_per_sec_262k_cloth"),
     ("tear262k", "substeps_per_sec_262k_tearing"),
     ("plastic262k", "substeps_per_sec_262k_plastic"),
-    # known-slow/flaky: strictly last
-    ("sc16k", "substeps_per_sec_16k_selfcollide"),
-    ("sc64k", "substeps_per_sec_64k_selfcollide"),
 ]
 
 
