@@ -296,7 +296,8 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
                           sdf: str = "components",
                           strain: str = "none",
                           motion: str = "none",
-                          sc: str = "none") -> None:
+                          sc: str = "none",
+                          sm: str = "none") -> None:
     """What each halo-sharded path supports, enforced loudly.  ``wind``:
     cloth paths take drag + lift ("full"), lattice paths drag only ("drag"
     — lift needs surface triangles, which the banded single-device path
@@ -346,6 +347,17 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
     # run slab sweeps (also "sweeps") and take slab-sharded tether planes
     # ("slabs", shard_motion_slabs).
     del strain, motion
+    if sm == "slabs" and cfg.shape_match.enabled and top.n_clusters > 0:
+        # lattice Euler/Verlet slabs: per-slab partial cluster reductions
+        # + one [K]-sized psum per substep (_shape_match_slab_dx); the
+        # caller must pass shard_shapematch_slabs(top, mesh) planes
+        pass
+    elif cfg.shape_match.enabled and top.n_clusters > 0:
+        raise NotImplementedError(
+            "shape matching is supported on the lattice Euler/Verlet "
+            "slab paths only (pass shard_shapematch_slabs planes); use "
+            "batch sharding or the single-device step for this path"
+        )
     if sc == "none" and cfg.self_collision.enabled:
         # cloth-rows paths run the all-gather + dual-tile block form
         # ("dual", _self_collision_rows); lattice slab paths reject —
@@ -362,11 +374,7 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
             "halo-sharded self-collision runs the block method only "
             f"(got method={cfg.self_collision.method!r})"
         )
-    if cfg.shape_match.enabled and top.n_clusters > 0:
-        raise NotImplementedError(
-            "shape matching is not supported in the halo-sharded paths; "
-            "use batch sharding or the single-device step"
-        )
+
 
 
 def _feature_halo_update(x3_new, alive, scale, offsets, cfg, axis_name):
@@ -1416,6 +1424,84 @@ def shard_motion_slabs(top: Topology, mesh: Mesh):
     return a3, r1
 
 
+def shard_shapematch_slabs(top: Topology, mesh: Mesh):
+    """Slab-sharded cluster data for lattice shape matching:
+    ``(cid3 i32[1, n, n2], rest3 f32[3, n, n2], quats0 f32[K, 4])`` —
+    the cluster-id and rest-offset planes shard like the state; the
+    warm-start quaternions are replicated (every device runs the same
+    rotation extraction on the same psum-reduced cluster moments)."""
+    if top.cluster_id is None:
+        raise ValueError(
+            "topology has no shape-matching clusters: call "
+            "enable_shape_matching(top, ...) before shard_shapematch_slabs"
+        )
+    import numpy as np
+
+    n = round(top.n_vertices ** (1.0 / 3.0))
+    n2 = n * n
+    spec = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    cid3 = jax.device_put(
+        jnp.asarray(top.cluster_id, jnp.int32).reshape(1, n, n2), spec)
+    rest3 = jax.device_put(
+        jnp.asarray(top.cluster_rest).T.reshape(3, n, n2), spec)
+    q0 = np.zeros((int(top.n_clusters), 4), np.float32)
+    q0[:, 0] = 1.0
+    return cid3, rest3, jax.device_put(jnp.asarray(q0))
+
+
+def _shape_match_slab_statics(cid3, imb, n_clusters: int, axis_name: str):
+    """Loop-invariant cluster data on a slab (inside shard_map): local
+    one-hot membership and the GLOBAL per-cluster inverse masses (one
+    [K]-sized psum).  Hoisted out of the substep scan by XLA."""
+    hp = jax.lax.Precision.HIGHEST
+    cid = cid3.reshape(-1)
+    im = imb.reshape(-1)
+    member = (cid >= 0) & (im > 0.0)
+    m = jnp.where(member, 1.0 / jnp.maximum(im, 1e-30), 0.0)
+    oh = (cid[:, None] == jnp.arange(n_clusters, dtype=jnp.int32)
+          ).astype(jnp.float32)
+    mass_k = jax.lax.psum(
+        jnp.einsum("n,nk->k", m, oh, precision=hp), axis_name)
+    return dict(oh=oh, m=m, member=member,
+                inv_mass_k=1.0 / jnp.maximum(mass_k, 1e-30))
+
+
+def _shape_match_slab_dx(xb, rest3, quats, statics, cfg, axis_name):
+    """Per-substep shape-matching dx on a slab-sharded lattice: the
+    TPU-native multi-chip form of ``shape_match_dx``'s one-hot MXU
+    branch (same centered formulation, same HIGHEST precision — the
+    reductions feed ``x - c`` / ``g - x`` cancellations, CLAUDE.md "TPU
+    numerics"), with each [*, K]-sized cluster reduction computed as a
+    LOCAL partial + one ``lax.psum`` over the slab axis on the ICI —
+    [3, K] + [9, K] floats per substep, not vertex data.  The rotation
+    extraction then runs replicated on every device (psum returns
+    identical moments everywhere), so the warm-start quats never need
+    communicating.  Returns ``(dx [3, L, n2], quats' [K, 4])``."""
+    sm = cfg.shape_match
+    hp = jax.lax.Precision.HIGHEST
+    from ..solver.shapematch import _cross_rows, extract_rotations
+
+    oh, m = statics["oh"], statics["m"]
+    x = xb.reshape(3, -1)                                 # [3, nl]
+    r = rest3.reshape(3, -1)
+    wx = m[None] * x
+    c = jax.lax.psum(
+        jnp.einsum("dn,nk->dk", wx, oh, precision=hp), axis_name
+    ) * statics["inv_mass_k"][None]                       # [3, K]
+    cb = jnp.einsum("dk,nk->dn", c, oh, precision=hp)     # c[cid]
+    xc = x - cb
+    p9 = (m[None] * xc)[:, None, :] * r[None, :, :]       # [d, e, nl]
+    A = jax.lax.psum(
+        jnp.einsum("den,nk->kde", p9, oh, precision=hp), axis_name)
+    quats = extract_rotations(A, quats, sm.iterations)
+    qn = jnp.einsum("kq,nk->qn", quats, oh, precision=hp)  # quats[cid]
+    qw, qv = qn[0:1], qn[1:]
+    g = r + 2.0 * _cross_rows(qv, _cross_rows(qv, r) + qw * r) + cb
+    dx = sm.stiffness * (g - x)
+    dx = jnp.where(statics["member"][None], dx, 0.0)
+    return dx.reshape(xb.shape), quats
+
+
 def lattice_halo_applicable(top: Topology) -> bool:
     """Static gate: fully banded uniform lattice with an n^3 vertex count."""
     g = top.offset_groups
@@ -1437,14 +1523,19 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, v3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None, tether_anchors=None,
-    tether_radii=None)`` over ``f32[3, n, n^2]`` plane-layout arrays
-    sharded ``P(None, ROWS_AXIS, None)``; use :func:`shard_lattice_state`
-    (and :func:`shard_motion_slabs` for the tether planes).  Semantics
-    mirror solver/step.py substep_euler on the banded path (tested vs
-    single device): strain limiting and motion tethers run after the
-    volume projection with velocity feedback, before contact."""
+    tether_radii=None, sm_cid=None, sm_rest=None, sm_quats=None)`` over
+    ``f32[3, n, n^2]`` plane-layout arrays sharded
+    ``P(None, ROWS_AXIS, None)``; use :func:`shard_lattice_state`
+    (and :func:`shard_motion_slabs` for the tether planes,
+    :func:`shard_shapematch_slabs` for the shape-matching planes —
+    with shape matching on, the function returns ``(x, v, quats)``).
+    Semantics mirror solver/step.py substep_euler on the banded path
+    (tested vs single device): shape matching after the volume
+    projection, then strain limiting and motion tethers, all with
+    velocity feedback, before contact."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none", strain="sweeps", motion="slabs")
+                          sdf="none", strain="sweeps", motion="slabs",
+                          sm="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1466,17 +1557,25 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     strain_on = cfg.strain_limit.enabled
     motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sm_on = cfg.shape_match.enabled and top.n_clusters > 0
+    n_clusters = int(top.n_clusters)
     sgroups = tuple((di, r, rest) for (di, r, _k, rest) in egroups)
 
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
                       n_substeps, sphere_centers=None, sphere_radii=None,
-                      tether_anchors=None, tether_radii=None):
+                      tether_anchors=None, tether_radii=None,
+                      sm_cid=None, sm_rest=None, sm_quats=None):
         if motion_on and tether_anchors is None:
             raise ValueError(
                 "cfg enables motion constraints: pass tether_anchors/"
                 "tether_radii (shard_motion_slabs(top, mesh))"
+            )
+        if sm_on and sm_cid is None:
+            raise ValueError(
+                "cfg enables shape matching: pass sm_cid/sm_rest/"
+                "sm_quats (shard_shapematch_slabs(top, mesh))"
             )
 
         def local(x3b, v3b, imb, ph, emb, tmb, *rest_args):
@@ -1485,8 +1584,16 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if spheres_on:
                 spheres = (rest_args[0], rest_args[1])
                 i = 2
-            anchors = ((rest_args[i], rest_args[i + 1])
-                       if motion_on else None)
+            anchors = None
+            if motion_on:
+                anchors = (rest_args[i], rest_args[i + 1])
+                i += 2
+            smd = None
+            if sm_on:
+                cid3b, rest3b, quats0 = (rest_args[i], rest_args[i + 1],
+                                         rest_args[i + 2])
+                smd = _shape_match_slab_statics(cid3b, imb[0], n_clusters,
+                                                ROWS_AXIS)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             # static per call: extended masks, inv-mass, volume count plane
@@ -1508,7 +1615,7 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 )
 
             def substep(carry, _):
-                xb, vb = carry
+                xb, vb, quats = carry
                 xe = _exchange_slab(xb, ROWS_AXIS)
                 ve = _exchange_slab(vb, ROWS_AXIS)
                 f = jnp.zeros_like(xe)
@@ -1571,6 +1678,14 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     dxi = jnp.where(movable, dxi, 0.0)
                     xb = xb + dxi
                     vb = vb + dxi / dt
+                if sm_on:
+                    # shape matching after the volume projection, before
+                    # strain limiting/tethers/contact with velocity
+                    # feedback (oracle substep_euler ordering)
+                    dxs, quats = _shape_match_slab_dx(
+                        xb, rest3b, quats, smd, cfg, ROWS_AXIS)
+                    xb = xb + dxs
+                    vb = vb + dxs / dt
                 if strain_on:
                     # strain limiting before collision; the clamp feeds
                     # back into velocity (oracle substep_euler ordering)
@@ -1586,11 +1701,14 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     xb = xb + dxt
                     vb = vb + dxt / dt
                 xb, vb = _resolve_colliders(xb, vb, movable, cfg, ph[0], spheres)
-                return (xb, vb), None
+                return (xb, vb, quats), None
 
-            (xf, vf), _ = jax.lax.scan(
-                substep, (x3b, v3b), None, length=n_substeps
+            q0 = quats0 if sm_on else jnp.zeros((1, 4), x3b.dtype)
+            (xf, vf, qf), _ = jax.lax.scan(
+                substep, (x3b, v3b, q0), None, length=n_substeps
             )
+            if sm_on:
+                return xf, vf, qf
             return xf, vf
 
         args = (x3, v3, im3, plane_height, emask, tmask)
@@ -1603,8 +1721,12 @@ def make_halo_lattice_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if motion_on:
             args += (tether_anchors, tether_radii)
             specs += (spec, spec)
+        if sm_on:
+            args += (sm_cid, sm_rest, sm_quats)
+            specs += (spec, spec, P())
+        out_specs = (spec, spec, P()) if sm_on else (spec, spec)
         return jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=specs, out_specs=out_specs
         )(*args)
 
     return sharded_steps
@@ -1637,11 +1759,14 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
 
     Returns ``fn(x3, xp3, im3, plane_h, emask, tmask, dt, n_substeps,
     sphere_centers=None, sphere_radii=None, tether_anchors=None,
-    tether_radii=None) -> (x, v)``.  Strain limiting and motion tethers
-    run position-only after the volume projection, before contact
-    (oracle substep_verlet ordering)."""
+    tether_radii=None, sm_cid=None, sm_rest=None, sm_quats=None)
+    -> (x, v)`` (``(x, v, quats)`` with shape matching on —
+    :func:`shard_shapematch_slabs`).  Shape matching, strain limiting
+    and motion tethers run position-only after the volume projection,
+    before contact (oracle substep_verlet ordering)."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none", strain="sweeps", motion="slabs")
+                          sdf="none", strain="sweeps", motion="slabs",
+                          sm="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -1663,12 +1788,20 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     strain_on = cfg.strain_limit.enabled
     motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sm_on = cfg.shape_match.enabled and top.n_clusters > 0
+    n_clusters = int(top.n_clusters)
     sgroups = tuple((di, r, rest) for (di, r, _k, rest) in egroups)
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, xp3, im3, plane_height, emask, tmask, dt,
                       n_substeps, sphere_centers=None, sphere_radii=None,
-                      tether_anchors=None, tether_radii=None):
+                      tether_anchors=None, tether_radii=None,
+                      sm_cid=None, sm_rest=None, sm_quats=None):
+        if sm_on and sm_cid is None:
+            raise ValueError(
+                "cfg enables shape matching: pass sm_cid/sm_rest/"
+                "sm_quats (shard_shapematch_slabs(top, mesh))"
+            )
         if motion_on and tether_anchors is None:
             raise ValueError(
                 "cfg enables motion constraints: pass tether_anchors/"
@@ -1681,8 +1814,16 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if spheres_on:
                 spheres = (rest_args[0], rest_args[1])
                 i = 2
-            anchors = ((rest_args[i], rest_args[i + 1])
-                       if motion_on else None)
+            anchors = None
+            if motion_on:
+                anchors = (rest_args[i], rest_args[i + 1])
+                i += 2
+            smd = None
+            if sm_on:
+                cid3b, rest3b, quats0 = (rest_args[i], rest_args[i + 1],
+                                         rest_args[i + 2])
+                smd = _shape_match_slab_statics(cid3b, imb[0], n_clusters,
+                                                ROWS_AXIS)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             we = _exchange_slab(imb, ROWS_AXIS)[0]
@@ -1744,7 +1885,7 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 return jnp.where(movable, dxi, 0.0)
 
             def substep(carry, _):
-                xb, xpb = carry
+                xb, xpb, quats = carry
                 v_est = (xb - xpb) / dt
                 xe = _exchange_slab(xb, ROWS_AXIS)
                 ve = _exchange_slab(v_est, ROWS_AXIS)
@@ -1769,6 +1910,12 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                 x_new = jnp.where(movable, x_new, xb)
                 if use_volume:
                     x_new = x_new + volume_dx_interior(x_new)
+                if sm_on:
+                    # shape matching after volume, position-only on the
+                    # projection solvers (oracle substep_verlet)
+                    dxs, quats = _shape_match_slab_dx(
+                        x_new, rest3b, quats, smd, cfg, ROWS_AXIS)
+                    x_new = x_new + dxs
                 if strain_on:
                     # strain limiting before contact, position-only on
                     # the projection solvers (oracle substep_verlet)
@@ -1807,11 +1954,14 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                         ))
                 x_new = _sphere_friction_planes(
                     x_new, xb, imb > 0.0, cfg, spheres, mu)
-                return (x_new, xb), None
+                return (x_new, xb, quats), None
 
-            (xf, xpf), _ = jax.lax.scan(
-                substep, (x3b, xp3b), None, length=n_substeps
+            q0 = quats0 if sm_on else jnp.zeros((1, 4), x3b.dtype)
+            (xf, xpf, qf), _ = jax.lax.scan(
+                substep, (x3b, xp3b, q0), None, length=n_substeps
             )
+            if sm_on:
+                return xf, (xf - xpf) / dt, qf
             return xf, (xf - xpf) / dt
 
         args = (x3, xp3, im3, plane_height, emask, tmask)
@@ -1824,8 +1974,12 @@ def make_halo_lattice_verlet_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if motion_on:
             args += (tether_anchors, tether_radii)
             specs += (spec, spec)
+        if sm_on:
+            args += (sm_cid, sm_rest, sm_quats)
+            specs += (spec, spec, P())
+        out_specs = (spec, spec, P()) if sm_on else (spec, spec)
         return jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=specs, out_specs=out_specs
         )(*args)
 
     return sharded_steps
