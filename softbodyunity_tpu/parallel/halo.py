@@ -348,15 +348,16 @@ def _check_halo_colliders(top: Topology, cfg: SimConfig,
     # ("slabs", shard_motion_slabs).
     del strain, motion
     if sm == "slabs" and cfg.shape_match.enabled and top.n_clusters > 0:
-        # lattice Euler/Verlet slabs: per-slab partial cluster reductions
-        # + one [K]-sized psum per substep (_shape_match_slab_dx); the
-        # caller must pass shard_shapematch_slabs(top, mesh) planes
+        # lattice slab paths (all three solvers): per-slab partial
+        # cluster reductions + one [K]-sized psum per substep
+        # (_shape_match_slab_dx); the caller must pass
+        # shard_shapematch_slabs(top, mesh) planes
         pass
     elif cfg.shape_match.enabled and top.n_clusters > 0:
         raise NotImplementedError(
-            "shape matching is supported on the lattice Euler/Verlet "
-            "slab paths only (pass shard_shapematch_slabs planes); use "
-            "batch sharding or the single-device step for this path"
+            "shape matching is supported on the lattice slab paths only "
+            "(pass shard_shapematch_slabs planes); use batch sharding or "
+            "the single-device step for this path"
         )
     if sc == "none" and cfg.self_collision.enabled:
         # cloth-rows paths run the all-gather + dual-tile block form
@@ -1990,11 +1991,13 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     sweep exchanges positions AND the per-group lambda planes (the cloth
     XPBD halo's recompute-the-owner trick in 3D), with distance + volume
     compliance constraints and delta-form accumulation (solver/step.py
-    substep_xpbd banded twin).  Strain limiting and motion tethers run
-    after the Jacobi loop, then ONE more contact projection so the
-    clamps never leave penetration behind (oracle substep_xpbd)."""
+    substep_xpbd banded twin).  Shape matching, strain limiting and
+    motion tethers run after the Jacobi loop, then ONE more contact
+    projection so the corrections never leave penetration behind
+    (oracle substep_xpbd)."""
     _check_halo_colliders(top, cfg, wind="drag", tear="none", caps="none",
-                          sdf="none", strain="sweeps", motion="slabs")
+                          sdf="none", strain="sweeps", motion="slabs",
+                          sm="slabs")
     if not lattice_halo_applicable(top):
         raise ValueError("topology is not a fully banded uniform lattice")
     n = round(top.n_vertices ** (1.0 / 3.0))
@@ -2015,18 +2018,26 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
     spheres_on = cfg.collision.enable_spheres and top.n_spheres > 0
     strain_on = cfg.strain_limit.enabled
     motion_on = cfg.motion.enabled and top.tether_anchor is not None
+    sm_on = cfg.shape_match.enabled and top.n_clusters > 0
+    n_clusters = int(top.n_clusters)
     sgroups = tuple((di, r, rest) for (di, r, rest, _a) in egroups)
     spec = P(None, ROWS_AXIS, None)
 
     def sharded_steps(x3, v3, im3, plane_height, emask, tmask, dt,
                       n_substeps, sphere_centers=None, sphere_radii=None,
-                      tether_anchors=None, tether_radii=None):
+                      tether_anchors=None, tether_radii=None,
+                      sm_cid=None, sm_rest=None, sm_quats=None):
         alpha_ts = [alpha / (dt * dt) for _, _, _, alpha in egroups]
         alpha_v = cfg.xpbd.compliance_volume / (dt * dt)
         if motion_on and tether_anchors is None:
             raise ValueError(
                 "cfg enables motion constraints: pass tether_anchors/"
                 "tether_radii (shard_motion_slabs(top, mesh))"
+            )
+        if sm_on and sm_cid is None:
+            raise ValueError(
+                "cfg enables shape matching: pass sm_cid/sm_rest/"
+                "sm_quats (shard_shapematch_slabs(top, mesh))"
             )
 
         def local(x3b, v3b, imb, ph, emb, tmb, *rest_args):
@@ -2035,8 +2046,16 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             if spheres_on:
                 spheres = (rest_args[0], rest_args[1])
                 i = 2
-            anchors = ((rest_args[i], rest_args[i + 1])
-                       if motion_on else None)
+            anchors = None
+            if motion_on:
+                anchors = (rest_args[i], rest_args[i + 1])
+                i += 2
+            smd = None
+            if sm_on:
+                cid3b, rest3b, quats0 = (rest_args[i], rest_args[i + 1],
+                                         rest_args[i + 2])
+                smd = _shape_match_slab_statics(cid3b, imb[0], n_clusters,
+                                                ROWS_AXIS)
             n_local = x3b.shape[-2]
             movable = imb > 0.0
             we = _exchange_slab(imb, ROWS_AXIS)[0]
@@ -2061,7 +2080,7 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
             )
 
             def substep(carry, _):
-                xb, vb = carry
+                xb, vb, quats = carry
                 gvec = jnp.asarray(cfg.gravity).astype(xb.dtype).reshape(3, 1, 1)
                 acc = gvec
                 if cfg.wind.drag != 0.0:
@@ -2172,12 +2191,16 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     iteration, (delta0, lams0, lamv0, cf0), None,
                     length=n_iter
                 )
-                if strain_on or motion_on:
-                    # strain limiting then motion constraints after the
-                    # Jacobi loop, then ONE more contact projection so the
-                    # clamps never leave penetration behind (oracle
-                    # substep_xpbd ordering)
+                if sm_on or strain_on or motion_on:
+                    # shape matching, then strain limiting, then motion
+                    # constraints after the Jacobi loop, then ONE more
+                    # contact projection so the corrections never leave
+                    # penetration behind (oracle substep_xpbd ordering)
                     xev = x_prev + delta
+                    if sm_on:
+                        dxs, quats = _shape_match_slab_dx(
+                            xev, rest3b, quats, smd, cfg, ROWS_AXIS)
+                        xev = xev + dxs
                     if strain_on:
                         xev = xev + _strain_limit_slab(
                             xev, sgroups, cfg, we, eme, sl_inv_cnt,
@@ -2200,11 +2223,14 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
                     _sphere_friction_planes(xe_f, x_prev, movable, cfg,
                                             spheres, mu) - xe_f)
                 delta = jnp.where(movable, delta, 0.0)
-                return (x_prev + delta, delta / dt), None
+                return (x_prev + delta, delta / dt, quats), None
 
-            (xf, vf), _ = jax.lax.scan(
-                substep, (x3b, v3b), None, length=n_substeps
+            q0 = quats0 if sm_on else jnp.zeros((1, 4), x3b.dtype)
+            (xf, vf, qf), _ = jax.lax.scan(
+                substep, (x3b, v3b, q0), None, length=n_substeps
             )
+            if sm_on:
+                return xf, vf, qf
             return xf, vf
 
         args = (x3, v3, im3, plane_height, emask, tmask)
@@ -2217,8 +2243,12 @@ def make_halo_lattice_xpbd_step(top: Topology, cfg: SimConfig, mesh: Mesh):
         if motion_on:
             args += (tether_anchors, tether_radii)
             specs += (spec, spec)
+        if sm_on:
+            args += (sm_cid, sm_rest, sm_quats)
+            specs += (spec, spec, P())
+        out_specs = (spec, spec, P()) if sm_on else (spec, spec)
         return jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=(spec, spec)
+            local, mesh=mesh, in_specs=specs, out_specs=out_specs
         )(*args)
 
     return sharded_steps

@@ -734,25 +734,28 @@ def test_halo_lattice_rejects_self_collision():
         halo.make_halo_lattice_step(top, cfg, mesh)
 
 
-@pytest.mark.parametrize("solver", ["euler", "verlet"])
+@pytest.mark.parametrize("solver", ["euler", "verlet", "xpbd"])
 def test_halo_lattice_shapematch_matches_single_device(solver):
     """Slab-sharded shape matching on the lattice halo paths (per-slab
     partial cluster reductions + one [K]-sized psum per substep, rotation
     extraction replicated) == the single-device path — the multi-chip
     jelly (round-4 VERDICT missing #4: shape matching on no multi-chip
     path)."""
-    from softbodyunity_tpu.core.config import ShapeMatchParams, Solver
+    from softbodyunity_tpu.core.config import (
+        ShapeMatchParams, Solver, XPBDParams)
     from softbodyunity_tpu.core.topology import enable_shape_matching, tet_cube
     from softbodyunity_tpu.solver.step import step_scan
 
-    sv = {"euler": Solver.SEMI_IMPLICIT_EULER,
-          "verlet": Solver.VERLET}[solver]
+    sv = {"euler": Solver.SEMI_IMPLICIT_EULER, "verlet": Solver.VERLET,
+          "xpbd": Solver.XPBD}[solver]
     # SOFT springs, no volume constraint: the dropped cube squashes on
     # the plane and the cluster shape memory is what resists — shape
     # matching is load-bearing, not decorative
     cfg = SimConfig(
         solver=sv,
         springs=SpringParams(k_structural=5.0, damping=0.3),
+        xpbd=XPBDParams(compliance_distance=1e-3, compliance_volume=1e-4,
+                        n_iterations=4, relaxation=1.0),
         shape_match=ShapeMatchParams(enabled=True, stiffness=0.4),
         collision=CollisionParams(enable_plane=True, friction=0.2),
         global_damping=0.4,
@@ -768,7 +771,8 @@ def test_halo_lattice_shapematch_matches_single_device(solver):
 
     mesh = Mesh(np.array(jax.devices()[:4]), (halo.ROWS_AXIS,))
     make = {"euler": halo.make_halo_lattice_step,
-            "verlet": halo.make_halo_lattice_verlet_step}[solver]
+            "verlet": halo.make_halo_lattice_verlet_step,
+            "xpbd": halo.make_halo_lattice_xpbd_step}[solver]
     fn = jax.jit(make(top, cfg, mesh), static_argnums=(7,))
     x3, v3, im3, ph, emask, tmask = halo.shard_lattice_state(top, state,
                                                              mesh)
@@ -779,7 +783,7 @@ def test_halo_lattice_shapematch_matches_single_device(solver):
     got_x = np.asarray(xf).reshape(3, -1).T
 
     ref = jax.jit(lambda t, s: step_scan(t, cfg, s, cfg.dt, 96))(top, state)
-    atol = 3e-4 if solver == "euler" else 5e-5
+    atol = {"euler": 3e-4, "verlet": 5e-5, "xpbd": 1e-4}[solver]
     np.testing.assert_allclose(got_x, np.asarray(ref.x), atol=atol)
     np.testing.assert_allclose(np.asarray(qf), np.asarray(ref.cluster_quat),
                                atol=3e-4)
@@ -790,19 +794,19 @@ def test_halo_lattice_shapematch_matches_single_device(solver):
     assert float(jnp.abs(off.x - ref.x).max()) > 1e-4, "shape match inert"
 
 
-def test_halo_lattice_xpbd_rejects_shapematch():
-    """The XPBD slab path rejects shape matching loudly (Euler/Verlet
-    slabs run it; silent physics drop is never an option)."""
+def test_halo_cloth_rejects_shapematch():
+    """The cloth-rows paths reject shape matching loudly (the lattice
+    slab paths run it; silent physics drop is never an option)."""
     from softbodyunity_tpu.core.config import ShapeMatchParams
-    from softbodyunity_tpu.core.topology import enable_shape_matching, tet_cube
+    from softbodyunity_tpu.core.topology import enable_shape_matching
 
     cfg = SimConfig(shape_match=ShapeMatchParams(enabled=True,
-                                                 stiffness=0.3),
-                    volume_stiffness=0.3)
-    host = tet_cube(8, spacing=0.08, springs=cfg.springs, xpbd=cfg.xpbd,
-                    plane_height=-1.0)
-    host = enable_shape_matching(host, cell_size=0.25)
+                                                 stiffness=0.3))
+    host = cloth_grid(16, 16, spacing=0.05, pinned=("top",),
+                      springs=cfg.springs, xpbd=cfg.xpbd,
+                      plane_height=-1.0, orientation="xy")
+    host = enable_shape_matching(host, cell_size=0.2)
     top, _ = api.init(host)
     mesh = Mesh(np.array(jax.devices()[:2]), (halo.ROWS_AXIS,))
     with pytest.raises(NotImplementedError, match="shape matching"):
-        halo.make_halo_lattice_xpbd_step(top, cfg, mesh)
+        halo.make_halo_step(top, cfg, mesh)
